@@ -1,0 +1,116 @@
+"""Aggregation-request dispatcher (the reference's work-queue consumer).
+
+Reference: ``aggregation_file_download`` (process.py:320-366) selects pending
+rows (``is_it_fulfilled = 0`` ordered by request_id), extracts the request
+params from the row's own JSON ``message`` with ``->`` (so JSON nulls surface
+as the text ``'null'``), string-dispatches on ``aggregation_function``, and
+validates params against the literal string ``"null"`` before calling.
+
+Rebuild: the queue scan is one DataFrame pass; each dispatched analytic is a
+single Spark plan exported to CSV; fulfillment updates append to the control
+status log. Unknown function names are ignored, failures isolate per-request —
+both reference behaviors (process.py:339-366).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from komodo_data_spark.functions.json_compat import req_param
+from komodo_data_spark.operators import analytics
+
+
+def pending_requests(requests: DataFrame) -> DataFrame:
+    """SELECT …, message->params FROM data_requests WHERE is_it_fulfilled=0
+    ORDER BY request_id (process.py:323-330)."""
+    return (
+        requests.filter(F.col("is_it_fulfilled") == 0)
+        .select(
+            "request_id",
+            "aggregation_function",
+            "is_it_fulfilled",
+            req_param("message", "clientId").alias("client_id"),
+            req_param("message", "sessionId").alias("session_id"),
+            req_param("message", "entityType").alias("entity_type"),
+            req_param("message", "interactionType").alias("interaction_type"),
+        )
+        .orderBy("request_id")
+    )
+
+
+def export_csv(df: DataFrame, out_dir: str, prefix: str) -> str:
+    """CSV result sink with the reference's timestamped filename
+    (process.py:100-107; the '%Y-%m-%d %H-%S' format — minutes skipped —
+    is preserved verbatim)."""
+    os.makedirs(out_dir, exist_ok=True)
+    filename = f"{prefix}_{time.strftime('%Y-%m-%d %H-%S')}.csv"
+    path = os.path.join(out_dir, filename)
+    df.toPandas().to_csv(path, index=False)
+    return os.path.abspath(path)
+
+
+def aggregation_file_download(
+    spark: SparkSession,
+    requests: DataFrame,
+    data: DataFrame,
+    out_dir: str,
+    on_fulfilled=None,
+) -> list[tuple[int, str, str]]:
+    """Process every pending request; returns [(request_id, function, csv_path)].
+
+    ``on_fulfilled(request_id, path)`` is the seam for control-table updates
+    (sources.control.update_data_request).
+    """
+    done: list[tuple[int, str, str]] = []
+    rows = pending_requests(requests).collect()  # control-plane: tiny
+    for row in rows:
+        fn = row["aggregation_function"]
+        rid = int(row["request_id"])
+        client_id = row["client_id"]
+        session_id = row["session_id"]
+        entity_type = row["entity_type"]
+        interaction_type = row["interaction_type"]
+        try:
+            if fn == "aggregate_interaction_type":
+                if session_id != "null" and interaction_type != "null":
+                    result = analytics.aggregate_interaction_type(
+                        data, int(float(session_id)), int(float(interaction_type))
+                    )
+                    path = export_csv(result, out_dir, "aggregate_interaction")
+                else:
+                    print("Argument(s) for aggregate_interaction not valid!")
+                    continue
+            elif fn == "aggregate_user":
+                if client_id != "null" and session_id != "null":
+                    result = analytics.aggregate_user(
+                        data, int(float(session_id)), int(float(client_id))
+                    )
+                    path = export_csv(result, out_dir, "aggregate_user")
+                else:
+                    print("Argument(s) for aggregate_user not valid!")
+                    continue
+            elif fn == "user_energy":
+                if entity_type != "null" and client_id != "null":
+                    result = analytics.user_energy(
+                        data,
+                        int(float(session_id)),
+                        int(float(client_id)),
+                        entity_type,
+                    )
+                    path = export_csv(result, out_dir, "user_energy")
+                else:
+                    print("Argument(s) for user_energy not valid!")
+                    continue
+            else:  # unknown function names fall through silently (process.py:351-366)
+                continue
+        except Exception as e:  # per-request failure isolation
+            print(f"request {rid} ({fn}) failed: {e}")
+            continue
+        done.append((rid, fn, path))
+        if on_fulfilled is not None:
+            on_fulfilled(rid, path)
+    return done

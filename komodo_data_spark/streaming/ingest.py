@@ -1,0 +1,53 @@
+"""Streaming variant of the capture ingest loop.
+
+The reference polls every 10 s in a while-True loop (process.py:455-469) and
+tracks progress via the ``captures.processed`` flag. Structured Streaming's
+file source replaces both: new capture files are discovered incrementally and
+the checkpoint gives exactly-once per file — the `captures` status updates
+remain only for API parity (sources.control).
+
+Batch core (sources.capture) stays the tested unit; this wrapper adds the
+continuous trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from komodo_data_spark.schemas import CAPTURE_FILE_SCHEMA
+
+
+def start_capture_stream(
+    spark: SparkSession,
+    captures_glob: str,
+    data_table_path: str,
+    checkpoint_path: str,
+    trigger_seconds: int = 10,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuously ingest capture files matching ``captures_glob``.
+
+    ``captures_glob`` should be ``{CAPTURES_DIR}/*/*/data`` (one JSON-lines
+    file per capture). Trigger default mirrors the reference's 10 s poll
+    (process.py:469); ``available_now=True`` drains the backlog and stops
+    (the batch-parity mode used in tests).
+    """
+    stream = (
+        spark.readStream.schema(CAPTURE_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .option("multiLine", "true")  # capture files are JSON record arrays
+        .json(captures_glob)
+    )
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", data_table_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy("session_id")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,144 @@
+"""Capture-file ingestion, control-table semantics, dispatcher, streaming."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from komodo_data_spark.schemas import CAPTURES_SCHEMA, DATA_REQUESTS_SCHEMA
+from komodo_data_spark.sources import capture, control
+from komodo_data_spark.streaming import dispatch
+from komodo_data_spark.streaming.ingest import start_capture_stream
+from tests.synth import make_captures, make_rows
+
+
+@pytest.fixture(scope="module")
+def captures_dir(tmp_path_factory, data_pdf):
+    """Write fixture rows as capture files at {dir}/{session}/{capture}/data."""
+    root = tmp_path_factory.mktemp("captures")
+    for cid, grp in data_pdf.groupby("capture_id"):
+        session, cap = cid.split("_")
+        d = root / session / cap
+        d.mkdir(parents=True)
+        recs = grp.drop(columns=[]).to_dict("records")
+        (d / "data").write_text(json.dumps(recs))
+    return str(root)
+
+
+def test_capture_path():
+    assert capture.capture_path("/c", "126_1630443513898") == "/c/126/1630443513898/data"
+
+
+def test_ingest_ready_captures(spark, tmp_path, captures_dir, data_pdf):
+    caps = spark.createDataFrame(
+        pd.DataFrame(make_captures()), schema=CAPTURES_SCHEMA
+    )
+    data_path = str(tmp_path / "data_table")
+    results = capture.ingest_ready_captures(spark, caps, captures_dir, data_path)
+    # two real captures succeed; the in-flight one (end IS NULL) is skipped
+    assert sorted(cid for cid, ok, _ in results if ok) == sorted(
+        data_pdf["capture_id"].unique()
+    )
+    assert all(stamp > 0 for _, ok, stamp in results if ok)
+
+    loaded = spark.read.parquet(data_path)
+    assert loaded.count() == len(data_pdf)
+    # partitioned by session_id → the ubiquitous session filter prunes
+    assert any("session_id=" in p for p in os.listdir(data_path))
+    # capture_id survives as string with the underscore intact
+    assert loaded.filter(F.col("capture_id") == "126_1630443513898").count() > 0
+
+
+def test_missing_file_fails_gracefully(spark, tmp_path):
+    ok = capture.process_file(
+        spark, "1_2", str(tmp_path / "nope" / "data"), str(tmp_path / "out")
+    )
+    assert ok is False
+
+
+def test_control_latest_wins(spark, tmp_path):
+    path = str(tmp_path / "captures_ctl")
+    caps = spark.createDataFrame(
+        pd.DataFrame(make_captures(include_inflight=False)), schema=CAPTURES_SCHEMA
+    )
+    control.init_table(caps, path)
+    control.mark_processed(
+        spark, path, [("126_1630443513898", True, 1700000123)]
+    )
+    cur = control.current_view(spark, path, "capture_id")
+    row = {r["capture_id"]: r["processed"] for r in cur.collect()}
+    assert row["126_1630443513898"] == 1700000123
+    assert row["127_1630450000000"] is None
+    # a later failure overwrites: latest wins
+    control.mark_processed(spark, path, [("126_1630443513898", False, 0)])
+    cur = control.current_view(spark, path, "capture_id")
+    row = {r["capture_id"]: r["processed"] for r in cur.collect()}
+    assert row["126_1630443513898"] == 0
+
+
+REQUESTS = [
+    # valid interaction request
+    (1, "aggregate_interaction_type", 0,
+     '{"sessionId": 126, "clientId": 5, "interactionType": 1, "entityType": 0}'),
+    # valid user request
+    (2, "aggregate_user", 0,
+     '{"sessionId": 126, "clientId": 5, "interactionType": 1, "entityType": 0}'),
+    # JSON null sessionId → MySQL '->' yields text 'null' → rejected
+    (3, "aggregate_interaction_type", 0,
+     '{"sessionId": null, "clientId": 888, "interactionType": 1, "entityType": 0}'),
+    # unknown function → ignored
+    (4, "not_a_function", 0, '{"sessionId": 126}'),
+    # already fulfilled → not selected
+    (5, "aggregate_user", 1, '{"sessionId": 126, "clientId": 5}'),
+    # valid energy request
+    (6, "user_energy", 0,
+     '{"sessionId": 126, "clientId": 5, "interactionType": 1, "entityType": 0}'),
+]
+
+
+def test_dispatcher(spark, data_df, tmp_path):
+    reqs = spark.createDataFrame(
+        [
+            dict(
+                request_id=rid,
+                processed_capture_id="126_1630443513898",
+                who_requested=2,
+                aggregation_function=fn,
+                is_it_fulfilled=ful,
+                url=None,
+                message=msg,
+                file_location=None,
+            )
+            for rid, fn, ful, msg in REQUESTS
+        ],
+        schema=DATA_REQUESTS_SCHEMA,
+    )
+    out = str(tmp_path / "exports")
+    fulfilled = []
+    done = dispatch.aggregation_file_download(
+        spark, reqs, data_df, out, on_fulfilled=lambda rid, p: fulfilled.append(rid)
+    )
+    assert [rid for rid, _, _ in done] == [1, 2, 6]
+    assert fulfilled == [1, 2, 6]
+    for _, _, path in done:
+        assert os.path.isfile(path)
+        assert len(pd.read_csv(path)) > 0
+
+
+def test_streaming_ingest(spark, tmp_path, captures_dir, data_pdf):
+    """AvailableNow drain of the capture directory == batch ingest result."""
+    data_path = str(tmp_path / "stream_data")
+    q = start_capture_stream(
+        spark,
+        os.path.join(captures_dir, "*", "*", "data"),
+        data_path,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    loaded = spark.read.parquet(data_path)
+    assert loaded.count() == len(data_pdf)
