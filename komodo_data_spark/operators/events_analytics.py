@@ -1,0 +1,166 @@
+"""The five komodo analytics re-targeted at the driver's `events` table.
+
+The reference's `data` table doesn't exist in /root/testdata, so for the
+driver's DuckDB-oracle gate each reference workload (SURVEY.md §2) is run over
+`events`, which is shape-compatible: event_id≈seq, ts, user_id≈client_id,
+event_type≈type, props≈message. Semantics per operator mirror the reference
+SQL (filter → JSON extraction → agg/window), with the same MySQL `->`
+compatibility helpers; the reference-shaped originals live in
+operators/analytics.py and are oracle-tested in tests/test_analytics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from komodo_data_spark.functions.json_compat import jget, jget_num
+from komodo_data_spark.sources.tables import load_events
+
+ENTITY_NAMES = ["head", "left_hand", "right_hand", "spawned_entity"]
+
+
+def interaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate_interaction_type analog (process.py:79-88): events of one
+    type counted per user; count(props) keeps the non-NULL-count semantics."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("props").alias("interaction_count"))
+    )
+
+
+def interaction_counts_oracle() -> str:
+    return """
+    SELECT user_id, count(props) AS interaction_count
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+    """
+
+
+def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate_user analog (process.py:144-173): one user's activity grouped
+    by a decoded JSON attribute (k mod 4 plays entityType)."""
+    ev = load_events(spark, sf_dir)
+    code = (jget_num("props", "$.k").cast("int") % 4).cast("string")
+    decode = F.element_at(
+        F.create_map(*[F.lit(x) for i, n in enumerate(ENTITY_NAMES) for x in (str(i), n)]),
+        code,
+    )
+    return (
+        ev.filter((F.col("user_id") == 7) & (F.col("event_type") == "view"))
+        .groupBy(decode.alias("entity_type"))
+        .agg(F.count(F.lit(1)).alias("user_count"))
+    )
+
+
+def user_activity_oracle() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{n}'" for i, n in enumerate(ENTITY_NAMES)
+    )
+    return f"""
+    SELECT CASE (CAST(json_extract_string(props,'$.k') AS DOUBLE)::INT % 4) {cases} END AS entity_type,
+           count(*) AS user_count
+    FROM events
+    WHERE user_id = 7 AND event_type = 'view'
+    GROUP BY 1
+    """
+
+
+def user_energy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_energy analog (process.py:196-213): per-user LAG over the ordered
+    stream, delta(value) / delta(ms); lag-before-filter order preserved."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    d_val = F.col("value") - F.lag("value", 1).over(w)
+    d_ms = F.col("ts_ms") - F.lag("ts_ms", 1).over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("ts_ms").alias("timestamp_ms"),
+            (F.sqrt(F.pow(d_val, F.lit(2))) / d_ms).alias("energy"),
+            d_ms.alias("delta_ms"),
+        )
+        .filter(F.col("energy").isNotNull() & (F.col("delta_ms") > 0))
+        .select("user_id", "event_id", "timestamp_ms", "energy")
+    )
+
+
+def user_energy_events_oracle() -> str:
+    return """
+    SELECT user_id, event_id, timestamp_ms, energy FROM (
+      SELECT user_id, event_id, epoch_ms(ts) AS timestamp_ms,
+             SQRT(POWER(value - LAG(value,1) OVER w, 2))
+               / (epoch_ms(ts) - LAG(epoch_ms(ts),1) OVER w) AS energy,
+             epoch_ms(ts) - LAG(epoch_ms(ts),1) OVER w AS delta_ms
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ) t WHERE energy IS NOT NULL AND delta_ms > 0
+    """
+
+
+def user_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_proximity analog (process.py:413-448): seconds where >1 user is
+    active (IN-subquery → semi join), then consecutive-row distance within
+    the co-present bucket; range predicate on the distance.
+
+    Scale note: the lag window partitions by the time bucket — unlike the
+    reference's single global window, every bucket lags independently.
+    """
+    ev = load_events(spark, sf_dir).withColumn(
+        "ts_sec", F.floor(F.col("ts_ms") / 1000)
+    )
+    copresent = (
+        ev.groupBy("ts_sec")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .filter(F.col("n_users") > 1)
+        .select("ts_sec")
+    )
+    rows = ev.join(copresent, "ts_sec", "left_semi")
+    w = Window.partitionBy("ts_sec").orderBy("value", "event_id")
+    distance = F.abs(F.col("value") - F.lag("value", 1).over(w))
+    return (
+        rows.select(
+            "ts_sec",
+            "user_id",
+            "event_id",
+            "value",
+            distance.alias("distance"),
+        )
+        .filter((F.col("distance") > 0) & (F.col("distance") < 50.0))
+    )
+
+
+def user_copresence_oracle() -> str:
+    return """
+    SELECT ts_sec, user_id, event_id, value, distance FROM (
+      SELECT ts_sec, user_id, event_id, value,
+             ABS(value - LAG(value,1) OVER (PARTITION BY ts_sec ORDER BY value, event_id)) AS distance
+      FROM (SELECT *, epoch_ms(ts) // 1000 AS ts_sec FROM events) e
+      WHERE ts_sec IN (SELECT ts_sec FROM (SELECT epoch_ms(ts) // 1000 AS ts_sec, user_id FROM events) g
+                       GROUP BY ts_sec HAVING count(DISTINCT user_id) > 1)
+    ) t WHERE distance > 0 AND distance < 50.0
+    """
+
+
+def event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drawing_pattern analog (process.py:386-402): NULL-skipping count of a
+    JSON path per group — count('$.k') counts present keys, count('$.missing')
+    demonstrates path-miss skipping (0 everywhere)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(jget("props", "$.k")).alias("k_count"),
+        F.count(jget("props", "$.missing")).alias("missing_count"),
+        F.count(F.lit(1)).alias("row_count"),
+    )
+
+
+def event_pattern_oracle() -> str:
+    return """
+    SELECT event_type,
+           count(json_extract_string(props,'$.k')) AS k_count,
+           count(json_extract_string(props,'$.missing')) AS missing_count,
+           count(*) AS row_count
+    FROM events GROUP BY event_type
+    """

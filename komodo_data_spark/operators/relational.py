@@ -1,0 +1,371 @@
+"""Relational query pack over the driver's TPC-H-ish tables.
+
+The reference has no joins (its only multi-relation op is an IN-subquery,
+process.py:427-430); this pack supplies the join/agg/window/set-op surface a
+complete engine needs, expressed so Catalyst picks the right physical plan:
+
+- small dims (region, nation) → `F.broadcast` hints: broadcast-hash join, no
+  shuffle of the fact side;
+- fact-fact joins (orders⋈lineitem) → sort-merge with AQE skew handling;
+- aggregates of money columns go through DECIMAL so partial-aggregation order
+  can never change the result (bit-stable vs any oracle), cast to double only
+  at the output boundary;
+- date filters sit directly on scan columns → parquet predicate pushdown +
+  row-group pruning.
+
+All functions take (spark, sf_dir) and return a DataFrame with aliased
+output columns (driver contract: names must match the oracle SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from komodo_data_spark.sources.tables import load_events, load_table
+
+
+def dec(c: Column | str, precision: int = 20, scale: int = 4) -> Column:
+    """Money/quantity columns to exact decimal before aggregation."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({precision},{scale})")
+
+
+def _dbl(c: Column) -> Column:
+    return c.cast("double")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report (scan → filter → 4-way agg)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(20,4)") - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(20,4)") + dec("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dbl(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            _dbl(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            _dbl(F.sum(disc_price)).alias("sum_disc_price"),
+            _dbl(F.sum(charge)).alias("sum_charge"),
+            (_dbl(F.sum(dec("l_quantity"))) / F.count(F.lit(1))).alias("avg_qty"),
+            (_dbl(F.sum(dec("l_extendedprice"))) / F.count(F.lit(1))).alias("avg_price"),
+            (_dbl(F.sum(dec("l_discount"))) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q1_oracle() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4))) * (CAST(1 AS DECIMAL(20,4)) + CAST(l_tax AS DECIMAL(20,4)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: unshipped-order revenue (dim-filtered 3-way join, top 10).
+
+    customer is ~1% of lineitem → broadcast; orders⋈lineitem stays
+    sort-merge on the orderkey.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-03-15")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1999-03-15")
+    revenue = F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(20,4)") - dec("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dbl(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q3_oracle() -> str:
+    return """
+    SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-03-15'
+      AND l_shipdate  > TIMESTAMP '1999-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where customer and supplier share the
+    nation (6-way join; region/nation broadcast, AQE reorders the rest)."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(20,4)") - dec("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dbl(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+def q5_oracle() -> str:
+    return """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate; every predicate pushes to parquet."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1999-01-01")
+        & (F.col("l_shipdate") < "2000-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        _dbl(F.sum(dec("l_extendedprice") * dec("l_discount"))).alias("revenue")
+    )
+
+
+def q6_oracle() -> str:
+    return """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: revenue lost to returns, top 20 customers."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1998-10-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(20,4)") - dec("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dbl(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q10_oracle() -> str:
+    return """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1998-10-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 customers by account balance per nation.
+
+    Partitioned window (per-nation) → fully parallel; custkey tie-break makes
+    the cut deterministic.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", "c_acctbal", "rank_in_nation")
+    )
+
+
+def top_customers_oracle() -> str:
+    return """
+    SELECT n_name, c_custkey, c_name, c_acctbal, rank_in_nation
+    FROM (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rank_in_nation
+      FROM customer
+    ) t JOIN nation ON c_nationkey = n_nationkey
+    WHERE rank_in_nation <= 3
+    """
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP over (returnflag, linestatus) — subtotal lattice."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _dbl(F.sum(dec("l_extendedprice"))).alias("gross_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def revenue_rollup_oracle() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS gross_revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers that placed at least one qualifying order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def customers_with_orders_oracle() -> str:
+    return """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+def customers_without_orders_oracle() -> str:
+    return """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+
+
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the user's most recent prior click.
+
+    Spark-first formulation: instead of an O(n·m) inequality join, union the
+    two streams, sort within each user partition by (ts, event_id), and carry
+    the last click timestamp forward with last(ignorenulls) over an unbounded-
+    preceding frame — one shuffle on user_id, linear work, scales to any
+    stream length. (The oracle states the same semantics as a relational
+    inequality join.)
+    """
+    ev = load_events(spark, sf_dir)
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "ts_ms",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts_ms")).alias("click_ms"),
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged.withColumn("last_click_ms", F.last("click_ms", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts_ms").alias("purchase_ms"), "last_click_ms")
+    )
+
+
+def asof_oracle() -> str:
+    return """
+    SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS purchase_ms,
+           max(epoch_ms(c.ts)) AS last_click_ms
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event type.
+
+    Batch formulation of the Structured Streaming windowed aggregation (the
+    streaming twin lives in streaming/windows.py); bucketing on epoch math so
+    the same expression serves both engines and any timezone.
+    """
+    ev = load_events(spark, sf_dir)
+    bucket = (F.floor(F.col("ts_ms") / F.lit(3_600_000)) * F.lit(3_600_000)).alias(
+        "window_start_ms"
+    )
+    return (
+        ev.groupBy(bucket, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dbl(F.sum(dec("value", 18, 2))).alias("sum_value"),
+        )
+    )
+
+
+def events_hourly_oracle() -> str:
+    return """
+    SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms, event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """
