@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H Q1 pricing summary) on
+sf0.001. ``queries()`` registers every implemented operator from
+SURVEY.md §2 (+ extension pack); ``oracle_sql()`` pairs each with the
+DuckDB-runnable ANSI SQL the driver compares against at sf0.01.
+
+Column names are aliased identically on both sides — the driver sorts
+columns by name before hashing values.
 """
 
 from __future__ import annotations
@@ -13,26 +15,88 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from komodo_data_spark.operators import relational
+
+    return relational.q1_pricing_summary(spark, SF0001)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+def _registry() -> dict[str, tuple[QueryFn, str | None]]:
+    """name -> (query callable, oracle SQL or None for rows-only checks)."""
+    from komodo_data_spark.operators import events_analytics as ea
+    from komodo_data_spark.operators import relational as rel
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    reg: dict[str, tuple[QueryFn, str | None]] = {
+        # --- relational pack (joins / aggs / windows / set ops) ---
+        "q1_pricing_summary": (rel.q1_pricing_summary, rel.q1_oracle()),
+        "q3_shipping_priority": (rel.q3_shipping_priority, rel.q3_oracle()),
+        "q5_local_supplier_volume": (rel.q5_local_supplier_volume, rel.q5_oracle()),
+        "q6_forecast_revenue": (rel.q6_forecast_revenue, rel.q6_oracle()),
+        "q10_returned_items": (rel.q10_returned_items, rel.q10_oracle()),
+        "top_customers_per_nation": (
+            rel.top_customers_per_nation,
+            rel.top_customers_oracle(),
+        ),
+        "revenue_rollup": (rel.revenue_rollup, rel.revenue_rollup_oracle()),
+        "customers_with_orders": (
+            rel.customers_with_orders,
+            rel.customers_with_orders_oracle(),
+        ),
+        "customers_without_orders": (
+            rel.customers_without_orders,
+            rel.customers_without_orders_oracle(),
+        ),
+        "asof_last_click_before_purchase": (
+            rel.asof_last_click_before_purchase,
+            rel.asof_oracle(),
+        ),
+        "events_hourly_rollup": (rel.events_hourly_rollup, rel.events_hourly_oracle()),
+        # --- reference analytics re-targeted at the events table ---
+        "interaction_counts": (ea.interaction_counts, ea.interaction_counts_oracle()),
+        "user_activity": (ea.user_activity, ea.user_activity_oracle()),
+        "user_energy_events": (ea.user_energy_events, ea.user_energy_events_oracle()),
+        "user_copresence": (ea.user_copresence, ea.user_copresence_oracle()),
+        "event_pattern": (ea.event_pattern, ea.event_pattern_oracle()),
+    }
+
+    try:
+        from komodo_data_spark.operators import dedup
+
+        reg.update(dedup.registry())
+    except ImportError:
+        pass
+    try:
+        from komodo_data_spark.operators import text_analysis
+
+        reg.update(text_analysis.registry())
+    except ImportError:
+        pass
+    try:
+        from komodo_data_spark.operators import similarity
+
+        reg.update(similarity.registry())
+    except ImportError:
+        pass
+    try:
+        from komodo_data_spark.operators import multimodal_ops
+
+        reg.update(multimodal_ops.registry())
+    except ImportError:
+        pass
+    return reg
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in _registry().items() if sql is not None
+    }

@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries and prints ONE JSON line.
+
+Usage: ``python bench.py``. Env: ``SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1), ``SPARK_GRAFT_CPUS`` (default 32).
+
+Each query is executed once as a full action (count of the result, which
+forces every exchange/agg/window in the plan) after a warm-up that touches
+the parquet footers, so JVM startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    from komodo_data_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="komodo-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+
+    # Warm-up: force parquet footer reads + JVM codegen on a cheap query.
+    from komodo_data_spark.sources.tables import TABLE_NAMES, load_table
+
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # keep the harness alive; flag the query
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = [v for v in timings.values() if v >= 0]
+    total = round(sum(ok), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_failed": len(timings) - len(ok),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

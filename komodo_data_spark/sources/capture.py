@@ -48,14 +48,17 @@ def read_capture_file(spark: SparkSession, path: str) -> DataFrame:
     int literal; process.py:239-240 — schema-first reading makes the issue
     structurally impossible). The `message` field is kept as raw JSON text.
     """
+    # Detect the format structurally: a records-array file starts with '[',
+    # anything else is JSON-lines. (A take(1) null-probe is NOT safe the other
+    # way round: multiLine=true on a JSONL file parses only the FIRST record —
+    # which has a perfectly valid capture_id — and silently drops the rest.)
+    with open(path, "rb") as f:
+        head = f.read(4096).lstrip()
+    multiline = head.startswith(b"[")
     reader = spark.read.schema(CAPTURE_FILE_SCHEMA)
-    df = reader.option("multiLine", "true").json(path)
-    # A records-array file read as JSON-lines (or vice versa) yields all-null
-    # rows; detect cheaply via the first row and fall back.
-    head = df.take(1)
-    if head and head[0]["capture_id"] is None:
-        df = reader.json(path)
-    return df
+    if multiline:
+        return reader.option("multiLine", "true").json(path)
+    return reader.json(path)
 
 
 def append_to_data_table(df: DataFrame, data_table_path: str) -> None:

@@ -41,10 +41,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with `ts` (raw nanos long) plus derived `ts_ms` and `ts_ts`."""
     ev = load_table(spark, sf_dir, "events")
+    # Integer division, never double: nanos (~1.7e18) exceed double's 53-bit
+    # mantissa, so (ts/1e6).cast('long') is off by 1 ms on exact-ms stamps.
     return ev.withColumns(
         {
-            "ts_ms": (F.col("ts") / F.lit(1_000_000)).cast("long"),
-            "ts_ts": F.timestamp_micros((F.col("ts") / F.lit(1_000)).cast("long")),
+            "ts_ms": F.expr("ts div 1000000"),
+            "ts_ts": F.timestamp_micros(F.expr("ts div 1000")),
         }
     )
 

@@ -24,6 +24,18 @@ from komodo_data_spark.functions.json_compat import req_param
 from komodo_data_spark.operators import analytics
 
 
+def _as_int(param: str | None) -> int:
+    """MySQL numeric coercion for request params: non-numeric text (incl. the
+    ``'null'`` marker when it slips past a validity check, as session_id does
+    in the reference's user_energy branch, process.py:362-366) coerces to 0 —
+    the reference then runs the query, exports an empty CSV, and marks the
+    request fulfilled. Exception-skipping here would be a parity deviation."""
+    try:
+        return int(float(param))
+    except (TypeError, ValueError):
+        return 0
+
+
 def pending_requests(requests: DataFrame) -> DataFrame:
     """SELECT …, message->params FROM data_requests WHERE is_it_fulfilled=0
     ORDER BY request_id (process.py:323-330)."""
@@ -78,7 +90,7 @@ def aggregation_file_download(
             if fn == "aggregate_interaction_type":
                 if session_id != "null" and interaction_type != "null":
                     result = analytics.aggregate_interaction_type(
-                        data, int(float(session_id)), int(float(interaction_type))
+                        data, _as_int(session_id), _as_int(interaction_type)
                     )
                     path = export_csv(result, out_dir, "aggregate_interaction")
                 else:
@@ -87,7 +99,7 @@ def aggregation_file_download(
             elif fn == "aggregate_user":
                 if client_id != "null" and session_id != "null":
                     result = analytics.aggregate_user(
-                        data, int(float(session_id)), int(float(client_id))
+                        data, _as_int(session_id), _as_int(client_id)
                     )
                     path = export_csv(result, out_dir, "aggregate_user")
                 else:
@@ -97,8 +109,8 @@ def aggregation_file_download(
                 if entity_type != "null" and client_id != "null":
                     result = analytics.user_energy(
                         data,
-                        int(float(session_id)),
-                        int(float(client_id)),
+                        _as_int(session_id),
+                        _as_int(client_id),
                         entity_type,
                     )
                     path = export_csv(result, out_dir, "user_energy")

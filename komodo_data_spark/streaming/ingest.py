@@ -25,18 +25,23 @@ def start_capture_stream(
     checkpoint_path: str,
     trigger_seconds: int = 10,
     available_now: bool = False,
+    multiline: bool = False,
 ) -> StreamingQuery:
     """Continuously ingest capture files matching ``captures_glob``.
 
-    ``captures_glob`` should be ``{CAPTURES_DIR}/*/*/data`` (one JSON-lines
-    file per capture). Trigger default mirrors the reference's 10 s poll
+    ``captures_glob`` should be ``{CAPTURES_DIR}/*/*/data``. Set
+    ``multiline=True`` when capture files are JSON record *arrays* (what
+    pandas.read_json consumed); leave False for JSON-lines files — with
+    multiLine on, Spark parses only the first record of a JSONL file and
+    silently drops the rest, so the two formats must not be mixed in one
+    stream. Trigger default mirrors the reference's 10 s poll
     (process.py:469); ``available_now=True`` drains the backlog and stops
     (the batch-parity mode used in tests).
     """
     stream = (
         spark.readStream.schema(CAPTURE_FILE_SCHEMA)
         .option("maxFilesPerTrigger", 64)
-        .option("multiLine", "true")  # capture files are JSON record arrays
+        .option("multiLine", "true" if multiline else "false")
         .json(captures_glob)
     )
     writer = (

@@ -60,8 +60,26 @@ def assert_frames_match(spark_df, oracle_pdf: pd.DataFrame, float_rel: float = 1
     if len(got) == 0:
         return
     cols = list(got.columns)
-    got_s = got.sort_values(cols).reset_index(drop=True)
-    exp_s = oracle_pdf.sort_values(cols).reset_index(drop=True)
+
+    # Sort keys: non-float columns as-is; float columns rounded to a coarse
+    # grid so rows whose float keys differ only by engine rounding can't order
+    # differently between Spark and DuckDB (the rtol check below still
+    # compares the full-precision values).
+    def sort_frame(df: pd.DataFrame) -> pd.DataFrame:
+        keyed = df.copy()
+        key_cols = []
+        for c in cols:
+            if pd.api.types.is_float_dtype(df[c]):
+                keyed[f"_k_{c}"] = df[c].round(6)
+                key_cols.append(f"_k_{c}")
+            else:
+                key_cols.append(c)
+        return (
+            keyed.sort_values(key_cols, kind="mergesort")
+            .reset_index(drop=True)[cols]
+        )
+
     pd.testing.assert_frame_equal(
-        got_s, exp_s, check_dtype=False, check_exact=False, rtol=float_rel
+        sort_frame(got), sort_frame(oracle_pdf),
+        check_dtype=False, check_exact=False, rtol=float_rel,
     )
