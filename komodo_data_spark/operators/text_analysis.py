@@ -1,0 +1,219 @@
+"""Text-analysis pack over the ``documents`` table (north-star extension).
+
+The reference has no text operators (its whole surface is the XR telemetry
+SQL in process.py); this pack supplies the language-ID / quality-scoring /
+token-counting / fingerprinting layer a training-data pipeline needs
+(SURVEY.md §2.12). Design rules:
+
+- Every operator is a narrow projection + per-row array math: **no shuffle at
+  all** except the final small groupBy in ``text_language_id``. At 100 TB
+  these run as a single map stage over the parquet scan with column pruning
+  (only ``doc_id``/``text``/``lang`` are read).
+- Pure Catalyst expressions (split / higher-order array functions / md5) —
+  no Python UDFs, so whole-stage codegen covers the entire plan.
+- Each query has a DuckDB oracle twin built from the same formula via the
+  shared builders in functions/text_features.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from komodo_data_spark.functions.text_features import (
+    LANG_STOPWORDS,
+    QUALITY_STOPWORDS,
+    shingles,
+    sql_shingles,
+    sql_tokens,
+    tokens,
+)
+from komodo_data_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# token statistics
+# --------------------------------------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens, distinct tokens,
+    average token length, type-token ratio."""
+    toks = tokens()
+    d = _docs(spark, sf_dir).withColumn("toks", toks)
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        (
+            F.aggregate("toks", F.lit(0), lambda acc, t: acc + F.length(t)).cast(
+                "double"
+            )
+            / F.size("toks")
+        ).alias("avg_token_len"),
+        (
+            F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+        ).alias("type_token_ratio"),
+    )
+
+
+def text_token_stats_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents)
+    SELECT doc_id,
+      len(toks) AS n_tokens,
+      len(list_distinct(toks)) AS n_distinct_tokens,
+      list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+        AS avg_token_len,
+      len(list_distinct(toks))::DOUBLE / len(toks) AS type_token_ratio
+    FROM d
+    """
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: length, stopword ratio, mean word length,
+    and a bounded composite score = min(n_tokens/100, 1) * (0.5 + 0.5*TTR)."""
+    stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    d = _docs(spark, sf_dir).withColumn("toks", tokens())
+    n_tokens = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    stop_hits = F.expr(f"size(filter(toks, t -> t IN ({stop})))")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
+        (F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (0.5 + 0.5 * ttr)).alias(
+            "quality_score"
+        ),
+        (n_tokens < 20).alias("is_short"),
+    )
+
+
+def text_quality_scores_oracle() -> str:
+    t = sql_tokens()
+    stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""
+    WITH d AS (SELECT doc_id, text, {t} AS toks FROM documents)
+    SELECT doc_id,
+      length(text) AS n_chars_actual,
+      len(toks) AS n_tokens,
+      len(list_filter(toks, t -> t IN ({stop})))::DOUBLE / len(toks)
+        AS stopword_ratio,
+      least(len(toks) / 100.0, 1.0)
+        * (0.5 + 0.5 * (len(list_distinct(toks))::DOUBLE / len(toks)))
+        AS quality_score,
+      len(toks) < 20 AS is_short
+    FROM d
+    """
+
+
+# --------------------------------------------------------------------------
+# language identification (n-gram/stopword heuristic)
+# --------------------------------------------------------------------------
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID; output is the (actual, predicted) confusion
+    matrix. Ties break in declaration order (en > de > fr > es); docs with
+    zero stopword hits are 'und'. The per-doc scoring is shuffle-free; only
+    the tiny confusion-matrix groupBy shuffles (≤ |langs|² rows)."""
+    d = _docs(spark, sf_dir).withColumn("toks", tokens())
+    scores = {}
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        scores[lang] = F.expr(f"size(filter(toks, t -> t IN ({lst})))")
+    langs = list(LANG_STOPWORDS)
+    pred = F.lit("und")
+    # build the argmax CASE back-to-front so earlier langs win ties
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (scores[lang] > scores[other])
+            elif other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return (
+        d.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def text_language_id_oracle() -> str:
+    t = sql_tokens()
+    score_exprs = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(f"len(list_filter(toks, t -> t IN ({lst}))) AS s_{lang}")
+    langs = list(LANG_STOPWORDS)
+    whens = []
+    for lang in langs:
+        conds = [f"s_{lang} > 0"]
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                conds.append(f"s_{lang} > s_{other}")
+            elif other != lang:
+                conds.append(f"s_{lang} >= s_{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    return f"""
+    WITH d AS (SELECT doc_id, lang, {t} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {", ".join(score_exprs)} FROM d)
+    SELECT lang, {case} AS pred_lang, count(*) AS n_docs
+    FROM s GROUP BY lang, pred_lang
+    """
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting
+# --------------------------------------------------------------------------
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of the normalized token stream (exact-dup
+    key) plus the lexicographic-min md5 over 5-token shingles (a 1-coordinate
+    MinHash — stable under small edits, the near-dup key)."""
+    d = _docs(spark, sf_dir).withColumn("toks", tokens())
+    sh5 = shingles(F.col("toks"), 5)
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", "toks")).alias("content_fp"),
+        F.array_min(F.transform(sh5, F.md5)).alias("min_shingle_fp"),
+        F.size(sh5).alias("n_shingles"),
+    )
+
+
+def text_fingerprints_oracle() -> str:
+    t = sql_tokens()
+    sh5 = sql_shingles("toks", 5)
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    s AS (SELECT doc_id, toks, {sh5} AS sh5 FROM d)
+    SELECT doc_id,
+      md5(array_to_string(toks, ' ')) AS content_fp,
+      list_min(list_transform(sh5, s -> md5(s))) AS min_shingle_fp,
+      len(sh5) AS n_shingles
+    FROM s
+    """
+
+
+def registry():
+    """Driver-contract entries: name -> (query fn, oracle SQL)."""
+    return {
+        "text_token_stats": (text_token_stats, text_token_stats_oracle()),
+        "text_quality_scores": (text_quality_scores, text_quality_scores_oracle()),
+        "text_language_id": (text_language_id, text_language_id_oracle()),
+        "text_fingerprints": (text_fingerprints, text_fingerprints_oracle()),
+    }
