@@ -1,0 +1,361 @@
+"""Deduplication pack over ``documents`` / ``embeddings`` (north-star
+extension; SURVEY.md §2.12). Five dedup families, each with a DuckDB oracle:
+
+1. exact        — md5-of-normalized-text groupBy (one shuffle on a 32-char key)
+2. n-gram       — 3-token-shingle Jaccard pairs (explode + self-join)
+3. MinHash+LSH  — k=12 signatures, b=4 bands × r=3: band-bucket join prunes
+                  the candidate space, then exact-Jaccard verification
+4. SimHash      — 16-bit parity-vote signature + Hamming-distance pairs
+5. embedding    — cosine near-dup pairs over ``array<float>`` vectors
+
+Scale strategy (100 TB): the *n-gram self-join* is the quadratic trap — its
+cost is Σ(bucket²) over shingle buckets, so a single hot shingle ("the the
+the") explodes; production path is (3) where the join key is a *band bucket*
+whose expected occupancy is O(1) for non-duplicate docs, turning candidate
+generation into a linear scan + one shuffle on the band hash. Frequency-cap
+hot shingles before joining (drop shingles appearing in > f·N docs — they
+carry no dedup signal) and salt residual skew; AQE skew-join handles the
+tail. SimHash (4) is cheaper still: signature is map-side, and near-dup
+lookup is b-bit multi-probe on a clustered signature column. All signature
+computations are pure Catalyst expressions — no UDFs, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from komodo_data_spark.functions.text_features import (
+    minhash,
+    shingles,
+    simhash,
+    sql_minhash,
+    sql_shingles,
+    sql_simhash,
+    sql_tokens,
+    tokens,
+)
+from komodo_data_spark.sources.tables import load_table
+
+#: MinHash/LSH geometry: 12 hashes in 4 bands of 3. With Jaccard j the
+#: band-collision probability is 1-(1-j³)⁴ — ~0.95 at j=0.8, ~0.02 at j=0.2.
+MINHASH_K = 12
+LSH_BANDS = 4
+LSH_ROWS = 3
+
+JACCARD_THRESHOLD = 0.7
+COSINE_THRESHOLD = 0.45
+SIMHASH_BITS = 32
+HAMMING_MAX = 2
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", shingles(tokens(), n).alias("sh"))
+
+
+def _sql_doc_shingles(n: int = 3) -> str:
+    t = sql_tokens()
+    return (
+        f"SELECT doc_id, {sql_shingles('toks', n)} AS sh "
+        f"FROM (SELECT doc_id, {t} AS toks FROM documents)"
+    )
+
+
+# --------------------------------------------------------------------------
+# 1. exact dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized token stream: one hash-aggregate on the
+    md5 fingerprint; representative = min doc_id (deterministic keeper)."""
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", tokens())
+    return (
+        d.withColumn("content_fp", F.md5(F.concat_ws(" ", "toks")))
+        .groupBy("content_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def dedup_exact_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    SELECT md5(array_to_string({t}, ' ')) AS content_fp,
+           count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY content_fp
+    """
+
+
+# --------------------------------------------------------------------------
+# 2. n-gram Jaccard pairs
+# --------------------------------------------------------------------------
+
+
+def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with 3-token-shingle Jaccard ≥ 0.7.
+
+    Plan: explode shingles → self-equi-join on the shingle → count common →
+    Jaccard from |A|+|B|-common. The shingle-set sizes are a tiny per-doc
+    frame (one row per doc), broadcast to both sides of the pair join.
+    Quadratic in shingle-bucket occupancy — see module docstring; the LSH
+    variant below is the scale path.
+    """
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    e = sh.select("doc_id", F.explode("sh").alias("g"))
+    common = (
+        e.alias("a")
+        .join(e.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes).alias("si"),
+            F.col("doc_i") == F.col("si.doc_id"),
+        )
+        .join(
+            F.broadcast(sizes).alias("sj"),
+            F.col("doc_j") == F.col("sj.doc_id"),
+        )
+        .select(
+            "doc_i",
+            "doc_j",
+            (
+                F.col("common").cast("double")
+                / (F.col("si.n_sh") + F.col("sj.n_sh") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def dedup_ngram_pairs_oracle() -> str:
+    return f"""
+    WITH s AS ({_sql_doc_shingles()}),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    c AS (
+      SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS common
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_i, doc_j,
+           common::DOUBLE / (si.n_sh + sj.n_sh - common) AS jaccard
+    FROM c
+    JOIN (SELECT doc_id, len(sh) AS n_sh FROM s) si ON si.doc_id = doc_i
+    JOIN (SELECT doc_id, len(sh) AS n_sh FROM s) sj ON sj.doc_id = doc_j
+    WHERE common::DOUBLE / (si.n_sh + sj.n_sh - common) >= {JACCARD_THRESHOLD}
+    """
+
+
+# --------------------------------------------------------------------------
+# 3. MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    Candidate generation joins on (band_id, band_hash) — expected O(1)
+    occupancy per bucket, so the join is linear, not quadratic. Verification
+    recomputes exact Jaccard only for candidates (semi-join pruned).
+    """
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0).cache()
+    sig = sh.select(
+        "doc_id",
+        "sh",
+        *[minhash(F.col("sh"), i).alias(f"h{i}") for i in range(MINHASH_K)],
+    )
+    band_cols = []
+    for b in range(LSH_BANDS):
+        parts = [f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+            )
+        )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    # verify candidates with exact Jaccard over the shingle sets
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i")),
+            "doc_i",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_j"), F.col("sh").alias("sh_j")),
+            "doc_j",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_i", "sh_j")).cast("double")
+            / F.size(F.array_union("sh_i", "sh_j")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_i", "doc_j", "jaccard")
+    )
+    return verified
+
+
+def dedup_minhash_lsh_oracle() -> str:
+    sig_cols = ", ".join(
+        f"{sql_minhash('sh', i)} AS h{i}" for i in range(MINHASH_K)
+    )
+    band_rows = []
+    for b in range(LSH_BANDS):
+        parts = " || '|' || ".join(
+            f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_hash FROM sig")
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+    WITH s AS ({_sql_doc_shingles()}),
+    nonempty AS (SELECT * FROM s WHERE len(sh) > 0),
+    sig AS (SELECT doc_id, sh, {sig_cols} FROM nonempty),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_i, doc_j,
+      len(list_intersect(si.sh, sj.sh))::DOUBLE
+        / len(list_distinct(list_concat(si.sh, sj.sh))) AS jaccard
+    FROM cand
+    JOIN nonempty si ON si.doc_id = doc_i
+    JOIN nonempty sj ON sj.doc_id = doc_j
+    WHERE len(list_intersect(si.sh, sj.sh))::DOUBLE
+        / len(list_distinct(list_concat(si.sh, sj.sh))) >= {JACCARD_THRESHOLD}
+    """
+
+
+# --------------------------------------------------------------------------
+# 4. SimHash
+# --------------------------------------------------------------------------
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash plus all pairs within Hamming distance ≤ 2.
+
+    Signature is a pure map-stage expression. The pair join here is
+    brute-force for oracle parity; at scale, probe by splitting the
+    signature into (HAMMING_MAX+1) segments — pigeonhole guarantees one
+    segment matches exactly, giving an equi-join key (multi-index probing).
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", tokens())
+    sig = d.select("doc_id", simhash(F.col("toks"), SIMHASH_BITS).alias("simhash"))
+    pairs = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_i"),
+            F.col("b.doc_id").alias("doc_j"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+    return pairs
+
+
+def dedup_simhash_oracle() -> str:
+    t = sql_tokens()
+    sh = sql_simhash("toks", SIMHASH_BITS)
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    sig AS (SELECT doc_id, {sh} AS simhash FROM d)
+    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """
+
+
+# --------------------------------------------------------------------------
+# 5. embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def _cos(e_a, e_b):
+    dot = F.aggregate(
+        F.zip_with(e_a, e_b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(e_a, F.lit(0.0), lambda acc, v: acc + v * v)
+    nb = F.aggregate(e_b, F.lit(0.0), lambda acc, v: acc + v * v)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector near-dup: pairs with cosine ≥ 0.45 over array<float>.
+
+    Math runs in double via zip_with/aggregate (JVM higher-order functions —
+    no Python). Brute-force O(n²) pair generation is the verification
+    baseline; the scale path buckets by sign-bit LSH first (see
+    operators/similarity.py knn_lsh_signbits) so only same-bucket pairs are
+    scored — candidate volume drops 2^bits-fold.
+    """
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return (
+        v.alias("a")
+        .join(v.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_i"),
+            F.col("b.vec_id").alias("vec_j"),
+            _cos(F.col("a.e"), F.col("b.e")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+
+
+def dedup_embedding_pairs_oracle() -> str:
+    dot = "list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]))"
+    na = "list_sum(list_transform(a.e, x -> x * x))"
+    nb = "list_sum(list_transform(b.e, x -> x * x))"
+    cos = f"{dot} / (sqrt({na}) * sqrt({nb}))"
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS vec_i, b.vec_id AS vec_j, {cos} AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {cos} >= {COSINE_THRESHOLD}
+    """
+
+
+def registry():
+    """Driver-contract entries: name -> (query fn, oracle SQL)."""
+    return {
+        "dedup_exact": (dedup_exact, dedup_exact_oracle()),
+        "dedup_ngram_pairs": (dedup_ngram_pairs, dedup_ngram_pairs_oracle()),
+        "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_oracle()),
+        "dedup_simhash": (dedup_simhash, dedup_simhash_oracle()),
+        "dedup_embedding_pairs": (
+            dedup_embedding_pairs,
+            dedup_embedding_pairs_oracle(),
+        ),
+    }
