@@ -1,0 +1,231 @@
+"""Multimodal-column pack: opaque ``binary`` payloads + typed metadata
+(north-star extension; SURVEY.md §2.12).
+
+The testdata has no real image/audio blobs, so payloads are derived
+deterministically from ``documents.text`` (pure-ASCII ⇒ byte offsets equal
+char offsets, which is what lets the DuckDB oracle mirror byte math with
+string functions). What is REAL here and what is STUBBED:
+
+- REAL: the Spark-side plumbing — BinaryType column construction, metadata
+  struct, ``mapInPandas`` with an explicit output schema, Arrow batch
+  transfer, per-batch (not per-row) processing with bounded batch size.
+  This is exactly the shape a decode/resize/frame-sample stage has at
+  100 TB: one map stage, no shuffle, payload bytes never leave the executor.
+- STUBBED: actual codec work. ``decode_image`` raises NotImplementedError
+  unless an image library is importable (none is in this container); the
+  registered queries use deterministic byte-level transforms (hashing,
+  chunked frame sampling, byte statistics) so correctness is still
+  oracle-checkable end-to-end.
+
+Scale notes: payloads ride in the same parquet row group as their metadata —
+at 100 TB you'd size ``spark.sql.files.maxPartitionBytes`` down (payload-heavy
+rows make default 128 MB splits too coarse) and rely on column pruning so
+metadata-only queries never read the blob column. All three queries below
+select only the columns they touch, so the parquet reader prunes ``text``
+when only lengths are needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from komodo_data_spark.sources.tables import load_table
+
+FRAME_BYTES = 64  # fake "frame" = 64-byte chunk
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → multimodal frame: opaque payload + typed metadata struct.
+
+    The payload column is BinaryType; metadata carries the mime and declared
+    size. Downstream operators must treat payload as opaque bytes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/x-fake-media").alias("mime"),
+            F.col("n_chars").alias("declared_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub by design
+    """Decode an image payload. STUB: no codec libraries in this container.
+
+    The plumbing that calls this (mapInPandas batching, schema, partitioning)
+    is real and tested via the deterministic transforms below; swap this stub
+    for PIL/torchvision in a real deployment.
+    """
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires an image library (PIL); not available here"
+        ) from exc
+
+
+# --------------------------------------------------------------------------
+# metadata extraction (mapInPandas, Arrow-batched)
+# --------------------------------------------------------------------------
+
+_META_SCHEMA = (
+    "doc_id long, n_bytes long, payload_sha256 string, n_frames long"
+)
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload metadata: byte length, sha256, frame count (=⌈bytes/64⌉).
+
+    Runs as ONE mapInPandas stage: Arrow ships (doc_id, payload) batches to
+    Python, hashlib digests each batch vectorized-ish, and only the 4 small
+    output columns come back — the payload never re-serializes to the JVM.
+    """
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "payload_sha256": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "n_frames": payloads.map(
+                        lambda b: math.ceil(len(b) / FRAME_BYTES)
+                    ),
+                }
+            )
+
+    return m.mapInPandas(extract, schema=_META_SCHEMA)
+
+
+def media_metadata_oracle() -> str:
+    return f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha256,
+           ceil(octet_length(encode(text)) / {FRAME_BYTES}.0)::BIGINT
+             AS n_frames
+    FROM documents
+    """
+
+
+# --------------------------------------------------------------------------
+# frame sampling (mapInPandas, one output row per sampled frame)
+# --------------------------------------------------------------------------
+
+_FRAME_SCHEMA = "doc_id long, frame_idx long, frame_md5 string"
+
+
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample every 4th 64-byte frame of each payload; emit its md5.
+
+    The video-pipeline shape: mapInPandas fans one input row out to N frame
+    rows (schema change, row-count change — exactly what mapInPandas is for;
+    a pandas_udf could not change cardinality).
+    """
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = math.ceil(len(raw) / FRAME_BYTES)
+                for fi in range(0, n_frames, FRAME_STRIDE):
+                    chunk = raw[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return m.mapInPandas(sample, schema=_FRAME_SCHEMA)
+
+
+def media_frame_samples_oracle() -> str:
+    # ASCII text ⇒ byte arithmetic == char arithmetic, so substr mirrors the
+    # Python byte slicing exactly.
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             ceil(length(text) / {FRAME_BYTES}.0)::BIGINT AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, fi AS frame_idx,
+           md5(substr(text, fi * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+             AS frame_md5
+    FROM d, unnest(range(0, n_frames, {FRAME_STRIDE})) AS t(fi)
+    """
+
+
+# --------------------------------------------------------------------------
+# decoded-feature extraction (deterministic fake decode)
+# --------------------------------------------------------------------------
+
+_FEAT_SCHEMA = "doc_id long, n_bytes long, mean_byte double, max_byte long"
+
+
+def media_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Decode' each payload into byte statistics — the deterministic
+    stand-in for a real feature extractor (embedding model / spectrogram).
+    Same mapInPandas shape a real extractor would have."""
+    import numpy as np
+
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [
+                np.frombuffer(bytes(p), dtype=np.uint8) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [a.size for a in arrs],
+                    "mean_byte": [float(a.mean()) for a in arrs],
+                    "max_byte": [int(a.max()) for a in arrs],
+                }
+            )
+
+    return m.mapInPandas(feats, schema=_FEAT_SCHEMA)
+
+
+def media_decoded_features_oracle() -> str:
+    codes = "list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1)))"
+    return f"""
+    SELECT doc_id,
+           length(text) AS n_bytes,
+           list_sum({codes})::DOUBLE / length(text) AS mean_byte,
+           list_max({codes})::BIGINT AS max_byte
+    FROM documents
+    """
+
+
+def registry():
+    """Driver-contract entries: name -> (query fn, oracle SQL)."""
+    return {
+        "media_metadata": (media_metadata, media_metadata_oracle()),
+        "media_frame_samples": (media_frame_samples, media_frame_samples_oracle()),
+        "media_decoded_features": (
+            media_decoded_features,
+            media_decoded_features_oracle(),
+        ),
+    }

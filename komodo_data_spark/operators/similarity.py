@@ -1,0 +1,171 @@
+"""Approximate-nearest-neighbor search over ``embeddings`` (north-star
+extension; SURVEY.md §2.12).
+
+Two paths, same output shape (query_id, neighbor_id, cosine, rnk):
+
+- ``knn_brute_force`` — exact baseline: broadcast the (small) query set
+  against every vector, score with JVM higher-order functions, rank with a
+  window partitioned by query. At 100 TB the scored frame shuffles only
+  |Q|×k rows after a map-side TakeOrdered; the scan side never shuffles.
+- ``knn_lsh_signbits`` — scale path: sign-bit (random-hyperplane-style) LSH
+  with axis-aligned planes. Bucketing is a pure projection; candidate
+  scoring touches only same-bucket pairs (2^bits-fold candidate reduction)
+  and the bucket id is an equi-join key, so Catalyst plans a hash join
+  instead of a nested loop. Multi-probe (flip one bit) would raise recall;
+  kept single-probe here so the oracle stays a plain SQL mirror.
+
+Cosine math runs in double on both engines; the driver's value hash rounds
+to 9 significant digits, absorbing fold-order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from komodo_data_spark.sources.tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+LSH_BITS = 4  # sign bits of the first 4 dims -> 16 buckets
+
+
+def _cos(e_a: Column, e_b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(e_a, e_b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(e_a, F.lit(0.0), lambda acc, v: acc + v * v)
+    nb = F.aggregate(e_b, F.lit(0.0), lambda acc, v: acc + v * v)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+_SQL_COS = (
+    "list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i] * v.e[i]))"
+    " / (sqrt(list_sum(list_transform(q.e, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(v.e, x -> x * x))))"
+)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 10)."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(F.col("qe"), F.col("e")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def knn_brute_force_oracle() -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, {_SQL_COS} AS cosine
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rnk FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+def _bucket(e: Column) -> Column:
+    """Sign-bit LSH bucket: bit i set iff e[i] > 0 (axis-aligned planes)."""
+    out = F.lit(0)
+    for i in range(LSH_BITS):
+        out = out + F.when(F.element_at(e, i + 1) > 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def _sql_bucket(alias: str) -> str:
+    terms = [
+        f"(CASE WHEN {alias}.e[{i + 1}] > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(LSH_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def knn_lsh_signbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors per query, restricted to the query's LSH
+    bucket — the equi-join-keyed scale variant of knn_brute_force."""
+    v = _vectors(spark, sf_dir).withColumn("bucket", _bucket(F.col("e")))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        v.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(F.col("qe"), F.col("e")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def knn_lsh_signbits_oracle() -> str:
+    return f"""
+    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    v AS (SELECT vec_id, e, {_sql_bucket("v0")} AS bucket FROM v0),
+    q AS (SELECT vec_id AS query_id, e, bucket AS qbucket
+          FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, {_SQL_COS} AS cosine
+      FROM q JOIN v ON v.bucket = q.qbucket AND v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rnk FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 3
+    """
+
+
+def registry():
+    """Driver-contract entries: name -> (query fn, oracle SQL)."""
+    return {
+        "knn_brute_force": (knn_brute_force, knn_brute_force_oracle()),
+        "knn_lsh_signbits": (knn_lsh_signbits, knn_lsh_signbits_oracle()),
+    }
