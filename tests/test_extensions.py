@@ -1,0 +1,187 @@
+"""Unit tests for the north-star extension packs (text analysis, dedup,
+similarity, multimodal) on sf0.001, plus targeted semantics tests on tiny
+in-memory frames. The full DuckDB-oracle sweep runs via scripts/check.py at
+sf0.01 (the driver-gate scale); here we pin the invariants that would break
+silently: shingle edge cases, LSH candidate⊆bruteforce containment,
+deterministic hashes, mapInPandas schema stability."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from komodo_data_spark.functions import text_features as TF
+from komodo_data_spark.operators import (
+    dedup,
+    multimodal_ops,
+    similarity,
+    text_analysis,
+)
+
+
+# --------------------------------------------------------------------------
+# text_features primitives
+# --------------------------------------------------------------------------
+
+
+def test_shingles_short_doc_empty_not_descending(spark):
+    """sequence(1,0) in Spark is [1,0] — the guard must yield [] instead."""
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    out = df.select(
+        TF.shingles(TF.tokens(), 3).alias("sh")
+    ).collect()
+    assert out[0]["sh"] == []
+    assert out[1]["sh"] == ["a b c", "b c d"]
+
+
+def test_minhash_matches_python(spark):
+    df = spark.createDataFrame([("x y z w",)], "text string")
+    got = df.select(
+        TF.minhash(TF.shingles(TF.tokens(), 3), 0).alias("mh")
+    ).collect()[0]["mh"]
+    expected = min(
+        hashlib.md5(f"h0|{s}".encode()).hexdigest()
+        for s in ["x y z", "y z w"]
+    )
+    assert got == expected
+
+
+def test_simhash_deterministic_and_bounded(spark):
+    df = spark.createDataFrame([("alpha beta gamma",), ("alpha beta gamma",)],
+                               "text string")
+    vals = [
+        r["sh"]
+        for r in df.select(TF.simhash(TF.tokens(), 32).alias("sh")).collect()
+    ]
+    assert vals[0] == vals[1]
+    assert 0 <= vals[0] < 2**32
+
+
+# --------------------------------------------------------------------------
+# dedup invariants
+# --------------------------------------------------------------------------
+
+
+def test_dedup_exact_groups_duplicates(spark):
+    pdf = [(1, "the same doc", "en", "s", 12), (2, "the  SAME   doc", "en", "s", 15),
+           (3, "another doc entirely", "en", "s", 20)]
+    df = spark.createDataFrame(
+        pdf, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = dedup.load_table
+    try:
+        dedup.load_table = lambda s, d, n: df  # only documents is loaded here
+        out = {r["content_fp"]: r for r in dedup.dedup_exact(spark, "ignored").collect()}
+    finally:
+        dedup.load_table = orig
+    groups = sorted((r["n_docs"], r["keeper_doc_id"]) for r in out.values())
+    # docs 1+2 normalize identically (lower + whitespace collapse) -> one group
+    assert groups == [(1, 3), (2, 1)]
+
+
+def test_lsh_candidates_subset_of_bruteforce(spark, sf_dir):
+    brute = {
+        (r["doc_i"], r["doc_j"])
+        for r in dedup.dedup_ngram_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_i"], r["doc_j"])
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert lsh <= brute
+    # banding at j>=0.7 with b=4,r=3 should recover nearly everything
+    if brute:
+        assert len(lsh) >= 0.8 * len(brute)
+
+
+def test_simhash_pairs_symmetric_threshold(spark, sf_dir):
+    rows = dedup.dedup_simhash(spark, sf_dir).collect()
+    assert all(r["doc_i"] < r["doc_j"] for r in rows)
+    assert all(0 <= r["hamming"] <= dedup.HAMMING_MAX for r in rows)
+
+
+def test_embedding_pairs_cosine_bounds(spark, sf_dir):
+    rows = dedup.dedup_embedding_pairs(spark, sf_dir).collect()
+    assert all(dedup.COSINE_THRESHOLD <= r["cosine"] <= 1.0 + 1e-12 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# similarity invariants
+# --------------------------------------------------------------------------
+
+
+def test_knn_shape_and_ordering(spark, sf_dir):
+    rows = similarity.knn_brute_force(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(similarity.N_QUERIES))
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, similarity.TOP_K + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_knn_lsh_neighbors_share_bucket(spark, sf_dir):
+    from komodo_data_spark.operators.similarity import _bucket, _vectors
+
+    v = _vectors(spark, sf_dir).withColumn("bucket", _bucket(F.col("e")))
+    buckets = {r["vec_id"]: r["bucket"] for r in v.select("vec_id", "bucket").collect()}
+    rows = similarity.knn_lsh_signbits(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def test_media_table_types(spark, sf_dir):
+    m = multimodal_ops.media_table(spark, sf_dir)
+    fields = dict(m.dtypes)
+    assert fields["payload"] == "binary"
+    assert fields["media_meta"].startswith("struct<")
+
+
+def test_media_metadata_matches_local_hash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5).collect()
+    meta = {
+        r["doc_id"]: r
+        for r in multimodal_ops.media_metadata(spark, sf_dir).collect()
+    }
+    for d in docs:
+        m = meta[d["doc_id"]]
+        raw = d["text"].encode()
+        assert m["n_bytes"] == len(raw)
+        assert m["payload_sha256"] == hashlib.sha256(raw).hexdigest()
+
+
+def test_media_frame_samples_stride(spark, sf_dir):
+    rows = multimodal_ops.media_frame_samples(spark, sf_dir).collect()
+    assert rows
+    assert all(r["frame_idx"] % multimodal_ops.FRAME_STRIDE == 0 for r in rows)
+
+
+def test_decode_image_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal_ops.decode_image(b"\x89PNG fake")
+
+
+# --------------------------------------------------------------------------
+# registries stay in sync with the driver contract
+# --------------------------------------------------------------------------
+
+
+def test_registries_expose_oracles():
+    for mod in (text_analysis, dedup, similarity, multimodal_ops):
+        reg = mod.registry()
+        assert reg
+        for name, (fn, sql) in reg.items():
+            assert callable(fn), name
+            assert isinstance(sql, str) and "SELECT" in sql.upper(), name
