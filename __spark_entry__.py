@@ -57,6 +57,22 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             rel.asof_oracle(),
         ),
         "events_hourly_rollup": (rel.events_hourly_rollup, rel.events_hourly_oracle()),
+        "customer_year_setops": (
+            rel.customer_year_setops,
+            rel.customer_year_setops_oracle(),
+        ),
+        "orders_status_cube": (
+            rel.orders_status_cube,
+            rel.orders_status_cube_oracle(),
+        ),
+        "supplier_part_distinct_exact": (
+            rel.supplier_part_distinct_exact,
+            rel.supplier_part_distinct_exact_oracle(),
+        ),
+        "supplier_part_distinct_approx": (
+            rel.supplier_part_distinct_approx,
+            None,  # HLL sketch: rows-only check, exact twin pins semantics
+        ),
         # --- reference analytics re-targeted at the events table ---
         "interaction_counts": (ea.interaction_counts, ea.interaction_counts_oracle()),
         "user_activity": (ea.user_activity, ea.user_activity_oracle()),

@@ -369,3 +369,117 @@ def events_hourly_oracle() -> str:
     FROM events
     GROUP BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------
+# set operations / grouping sets / approximate aggregates
+# --------------------------------------------------------------------------
+
+
+def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over yearly active-customer sets.
+
+    Customers ordering in 1995 vs 1996: each set op runs as its own
+    DataFrame op (Spark plans INTERSECT/EXCEPT as left-semi/anti
+    aggregates over the same shuffled key — one exchange each on
+    o_custkey), then a tiny 3-row summary unions the counts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= f"{y}-01-01")
+                & (F.col("o_orderdate") < f"{y + 1}-01-01")
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = year(1995), year(1996)
+    rows = [
+        ("union", y95.union(y96).distinct()),
+        ("intersect", y95.intersect(y96)),
+        ("except_95_not_96", y95.exceptAll(y96.distinct())),
+    ]
+    out = None
+    for tag, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(tag).alias("set_op"), "n_customers"
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+def customer_year_setops_oracle() -> str:
+    return """
+    WITH y95 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+    ), y96 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT 'union' AS set_op,
+           (SELECT count(*) FROM (SELECT o_custkey FROM y95 UNION SELECT o_custkey FROM y96)) AS n_customers
+    UNION ALL
+    SELECT 'intersect',
+           (SELECT count(*) FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96))
+    UNION ALL
+    SELECT 'except_95_not_96',
+           (SELECT count(*) FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96))
+    """
+
+
+def orders_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (o_orderstatus, o_orderpriority): all 2^2 grouping sets in
+    one pass — Spark expands the cube map-side and aggregates once."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dbl(F.sum(dec("o_totalprice", 20, 2))).alias("sum_price"),
+        )
+    )
+
+
+def orders_status_cube_oracle() -> str:
+    return """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+
+def supplier_part_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per brand (the oracle-checked twin of the
+    approx query below)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.countDistinct("p_size").alias("n_sizes"),
+    )
+
+
+def supplier_part_distinct_exact_oracle() -> str:
+    return """
+    SELECT p_brand, count(DISTINCT p_type) AS n_types,
+           count(DISTINCT p_size) AS n_sizes
+    FROM part GROUP BY p_brand
+    """
+
+
+def supplier_part_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per brand (rows-only driver check: the
+    sketch is Spark-specific, so no value-exact oracle — the exact twin
+    above pins semantics). At 100 TB this replaces the two extra
+    shuffle-heavy exact-distinct aggregates with mergeable sketches."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.approx_count_distinct("p_type", 0.01).alias("n_types_approx"),
+        F.approx_count_distinct("p_size", 0.01).alias("n_sizes_approx"),
+    )
