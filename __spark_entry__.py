@@ -82,6 +82,12 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
     }
 
     try:
+        from komodo_data_spark.operators import sessions
+
+        reg.update(sessions.registry())
+    except ImportError:
+        pass
+    try:
         from komodo_data_spark.operators import dedup
 
         reg.update(dedup.registry())

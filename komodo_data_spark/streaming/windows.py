@@ -1,0 +1,102 @@
+"""Structured Streaming windowed aggregations over the events stream.
+
+The reference has no real streaming (10 s polling loop, SURVEY.md §2.10);
+this module supplies the watermark + windowed-agg surface Spark adds on top:
+
+- ``hourly_rollup``     — tumbling 1-hour event-time window; the streaming
+  twin of operators/relational.events_hourly_rollup (same epoch-hour
+  buckets, same aggregates — the test suite pins stream == batch).
+- ``session_rollup``    — ``session_window`` with a 30-minute gap; merge
+  semantics match the batch gap-and-island operator
+  (operators/sessions.event_sessions).
+
+Both transformations accept EITHER a streaming or a batch DataFrame — the
+logical plan is identical; only the sink differs. At scale: state lives in
+the aggregation operator keyed by (window, event_type) / (session, user) —
+the watermark bounds state size; without it, complete-mode state grows with
+the key space. File source + checkpoint give exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Events parquet reads with ts as raw nanos (legacy.parquet.nanosAsLong).
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+SESSION_GAP = "30 minutes"
+WATERMARK = "2 hours"
+
+
+def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over an events parquet directory, with the same
+    derived ``ts_ms``/``ts_ts`` columns as sources.tables.load_events."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(events_dir)
+        .withColumns(
+            {
+                "ts_ms": F.expr("ts div 1000000"),
+                "ts_ts": F.timestamp_micros(F.expr("ts div 1000")),
+            }
+        )
+    )
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window per event_type; epoch-ms window start so the
+    output schema matches the batch events_hourly_rollup exactly."""
+    src = events.withWatermark("ts_ts", WATERMARK) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts_ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_millis("window.start").alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_rollup(events: DataFrame) -> DataFrame:
+    """Per-user session windows (30-minute gap): session_window merges
+    overlapping [ts, ts+gap) intervals — same sessions as the batch
+    gap-and-island operator."""
+    src = events.withWatermark("ts_ts", WATERMARK) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts_ts", SESSION_GAP), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("session_window.start").alias("start_ms"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, checkpoint: str
+) -> DataFrame:
+    """Drain the stream with AvailableNow into an in-memory table and return
+    it as a batch DataFrame (test/verification harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,65 @@
+"""Streaming windowed aggregations: the stream must produce exactly what the
+batch formulation produces on the same input (AvailableNow drain)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+import pytest
+
+from komodo_data_spark.operators.relational import events_hourly_rollup
+from komodo_data_spark.operators.sessions import event_sessions
+from komodo_data_spark.sources.tables import load_events
+from komodo_data_spark.streaming import windows as W
+
+
+def _sorted_pdf(df, keys) -> pd.DataFrame:
+    return df.toPandas().sort_values(keys).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory) -> str:
+    """File-source streams need a *directory*; stage the events parquet."""
+    d = tmp_path_factory.mktemp("events_src")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_stream_hourly_rollup_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = W.events_stream(spark, events_dir)
+    assert stream.isStreaming
+    got = W.run_to_memory(
+        W.hourly_rollup(stream), "hourly_mem", str(tmp_path / "ckpt1")
+    )
+    exp = events_hourly_rollup(spark, sf_dir)
+    keys = ["window_start_ms", "event_type"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got, keys), _sorted_pdf(exp, keys), check_dtype=False
+    )
+
+
+def test_stream_session_rollup_matches_batch_islands(
+    spark, sf_dir, events_dir, tmp_path
+):
+    stream = W.events_stream(spark, events_dir)
+    got = W.run_to_memory(
+        W.session_rollup(stream), "sessions_mem", str(tmp_path / "ckpt2")
+    )
+    exp = event_sessions(spark, sf_dir).select("user_id", "start_ms", "n_events")
+    keys = ["user_id", "start_ms"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got, keys), _sorted_pdf(exp, keys), check_dtype=False
+    )
+
+
+def test_batch_and_stream_transform_share_plan(spark, sf_dir):
+    """The same transformation applied to the batch frame gives the same
+    result — transformations are sink-agnostic."""
+    ev = load_events(spark, sf_dir)
+    batch_rollup = W.hourly_rollup(ev)
+    exp = events_hourly_rollup(spark, sf_dir)
+    keys = ["window_start_ms", "event_type"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(batch_rollup, keys), _sorted_pdf(exp, keys), check_dtype=False
+    )
