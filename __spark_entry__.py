@@ -73,6 +73,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             rel.supplier_part_distinct_approx,
             None,  # HLL sketch: rows-only check, exact twin pins semantics
         ),
+        "lineitem_price_tiers": (
+            rel.lineitem_price_tiers,
+            rel.lineitem_price_tiers_oracle(),
+        ),
         # --- reference analytics re-targeted at the events table ---
         "interaction_counts": (ea.interaction_counts, ea.interaction_counts_oracle()),
         "user_activity": (ea.user_activity, ea.user_activity_oracle()),

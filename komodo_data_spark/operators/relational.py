@@ -483,3 +483,47 @@ def supplier_part_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         F.approx_count_distinct("p_type", 0.01).alias("n_types_approx"),
         F.approx_count_distinct("p_size", 0.01).alias("n_sizes_approx"),
     )
+
+
+def lineitem_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: bucket line items into price tiers.
+
+    The tier dim is tiny and interval-keyed, so Catalyst plans a broadcast
+    nested-loop with the BETWEEN predicate evaluated codegen-side — the
+    right physical choice whenever the build side is O(100) intervals. For
+    large interval tables, pre-bucket both sides on floor(price/width) and
+    equi-join on the bucket (turns the θ-join into hash join + residual).
+    """
+    tiers = spark.createDataFrame(
+        [("budget", 0.0, 20_000.0), ("mid", 20_000.0, 45_000.0),
+         ("premium", 45_000.0, 1e12)],
+        "tier string, lo double, hi double",
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(
+            F.broadcast(tiers),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dbl(F.sum(dec("l_extendedprice", 20, 2))).alias("sum_price"),
+        )
+    )
+
+
+def lineitem_price_tiers_oracle() -> str:
+    return """
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('budget', 0.0, 20000.0), ('mid', 20000.0, 45000.0),
+             ('premium', 45000.0, 1e12)
+    )
+    SELECT tier, count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem JOIN tiers
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY tier
+    """

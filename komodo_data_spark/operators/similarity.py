@@ -168,4 +168,93 @@ def registry():
     return {
         "knn_brute_force": (knn_brute_force, knn_brute_force_oracle()),
         "knn_lsh_signbits": (knn_lsh_signbits, knn_lsh_signbits_oracle()),
+        "knn_ivf": (knn_ivf, knn_ivf_oracle()),
     }
+
+
+N_CELLS = 8  # IVF coarse cells (centroids = first N_CELLS vectors)
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest "centroid"
+    (deterministically, the first N_CELLS vectors stand in for k-means
+    centroids), then search only the query's cell.
+
+    This is the production ANN shape at 100 TB: cell assignment is one
+    broadcast join + per-row argmax (map-side); the search join is
+    equi-keyed on cell_id so it hash-partitions instead of nested-looping.
+    Recall improves with multi-cell probing (assign queries to p nearest
+    cells) — single-probe here keeps the oracle a plain SQL mirror.
+    """
+    v = _vectors(spark, sf_dir)
+    cents = v.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("e").alias("ce")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cell_id")
+    )
+    assigned = (
+        v.join(F.broadcast(cents))
+        .withColumn("csim", _cos(F.col("e"), F.col("ce")))
+        .withColumn("crnk", F.row_number().over(w_assign))
+        .filter(F.col("crnk") == 1)
+        .select("vec_id", "e", "cell_id")
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("cell_id").alias("qcell"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cell_id") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(F.col("qe"), F.col("e")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def knn_ivf_oracle() -> str:
+    cos_cv = (
+        "list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * c.ce[i]))"
+        " / (sqrt(list_sum(list_transform(v.e, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(c.ce, x -> x * x))))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < {N_CELLS}),
+    sim AS (
+      SELECT v.vec_id, v.e, c.cell_id, {cos_cv} AS csim,
+        row_number() OVER (
+          PARTITION BY v.vec_id ORDER BY {cos_cv} DESC, c.cell_id ASC
+        ) AS crnk
+      FROM v CROSS JOIN c
+    ),
+    assigned AS (SELECT vec_id, e, cell_id FROM sim WHERE crnk = 1),
+    q AS (SELECT vec_id AS query_id, e, cell_id AS qcell
+          FROM assigned WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, {_SQL_COS} AS cosine
+      FROM q JOIN assigned v
+        ON v.cell_id = q.qcell AND v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rnk FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 3
+    """

@@ -216,4 +216,65 @@ def registry():
         "text_quality_scores": (text_quality_scores, text_quality_scores_oracle()),
         "text_language_id": (text_language_id, text_language_id_oracle()),
         "text_fingerprints": (text_fingerprints, text_fingerprints_oracle()),
+        "text_tfidf_top_terms": (
+            text_tfidf_top_terms,
+            text_tfidf_top_terms_oracle(),
+        ),
     }
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smooth idf = ln((N+1)/(df+1)) + 1).
+
+    Classic two-aggregation shape: term frequencies shuffle on (doc, term),
+    document frequencies on term; the df side is |vocab| rows — broadcast
+    back to the tf side, so only the tf aggregation touches corpus-scale
+    data. This is TF-IDF as plain DataFrame algebra (no MLlib pipeline
+    state), which keeps it incremental-friendly and oracle-checkable.
+    """
+    d = _docs(spark, sf_dir).withColumn("toks", tokens())
+    n_docs = d.count()  # scalar; one job over doc_id only (column-pruned)
+    terms = d.select("doc_id", F.explode("toks").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = (
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    ).alias("idf")
+    scored = tf.join(F.broadcast(df_.select("term", idf)), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.col("idf")).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+def text_tfidf_top_terms_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+      ) AS rnk FROM scored
+    )
+    SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """
