@@ -63,3 +63,45 @@ def test_batch_and_stream_transform_share_plan(spark, sf_dir):
     pd.testing.assert_frame_equal(
         _sorted_pdf(batch_rollup, keys), _sorted_pdf(exp, keys), check_dtype=False
     )
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir, events_dir, tmp_path):
+    """applyInPandasWithState: after draining the stream, the last emitted
+    row per user equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.streaming.stateful import user_running_totals
+
+    stream = W.events_stream(spark, events_dir)
+    out = user_running_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_mem")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("running_mem").toPandas()
+    # update mode may emit a row per user per batch; the final row per user
+    # (max n_events) is the cumulative state
+    got = got.sort_values("n_events").groupby("user_id").last().reset_index()
+
+    exp = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts_ms").alias("max_ts_ms"),
+        )
+        .toPandas()
+    )
+    keys = ["user_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(keys).reset_index(drop=True)[exp.columns],
+        exp.sort_values(keys).reset_index(drop=True),
+        check_dtype=False,
+        rtol=1e-9,
+    )
