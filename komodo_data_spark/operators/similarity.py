@@ -11,8 +11,11 @@ Two paths, same output shape (query_id, neighbor_id, cosine, rnk):
   with axis-aligned planes. Bucketing is a pure projection; candidate
   scoring touches only same-bucket pairs (2^bits-fold candidate reduction)
   and the bucket id is an equi-join key, so Catalyst plans a hash join
-  instead of a nested loop. Multi-probe (flip one bit) would raise recall;
-  kept single-probe here so the oracle stays a plain SQL mirror.
+  instead of a nested loop.
+
+Plus two recall/coverage variants: ``knn_ivf`` (coarse-quantize to centroid
+cells, search the query's cell) and ``knn_lsh_multiprobe`` (probe the home
+bucket and all one-bit-flip buckets — the standard recall dial).
 
 Cosine math runs in double on both engines; the driver's value hash rounds
 to 9 significant digits, absorbing fold-order differences.
@@ -169,6 +172,7 @@ def registry():
         "knn_brute_force": (knn_brute_force, knn_brute_force_oracle()),
         "knn_lsh_signbits": (knn_lsh_signbits, knn_lsh_signbits_oracle()),
         "knn_ivf": (knn_ivf, knn_ivf_oracle()),
+        "knn_lsh_multiprobe": (knn_lsh_multiprobe, knn_lsh_multiprobe_oracle()),
     }
 
 
@@ -250,6 +254,78 @@ def knn_ivf_oracle() -> str:
       SELECT q.query_id, v.vec_id AS neighbor_id, {_SQL_COS} AS cosine
       FROM q JOIN assigned v
         ON v.cell_id = q.qcell AND v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rnk FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 3
+    """
+
+
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-bit LSH: each query searches its own bucket plus the
+    LSH_BITS single-bit-flip neighbor buckets (5 probes at 4 bits).
+
+    Recall rises toward brute-force while candidate volume stays
+    ~(probes/2^bits) of the corpus; probes explode map-side into equi-join
+    keys, so the plan stays a hash join — the standard recall/cost dial for
+    LSH at scale. Buckets partition the space, so probe sets are disjoint
+    and no pair-dedup is needed.
+    """
+    v = _vectors(spark, sf_dir).withColumn("bucket", _bucket(F.col("e")))
+    probes = F.array(
+        F.col("qbucket"),
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(LSH_BITS)
+        ],
+    )
+    q = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .withColumn("probe", F.explode(probes))
+    )
+    scored = (
+        v.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(F.col("qe"), F.col("e")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def knn_lsh_multiprobe_oracle() -> str:
+    probe_list = "[qbucket" + "".join(
+        f", xor(qbucket, {1 << i})" for i in range(LSH_BITS)
+    ) + "]"
+    return f"""
+    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    v AS (SELECT vec_id, e, {_sql_bucket("v0")} AS bucket FROM v0),
+    q0 AS (SELECT vec_id AS query_id, e, bucket AS qbucket
+           FROM v WHERE vec_id < {N_QUERIES}),
+    q AS (SELECT query_id, e, unnest({probe_list}) AS probe FROM q0),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, {_SQL_COS} AS cosine
+      FROM q JOIN v ON v.bucket = q.probe AND v.vec_id <> q.query_id
     ),
     ranked AS (
       SELECT *, row_number() OVER (

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -185,3 +187,28 @@ def test_registries_expose_oracles():
         for name, (fn, sql) in reg.items():
             assert callable(fn), name
             assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_formats_round_trip(spark, sf_dir, tmp_path):
+    from komodo_data_spark.operators.relational import q1_pricing_summary
+    from komodo_data_spark.sources.formats import (
+        read_result,
+        schema_of,
+        write_result,
+    )
+
+    df = q1_pricing_summary(spark, sf_dir)
+    exp = df.toPandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(
+        drop=True
+    )
+    ddl = schema_of(df)
+    for fmt in ("parquet", "csv", "json"):
+        path = str(tmp_path / f"rt_{fmt}")
+        write_result(df, path, fmt, single_file=True)
+        back = read_result(
+            spark, path, fmt, schema=None if fmt == "parquet" else ddl
+        )
+        got = back.toPandas().sort_values(
+            ["l_returnflag", "l_linestatus"]
+        ).reset_index(drop=True)[exp.columns]
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False, rtol=1e-12)
