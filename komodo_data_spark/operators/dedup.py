@@ -47,8 +47,18 @@ SIMHASH_BITS = 32
 HAMMING_MAX = 2
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition to core count. The testdata ships one parquet
+    file per table with a single row group — unsplittable, so every
+    downstream expression would run in ONE task (measured 10 s for the
+    shingle stage at sf0.1). One cheap shuffle of the raw text unlocks all
+    cores. On a real multi-file 100 TB table the scan already yields
+    thousands of splits and this becomes a no-op-sized rebalance."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(spark, load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", shingles(tokens(), n).alias("sh"))
 
 
@@ -68,7 +78,9 @@ def _sql_doc_shingles(n: int = 3) -> str:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on the normalized token stream: one hash-aggregate on the
     md5 fingerprint; representative = min doc_id (deterministic keeper)."""
-    d = load_table(spark, sf_dir, "documents").withColumn("toks", tokens())
+    d = _spread(spark, load_table(spark, sf_dir, "documents")).withColumn(
+        "toks", tokens()
+    )
     return (
         d.withColumn("content_fp", F.md5(F.concat_ws(" ", "toks")))
         .groupBy("content_fp")
@@ -103,32 +115,30 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant below is the scale path.
     """
     sh = _doc_shingles(spark, sf_dir).cache()
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    e = sh.select("doc_id", F.explode("sh").alias("g"))
-    common = (
+    # Carry each side's set size on the exploded rows: the pair groupBy can
+    # then compute Jaccard directly (first(n) is constant within a group),
+    # avoiding two extra joins back to a sizes frame.
+    e = sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g")
+    )
+    return (
         e.alias("a")
         .join(e.alias("b"), "g")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
         )
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    return (
-        common.join(
-            F.broadcast(sizes).alias("si"),
-            F.col("doc_i") == F.col("si.doc_id"),
-        )
-        .join(
-            F.broadcast(sizes).alias("sj"),
-            F.col("doc_j") == F.col("sj.doc_id"),
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("a.n_sh").alias("n_i"),
+            F.first("b.n_sh").alias("n_j"),
         )
         .select(
             "doc_i",
             "doc_j",
             (
                 F.col("common").cast("double")
-                / (F.col("si.n_sh") + F.col("sj.n_sh") - F.col("common"))
+                / (F.col("n_i") + F.col("n_j") - F.col("common"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -265,9 +275,13 @@ def _simhash_signatures(d: DataFrame) -> DataFrame:
     codegen'd groupBy sums the per-bit votes. The expression-form simhash
     re-evaluates md5 per token *per bit* (32×) inside interpreted
     higher-order aggregates — measured 8 s vs <1 s at sf0.1."""
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct("toks")).alias("t")
-    ).withColumn("m", F.md5("t"))
+    tok = (
+        d.select("doc_id", F.explode(F.array_distinct("toks")).alias("t"))
+        # repartition BEFORE the md5 projection so the hash compute (the
+        # expensive part) runs on every core, not the single scan task
+        .repartition(d.sparkSession.sparkContext.defaultParallelism)
+        .withColumn("m", F.md5("t"))
+    )
     packed = " + ".join(
         f"(CAST(conv(substr(m, {i + 1}, 1), 16, 10) AS BIGINT) % 2) * {1 << i}"
         for i in range(SIMHASH_BITS)
