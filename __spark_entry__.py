@@ -82,6 +82,7 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
         "user_activity": (ea.user_activity, ea.user_activity_oracle()),
         "user_energy_events": (ea.user_energy_events, ea.user_energy_events_oracle()),
         "user_copresence": (ea.user_copresence, ea.user_copresence_oracle()),
+        "copresence_pairs": (ea.copresence_pairs, ea.copresence_pairs_oracle()),
         "event_pattern": (ea.event_pattern, ea.event_pattern_oracle()),
     }
 

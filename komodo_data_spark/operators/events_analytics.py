@@ -164,3 +164,59 @@ def event_pattern_oracle() -> str:
            count(*) AS row_count
     FROM events GROUP BY event_type
     """
+
+
+def copresence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB alternative to user_copresence's window
+    formulation (SURVEY.md §2.3): an explicit self-equi-join on the time
+    bucket with a pairwise distance θ-filter.
+
+    The window variant computes consecutive-row distances only (exactly the
+    reference semantics); this variant computes ALL cross-user pairs in the
+    bucket — the shape you actually want for proximity detection, and the
+    scalable plan: equi-join on ts_sec hash-partitions both sides, the
+    distance predicate is a cheap residual, and no global sort exists
+    anywhere. Skewed buckets (a second where everyone is present) are
+    handled by AQE skew-join splitting.
+    """
+    ev = load_events(spark, sf_dir).select(
+        F.floor(F.col("ts_ms") / 1000).alias("ts_sec"),
+        "event_id",
+        "user_id",
+        "value",
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    dist = F.abs(F.col("a.value") - F.col("b.value"))
+    return (
+        a.join(b, "ts_sec")
+        .filter(
+            (F.col("a.user_id") != F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+        )
+        .select(
+            "ts_sec",
+            F.col("a.event_id").alias("event_i"),
+            F.col("b.event_id").alias("event_j"),
+            F.col("a.user_id").alias("user_i"),
+            F.col("b.user_id").alias("user_j"),
+            dist.alias("distance"),
+        )
+        .filter((F.col("distance") > 0) & (F.col("distance") < 50.0))
+    )
+
+
+def copresence_pairs_oracle() -> str:
+    return """
+    WITH e AS (
+      SELECT epoch_ms(ts) // 1000 AS ts_sec, event_id, user_id, value
+      FROM events
+    )
+    SELECT a.ts_sec, a.event_id AS event_i, b.event_id AS event_j,
+           a.user_id AS user_i, b.user_id AS user_j,
+           ABS(a.value - b.value) AS distance
+    FROM e a JOIN e b
+      ON a.ts_sec = b.ts_sec
+     AND a.user_id <> b.user_id
+     AND a.event_id < b.event_id
+    WHERE ABS(a.value - b.value) > 0 AND ABS(a.value - b.value) < 50.0
+    """
