@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis): the Catalyst expression builders must
+agree with straightforward pure-Python reference implementations on
+arbitrary inputs — the invariant that makes the DuckDB oracles trustworthy.
+
+Strategy: generate small token lists / texts, run the Spark expression once
+per example batch (collected into a single DataFrame for speed), compare
+element-wise against Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from komodo_data_spark.functions import text_features as TF
+
+# lowercase word tokens, no whitespace inside
+token = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8
+)
+texts = st.lists(token, min_size=0, max_size=12).map(" ".join)
+
+
+def py_tokens(text: str) -> list[str]:
+    t = text.strip().lower()
+    return re.split(r"\s+", t) if True else []
+
+
+def py_shingles(toks: list[str], n: int = 3) -> list[str]:
+    if len(toks) < n:
+        return []
+    seen, out = set(), []
+    for i in range(len(toks) - n + 1):
+        s = " ".join(toks[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def py_minhash(sh: list[str], seed: int) -> str | None:
+    if not sh:
+        return None
+    return min(hashlib.md5(f"h{seed}|{s}".encode()).hexdigest() for s in sh)
+
+
+def py_simhash(toks: list[str], bits: int = 16) -> int:
+    distinct = list(dict.fromkeys(toks))
+    out = 0
+    for k in range(bits):
+        ones = sum(
+            int(hashlib.md5(t.encode()).hexdigest()[k], 16) % 2
+            for t in distinct
+        )
+        if ones * 2 > len(distinct):
+            out += 1 << k
+    return out
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_shingle_minhash_simhash_match_python(spark, batch):
+    df = spark.createDataFrame([(t,) for t in batch], "text string")
+    rows = df.select(
+        "text",
+        TF.shingles(TF.tokens(), 3).alias("sh"),
+        TF.minhash(TF.shingles(TF.tokens(), 3), 7).alias("mh"),
+        TF.simhash(TF.tokens(), 16).alias("simh"),
+    ).collect()
+    for r in rows:
+        toks = py_tokens(r["text"])
+        assert r["sh"] == py_shingles(toks)
+        assert r["mh"] == py_minhash(py_shingles(toks), 7)
+        assert r["simh"] == py_simhash(toks, 16)
