@@ -77,6 +77,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             rel.lineitem_price_tiers,
             rel.lineitem_price_tiers_oracle(),
         ),
+        "events_distinct_users_two_stage": (
+            rel.events_distinct_users_two_stage,
+            rel.events_distinct_users_two_stage_oracle(),
+        ),
         # --- reference analytics re-targeted at the events table ---
         "interaction_counts": (ea.interaction_counts, ea.interaction_counts_oracle()),
         "user_activity": (ea.user_activity, ea.user_activity_oracle()),

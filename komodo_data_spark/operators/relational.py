@@ -527,3 +527,31 @@ def lineitem_price_tiers_oracle() -> str:
       ON l_extendedprice >= lo AND l_extendedprice < hi
     GROUP BY tier
     """
+
+
+def events_distinct_users_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type via two-stage aggregation.
+
+    ``count(DISTINCT x)`` over a low-cardinality group key is the classic
+    skew trap at 100 TB: every row of a hot group lands on one reducer.
+    Stage 1 groups by (event_type, user_id) — the compound key spreads the
+    hot groups across all partitions and map-side combine collapses
+    duplicates early; stage 2 counts the survivors per event_type. Same
+    result as countDistinct, skew-proof plan.
+    """
+    ev = load_events(spark, sf_dir)
+    stage1 = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return stage1.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_distinct_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+def events_distinct_users_two_stage_oracle() -> str:
+    return """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """
