@@ -91,6 +91,12 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
     }
 
     try:
+        from komodo_data_spark.operators import corpus
+
+        reg.update(corpus.registry())
+    except ImportError:
+        pass
+    try:
         from komodo_data_spark.operators import sessions
 
         reg.update(sessions.registry())

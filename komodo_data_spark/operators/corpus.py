@@ -1,0 +1,130 @@
+"""Composed corpus-cleaning pipeline over ``documents`` — the end-to-end
+shape of a training-data preparation job (north-star extension): quality
+gate + exact-dedup keep-first + percentile telemetry, each stage a reuse of
+an operator defined elsewhere in this package.
+
+Scale notes: the dedup keeper selection is a window over the content
+fingerprint (one shuffle on a 32-char key); the quality gate is a pure map
+stage evaluated in the same scan pass. Order matters at 100 TB — the cheap
+map-side quality filter runs FIRST so the dedup shuffle only carries
+survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from komodo_data_spark.functions.text_features import sql_tokens, tokens
+from komodo_data_spark.sources.tables import load_events, load_table
+
+MIN_TOKENS = 10
+MIN_QUALITY = 0.3
+
+
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving documents after quality gate + exact-dedup keep-first.
+
+    Output: (doc_id, content_fp, n_tokens, quality_score) for every doc that
+    (a) has ≥ 10 tokens, (b) scores ≥ 0.3 on the composite quality metric,
+    and (c) is the lowest-doc_id member of its normalized-content group.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", tokens())
+    n_tokens = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    quality = F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (0.5 + 0.5 * ttr)
+    gated = (
+        d.select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", "toks")).alias("content_fp"),
+            n_tokens.alias("n_tokens"),
+            quality.alias("quality_score"),
+        )
+        .filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("quality_score") >= MIN_QUALITY)
+        )
+    )
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_fp", "n_tokens", "quality_score")
+    )
+
+
+def corpus_clean_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id,
+        md5(array_to_string(toks, ' ')) AS content_fp,
+        len(toks) AS n_tokens,
+        least(len(toks) / 100.0, 1.0)
+          * (0.5 + 0.5 * (len(list_distinct(toks))::DOUBLE / len(toks)))
+          AS quality_score
+      FROM d
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= {MIN_TOKENS} AND quality_score >= {MIN_QUALITY}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY content_fp ORDER BY doc_id
+      ) AS rn FROM gated
+    )
+    SELECT doc_id, content_fp, n_tokens, quality_score FROM ranked WHERE rn = 1
+    """
+
+
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p90/p99 of ``value`` per event_type.
+
+    Exact percentiles sort within each group (fine per-group at any scale
+    since groups hash-partition); the sketch-based twin below trades
+    exactness for mergeable fixed-size state — the 100 TB default.
+    """
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def event_value_percentiles_oracle() -> str:
+    return """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """
+
+
+def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile): mergeable bounded-memory
+    state, the scale path. Rows-only driver check — the exact twin above
+    pins semantics."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.9, 1000)").alias("p90_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def registry():
+    """Driver-contract entries: name -> (query fn, oracle SQL)."""
+    return {
+        "corpus_clean": (corpus_clean, corpus_clean_oracle()),
+        "event_value_percentiles": (
+            event_value_percentiles,
+            event_value_percentiles_oracle(),
+        ),
+        "event_value_percentiles_approx": (event_value_percentiles_approx, None),
+    }

@@ -142,3 +142,30 @@ def test_streaming_ingest(spark, tmp_path, captures_dir, data_pdf):
     q.awaitTermination(120)
     loaded = spark.read.parquet(data_path)
     assert loaded.count() == len(data_pdf)
+
+
+def test_compaction_preserves_data(spark, tmp_path, captures_dir, data_pdf):
+    """Many small appended files -> few compacted files, identical rows."""
+    import glob
+
+    from komodo_data_spark.sources import capture, compaction
+
+    data_path = str(tmp_path / "data_compact")
+    # simulate micro-batch appends: ingest the same capture dir repeatedly
+    caps = spark.createDataFrame(
+        [("126_1630443513898", 126, 1, 2, None)],
+        "capture_id string, session_id int, start long, end long, processed long",
+    )
+    for _ in range(4):
+        capture.ingest_ready_captures(spark, caps, str(captures_dir), data_path)
+    before_files = len(glob.glob(f"{data_path}/**/*.parquet", recursive=True))
+    before = spark.read.parquet(data_path)
+    before_count = before.count()
+    before_sum = before.groupBy().sum("seq").collect()[0][0]
+
+    n_out = compaction.compact_data_table(spark, data_path)
+    after = spark.read.parquet(data_path)
+    assert after.count() == before_count
+    assert after.groupBy().sum("seq").collect()[0][0] == before_sum
+    assert n_out <= before_files
+    assert n_out >= 1
