@@ -1,0 +1,105 @@
+"""Top-level facade: the one object a user of the reference system needs.
+
+The reference's public surface is: ingest capture files, run five named
+analytics, serve queued aggregation requests, export CSV (process.py
+__main__ loop). ``KomodoEngine`` packages the same lifecycle over Spark,
+plus the extension surface (named queries from the driver registry and
+plain SQL over registered views).
+
+Typical use::
+
+    eng = KomodoEngine.local()                  # or KomodoEngine(spark)
+    eng.register_tables("/root/testdata/sf0.01")
+    eng.sql("SELECT count(*) FROM lineitem")     # ANSI SQL entry point
+    eng.query("dedup_minhash_lsh")               # any registered operator
+    eng.ingest_captures(ctl_df, capture_dir, data_path)   # reference loop
+    eng.serve_requests(requests_df, data_df, out_dir)     # request queue
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from komodo_data_spark.session import configure, get_spark
+from komodo_data_spark.sources.tables import TABLE_NAMES, load_events, load_table
+
+
+class KomodoEngine:
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = configure(spark)
+        self.sf_dir = sf_dir
+        if sf_dir:
+            self.register_tables(sf_dir)
+
+    @classmethod
+    def local(
+        cls, cores: int = 8, sf_dir: str | None = None
+    ) -> "KomodoEngine":
+        return cls(
+            get_spark(
+                "komodo-engine",
+                master=f"local[{cores}]",
+                shuffle_partitions=cores,
+            ),
+            sf_dir,
+        )
+
+    # -- catalog ----------------------------------------------------------
+    def register_tables(self, sf_dir: str) -> None:
+        """Expose every testdata table as a temp view (plus ``events`` with
+        its derived ts columns) so plain ``sql()`` works."""
+        self.sf_dir = sf_dir
+        for name in TABLE_NAMES:
+            load_table(self.spark, sf_dir, name).createOrReplaceTempView(name)
+        load_events(self.spark, sf_dir).createOrReplaceTempView("events_ts")
+
+    def table(self, name: str) -> DataFrame:
+        if self.sf_dir is None:
+            raise ValueError("register_tables(sf_dir) first")
+        return load_table(self.spark, self.sf_dir, name)
+
+    # -- query entry points -----------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def query(self, name: str) -> DataFrame:
+        """Run any operator from the driver registry by name."""
+        if self.sf_dir is None:
+            raise ValueError("register_tables(sf_dir) first")
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        if name not in qs:
+            raise KeyError(
+                f"unknown query {name!r}; available: {sorted(qs)}"
+            )
+        return qs[name](self.spark, self.sf_dir)
+
+    def query_names(self) -> list[str]:
+        import __spark_entry__ as entry
+
+        return sorted(entry.queries())
+
+    # -- reference lifecycle ----------------------------------------------
+    def ingest_captures(
+        self, captures: DataFrame, captures_dir: str, data_table_path: str
+    ) -> list[tuple[str, bool, int]]:
+        """One poll iteration of the reference ingest loop (process.py
+        __main__): returns [(capture_id, ok, processed_stamp)]."""
+        from komodo_data_spark.sources.capture import ingest_ready_captures
+
+        return ingest_ready_captures(
+            self.spark, captures, captures_dir, data_table_path
+        )
+
+    def serve_requests(
+        self, requests: DataFrame, data: DataFrame, out_dir: str, **kw
+    ) -> list[tuple[int, str, str]]:
+        """Serve pending aggregation requests (process.py:320-366)."""
+        from komodo_data_spark.streaming.dispatch import (
+            aggregation_file_download,
+        )
+
+        return aggregation_file_download(
+            self.spark, requests, data, out_dir, **kw
+        )

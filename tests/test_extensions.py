@@ -212,3 +212,17 @@ def test_formats_round_trip(spark, sf_dir, tmp_path):
             ["l_returnflag", "l_linestatus"]
         ).reset_index(drop=True)[exp.columns]
         pd.testing.assert_frame_equal(got, exp, check_dtype=False, rtol=1e-12)
+
+
+def test_engine_facade(spark, sf_dir):
+    from komodo_data_spark.engine import KomodoEngine
+
+    eng = KomodoEngine(spark, sf_dir)
+    assert eng.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"] > 0
+    assert eng.sql("SELECT count(*) AS n FROM events_ts WHERE ts_ms > 0").collect()[0]["n"] > 0
+    assert "q1_pricing_summary" in eng.query_names()
+    assert eng.query("q1_pricing_summary").count() == 6
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        eng.query("nope")
