@@ -29,7 +29,11 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a) has ≥ 10 tokens, (b) scores ≥ 0.3 on the composite quality metric,
     and (c) is the lowest-doc_id member of its normalized-content group.
     """
-    d = load_table(spark, sf_dir, "documents").withColumn("toks", tokens())
+    from komodo_data_spark.operators.dedup import _spread
+
+    d = _spread(spark, load_table(spark, sf_dir, "documents")).withColumn(
+        "toks", tokens()
+    )
     n_tokens = F.size("toks")
     ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
     quality = F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (0.5 + 0.5 * ttr)

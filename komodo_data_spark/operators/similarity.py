@@ -52,8 +52,12 @@ _SQL_COS = (
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    # repartition: the single-row-group testdata parquet would otherwise pin
+    # all cosine evaluation to one task (see dedup._spread)
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
 
 
