@@ -422,7 +422,9 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = _spread(
+        spark, load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "embedding")
     all_pdf = v.toPandas().sort_values("vec_id")
     ids = all_pdf["vec_id"].to_numpy()
     mat = np.stack(all_pdf["embedding"].to_numpy()).astype(np.float64)

@@ -128,7 +128,9 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix. Ties break in declaration order (en > de > fr > es); docs with
     zero stopword hits are 'und'. The per-doc scoring is shuffle-free; only
     the tiny confusion-matrix groupBy shuffles (≤ |langs|² rows)."""
-    d = _docs(spark, sf_dir).withColumn("toks", tokens())
+    from komodo_data_spark.operators.dedup import _spread
+
+    d = _spread(spark, _docs(spark, sf_dir)).withColumn("toks", tokens())
     scores = {}
     for lang, words in LANG_STOPWORDS.items():
         lst = ", ".join(f"'{w}'" for w in words)
@@ -232,7 +234,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     data. This is TF-IDF as plain DataFrame algebra (no MLlib pipeline
     state), which keeps it incremental-friendly and oracle-checkable.
     """
-    d = _docs(spark, sf_dir).withColumn("toks", tokens())
+    from komodo_data_spark.operators.dedup import _spread
+
+    d = _spread(spark, _docs(spark, sf_dir)).withColumn("toks", tokens())
     n_docs = d.count()  # scalar; one job over doc_id only (column-pruned)
     terms = d.select("doc_id", F.explode("toks").alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
