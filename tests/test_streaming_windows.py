@@ -105,3 +105,28 @@ def test_stateful_running_totals_match_batch(spark, sf_dir, events_dir, tmp_path
         check_dtype=False,
         rtol=1e-9,
     )
+
+
+def test_materialized_rollup_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """foreachBatch upsert maintenance: the materialized parquet rollup
+    equals the batch rollup after the stream drains."""
+    from komodo_data_spark.streaming.materialize import start_rollup_maintenance
+
+    rollup_path = str(tmp_path / "rollup_store")
+    stream = W.events_stream(spark, events_dir)
+    q = start_rollup_maintenance(
+        spark,
+        W.hourly_rollup(stream),
+        rollup_path,
+        str(tmp_path / "ckpt4"),
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(rollup_path)
+    exp = events_hourly_rollup(spark, sf_dir)
+    keys = ["window_start_ms", "event_type"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got, keys)[_sorted_pdf(exp, keys).columns],
+        _sorted_pdf(exp, keys),
+        check_dtype=False,
+        rtol=1e-9,
+    )
