@@ -91,6 +91,12 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
     }
 
     try:
+        from komodo_data_spark.operators import tpch_extended
+
+        reg.update(tpch_extended.registry())
+    except ImportError:
+        pass
+    try:
         from komodo_data_spark.operators import corpus
 
         reg.update(corpus.registry())
