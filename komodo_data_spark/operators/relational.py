@@ -282,9 +282,15 @@ def customers_with_orders_oracle() -> str:
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders at all."""
+    """Left-anti join: customers with no HIGH-VALUE orders (>450k).
+
+    Every testdata customer has at least one lifetime order, so an
+    unconditional anti-join would be a trivially-empty (and therefore
+    untested) gate row — the threshold keeps the anti-join shape while
+    returning a non-trivial result at every SF.
+    """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )
@@ -294,7 +300,8 @@ def customers_without_orders_oracle() -> str:
     return """
     SELECT c_custkey, c_name, c_acctbal
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
     """
 
 
