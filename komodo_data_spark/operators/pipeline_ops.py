@@ -1,0 +1,322 @@
+"""Training-data pipeline operators: deterministic splits, chunking,
+redaction, dedup clustering, and sequence packing.
+
+These extend the north-star surface (SURVEY §2.12) with the ops a corpus
+pipeline runs between "raw documents" and "training batches". None exist in
+the reference (gelic-idealab/komodo-data has no document processing at all —
+process.py is XR telemetry only); they are engine-completeness additions.
+
+Scale notes (100 TB):
+- ``sample_hash_split`` assigns splits by content hash, NOT by random() or a
+  global sort — assignment is stable under reshuffles, retries, and
+  incremental appends, and is pure map-side (no shuffle before the final
+  small aggregate).
+- ``doc_chunks`` is a map-side explode (no shuffle); chunk count scales with
+  input size, not distinct keys.
+- ``term_redaction`` is pure projection (whole-stage codegen regexp).
+- ``dedup_clusters`` runs min-label propagation over the near-dup pair
+  graph: each round is one shuffle join keyed by node; rounds are bounded by
+  component diameter, and near-dup graphs are overwhelmingly tiny cliques
+  (diameter ≤ 2-3). Lineage is truncated per round with localCheckpoint so
+  the plan doesn't grow exponentially. For adversarial long-chain graphs,
+  swap the propagation body for alternating large-star/small-star — same
+  join shape, O(log n) rounds.
+- ``token_packing`` is the deterministic "concatenate in key order, cut at
+  capacity" packing: one window cumsum per language partition — a single
+  shuffle on the partition key, no driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from komodo_data_spark.functions.text_features import sql_tokens, tokens
+from komodo_data_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# deterministic hash split (train/val/test)
+# --------------------------------------------------------------------------
+
+_TRAIN_END = 80  # bucket < 80  -> train
+_VAL_END = 90  # 80..89       -> val; 90..99 -> test
+
+
+def _bucket_col() -> F.Column:
+    # first 8 md5 hex digits -> int -> % 100. Portable: DuckDB twin is
+    # CAST('0x' || substr(md5(...),1,8) AS UBIGINT) % 100.
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by doc_id hash, reported
+    as per-split stats. Hash-assignment (vs random()) keeps every row's
+    split stable across engines, retries, and data growth."""
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(_bucket_col() < _TRAIN_END, "train")
+        .when(_bucket_col() < _VAL_END, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def sample_hash_split_oracle() -> str:
+    return f"""
+    SELECT CASE
+             WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < {_TRAIN_END} THEN 'train'
+             WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < {_VAL_END} THEN 'val'
+             ELSE 'test'
+           END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+# --------------------------------------------------------------------------
+# overlapping document chunking
+# --------------------------------------------------------------------------
+
+CHUNK_LEN = 200
+CHUNK_STRIDE = 150
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping character chunks (len 200,
+    stride 150) — the context-window prep step. Map-side explode: chunk
+    starts are sequence(1, length, stride); no shuffle anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"), F.lit(CHUNK_STRIDE))
+            ).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.expr(f"substring(text, chunk_start, {CHUNK_LEN})").alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
+def doc_chunks_oracle() -> str:
+    return f"""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text), {CHUNK_STRIDE})) AS chunk_start
+      FROM documents
+    )
+    SELECT doc_id, chunk_start,
+           substr(text, chunk_start, {CHUNK_LEN}) AS chunk_text,
+           length(substr(text, chunk_start, {CHUNK_LEN})) AS chunk_len
+    FROM starts ORDER BY doc_id, chunk_start
+    """
+
+
+# --------------------------------------------------------------------------
+# blocklist term redaction (PII-scrub shape)
+# --------------------------------------------------------------------------
+
+# The synthetic corpus has no emails/phones, so the PII-scrub op is
+# exercised with a term blocklist; the regex shape (word-boundary
+# alternation, global replace) is exactly what an email/phone scrub uses.
+_REDACT_PAT = r"\b(customer|supplier|order)\b"
+
+
+def term_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact blocklisted terms; report per-doc hit count and the redacted
+    length. Pure codegen projection (regexp_extract_all + regexp_replace)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all("text", F.lit(_REDACT_PAT), 0)
+            ).alias("n_hits"),
+            F.length(
+                F.regexp_replace("text", _REDACT_PAT, "[REDACTED]")
+            ).alias("redacted_len"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def term_redaction_oracle() -> str:
+    return rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_REDACT_PAT}')) AS n_hits,
+           length(regexp_replace(text, '{_REDACT_PAT}', '[REDACTED]', 'g')) AS redacted_len
+    FROM documents
+    WHERE len(regexp_extract_all(text, '{_REDACT_PAT}')) > 0
+    ORDER BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# near-dup cluster assignment (connected components over MinHash pairs)
+# --------------------------------------------------------------------------
+
+_CC_MAX_ROUNDS = 15
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-duplicate pairs (from the MinHash-LSH detector) into
+    clusters: connected components by iterative min-label propagation, the
+    step a dedup pipeline needs between "pairs" and "keep one per cluster".
+
+    Each round: join labels to the symmetric edge list, take the min label
+    seen across self + neighbors, localCheckpoint to cut lineage, stop when
+    no label changed. Rounds ≤ component diameter (near-dup components are
+    tiny cliques in practice; _CC_MAX_ROUNDS is a safety cap).
+    """
+    from komodo_data_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_i", "doc_j")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_j").alias("doc_i"), F.col("doc_i").alias("doc_j")
+            )
+        )
+        .withColumnRenamed("doc_i", "src")
+        .withColumnRenamed("doc_j", "dst")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_ROUNDS):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )
+
+
+def dedup_clusters_oracle() -> str:
+    from komodo_data_spark.operators.dedup import dedup_minhash_lsh_oracle
+
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_i, doc_j FROM ({dedup_minhash_lsh_oracle()}) mh),
+    edges AS (
+      SELECT doc_i AS src, doc_j AS dst FROM pairs
+      UNION ALL
+      SELECT doc_j, doc_i FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab ORDER BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# deterministic sequence packing (concat-in-order, cut at capacity)
+# --------------------------------------------------------------------------
+
+PACK_CAPACITY = 2048
+
+
+def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget bins per language: docs are
+    laid end-to-end in doc_id order and cut every PACK_CAPACITY tokens
+    (bin = floor(start_offset / capacity)). One window cumsum per lang —
+    a single shuffle on the partition key, fully deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select("lang", "doc_id", F.size(tokens()).alias("n_tokens"))
+    binned = toks.withColumn(
+        "bin",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(PACK_CAPACITY))
+        .cast("long"),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+def token_packing_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH toks AS (
+      SELECT lang, doc_id, len({t}) AS n_tokens FROM documents
+    ), binned AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(FLOOR((CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                         - n_tokens) / {PACK_CAPACITY}) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT lang, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM binned GROUP BY lang, bin ORDER BY lang, bin
+    """
+
+
+def registry():
+    """name -> (query fn, oracle SQL) for the driver contract."""
+    return {
+        "sample_hash_split": (sample_hash_split, sample_hash_split_oracle()),
+        "doc_chunks": (doc_chunks, doc_chunks_oracle()),
+        "term_redaction": (term_redaction, term_redaction_oracle()),
+        "dedup_clusters": (dedup_clusters, dedup_clusters_oracle()),
+        "token_packing": (token_packing, token_packing_oracle()),
+    }

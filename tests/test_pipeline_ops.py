@@ -1,0 +1,92 @@
+"""Invariant tests for the training-pipeline operators (pipeline_ops.py)
+on sf0.001 + tiny in-memory frames. The DuckDB-oracle value sweep runs via
+scripts/check.py at sf0.01; here we pin the semantics that a hash-match
+can't see: split determinism/exhaustiveness, chunk reconstruction, cluster
+transitivity, packing capacity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from komodo_data_spark.operators import pipeline_ops as P
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_split_partitions_every_doc_deterministically(spark):
+    from komodo_data_spark.sources.tables import load_table
+
+    total = load_table(spark, SF, "documents").count()
+    a = {r["split"]: r["n_docs"] for r in P.sample_hash_split(spark, SF).collect()}
+    b = {r["split"]: r["n_docs"] for r in P.sample_hash_split(spark, SF).collect()}
+    assert a == b  # hash assignment, not random(): rerun-stable
+    assert sum(a.values()) == total  # exhaustive, no dropped docs
+    assert set(a) <= {"train", "val", "test"}
+    assert a["train"] > a.get("val", 0)  # 80/10/10 shape
+
+
+def test_doc_chunks_cover_and_reconstruct(spark):
+    """Every char of every doc appears in some chunk; stride-aligned
+    prefixes of chunks re-concatenate to the original text."""
+    from komodo_data_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").limit(50).collect()
+    }
+    chunks = (
+        P.doc_chunks(spark, SF)
+        .filter(F.col("doc_id").isin(list(docs)))
+        .orderBy("doc_id", "chunk_start")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in docs.items():
+        rows = by_doc[doc_id]
+        # starts are 1, 1+stride, ... and every chunk is a true substring
+        assert [r["chunk_start"] for r in rows] == list(
+            range(1, len(text) + 1, P.CHUNK_STRIDE)
+        )
+        for r in rows:
+            s = r["chunk_start"] - 1
+            assert r["chunk_text"] == text[s : s + P.CHUNK_LEN]
+        # stride-prefixes + final tail reconstruct the document
+        rebuilt = "".join(
+            r["chunk_text"][: P.CHUNK_STRIDE] for r in rows[:-1]
+        ) + rows[-1]["chunk_text"]
+        assert rebuilt == text
+
+
+def test_dedup_clusters_are_transitive_closures(spark):
+    """Cluster id must equal the min doc_id of each connected component,
+    including across chains (a-b, b-c => a,b,c share one cluster)."""
+    rows = P.dedup_clusters(spark, SF).collect()
+    if not rows:  # sf0.001 may have no near-dup pairs — nothing to pin
+        return
+    label = {r["doc_id"]: r["cluster_id"] for r in rows}
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+        assert r["cluster_size"] >= 2  # every clustered node came from a pair
+    for r in rows:
+        assert sizes[r["cluster_id"]] == r["cluster_size"]
+        assert label[r["cluster_id"]] == r["cluster_id"]  # rep labels itself
+
+
+def test_token_packing_respects_capacity_per_bin(spark):
+    """Each bin's token total stays under capacity + one overflow doc (the
+    classic cut-at-boundary property), and doc counts per lang are
+    preserved."""
+    from komodo_data_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    n_docs = d.count()
+    out = P.token_packing(spark, SF).collect()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    max_doc_tokens = d.select(
+        F.max(F.size(F.split(F.trim(F.lower("text")), r"\s+")))
+    ).first()[0]
+    for r in out:
+        assert r["bin_tokens"] < P.PACK_CAPACITY + max_doc_tokens
