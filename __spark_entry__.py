@@ -97,6 +97,12 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
     except ImportError:
         pass
     try:
+        from komodo_data_spark.operators import reshape
+
+        reg.update(reshape.registry())
+    except ImportError:
+        pass
+    try:
         from komodo_data_spark.operators import pipeline_ops
 
         reg.update(pipeline_ops.registry())
