@@ -1,0 +1,92 @@
+"""Streaming deduplication and stream-stream joins over the events stream.
+
+The reference's polling loop (SURVEY §2.10) re-reads whole capture files, so
+exactly-once and cross-stream correlation are driver-side concerns there;
+Structured Streaming supplies both as engine operators:
+
+- ``dedup_stream``          — drop duplicate event_ids arriving within the
+  watermark delay (``dropDuplicatesWithinWatermark``): at-least-once
+  sources (file redelivery, Kafka replays) become effectively-once without
+  a batch repair job. State holds one key per event_id seen in the last
+  watermark window — bounded, unlike plain ``dropDuplicates`` on a stream,
+  whose state grows forever.
+- ``click_purchase_join``   — stream-stream inner join: each purchase is
+  matched to the same user's clicks in the preceding 30 minutes. Both
+  sides carry watermarks and the join condition bounds event-time skew, so
+  Spark can expire buffered rows; without the time bound the state would
+  be unbounded (Spark rejects the plan in append mode).
+
+Both transformations accept a streaming OR batch DataFrame (batch is the
+verification twin; the tests pin stream == batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WATERMARK = "2 hours"
+CLICK_LOOKBACK_MS = 30 * 60 * 1000
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Effectively-once event feed keyed by event_id."""
+    if events.isStreaming:
+        return events.withWatermark("ts_ts", WATERMARK).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Purchases joined to the same user's clicks within the prior 30 min.
+
+    Output: (purchase_id, click_id, user_id, gap_ms). The equi-key is
+    user_id (one shuffle per side, co-partitioned); the event-time bound is
+    a residual predicate that doubles as the state-expiry contract.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_ts").alias("c_ts"),
+        F.col("ts_ms").alias("c_ms"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_ts").alias("p_ts"),
+        F.col("ts_ms").alias("p_ms"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("c_ts", WATERMARK)
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", WATERMARK)
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.col("p_ms") - F.col("c_ms")).alias("gap_ms"),
+    )
+
+
+def run_to_memory_append(
+    stream_df: DataFrame, query_name: str, checkpoint: str
+) -> DataFrame:
+    """Drain an append-mode stream (dedup / stream-stream join) with
+    AvailableNow into an in-memory table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

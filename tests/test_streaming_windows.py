@@ -130,3 +130,51 @@ def test_materialized_rollup_matches_batch(spark, sf_dir, events_dir, tmp_path):
         check_dtype=False,
         rtol=1e-9,
     )
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
+    """A doubled source (same file staged twice = at-least-once redelivery)
+    must dedup back to exactly the batch-distinct row set."""
+    import shutil as _sh
+
+    from komodo_data_spark.streaming import joins as J
+
+    dup_dir = tmp_path / "events_dup"
+    dup_dir.mkdir()
+    _sh.copy(f"{sf_dir}/events.parquet", dup_dir / "part-0.parquet")
+    _sh.copy(f"{sf_dir}/events.parquet", dup_dir / "part-1.parquet")
+
+    stream = W.events_stream(spark, str(dup_dir))
+    got = J.run_to_memory_append(
+        J.dedup_stream(stream).select("event_id", "user_id", "event_type"),
+        "dedup_mem",
+        str(tmp_path / "ckpt_dedup"),
+    )
+    exp = load_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    assert got.count() == exp.count()  # every duplicate dropped, nothing lost
+    assert got.exceptAll(exp).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Stream-stream interval join (purchase x prior-30-min clicks) drains
+    to exactly the batch join's pairs."""
+    from komodo_data_spark.streaming import joins as J
+
+    def split(df):
+        return (
+            df.filter(df.event_type == "click"),
+            df.filter(df.event_type == "purchase"),
+        )
+
+    s_clicks, s_purch = split(W.events_stream(spark, events_dir))
+    got = J.run_to_memory_append(
+        J.click_purchase_join(s_clicks, s_purch),
+        "ssjoin_mem",
+        str(tmp_path / "ckpt_ssjoin"),
+    )
+    b_clicks, b_purch = split(load_events(spark, sf_dir))
+    exp = J.click_purchase_join(b_clicks, b_purch)
+    keys = ["purchase_id", "click_id"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got, keys), _sorted_pdf(exp, keys), check_dtype=False
+    )
