@@ -70,3 +70,44 @@ def test_events_scan_prunes_props(spark):
         line for line in plan.splitlines() if "ReadSchema" in line
     ][0]
     assert "props" not in scan_schema  # only ts/event_type/value are read
+
+
+def test_extended_tpch_broadcasts_dims_no_cartesian(spark):
+    from komodo_data_spark.operators import tpch_extended as T
+
+    for fn in (T.q8_market_share, T.q18_large_volume_customers, T.q21_sole_late_supplier):
+        plan = plan_of(fn(spark, SF))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_doc_chunks_is_map_side_only(spark):
+    """Chunking must stay scan -> explode -> project; the only exchange
+    allowed is the presentation sort's range partitioning."""
+    from komodo_data_spark.operators import pipeline_ops as P
+
+    plan = plan_of(P.doc_chunks(spark, SF))
+    assert "Generate" in plan  # the explode
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+    # formatted mode puts the partitioning on a separate Arguments: line —
+    # every Exchange must be the sort's rangepartitioning, never a hash
+    # repartitioning (that would mean a shuffle crept into the chunker).
+    assert "hashpartitioning" not in plan
+    n_exchange_nodes = sum(
+        1 for l in plan.splitlines()
+        if l.strip().startswith("(") and l.strip().endswith("Exchange")
+    )
+    assert n_exchange_nodes <= 1 or "rangepartitioning" in plan
+
+
+def test_pivot_runs_no_distinct_discovery_scan(spark):
+    """Pinning the pivot value list must keep the plan to ONE events scan —
+    an implicit pivot adds a distinct-collect job over the fact table."""
+    from komodo_data_spark.operators import reshape as R
+
+    plan = plan_of(R.events_pivot_daily(spark, SF))
+    scans = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Scan parquet" in l
+    ]
+    assert len(scans) == 1, scans
