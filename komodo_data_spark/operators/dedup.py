@@ -163,6 +163,81 @@ def dedup_ngram_pairs_oracle() -> str:
     """
 
 
+#: Max document frequency for a shingle to participate in capped candidate
+#: generation. Hot shingles (boilerplate) drive the Σ(bucket²) join cost but
+#: carry no dedup signal; near-dup pairs share many shingles, so requiring
+#: one shared RARE shingle keeps recall while bounding each bucket at
+#: NGRAM_DF_CAP² pairs.
+NGRAM_DF_CAP = 4
+
+
+def dedup_ngram_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-capped n-gram dedup: candidates must share a shingle seen
+    in ≤ NGRAM_DF_CAP docs; Jaccard is then verified on the FULL shingle
+    sets. This is the scale-safe form of dedup_ngram_pairs: bucket cost is
+    capped at DF_CAP² instead of (hot-shingle df)², and the cap drops the
+    boilerplate shingles that dominate the join volume on real corpora.
+    """
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0).cache()
+    e = sh.select("doc_id", F.explode("sh").alias("g"))
+    # rare-shingle postings: one count-aggregate, then semi-filter postings
+    rare = (
+        e.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .select("g")
+    )
+    rare_e = e.join(rare, "g", "left_semi")
+    cand = (
+        rare_e.alias("a")
+        .join(rare_e.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i")),
+            "doc_i",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_j"), F.col("sh").alias("sh_j")),
+            "doc_j",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_i", "sh_j")).cast("double")
+            / F.size(F.array_union("sh_i", "sh_j")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_i", "doc_j", "jaccard")
+    )
+
+
+def dedup_ngram_pairs_capped_oracle() -> str:
+    return f"""
+    WITH s AS ({_sql_doc_shingles()}),
+    nonempty AS (SELECT * FROM s WHERE len(sh) > 0),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM nonempty),
+    rare AS (SELECT g FROM e GROUP BY g HAVING count(*) <= {NGRAM_DF_CAP}),
+    re AS (SELECT e.* FROM e SEMI JOIN rare ON e.g = rare.g),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+      FROM re a JOIN re b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+    SELECT doc_i, doc_j,
+      len(list_intersect(si.sh, sj.sh))::DOUBLE
+        / len(list_distinct(list_concat(si.sh, sj.sh))) AS jaccard
+    FROM cand
+    JOIN nonempty si ON si.doc_id = doc_i
+    JOIN nonempty sj ON sj.doc_id = doc_j
+    WHERE len(list_intersect(si.sh, sj.sh))::DOUBLE
+        / len(list_distinct(list_concat(si.sh, sj.sh))) >= {JACCARD_THRESHOLD}
+    """
+
+
 # --------------------------------------------------------------------------
 # 3. MinHash + LSH
 # --------------------------------------------------------------------------
@@ -472,6 +547,10 @@ def registry():
     return {
         "dedup_exact": (dedup_exact, dedup_exact_oracle()),
         "dedup_ngram_pairs": (dedup_ngram_pairs, dedup_ngram_pairs_oracle()),
+        "dedup_ngram_pairs_capped": (
+            dedup_ngram_pairs_capped,
+            dedup_ngram_pairs_capped_oracle(),
+        ),
         "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_oracle()),
         "dedup_simhash": (dedup_simhash, dedup_simhash_oracle()),
         "dedup_embedding_pairs": (

@@ -87,6 +87,51 @@ def sample_hash_split_oracle() -> str:
     """
 
 
+#: Per-stratum sampling rates (percent) for the stratified sampler: oversample
+#: low-resource languages, downsample the head — the canonical corpus
+#: rebalancing move.
+STRATA_RATES = {"en": 10, "de": 30, "es": 30, "fr": 30, "zh": 50}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling: keep doc iff its md5 bucket falls
+    under the language's rate. Unlike ``df.sampleBy`` (seeded RNG, engine-
+    specific, changes under repartition) the hash gate is reproducible
+    across engines and stable under data growth — the property a training
+    pipeline needs for resumable corpus builds. Pure map-side filter."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in sorted(STRATA_RATES.items())
+        ],
+        F.lit(0),
+    )
+    return (
+        d.filter(_bucket_col() < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def stratified_sample_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in sorted(STRATA_RATES.items())
+    )
+    return f"""
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100
+          < CASE lang {cases} ELSE 0 END
+    GROUP BY lang ORDER BY lang
+    """
+
+
 # --------------------------------------------------------------------------
 # overlapping document chunking
 # --------------------------------------------------------------------------
@@ -315,6 +360,7 @@ def registry():
     """name -> (query fn, oracle SQL) for the driver contract."""
     return {
         "sample_hash_split": (sample_hash_split, sample_hash_split_oracle()),
+        "stratified_sample": (stratified_sample, stratified_sample_oracle()),
         "doc_chunks": (doc_chunks, doc_chunks_oracle()),
         "term_redaction": (term_redaction, term_redaction_oracle()),
         "dedup_clusters": (dedup_clusters, dedup_clusters_oracle()),
