@@ -97,6 +97,12 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
     except ImportError:
         pass
     try:
+        from komodo_data_spark.operators import window_ops
+
+        reg.update(window_ops.registry())
+    except ImportError:
+        pass
+    try:
         from komodo_data_spark.operators import reshape
 
         reg.update(reshape.registry())
