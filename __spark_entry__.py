@@ -61,6 +61,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             rel.customer_year_setops,
             rel.customer_year_setops_oracle(),
         ),
+        "customers_every_year": (
+            rel.customers_every_year,
+            rel.customers_every_year_oracle(),
+        ),
         "orders_status_cube": (
             rel.orders_status_cube,
             rel.orders_status_cube_oracle(),

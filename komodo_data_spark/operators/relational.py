@@ -418,6 +418,46 @@ def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def customers_every_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: customers with at least one order in EVERY year
+    the orders table spans.
+
+    Spark-first form: count distinct years per customer and compare with
+    the global distinct-year count (a one-row broadcast) — two hash
+    aggregates and one broadcast, no per-year join cascade. The textbook
+    double-NOT-EXISTS form would re-scan orders per candidate; this form
+    scans once and scales linearly.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.countDistinct("yr").alias("n_years")
+    )
+    total = o.agg(F.countDistinct("yr").alias("all_years"))
+    return (
+        per_cust.crossJoin(F.broadcast(total))
+        .filter(F.col("n_years") == F.col("all_years"))
+        .select(F.col("o_custkey").alias("c_custkey"), "n_years")
+        .orderBy("c_custkey")
+    )
+
+
+def customers_every_year_oracle() -> str:
+    return """
+    WITH y AS (
+      SELECT o_custkey, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr
+      FROM orders
+    ), per_cust AS (
+      SELECT o_custkey, COUNT(DISTINCT yr) AS n_years FROM y GROUP BY 1
+    ), total AS (SELECT COUNT(DISTINCT yr) AS all_years FROM y)
+    SELECT o_custkey AS c_custkey, n_years
+    FROM per_cust, total
+    WHERE n_years = all_years
+    ORDER BY c_custkey
+    """
+
+
 def customer_year_setops_oracle() -> str:
     return """
     WITH y95 AS (
