@@ -49,6 +49,10 @@ def main() -> int:
         except Exception as exc:  # keep the harness alive; flag the query
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # Operators cache intermediates (shingle sets, edge lists); drop
+        # them so no query is billed for - or sped up by - another's
+        # storage, and the 75-query run can't accumulate memory pressure.
+        spark.catalog.clearCache()
 
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 4)

@@ -236,7 +236,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from komodo_data_spark.operators.dedup import dedup_minhash_lsh
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_i", "doc_j")
+    # cache the pair list BEFORE the symmetric union: union's two branches
+    # are separate subtrees, so an uncached pairs frame would run the whole
+    # MinHash pipeline twice.
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_i", "doc_j").cache()
     edges = (
         pairs.union(
             pairs.select(
