@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from komodo_data_spark.plans import exploded
+
 from komodo_data_spark.functions.text_features import (
     shingles,
     sql_minhash,
@@ -60,6 +62,56 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     d = _spread(spark, load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", shingles(tokens(), n).alias("sh"))
+
+
+def _doc_postings(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Flat (doc_id, g) shingle postings. The flat form is the one to cache
+    and join on: columnar-caching an ``array<string>`` column measured 3.9 s
+    at sf0.1 vs sub-second for the exploded strings, and every downstream
+    consumer (signature aggregate, candidate join, Jaccard verification)
+    wants the exploded rows anyway. Exploded via plans.exploded — plain
+    F.explode's implicit size>0 filter would re-evaluate the shingle
+    expression serially below the _spread Exchange (measured 12 s vs 0.9 s
+    at sf0.1)."""
+    return exploded(_doc_shingles(spark, sf_dir, n), F.col("sh"), "g", "doc_id")
+
+
+def _verify_jaccard(posts: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (doc_i, doc_j) pairs from flat postings.
+
+    common(i,j) via a postings equi-join restricted to candidate docs, set
+    sizes via one tiny per-doc aggregate; Jaccard = c / (|A|+|B|-c). No
+    array columns cross a shuffle — at scale the arrays are the wide thing,
+    the postings are the narrow thing. Pairs with zero common shingles drop
+    out of the count join, which is correct (their Jaccard is 0).
+    """
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        posts.select(F.col("doc_id").alias("doc_i"), "g")
+        .join(cand, "doc_i")
+        .join(posts.select(F.col("doc_id").alias("doc_j"), "g"), ["doc_j", "g"])
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_i"), F.col("n_sh").alias("n_i")),
+            "doc_i",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j")),
+            "doc_j",
+        )
+        .select(
+            "doc_i",
+            "doc_j",
+            (
+                F.col("common").cast("double")
+                / (F.col("n_i") + F.col("n_j") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
 
 
 def _sql_doc_shingles(n: int = 3) -> str:
@@ -113,14 +165,24 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (one row per doc), broadcast to both sides of the pair join.
     Quadratic in shingle-bucket occupancy — see module docstring; the LSH
     variant below is the scale path.
+
+    NB: no ``filter(size(sh) > 0)`` anywhere in this family — Catalyst
+    pushes such a predicate below the ``_spread`` Exchange, re-evaluating
+    the whole shingle expression serially in the scan task (measured 6 s
+    of the 8 s total at sf0.1). Empty-shingle docs are harmless: explode
+    emits nothing for them and candidates only arise from inner joins.
     """
-    sh = _doc_shingles(spark, sf_dir).cache()
     # Carry each side's set size on the exploded rows: the pair groupBy can
     # then compute Jaccard directly (first(n) is constant within a group),
-    # avoiding two extra joins back to a sizes frame.
-    e = sh.select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g")
-    )
+    # avoiding two extra joins back to a sizes frame. Cache the FLAT form —
+    # see _doc_postings for why the array form is the wrong thing to cache.
+    e = exploded(
+        _doc_shingles(spark, sf_dir),
+        F.col("sh"),
+        "g",
+        "doc_id",
+        F.size("sh").alias("n_sh"),
+    ).cache()
     return (
         e.alias("a")
         .join(e.alias("b"), "g")
@@ -178,8 +240,7 @@ def dedup_ngram_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped at DF_CAP² instead of (hot-shingle df)², and the cap drops the
     boilerplate shingles that dominate the join volume on real corpora.
     """
-    sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0).cache()
-    e = sh.select("doc_id", F.explode("sh").alias("g"))
+    e = _doc_postings(spark, sf_dir).cache()
     # rare-shingle postings: one count-aggregate, then semi-filter postings
     rare = (
         e.groupBy("g")
@@ -197,23 +258,7 @@ def dedup_ngram_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i")),
-            "doc_i",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_j"), F.col("sh").alias("sh_j")),
-            "doc_j",
-        )
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_i", "sh_j")).cast("double")
-            / F.size(F.array_union("sh_i", "sh_j")),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_i", "doc_j", "jaccard")
-    )
+    return _verify_jaccard(e, cand)
 
 
 def dedup_ngram_pairs_capped_oracle() -> str:
@@ -250,14 +295,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy per bucket, so the join is linear, not quadratic. Verification
     recomputes exact Jaccard only for candidates (semi-join pruned).
     """
-    sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0).cache()
+    posts = _doc_postings(spark, sf_dir).cache()
     # Signature via explode + codegen'd min-aggregates: md5 is evaluated once
     # per (seed, shingle) either way, but the expression-form (functions.
     # text_features.minhash) runs 12 interpreted higher-order array_min
     # passes per row; the grouped form is one shuffle on doc_id and ~4×
     # faster at sf0.1. Values are identical.
-    g = sh.select("doc_id", F.explode("sh").alias("g"))
-    sig = g.groupBy("doc_id").agg(
+    sig = posts.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"h{i}|"), F.col("g")))).alias(f"h{i}")
             for i in range(MINHASH_K)
@@ -284,25 +328,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # verify candidates with exact Jaccard over the shingle sets
-    verified = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_i"), F.col("sh").alias("sh_i")),
-            "doc_i",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_j"), F.col("sh").alias("sh_j")),
-            "doc_j",
-        )
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_i", "sh_j")).cast("double")
-            / F.size(F.array_union("sh_i", "sh_j")),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_i", "doc_j", "jaccard")
-    )
-    return verified
+    # verify candidates with exact Jaccard over the postings (count-join)
+    return _verify_jaccard(posts, cand)
 
 
 def dedup_minhash_lsh_oracle() -> str:
@@ -351,7 +378,7 @@ def _simhash_signatures(d: DataFrame) -> DataFrame:
     re-evaluates md5 per token *per bit* (32×) inside interpreted
     higher-order aggregates — measured 8 s vs <1 s at sf0.1."""
     tok = (
-        d.select("doc_id", F.explode(F.array_distinct("toks")).alias("t"))
+        exploded(d, F.array_distinct("toks"), "t", "doc_id")
         # repartition BEFORE the md5 projection so the hash compute (the
         # expensive part) runs on every core, not the single scan task
         .repartition(d.sparkSession.sparkContext.defaultParallelism)

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from komodo_data_spark.plans import exploded
+
 from komodo_data_spark.functions.text_features import (
     LANG_STOPWORDS,
     QUALITY_STOPWORDS,
@@ -238,7 +240,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _spread(spark, _docs(spark, sf_dir)).withColumn("toks", tokens())
     n_docs = d.count()  # scalar; one job over doc_id only (column-pruned)
-    terms = d.select("doc_id", F.explode("toks").alias("term"))
+    terms = exploded(d, F.col("toks"), "term", "doc_id")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = terms.distinct().groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
