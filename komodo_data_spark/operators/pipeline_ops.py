@@ -258,21 +258,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_CC_MAX_ROUNDS):
         prop = (
             edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "label")
+            .select(F.col("dst").alias("node"), "label", F.lit(0).alias("is_self"))
         )
-        new_labels = (
-            labels.union(prop)
+        # Fold the convergence check into the same aggregate: each node has
+        # exactly one self row, so max(label where is_self) is its old label
+        # — no separate old-vs-new join, and the changed-count job only reads
+        # the just-checkpointed (tiny) frame.
+        stepped = (
+            labels.select("node", "label", F.lit(1).alias("is_self"))
+            .union(prop)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("is_self") == 1, F.col("label"))).alias(
+                    "old_label"
+                ),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     w = Window.partitionBy("cluster_id")
