@@ -56,6 +56,7 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             rel.asof_last_click_before_purchase,
             rel.asof_oracle(),
         ),
+        "asof_nearest_click": (rel.asof_nearest_click, rel.asof_nearest_oracle()),
         "events_hourly_rollup": (rel.events_hourly_rollup, rel.events_hourly_oracle()),
         "customer_year_setops": (
             rel.customer_year_setops,
@@ -92,6 +93,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
         "user_copresence": (ea.user_copresence, ea.user_copresence_oracle()),
         "copresence_pairs": (ea.copresence_pairs, ea.copresence_pairs_oracle()),
         "event_pattern": (ea.event_pattern, ea.event_pattern_oracle()),
+        "user_state_history": (
+            ea.user_state_history,
+            ea.user_state_history_oracle(),
+        ),
     }
 
     try:
@@ -152,6 +157,12 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
         from komodo_data_spark.operators import multimodal_ops
 
         reg.update(multimodal_ops.registry())
+    except ImportError:
+        pass
+    try:
+        from komodo_data_spark.functions import udtfs
+
+        reg["udtf_sentences"] = (udtfs.udtf_sentences, udtfs.udtf_sentences_oracle())
     except ImportError:
         pass
     return reg

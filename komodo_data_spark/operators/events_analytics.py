@@ -220,3 +220,81 @@ def copresence_pairs_oracle() -> str:
      AND a.event_id < b.event_id
     WHERE ABS(a.value - b.value) > 0 AND ABS(a.value - b.value) < 50.0
     """
+
+
+def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style state history from the event log: collapse each user's
+    event stream into contiguous runs of the same event_type, with
+    valid_from/valid_to millis (valid_to = next run's start; NULL for the
+    open current run) and the run's event count.
+
+    Gaps-and-islands via one window pass: run boundaries where the type
+    changes (lag comparison), run ids as a running sum of boundaries, then
+    one aggregate per (user, run) and a lead() for the closing timestamp.
+    Everything shuffles once on user_id; the windows and the aggregate reuse
+    the same partitioning. This is the immutable-log replacement for the
+    reference's in-place UPDATE state handling (process.py:171-176 decodes
+    state by mutating rows; here history is derived, never mutated).
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.select("user_id", "event_id", "ts", "ts_ms", "event_type")
+        .withColumn(
+            "is_new",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    per_run = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts_ms").alias("valid_from_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return per_run.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from_ms",
+        F.lead("valid_from_ms").over(w2).alias("valid_to_ms"),
+        "n_events",
+    )
+
+
+def user_state_history_oracle() -> str:
+    return """
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms, event_type
+      FROM events
+    ), marked AS (
+      SELECT *,
+        CASE WHEN lag(event_type) OVER w IS NULL
+               OR lag(event_type) OVER w <> event_type
+             THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING
+      ) AS run_id
+      FROM marked
+    ), per_run AS (
+      SELECT user_id, run_id, event_type AS state,
+             MIN(ts_ms) AS valid_from_ms, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, state, valid_from_ms,
+           lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY run_id)
+             AS valid_to_ms,
+           n_events
+    FROM per_run
+    """

@@ -133,6 +133,47 @@ def stratified_sample_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# deterministic weighted sampling (Efraimidis–Spirakis)
+# --------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample-without-replacement of K docs, weight = n_chars:
+    Efraimidis–Spirakis with a DETERMINISTIC uniform. Each doc gets
+    u = (hash32(doc_id)+1)/(2^32+1) ∈ (0,1) and priority -ln(u)/w
+    (exponential clock with rate w); the K smallest priorities are exactly
+    a weighted sample. Unlike rand()-based sampling the draw is reproducible
+    across engines, retries, and repartitions. Map-side priorities + top-k
+    (TakeOrdered): no shuffle of the data, only of K candidates per
+    partition."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    u = (h + 1) / F.lit(4294967297.0)
+    priority = -F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "lang", "n_chars", priority.alias("priority"))
+        .orderBy("priority")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+def docs_weighted_sample_oracle() -> str:
+    h = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)"
+    return f"""
+    SELECT doc_id, lang, n_chars,
+           -ln(({h} + 1) / 4294967297.0) / n_chars AS priority
+    FROM documents
+    ORDER BY priority
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """
+
+
+# --------------------------------------------------------------------------
 # overlapping document chunking
 # --------------------------------------------------------------------------
 
@@ -369,6 +410,10 @@ def registry():
     return {
         "sample_hash_split": (sample_hash_split, sample_hash_split_oracle()),
         "stratified_sample": (stratified_sample, stratified_sample_oracle()),
+        "docs_weighted_sample": (
+            docs_weighted_sample,
+            docs_weighted_sample_oracle(),
+        ),
         "doc_chunks": (doc_chunks, doc_chunks_oracle()),
         "term_redaction": (term_redaction, term_redaction_oracle()),
         "dedup_clusters": (dedup_clusters, dedup_clusters_oracle()),

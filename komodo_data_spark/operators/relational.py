@@ -348,6 +348,90 @@ def asof_oracle() -> str:
     """
 
 
+#: Max |click - purchase| distance for the nearest-as-of join (10 minutes).
+ASOF_TOLERANCE_MS = 600_000
+
+
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of join with tolerance: for each purchase, the click
+    closest in time (either direction) within ±10 minutes; ties (equidistant
+    before/after) go to the earlier click.
+
+    Spark-first formulation: same union-and-window trick as the backward
+    as-of, run twice — last prior click via an unbounded-preceding frame,
+    first later click via an unbounded-following frame — then a pure
+    projection picks the closer side and applies the tolerance. Two window
+    passes over one shuffle on user_id, linear in the stream; no inequality
+    join anywhere. (The oracle states the same semantics as a θ-join +
+    rank.)
+    """
+    ev = load_events(spark, sf_dir)
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "ts_ms",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts_ms")).alias("click_ms"),
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    order = [F.col("ts"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    back = F.last("click_ms", ignorenulls=True).over(wb)
+    fwd = F.first("click_ms", ignorenulls=True).over(wf)
+    bdiff = F.col("ts_ms") - back
+    fdiff = fwd - F.col("ts_ms")
+    nearest = (
+        F.when(back.isNotNull() & (fwd.isNull() | (bdiff <= fdiff)), back)
+        .otherwise(fwd)
+    )
+    return (
+        tagged.withColumn("nearest_ms", nearest)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_ms").alias("purchase_ms"),
+            F.when(
+                F.abs(F.col("nearest_ms") - F.col("ts_ms")) <= ASOF_TOLERANCE_MS,
+                F.col("nearest_ms"),
+            ).alias("nearest_click_ms"),
+        )
+    )
+
+
+def asof_nearest_oracle() -> str:
+    return f"""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS click_ms
+      FROM events WHERE event_type = 'click'
+    ), ranked AS (
+      SELECT p.event_id, c.click_ms,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(c.click_ms - p.purchase_ms), c.click_ms, c.event_id
+             ) AS rn
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND abs(c.click_ms - p.purchase_ms) <= {ASOF_TOLERANCE_MS}
+    )
+    SELECT p.event_id, p.user_id, p.purchase_ms, r.click_ms AS nearest_click_ms
+    FROM p LEFT JOIN (SELECT event_id, click_ms FROM ranked WHERE rn = 1) r
+      ON r.event_id = p.event_id
+    """
+
+
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window per event type.
 

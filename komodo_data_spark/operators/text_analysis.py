@@ -181,6 +181,86 @@ def text_language_id_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# BPE-ish token count estimation
+# --------------------------------------------------------------------------
+
+#: Subword-ish lexer: letter runs, digit runs capped at 3 (BPE vocabularies
+#: split long numbers), single non-alphanumeric marks. RE2-safe (no
+#: lookaround) so the identical pattern runs in Spark (Java regex) and the
+#: DuckDB oracle (RE2).
+_BPE_PATTERN = r"[a-z]+|[0-9]{1,3}|[^a-z0-9\s]"
+
+
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-cost estimation per document: whitespace token count vs a
+    BPE-ish regex token count, plus chars-per-BPE-token (the budget number a
+    training pipeline actually plans with). Pure map-side projection —
+    regexp_extract_all runs inside whole-stage codegen; no shuffle."""
+    d = _docs(spark, sf_dir)
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(tokens()).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / F.size(bpe)).alias("chars_per_bpe"),
+    )
+
+
+def text_bpe_token_estimate_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    SELECT doc_id,
+      len({t}) AS n_ws_tokens,
+      len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS n_bpe_tokens,
+      length(text)::DOUBLE
+        / len(regexp_extract_all(lower(text), '{_BPE_PATTERN}'))
+        AS chars_per_bpe
+    FROM documents
+    """
+
+
+# --------------------------------------------------------------------------
+# boilerplate shingle detection (heavy hitters by document frequency)
+# --------------------------------------------------------------------------
+
+BOILERPLATE_TOP_K = 20
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 5-token shingles by document frequency — the boilerplate
+    detector (headers/footers/licenses repeat verbatim across documents).
+
+    Shingles are distinct per doc, so one count per posting IS the document
+    frequency: a single groupBy with map-side combine, then a global top-k
+    (TakeOrdered — no full sort). At 100 TB this is the cheapest shape there
+    is for heavy hitters; if even the shingle aggregate is too hot, cap with
+    a count-min sketch first and verify the survivors exactly.
+    """
+    from komodo_data_spark.operators.dedup import _doc_postings
+
+    posts = _doc_postings(spark, sf_dir, n=5)
+    return (
+        posts.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("g"))
+        .limit(BOILERPLATE_TOP_K)
+    )
+
+
+def boilerplate_ngrams_oracle() -> str:
+    t = sql_tokens()
+    sh5 = sql_shingles("toks", 5)
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    e AS (SELECT doc_id, unnest({sh5}) AS g FROM d)
+    SELECT g, count(*) AS df
+    FROM e GROUP BY g
+    ORDER BY df DESC, g ASC
+    LIMIT {BOILERPLATE_TOP_K}
+    """
+
+
+# --------------------------------------------------------------------------
 # document fingerprinting
 # --------------------------------------------------------------------------
 
@@ -224,6 +304,11 @@ def registry():
             text_tfidf_top_terms,
             text_tfidf_top_terms_oracle(),
         ),
+        "text_bpe_token_estimate": (
+            text_bpe_token_estimate,
+            text_bpe_token_estimate_oracle(),
+        ),
+        "boilerplate_ngrams": (boilerplate_ngrams, boilerplate_ngrams_oracle()),
     }
 
 

@@ -111,3 +111,35 @@ def test_pivot_runs_no_distinct_discovery_scan(spark):
         if l.strip().startswith("(") and "Scan parquet" in l
     ]
     assert len(scans) == 1, scans
+
+
+def test_exploded_keeps_expensive_expr_above_exchange(spark):
+    """plans.exploded regression guard: plain F.explode adds an implicit
+    size>0 filter that Catalyst pushes below the _spread Exchange, where it
+    re-evaluates the whole shingle expression serially in the scan task
+    (measured 12 s vs 0.9 s at sf0.1). The exploded() form must keep every
+    occurrence of the expensive expression (split/transform) ABOVE the
+    Exchange."""
+    plan = plan_of(dedup._doc_postings(spark, SF))
+    lines = plan.splitlines()
+    # The formatted plan lists nodes leaves-last in the tree header; use the
+    # detailed sections: find the Exchange node id, then assert no Filter
+    # node *below* it (higher node id = deeper in this layout) mentions the
+    # tokenizer. Simpler equivalent: the scan-side Filter section, if any,
+    # must not contain 'split('.
+    in_filter = False
+    for ln in lines:
+        if ln.startswith("(") and ")" in ln:
+            in_filter = "Filter" in ln
+        if in_filter and "Condition" in ln:
+            assert "split(" not in ln, f"tokenizer pushed into Filter: {ln[:120]}"
+    assert "Generate" in plan  # explode still present
+
+
+def test_nearest_asof_is_window_not_theta_join(spark):
+    """The nearest-as-of must stay a union+window plan: no inequality join
+    (BroadcastNestedLoopJoin/CartesianProduct) anywhere."""
+    plan = plan_of(relational.asof_nearest_click(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
