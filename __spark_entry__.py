@@ -82,6 +82,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             rel.lineitem_price_tiers,
             rel.lineitem_price_tiers_oracle(),
         ),
+        "lineitem_price_tiers_bucketed": (
+            rel.lineitem_price_tiers_bucketed,
+            rel.lineitem_price_tiers_oracle(),  # same semantics, equi-join plan
+        ),
         "events_distinct_users_two_stage": (
             rel.events_distinct_users_two_stage,
             rel.events_distinct_users_two_stage_oracle(),
@@ -157,6 +161,12 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
         from komodo_data_spark.operators import multimodal_ops
 
         reg.update(multimodal_ops.registry())
+    except ImportError:
+        pass
+    try:
+        from komodo_data_spark.operators import graph_ops
+
+        reg.update(graph_ops.registry())
     except ImportError:
         pass
     try:

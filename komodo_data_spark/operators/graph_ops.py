@@ -1,0 +1,196 @@
+"""Graph operators over the copresence graph (users co-present in the same
+second with nearby values — events_analytics.copresence_pairs' predicate).
+
+Engine-completeness additions (SURVEY §2.12): a training-data/analytics
+engine needs the standard graph trio — connected components (in
+pipeline_ops.dedup_clusters), triangle counting, and PageRank — expressed
+as DataFrame joins/aggregates, not a graph library.
+
+Scale notes (100 TB):
+- Triangle counting joins only edges with BOTH endpoints ordered (u < v <
+  w), the classic orientation trick that caps the join fan-out at
+  Σ deg(v)² over the *lower-degree* endpoint; for power-law graphs,
+  orient by (degree, id) instead of raw id to shrink the hot side further.
+- PageRank here is a FIXED 3-iteration unroll: each iteration is one
+  shuffle (join contributions on dst + aggregate). Fixed unrolling keeps
+  the op oracle-expressible; production convergence loops add
+  localCheckpoint per round exactly like dedup_clusters' propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from komodo_data_spark.operators.events_analytics import (
+    copresence_pairs,
+    copresence_pairs_oracle,
+)
+
+PAGERANK_ITERS = 3
+PAGERANK_D = 0.85
+
+
+def _user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-presence edges, normalized to u < v."""
+    cp = copresence_pairs(spark, sf_dir)
+    return (
+        cp.select(
+            F.least("user_i", "user_j").alias("u"),
+            F.greatest("user_i", "user_j").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _sql_user_edges() -> str:
+    return f"""
+    SELECT DISTINCT least(user_i, user_j) AS u, greatest(user_i, user_j) AS v
+    FROM ({copresence_pairs_oracle()}) cp
+    """
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count per user over the copresence graph, plus the user's
+    degree — the local clustering numerator/denominator.
+
+    Ordered-orientation join: edges kept as u < v, triangles found as
+    (a<b) ⋈ (b<c) ⋈ (a<c) — each triangle discovered exactly once, and
+    every join is an equi-join on one endpoint.
+    """
+    e = _user_edges(spark, sf_dir).cache()
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    per_user = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("u").alias("user_id"))
+        .union(e.select(F.col("v").alias("user_id")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(per_user, "user_id", "left").select(
+        "user_id",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+    )
+
+
+def graph_triangles_oracle() -> str:
+    return f"""
+    WITH e AS ({_sql_user_edges()}),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), members AS (
+      SELECT a AS user_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ), per_user AS (
+      SELECT user_id, count(*) AS n_triangles FROM members GROUP BY user_id
+    ), deg AS (
+      SELECT user_id, count(*) AS degree FROM (
+        SELECT u AS user_id FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY user_id
+    )
+    SELECT d.user_id, d.degree, coalesce(p.n_triangles, 0) AS n_triangles
+    FROM deg d LEFT JOIN per_user p ON p.user_id = d.user_id
+    """
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed iterations) over the undirected
+    copresence graph; every node has degree ≥ 1 by construction, so there
+    is no dangling mass. Each iteration: join ranks to the directed edge
+    list on src, aggregate contributions on dst — one shuffle per round.
+    """
+    e = _user_edges(spark, sf_dir)
+    directed = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).cache()
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    n_nodes = deg.count()
+    ranks = deg.select(
+        F.col("src").alias("user_id"), F.lit(1.0 / n_nodes).alias("pr")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contribs = (
+            directed.join(ranks, directed.src == ranks.user_id)
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("user_id"),
+            (
+                F.lit((1.0 - PAGERANK_D) / n_nodes)
+                + F.lit(PAGERANK_D) * F.col("in_sum")
+            ).alias("pr"),
+        )
+    return ranks.select("user_id", "pr")
+
+
+def graph_pagerank_oracle() -> str:
+    d = PAGERANK_D
+    return f"""
+    WITH e AS ({_sql_user_edges()}),
+    directed AS (
+      SELECT u AS src, v AS dst FROM e
+      UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT src, count(*) AS out_deg FROM directed GROUP BY src
+    ), n AS (SELECT count(*) AS n_nodes FROM deg),
+    pr0 AS (SELECT src AS user_id, 1.0::DOUBLE / n_nodes AS pr FROM deg, n),
+    it1 AS (
+      SELECT dd.dst AS user_id,
+             CAST(1.0 - {d} AS DOUBLE) / any_value(n.n_nodes)
+               + CAST({d} AS DOUBLE) * sum(p.pr / g.out_deg) AS pr
+      FROM directed dd
+      JOIN pr0 p ON p.user_id = dd.src
+      JOIN deg g ON g.src = dd.src
+      CROSS JOIN n
+      GROUP BY dd.dst
+    ), it2 AS (
+      SELECT dd.dst AS user_id,
+             CAST(1.0 - {d} AS DOUBLE) / any_value(n.n_nodes)
+               + CAST({d} AS DOUBLE) * sum(p.pr / g.out_deg) AS pr
+      FROM directed dd
+      JOIN it1 p ON p.user_id = dd.src
+      JOIN deg g ON g.src = dd.src
+      CROSS JOIN n
+      GROUP BY dd.dst
+    ), it3 AS (
+      SELECT dd.dst AS user_id,
+             CAST(1.0 - {d} AS DOUBLE) / any_value(n.n_nodes)
+               + CAST({d} AS DOUBLE) * sum(p.pr / g.out_deg) AS pr
+      FROM directed dd
+      JOIN it2 p ON p.user_id = dd.src
+      JOIN deg g ON g.src = dd.src
+      CROSS JOIN n
+      GROUP BY dd.dst
+    )
+    SELECT user_id, pr FROM it3
+    """
+
+
+def registry():
+    """Driver-contract entries: name -> (query fn, oracle SQL)."""
+    return {
+        "graph_triangles": (graph_triangles, graph_triangles_oracle()),
+        "graph_pagerank": (graph_pagerank, graph_pagerank_oracle()),
+    }

@@ -660,6 +660,60 @@ def lineitem_price_tiers_oracle() -> str:
     """
 
 
+def lineitem_price_tiers_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path promised by lineitem_price_tiers' docstring: turn the
+    interval θ-join into an EQUI-join by bucketing.
+
+    Each tier interval is exploded into the fixed-width price buckets it
+    overlaps (tiny: |tiers| × buckets-per-tier rows); each line item maps to
+    exactly one bucket (floor(price/width)). Joining on the bucket is a hash
+    join with a residual BETWEEN — no nested-loop anywhere, and the plan
+    scales to interval tables far beyond broadcast size (shuffle both sides
+    on the bucket instead of broadcasting). Same result, same oracle, as
+    lineitem_price_tiers.
+    """
+    width = 5_000.0
+    tiers = spark.createDataFrame(
+        [("budget", 0.0, 20_000.0), ("mid", 20_000.0, 45_000.0),
+         ("premium", 45_000.0, 1e12)],
+        "tier string, lo double, hi double",
+    )
+    # cap the open-ended top tier at the data's max so the bucket explode
+    # stays finite: one tiny scalar agg, broadcast into the expression
+    max_price = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(F.max("l_extendedprice"))
+        .first()[0]
+    )
+    tier_buckets = tiers.select(
+        "tier",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / width),
+                F.floor(F.least(F.col("hi"), F.lit(float(max_price))) / width),
+            )
+        ).alias("bucket"),
+    )
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "bucket", F.floor(F.col("l_extendedprice") / width)
+    )
+    return (
+        l.join(
+            F.broadcast(tier_buckets),
+            (l["bucket"] == tier_buckets["bucket"])
+            & (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dbl(F.sum(dec("l_extendedprice", 20, 2))).alias("sum_price"),
+        )
+    )
+
+
 def events_distinct_users_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct users per event_type via two-stage aggregation.
 
