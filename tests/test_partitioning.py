@@ -44,3 +44,75 @@ def test_date_filter_prunes_partitions(spark, partitioned_events):
 def test_partitioned_write_round_trips_all_rows(spark, sf_dir, partitioned_events):
     total = spark.read.parquet(partitioned_events).count()
     assert total == load_events(spark, sf_dir).count()
+
+
+# --------------------------------------------------------------------------
+# Z-order layout: 2-D min/max file skipping
+# --------------------------------------------------------------------------
+
+
+def _file_minmax(path: str, cols: list[str]):
+    """Per-file [min, max] of each column from the parquet footers — the
+    exact stats a reader consults to skip files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins: dict = {c: None for c in cols}
+        maxs: dict = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            for i in range(md.num_columns):
+                col = md.row_group(rg).column(i)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    mn, mx = col.statistics.min, col.statistics.max
+                    mins[name] = mn if mins[name] is None else min(mins[name], mn)
+                    maxs[name] = mx if maxs[name] is None else max(maxs[name], mx)
+        out.append((mins, maxs))
+    return out
+
+
+def test_zorder_layout_skips_files_on_2d_box(spark, sf_dir, tmp_path_factory):
+    """Z-ordered files must let a (ts_ms, value) box filter skip most files
+    on footer stats, where a round-robin layout can skip none — the
+    second-dimension pruning story partitionBy can't provide. Both box
+    dimensions are high-cardinality (time × metric), the query shape
+    Z-order exists for; a dimension with fewer distinct values than files
+    (user_id here has 15 at sf0.001) can't be isolated by ANY layout."""
+    from komodo_data_spark.sources.layout import zorder_write
+
+    base = tmp_path_factory.mktemp("zorder")
+    ev = load_events(spark, sf_dir).select("event_id", "ts_ms", "value")
+
+    z_path = str(base / "zordered")
+    rr_path = str(base / "roundrobin")
+    zorder_write(ev, z_path, "ts_ms", "value", n_files=16)
+    ev.repartition(16).write.mode("overwrite").parquet(rr_path)
+
+    # box: middle ~20% of each dimension
+    q = ev.stat.approxQuantile(["ts_ms", "value"], [0.4, 0.6], 0.001)
+    (t_lo, t_hi), (v_lo, v_hi) = q[0], q[1]
+
+    def overlapping(path):
+        hits = 0
+        for mins, maxs in _file_minmax(path, ["ts_ms", "value"]):
+            if mins["ts_ms"] <= t_hi and maxs["ts_ms"] >= t_lo and \
+               mins["value"] <= v_hi and maxs["value"] >= v_lo:
+                hits += 1
+        return hits
+
+    z_hits, rr_hits = overlapping(z_path), overlapping(rr_path)
+    # every round-robin file spans the whole space; z-order must beat it
+    assert rr_hits == 16
+    assert z_hits < rr_hits / 2, f"z-order skipped too little: {z_hits}/16"
+
+    # layout change must not change query results
+    box = (F.col("ts_ms").between(t_lo, t_hi)
+           & F.col("value").between(v_lo, v_hi))
+    assert (
+        spark.read.parquet(z_path).filter(box).count()
+        == ev.filter(box).count()
+    )
