@@ -32,7 +32,13 @@ PAGERANK_D = 0.85
 
 
 def _user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected co-presence edges, normalized to u < v."""
+    """Distinct undirected co-presence edges, normalized to u < v.
+
+    Materialized eagerly (localCheckpoint): every consumer references the
+    edge list from several plan branches (symmetric union, 3-way triangle
+    join, per-iteration rank joins), and a lazy cache would recompute the
+    whole copresence pipeline once per branch inside the first job.
+    """
     cp = copresence_pairs(spark, sf_dir)
     return (
         cp.select(
@@ -40,6 +46,7 @@ def _user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("user_i", "user_j").alias("v"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
 
@@ -58,7 +65,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a<b) ⋈ (b<c) ⋈ (a<c) — each triangle discovered exactly once, and
     every join is an equi-join on one endpoint.
     """
-    e = _user_edges(spark, sf_dir).cache()
+    e = _user_edges(spark, sf_dir)
     tri = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
@@ -121,7 +128,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _user_edges(spark, sf_dir)
     directed = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).cache()
+    )
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     n_nodes = deg.count()
     ranks = deg.select(

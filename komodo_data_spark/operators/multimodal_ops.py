@@ -219,9 +219,54 @@ def media_decoded_features_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# resize (1:1 payload transform via Arrow pandas_udf)
+# --------------------------------------------------------------------------
+
+RESIZE_FACTOR = 4
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Resize' each payload by keeping every 4th byte — the deterministic
+    stand-in for an image/audio downsample. Unlike the fan-out stages this
+    is a strict 1:1 transform, so it uses a scalar ``pandas_udf`` (Arrow
+    both directions, binary in → binary out); the digest/length of the new
+    payload are then computed JVM-side (F.md5/F.length on BinaryType), so
+    the bytes make exactly one Python round-trip."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def downsample(payloads: pd.Series) -> pd.Series:
+        return payloads.map(lambda b: bytes(b)[::RESIZE_FACTOR])
+
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+    return m.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes_in"),
+        F.length(downsample("payload")).alias("n_bytes_out"),
+        F.md5(downsample("payload")).alias("resized_md5"),
+    )
+
+
+def media_resize_oracle() -> str:
+    resized = (
+        "array_to_string(list_transform("
+        f"range(1, length(text) + 1, {RESIZE_FACTOR}), "
+        "i -> substr(text, i, 1)), '')"
+    )
+    return f"""
+    SELECT doc_id,
+           length(text) AS n_bytes_in,
+           length({resized}) AS n_bytes_out,
+           md5({resized}) AS resized_md5
+    FROM documents
+    """
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
+        "media_resize": (media_resize, media_resize_oracle()),
         "media_metadata": (media_metadata, media_metadata_oracle()),
         "media_frame_samples": (media_frame_samples, media_frame_samples_oracle()),
         "media_decoded_features": (

@@ -293,6 +293,70 @@ def text_fingerprints_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# rolling-hash fingerprints (Karp–Rabin polynomial, winnowing-lite)
+# --------------------------------------------------------------------------
+
+_RH_BASE = 31
+_RH_MOD = 2_147_483_647  # 2^31 - 1: acc*31+255 < 2^36, exact in BIGINT
+_RH_WIN = 8
+
+
+def text_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp–Rabin fingerprints: the full-document polynomial hash plus the
+    minimum rolling hash over all 8-char windows (winnowing-lite — stable
+    under edits outside the minimizing window, the classic near-dup key).
+
+    All arithmetic is (acc*31 + byte) mod (2^31-1) — exact in 64-bit
+    integers in both engines, so the fingerprints are bit-identical to the
+    DuckDB oracle. The per-window fold is an interpreted higher-order
+    expression (O(len·8) per doc) — fine as a map-side projection; the
+    100 TB restructure is posexplode(chars) + an 8-row sliding window, all
+    codegen, at the cost of one shuffle on doc_id.
+    """
+    from komodo_data_spark.operators.dedup import _spread
+
+    d = _spread(spark, _docs(spark, sf_dir))
+    full = F.expr(
+        f"aggregate(transform(sequence(1, length(text)), "
+        f"i -> ascii(substring(text, i, 1))), 0L, "
+        f"(acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD})"
+    )
+    win = F.expr(
+        f"CASE WHEN length(text) >= {_RH_WIN} THEN "
+        f"array_min(transform(sequence(1, length(text) - {_RH_WIN - 1}), "
+        f"i -> aggregate(sequence(0, {_RH_WIN - 1}), 0L, "
+        f"(acc, k) -> (acc * {_RH_BASE} + ascii(substring(text, i + k, 1)))"
+        f" % {_RH_MOD}))) ELSE NULL END"
+    )
+    return d.select(
+        "doc_id", full.alias("poly_hash"), win.alias("winnow_fp")
+    )
+
+
+def text_rolling_fingerprints_oracle() -> str:
+    fold = f"(acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD}"
+    # accumulator must start life as BIGINT: an INT32 seed overflows at
+    # acc*31 (DuckDB list_reduce types the fold from its inputs)
+    codes = (
+        "list_transform(range(1, length(text) + 1),"
+        " i -> ascii(substr(text, i, 1))::BIGINT)"
+    )
+    wcodes = (
+        f"list_transform(range(i, i + {_RH_WIN}),"
+        " k -> ascii(substr(text, k, 1))::BIGINT)"
+    )
+    return f"""
+    SELECT doc_id,
+      list_reduce(list_prepend(0::BIGINT, {codes}), {fold}) AS poly_hash,
+      CASE WHEN length(text) >= {_RH_WIN} THEN
+        list_min(list_transform(range(1, length(text) - {_RH_WIN - 2}),
+          i -> list_reduce(list_prepend(0::BIGINT, {wcodes}), {fold})))
+      ELSE NULL END AS winnow_fp
+    FROM documents
+    """
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
@@ -309,6 +373,10 @@ def registry():
             text_bpe_token_estimate_oracle(),
         ),
         "boilerplate_ngrams": (boilerplate_ngrams, boilerplate_ngrams_oracle()),
+        "text_rolling_fingerprints": (
+            text_rolling_fingerprints,
+            text_rolling_fingerprints_oracle(),
+        ),
     }
 
 
