@@ -418,4 +418,87 @@ def registry():
         "term_redaction": (term_redaction, term_redaction_oracle()),
         "dedup_clusters": (dedup_clusters, dedup_clusters_oracle()),
         "token_packing": (token_packing, token_packing_oracle()),
+        "dedup_keep_latest": (dedup_keep_latest, dedup_keep_latest_oracle()),
+        "incremental_new_docs": (
+            incremental_new_docs,
+            incremental_new_docs_oracle(),
+        ),
     }
+
+
+# --------------------------------------------------------------------------
+# keep-latest-per-key dedup (snapshot semantics)
+# --------------------------------------------------------------------------
+
+
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per (user_id, event_type) — the "current snapshot per
+    key" dedup every recrawled/refreshed corpus needs (keep newest version
+    per URL). One window rank per key, ties broken by event_id so the
+    answer is deterministic under concurrent timestamps. Single shuffle on
+    the key; at scale this is the motivating case for pre-bucketing the
+    table by the dedup key so the window runs shuffle-free."""
+    from komodo_data_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts_ms", "value")
+    )
+
+
+def dedup_keep_latest_oracle() -> str:
+    return """
+    SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """
+
+
+# --------------------------------------------------------------------------
+# incremental new-content detection (anti-join on content fingerprint)
+# --------------------------------------------------------------------------
+
+
+def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose content fingerprint is NOT already in the 'seen' snapshot
+    — the incremental-crawl dedup step. The seen set here is the even
+    doc_ids' fingerprints (a deterministic stand-in for yesterday's
+    corpus); production swaps in the accumulated fingerprint table. Plan:
+    left ANTI join on the 32-char md5 — one shuffle each side, no row data
+    moves for matches, and the fingerprint table is the only thing the
+    history side ever has to store."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "content_fp", F.md5(F.concat_ws(" ", tokens()))
+    )
+    seen = d.filter(F.col("doc_id") % 2 == 0).select("content_fp")
+    return (
+        d.join(seen, "content_fp", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+def incremental_new_docs_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, md5(array_to_string({t}, ' ')) AS content_fp
+      FROM documents
+    ), seen AS (SELECT content_fp FROM d WHERE doc_id % 2 = 0)
+    SELECT lang, count(*) AS n_new, min(doc_id) AS min_doc_id
+    FROM d ANTI JOIN seen USING (content_fp)
+    GROUP BY lang ORDER BY lang
+    """
