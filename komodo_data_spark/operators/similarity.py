@@ -33,15 +33,25 @@ TOP_K = 5
 LSH_BITS = 4  # sign bits of the first 4 dims -> 16 buckets
 
 
-def _cos(e_a: Column, e_b: Column) -> Column:
-    dot = F.aggregate(
+def _dot(e_a: Column, e_b: Column) -> Column:
+    return F.aggregate(
         F.zip_with(e_a, e_b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.aggregate(e_a, F.lit(0.0), lambda acc, v: acc + v * v)
-    nb = F.aggregate(e_b, F.lit(0.0), lambda acc, v: acc + v * v)
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def _nrm(e: Column) -> Column:
+    return F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _cos_pre(e_a: Column, e_b: Column, n_a: Column, n_b: Column) -> Column:
+    """cosine with PRE-computed norms: sqrt(Σx²) is per-vector, so computing
+    it inside the pair expression re-evaluates two 64-element interpreted
+    folds per candidate pair; hoisting it to the (broadcast/scan) row cuts
+    the per-pair work to the dot product alone. Bit-identical result:
+    dot / (sqrt(na)*sqrt(nb)) either way."""
+    return _dot(e_a, e_b) / (n_a * n_b)
 
 
 _SQL_COS = (
@@ -58,6 +68,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("nrm", _nrm(F.col("e")))
     )
 
 
@@ -65,14 +76,18 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each query vector (vec_id < 10)."""
     v = _vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cos(F.col("qe"), F.col("e")).alias("cosine"),
+            _cos_pre(
+                F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -127,6 +142,7 @@ def knn_lsh_signbits(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
     scored = (
@@ -138,7 +154,9 @@ def knn_lsh_signbits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cos(F.col("qe"), F.col("e")).alias("cosine"),
+            _cos_pre(
+                F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -196,21 +214,27 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v = _vectors(spark, sf_dir)
     cents = v.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("e").alias("ce")
+        F.col("vec_id").alias("cell_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("csim"), F.asc("cell_id")
     )
     assigned = (
         v.join(F.broadcast(cents))
-        .withColumn("csim", _cos(F.col("e"), F.col("ce")))
+        .withColumn(
+            "csim",
+            _cos_pre(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cnrm")),
+        )
         .withColumn("crnk", F.row_number().over(w_assign))
         .filter(F.col("crnk") == 1)
-        .select("vec_id", "e", "cell_id")
+        .select("vec_id", "e", "nrm", "cell_id")
     )
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
         F.col("cell_id").alias("qcell"),
     )
     scored = (
@@ -222,7 +246,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cos(F.col("qe"), F.col("e")).alias("cosine"),
+            _cos_pre(
+                F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -291,6 +317,7 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
             F.col("bucket").alias("qbucket"),
         )
         .withColumn("probe", F.explode(probes))
@@ -304,7 +331,9 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cos(F.col("qe"), F.col("e")).alias("cosine"),
+            _cos_pre(
+                F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
