@@ -377,6 +377,10 @@ def registry():
             text_rolling_fingerprints,
             text_rolling_fingerprints_oracle(),
         ),
+        "boilerplate_ngrams_cm": (
+            boilerplate_ngrams_cm,
+            boilerplate_ngrams_cm_oracle(),
+        ),
     }
 
 
@@ -436,4 +440,109 @@ def text_tfidf_top_terms_oracle() -> str:
       ) AS rnk FROM scored
     )
     SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """
+
+
+# --------------------------------------------------------------------------
+# count-min sketch document-frequency estimation
+# --------------------------------------------------------------------------
+
+CM_WIDTH = 1024
+CM_DEPTH = 4
+
+
+def boilerplate_ngrams_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch document-frequency estimates for the exact top-20
+    boilerplate shingles: (g, df_exact, df_cm) with df_cm >= df_exact by
+    construction.
+
+    The sketch is W×D = 4096 counter cells built by ONE aggregate per depth
+    row over the postings — fully mergeable (cells add), so at 100 TB it
+    builds map-side with partial aggregation and the reduce moves only
+    4096 longs per partition, never the shingle strings. Estimation reads
+    the min over each key's D cells. Hashes are md5-derived, so the whole
+    sketch is deterministic and engine-portable — the DuckDB oracle builds
+    the identical sketch.
+    """
+    from komodo_data_spark.operators.dedup import _doc_postings
+
+    posts = _doc_postings(spark, sf_dir, n=5).cache()
+    top = (
+        posts.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_exact"))
+        .orderBy(F.desc("df_exact"), F.asc("g"))
+        .limit(BOILERPLATE_TOP_K)
+    )
+
+    def bucket(j, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cm{j}|"), col)), 1, 8), 16, 10
+            ).cast("long")
+            % CM_WIDTH
+        )
+
+    cells = None
+    for j in range(CM_DEPTH):
+        c = (
+            posts.select(
+                F.lit(j).alias("depth"), bucket(j, F.col("g")).alias("bucket")
+            )
+            .groupBy("depth", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        cells = c if cells is None else cells.union(c)
+    probes = top.select(
+        "g",
+        "df_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        bucket(j, F.col("g")).alias("bucket"),
+                    )
+                    for j in range(CM_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("g", "df_exact", "p.depth", "p.bucket")
+    return (
+        probes.join(cells, ["depth", "bucket"])
+        .groupBy("g", "df_exact")
+        .agg(F.min("cnt").alias("df_cm"))
+    )
+
+
+def boilerplate_ngrams_cm_oracle() -> str:
+    t = sql_tokens()
+    sh5 = sql_shingles("toks", 5)
+
+    def bucket(j, expr):
+        return (
+            f"CAST('0x' || substr(md5('cm{j}|' || {expr}), 1, 8) AS UBIGINT)"
+            f" % {CM_WIDTH}"
+        )
+
+    cell_sqls = " UNION ALL ".join(
+        f"SELECT {j} AS depth, {bucket(j, 'g')} AS bucket, count(*) AS cnt "
+        f"FROM e GROUP BY 1, 2"
+        for j in range(CM_DEPTH)
+    )
+    probe_sqls = " UNION ALL ".join(
+        f"SELECT g, df_exact, {j} AS depth, {bucket(j, 'g')} AS bucket FROM top"
+        for j in range(CM_DEPTH)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    e AS (SELECT doc_id, unnest({sh5}) AS g FROM d),
+    top AS (
+      SELECT g, count(*) AS df_exact FROM e GROUP BY g
+      ORDER BY df_exact DESC, g ASC LIMIT {BOILERPLATE_TOP_K}
+    ),
+    cells AS ({cell_sqls}),
+    probes AS ({probe_sqls})
+    SELECT p.g, p.df_exact, CAST(min(c.cnt) AS BIGINT) AS df_cm
+    FROM probes p JOIN cells c ON c.depth = p.depth AND c.bucket = p.bucket
+    GROUP BY p.g, p.df_exact
     """
