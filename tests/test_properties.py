@@ -81,3 +81,46 @@ def test_shingle_minhash_simhash_match_python(spark, batch):
         assert r["sh"] == py_shingles(toks)
         assert r["mh"] == py_minhash(py_shingles(toks), 7)
         assert r["simh"] == py_simhash(toks, 16)
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exploded_equals_plain_explode(spark, batch):
+    """plans.exploded must emit exactly the rows plain F.explode would, for
+    arbitrary texts (including empty/short docs that yield empty shingle
+    arrays) — the perf fix must never change semantics."""
+    from komodo_data_spark.plans import exploded
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    arr = TF.shingles(TF.tokens(), 3)
+    plain = (
+        df.select("doc_id", F.explode(arr).alias("g")).collect()
+    )
+    helper = exploded(df, arr, "g", "doc_id").collect()
+    assert sorted((r.doc_id, r.g) for r in plain) == sorted(
+        (r.doc_id, r.g) for r in helper
+    )
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """Efraimidis–Spirakis sanity: the char-weighted sample's mean doc
+    length must exceed the corpus mean (heavier docs are more likely), and
+    repeated runs must return the identical set (determinism)."""
+    from komodo_data_spark.operators.pipeline_ops import docs_weighted_sample
+    from komodo_data_spark.sources.tables import load_table
+
+    s1 = docs_weighted_sample(spark, sf_dir).toPandas()
+    s2 = docs_weighted_sample(spark, sf_dir).toPandas()
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert s1["n_chars"].mean() > corpus_mean
