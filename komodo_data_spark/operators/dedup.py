@@ -532,6 +532,15 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat = np.stack(all_pdf["embedding"].to_numpy()).astype(np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, mat, norms))
+    # Size the Python stage to the data (known exactly post-collect): each
+    # mapInPandas task pays worker spin-up + broadcast deserialization, so
+    # ~250 rows/task is the floor where BLAS time dominates overhead. At
+    # corpus scale this saturates every core; at bench scale it stops 32
+    # near-empty tasks from paying 32 startups.
+    n_parts = max(2, min(
+        spark.sparkContext.defaultParallelism, len(all_pdf) // 250
+    ))
+    v = v.repartition(n_parts)
 
     def block_cosine(batches):
         b_ids, b_mat, b_norms = bc.value
