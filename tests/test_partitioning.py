@@ -116,3 +116,76 @@ def test_zorder_layout_skips_files_on_2d_box(spark, sf_dir, tmp_path_factory):
         spark.read.parquet(z_path).filter(box).count()
         == ev.filter(box).count()
     )
+
+
+def test_dynamic_partition_pruning_fires(spark, partitioned_events, tmp_path):
+    """Joining the date-partitioned fact to a filtered date dim must inject
+    a dynamicpruning expression into the fact scan's PartitionFilters —
+    at 100 TB this is what keeps a fact⋈dim join from scanning every date
+    partition when the dim filter only selects a few. (Stats-based benefit
+    estimation is disabled: the heuristic rightly rejects DPP on KB-sized
+    local fixtures, but the plan shape is what we pin here.)"""
+    confs = {
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats": "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio": "10000",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(partitioned_events)
+        dim_path = str(tmp_path / "date_dim")
+        (fact.select("event_date").distinct()
+             .withColumn("tag", F.dayofmonth("event_date"))
+             .write.mode("overwrite").parquet(dim_path))
+        dim = spark.read.parquet(dim_path).filter(F.col("tag") <= 2)
+        j = fact.join(F.broadcast(dim), "event_date").groupBy("event_date").count()
+
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "dynamicpruning" in buf.getvalue().lower()
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """With runtime bloom filters on, a selective shuffle join must inject
+    might_contain() onto the large side's scan — the row-group-level
+    pre-filter that cuts shuffle volume for selective fact⋈fact joins at
+    scale. (Size thresholds zeroed: the defaults require a 10 GB scan.)"""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = load_events(spark, sf_dir)
+        small = load_events(spark, sf_dir).filter(F.col("value") > 39).select(
+            "event_id"
+        )
+        j = big.join(small, "event_id").groupBy("event_type").count()
+
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue().lower()
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
