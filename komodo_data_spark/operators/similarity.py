@@ -195,6 +195,7 @@ def registry():
         "knn_lsh_signbits": (knn_lsh_signbits, knn_lsh_signbits_oracle()),
         "knn_ivf": (knn_ivf, knn_ivf_oracle()),
         "knn_lsh_multiprobe": (knn_lsh_multiprobe, knn_lsh_multiprobe_oracle()),
+        "knn_ivf_multiprobe": (knn_ivf_multiprobe, knn_ivf_multiprobe_oracle()),
     }
 
 
@@ -359,6 +360,103 @@ def knn_lsh_multiprobe_oracle() -> str:
     scored AS (
       SELECT q.query_id, v.vec_id AS neighbor_id, {_SQL_COS} AS cosine
       FROM q JOIN v ON v.bucket = q.probe AND v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rnk FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 3
+    """
+
+
+IVF_PROBES = 2  # search the query's 2 nearest cells
+
+
+def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with multi-cell probing: queries search their IVF_PROBES nearest
+    cells instead of one — the IVF recall dial (same role as bit-flip
+    probing for LSH). Candidate volume scales with probes/N_CELLS of the
+    corpus; every join stays equi-keyed on cell_id. Cells partition the
+    vectors, so probe results are disjoint and need no dedup."""
+    v = _vectors(spark, sf_dir)
+    cents = v.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cell_id")
+    )
+    ranked = (
+        v.join(F.broadcast(cents))
+        .withColumn(
+            "csim",
+            _cos_pre(F.col("e"), F.col("ce"), F.col("nrm"), F.col("cnrm")),
+        )
+        .withColumn("crnk", F.row_number().over(w_assign))
+    )
+    assigned = ranked.filter(F.col("crnk") == 1).select(
+        "vec_id", "e", "nrm", "cell_id"
+    )
+    q = (
+        ranked.filter(
+            (F.col("vec_id") < N_QUERIES) & (F.col("crnk") <= IVF_PROBES)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.col("cell_id").alias("qcell"),
+        )
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cell_id") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos_pre(
+                F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def knn_ivf_multiprobe_oracle() -> str:
+    cos_cv = (
+        "list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * c.ce[i]))"
+        " / (sqrt(list_sum(list_transform(v.e, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(c.ce, x -> x * x))))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < {N_CELLS}),
+    sim AS (
+      SELECT v.vec_id, v.e, c.cell_id, {cos_cv} AS csim,
+        row_number() OVER (
+          PARTITION BY v.vec_id ORDER BY {cos_cv} DESC, c.cell_id ASC
+        ) AS crnk
+      FROM v CROSS JOIN c
+    ),
+    assigned AS (SELECT vec_id, e, cell_id FROM sim WHERE crnk = 1),
+    q AS (SELECT vec_id AS query_id, e, cell_id AS qcell
+          FROM sim WHERE vec_id < {N_QUERIES} AND crnk <= {IVF_PROBES}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, {_SQL_COS} AS cosine
+      FROM q JOIN assigned v
+        ON v.cell_id = q.qcell AND v.vec_id <> q.query_id
     ),
     ranked AS (
       SELECT *, row_number() OVER (

@@ -169,3 +169,32 @@ def test_compaction_preserves_data(spark, tmp_path, captures_dir, data_pdf):
     assert after.groupBy().sum("seq").collect()[0][0] == before_sum
     assert n_out <= before_files
     assert n_out >= 1
+
+
+def test_merge_snapshot_upserts(spark, tmp_path):
+    """MERGE = replace matched keys + insert new ones, atomically published;
+    the pre-merge table survives as a backup."""
+    from komodo_data_spark.sources.merge import merge_snapshot
+
+    path = str(tmp_path / "docs_snapshot")
+    spark.createDataFrame(
+        [(1, "one v1"), (2, "two v1"), (3, "three v1")], "doc_id long, body string"
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "two v2"), (9, "nine v1")], "doc_id long, body string"
+    )
+    audit = merge_snapshot(spark, path, updates, "doc_id")
+    assert audit == {
+        "target_rows_before": 3,
+        "updates": 2,
+        "replaced": 1,
+        "inserted": 1,
+        "rows_after": 4,
+    }
+    got = {
+        (r.doc_id, r.body) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "one v1"), (2, "two v2"), (3, "three v1"), (9, "nine v1")}
+    # backup of the pre-merge snapshot remains for rollback
+    assert spark.read.parquet(path + ".__premerge__").count() == 3
