@@ -131,6 +131,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # Tiny scale factors can yield no copresence edges at all; the
+        # oracle's CTE chain is empty too, so an empty typed frame matches.
+        return spark.createDataFrame([], "user_id long, pr double")
     ranks = deg.select(
         F.col("src").alias("user_id"), F.lit(1.0 / n_nodes).alias("pr")
     )
