@@ -164,6 +164,12 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
     except ImportError:
         pass
     try:
+        from komodo_data_spark.operators import profiling
+
+        reg.update(profiling.registry())
+    except ImportError:
+        pass
+    try:
         from komodo_data_spark.operators import graph_ops
 
         reg.update(graph_ops.registry())

@@ -423,6 +423,14 @@ def registry():
             incremental_new_docs,
             incremental_new_docs_oracle(),
         ),
+        "benchmark_contamination": (
+            benchmark_contamination,
+            benchmark_contamination_oracle(),
+        ),
+        "url_canonical_dedup": (
+            url_canonical_dedup,
+            url_canonical_dedup_oracle(),
+        ),
     }
 
 
@@ -501,4 +509,170 @@ def incremental_new_docs_oracle() -> str:
     SELECT lang, count(*) AS n_new, min(doc_id) AS min_doc_id
     FROM d ANTI JOIN seen USING (content_fp)
     GROUP BY lang ORDER BY lang
+    """
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a held-out set)
+# --------------------------------------------------------------------------
+
+_CONTAM_N = 4  # shingle width for contamination matching
+_BENCH_MOD = 47  # doc_id % 47 == 0 -> "benchmark" member (deterministic stand-in)
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination against a benchmark set: the fraction of a
+    training document's distinct 4-token shingles that also appear in any
+    benchmark document (the standard n-gram decontamination check run
+    before training, cf. the public GPT-3 / Gopher appendix method).
+
+    The benchmark membership here is the deterministic stand-in
+    ``doc_id % 47 == 0``; production swaps in the real eval-set shingle
+    table.
+
+    Scale design: benchmark sets are tiny relative to the corpus (a few
+    thousand eval documents vs billions of training docs), so the distinct
+    benchmark-shingle set is **broadcast** — the corpus side never
+    shuffles. Per-doc totals ride along with the exploded rows (size() is
+    computed before the explode), so the only shuffle is the final
+    groupBy(doc_id) count, keyed by a high-cardinality key with no skew.
+    """
+    from komodo_data_spark.operators.dedup import _spread
+    from komodo_data_spark.functions.text_features import shingles
+    from komodo_data_spark.plans import exploded
+
+    d = _spread(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", shingles(tokens(), _CONTAM_N).alias("sh")
+    )
+    bench_sh = (
+        exploded(d.filter(F.col("doc_id") % _BENCH_MOD == 0), F.col("sh"), "s")
+        .select("s")
+        .distinct()
+    )
+    corpus = d.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.col("sh")
+    )
+    hits = (
+        exploded(corpus, F.col("sh"), "s", "doc_id")
+        .join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        corpus.drop("sh")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination_frac"),
+        )
+    )
+
+
+def benchmark_contamination_oracle() -> str:
+    from komodo_data_spark.functions.text_features import sql_shingles
+
+    sh = sql_shingles(sql_tokens(), _CONTAM_N)
+    return f"""
+    WITH d AS (SELECT doc_id, {sh} AS sh FROM documents),
+    bench AS (
+      SELECT DISTINCT s FROM d, unnest(d.sh) AS u(s)
+      WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, len(sh) AS n_shingles, sh FROM d
+      WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n_contaminated
+      FROM corpus c, unnest(c.sh) AS u(s)
+      JOIN bench USING (s)
+      GROUP BY c.doc_id
+    )
+    SELECT c.doc_id, c.n_shingles,
+      coalesce(h.n_contaminated, 0) AS n_contaminated,
+      CASE WHEN c.n_shingles > 0
+        THEN coalesce(h.n_contaminated, 0)::DOUBLE / c.n_shingles
+        ELSE 0.0::DOUBLE END AS contamination_frac
+    FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + keep-first dedup
+# --------------------------------------------------------------------------
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize URL variants and keep one document per canonical URL —
+    the crawl-dedup step that runs before any content hashing.
+
+    The testdata has no URL column, so a synthetic ``url`` is derived
+    deterministically from (source, doc_id) *including the classic noise*:
+    tracking query params on some rows, a trailing slash on others, mixed
+    host case. The operator body — the normalization chain and the
+    keep-first-per-canonical-URL dedup — is the real product:
+
+    - lowercase scheme+host, strip ``utm_*``/``ref`` tracking params,
+      drop trailing slash, collapse the default port.
+    - keep the smallest doc_id per canonical URL (deterministic winner),
+      count the variants folded into it.
+
+    Scale: normalization is pure projection (codegen regexp); dedup is one
+    shuffle on canonical_url (high cardinality, no skew) with a min/count
+    aggregate — no window, no sort.
+    """
+    raw_url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.com:443/docs/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&ref=rss"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("")),
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", raw_url.alias("url"))
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("url")), r"\?(utm_[a-z]+|ref)=[^?]*$", ""),
+            r":443/",
+            "/",
+        ),
+        r"/$",
+        "",
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dups_folded"),
+        )
+    )
+
+
+def url_canonical_dedup_oracle() -> str:
+    return """
+    WITH d AS (
+      SELECT doc_id,
+        'HTTPS://WWW.' || source || '.Example.com:443/docs/' || (doc_id % 40)
+        || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=rss'
+                WHEN doc_id % 3 = 1 THEN '/' ELSE '' END AS url
+      FROM documents
+    )
+    SELECT
+      regexp_replace(regexp_replace(regexp_replace(lower(url),
+        '\\?(utm_[a-z]+|ref)=[^?]*$', ''), ':443/', '/'), '/$', '')
+        AS canonical_url,
+      min(doc_id) AS kept_doc_id,
+      count(*) - 1 AS n_dups_folded
+    FROM d
+    GROUP BY 1
     """

@@ -1,0 +1,118 @@
+"""Table profiling: per-column stats for data-quality auditing.
+
+The reference has no profiling surface; this is the "analyze my table"
+operator every warehouse ships (null fractions, cardinalities, ranges) and
+a training-data pipeline runs as its first data-quality gate.
+
+Scale design (100 TB): ONE aggregation pass over the table produces every
+per-column statistic — no per-column jobs, no driver loop. The multiple
+``count(DISTINCT col)`` aggregates compile to a single Expand + partial
+aggregate (row multiplication is map-side and combines before the one
+shuffle, which carries exactly one row per grouping). At extreme scale the
+exact distincts swap for ``approx_count_distinct`` (same plan minus the
+Expand); the exact form is kept here because the DuckDB oracle pins it.
+The final unpivot-to-rows is a driver-free projection of the single
+aggregated row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from komodo_data_spark.sources.tables import load_table
+
+#: column -> kind ('num' | 'txt' | 'date') for the profiled table
+_ORDERS_COLS: dict[str, str] = {
+    "o_orderkey": "num",
+    "o_custkey": "num",
+    "o_totalprice": "num",
+    "o_orderstatus": "txt",
+    "o_orderpriority": "txt",
+    "o_orderdate": "date",
+}
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per column of ``orders``: row count, null count, exact
+    distinct count, and min/max (numeric columns in ``min_num``/``max_num``,
+    text and date columns as strings in ``min_txt``/``max_txt``)."""
+    df = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _ORDERS_COLS.items():
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"null__{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd__{c}"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"min__{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"max__{c}"))
+        elif kind == "date":
+            aggs.append(F.min(F.col(c).cast("date")).cast("string").alias(f"min__{c}"))
+            aggs.append(F.max(F.col(c).cast("date")).cast("string").alias(f"max__{c}"))
+        else:
+            aggs.append(F.min(c).alias(f"min__{c}"))
+            aggs.append(F.max(c).alias(f"max__{c}"))
+    one = df.agg(*aggs)
+
+    def _entry(c: str, kind: str) -> F.Column:
+        num = kind == "num"
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"null__{c}").alias("n_null"),
+            F.col(f"nd__{c}").alias("n_distinct"),
+            (F.col(f"min__{c}") if num else F.lit(None).cast("double")).alias(
+                "min_num"
+            ),
+            (F.col(f"max__{c}") if num else F.lit(None).cast("double")).alias(
+                "max_num"
+            ),
+            (F.lit(None).cast("string") if num else F.col(f"min__{c}")).alias(
+                "min_txt"
+            ),
+            (F.lit(None).cast("string") if num else F.col(f"max__{c}")).alias(
+                "max_txt"
+            ),
+        )
+
+    entries = F.array(*[_entry(c, k) for c, k in _ORDERS_COLS.items()])
+    return one.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def profile_orders_oracle() -> str:
+    agg_parts = ["count(*) AS n_rows"]
+    rows = []
+    for c, kind in _ORDERS_COLS.items():
+        agg_parts.append(f"count(*) FILTER ({c} IS NULL) AS null__{c}")
+        agg_parts.append(f"count(DISTINCT {c}) AS nd__{c}")
+        if kind == "num":
+            agg_parts.append(f"min({c})::DOUBLE AS min__{c}")
+            agg_parts.append(f"max({c})::DOUBLE AS max__{c}")
+            rows.append(
+                f"SELECT '{c}' AS col_name, n_rows, null__{c} AS n_null,"
+                f" nd__{c} AS n_distinct, min__{c} AS min_num,"
+                f" max__{c} AS max_num, NULL::VARCHAR AS min_txt,"
+                f" NULL::VARCHAR AS max_txt FROM one"
+            )
+        else:
+            cast = "::DATE::VARCHAR" if kind == "date" else ""
+            agg_parts.append(f"min({c}){cast} AS min__{c}")
+            agg_parts.append(f"max({c}){cast} AS max__{c}")
+            rows.append(
+                f"SELECT '{c}' AS col_name, n_rows, null__{c} AS n_null,"
+                f" nd__{c} AS n_distinct, NULL::DOUBLE AS min_num,"
+                f" NULL::DOUBLE AS max_num, min__{c} AS min_txt,"
+                f" max__{c} AS max_txt FROM one"
+            )
+    return (
+        "WITH one AS (SELECT "
+        + ", ".join(agg_parts)
+        + " FROM orders) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+def registry():
+    """name -> (query fn, oracle SQL) for the driver contract."""
+    return {
+        "profile_orders": (profile_orders, profile_orders_oracle()),
+    }

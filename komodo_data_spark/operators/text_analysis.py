@@ -357,9 +357,87 @@ def text_rolling_fingerprints_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# repetition / degeneracy quality signals (Gopher-style)
+# --------------------------------------------------------------------------
+
+
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals in the style of the Gopher quality
+    rules (Rae et al. 2021, public paper): the fraction of tokens taken by
+    the single most frequent token, the fraction of bigram occurrences that
+    are repeats, and the token-distribution entropy. Degenerate (looping,
+    boilerplate-heavy) documents score high top-fraction / low entropy.
+
+    Scale design: one narrow projection, zero shuffles. Per-row cost is
+    O(distinct_tokens x tokens) via higher-order array functions — all
+    whole-stage codegen, no Python. At 100 TB this is a pure map stage
+    fused with the parquet scan (only doc_id/text read).
+    """
+    toks = tokens()
+    d = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    distinct = F.array_distinct("toks")
+    counts = F.transform(
+        distinct,
+        lambda t: F.size(F.filter(F.col("toks"), lambda x: x == t)),
+    )
+    # non-distinct bigram list (shingles() would dedup, which we don't want)
+    m = n - 1
+    bigrams = F.zip_with(
+        F.slice("toks", 1, m),
+        F.slice("toks", 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    p = lambda c: c.cast("double") / n  # noqa: E731
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        p(F.array_max(counts)).alias("top_unigram_frac"),
+        F.when(m > 0, F.lit(1.0) - F.size(F.array_distinct(bigrams)) / m.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+        (
+            -F.aggregate(
+                counts,
+                F.lit(0.0),
+                lambda acc, c: acc + p(c) * F.log2(p(c)),
+            )
+        ).alias("token_entropy"),
+    )
+
+
+def text_repetition_signals_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+        list_transform(list_distinct(toks),
+          d -> len(list_filter(toks, t -> t = d))) AS counts,
+        [toks[i] || ' ' || toks[i+1] for i in range(1, greatest(len(toks) - 1, 0) + 1)]
+          AS bigrams
+      FROM d
+    )
+    SELECT doc_id,
+      n AS n_tokens,
+      list_max(counts)::DOUBLE / n AS top_unigram_frac,
+      CASE WHEN n > 1
+        THEN 1.0::DOUBLE - len(list_distinct(bigrams))::DOUBLE / (n - 1)
+        ELSE 0.0::DOUBLE END AS dup_bigram_frac,
+      -list_sum(list_transform(counts,
+          c -> (c::DOUBLE / n) * log2(c::DOUBLE / n))) AS token_entropy
+    FROM c
+    """
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
+        "text_repetition_signals": (
+            text_repetition_signals,
+            text_repetition_signals_oracle(),
+        ),
         "text_token_stats": (text_token_stats, text_token_stats_oracle()),
         "text_quality_scores": (text_quality_scores, text_quality_scores_oracle()),
         "text_language_id": (text_language_id, text_language_id_oracle()),
