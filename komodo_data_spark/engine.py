@@ -58,6 +58,33 @@ class KomodoEngine:
             raise ValueError("register_tables(sf_dir) first")
         return load_table(self.spark, self.sf_dir, name)
 
+    #: SQL macros registered by :meth:`register_macros` — declarative SQL
+    #: UDFs (Spark 4 ``CREATE FUNCTION ... RETURN expr``), NOT Python UDFs:
+    #: the body inlines into the calling plan at analysis time, so calls
+    #: stay inside whole-stage codegen and Catalyst can push/prune through
+    #: them. ``revenue``/``ms_to_hour``/``norm_tokens`` mirror the
+    #: expressions the reference in-lines everywhere (reference
+    #: process.py's energy/copresence SQL rebuilds these by hand per query).
+    _MACROS: tuple[str, ...] = (
+        "CREATE OR REPLACE TEMPORARY FUNCTION revenue(price DOUBLE, disc DOUBLE)"
+        " RETURNS DOUBLE RETURN price * (1 - disc)",
+        "CREATE OR REPLACE TEMPORARY FUNCTION ms_to_hour(ts_ms BIGINT)"
+        " RETURNS BIGINT RETURN ts_ms div 3600000",
+        "CREATE OR REPLACE TEMPORARY FUNCTION norm_tokens(text STRING)"
+        " RETURNS ARRAY<STRING> RETURN split(trim(lower(text)), '\\\\s+')",
+        # table-valued macro over a registered view
+        "CREATE OR REPLACE TEMPORARY FUNCTION events_of_type(t STRING)"
+        " RETURNS TABLE(event_id BIGINT, user_id BIGINT, value DOUBLE)"
+        " RETURN SELECT event_id, user_id, value"
+        " FROM events_ts WHERE event_type = t",
+    )
+
+    def register_macros(self) -> list[str]:
+        """Install the SQL macro library; returns the registered names."""
+        for ddl in self._MACROS:
+            self.spark.sql(ddl)
+        return [ddl.split("FUNCTION ")[1].split("(")[0] for ddl in self._MACROS]
+
     # -- query entry points -----------------------------------------------
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(query)

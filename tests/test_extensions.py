@@ -226,3 +226,34 @@ def test_engine_facade(spark, sf_dir):
 
     with _pytest.raises(KeyError):
         eng.query("nope")
+
+
+def test_engine_sql_macros(spark, sf_dir):
+    """SQL macros (declarative SQL UDFs) inline into the calling plan:
+    same result as the hand-written expression, no Python eval node."""
+    from komodo_data_spark.engine import KomodoEngine
+
+    eng = KomodoEngine(spark, sf_dir)
+    names = eng.register_macros()
+    assert names == ["revenue", "ms_to_hour", "norm_tokens", "events_of_type"]
+
+    got = eng.sql(
+        "SELECT sum(revenue(l_extendedprice, l_discount)) AS rev FROM lineitem"
+    )
+    exp = eng.sql(
+        "SELECT sum(l_extendedprice * (1 - l_discount)) AS rev FROM lineitem"
+    )
+    assert got.collect()[0]["rev"] == exp.collect()[0]["rev"]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # macro body inlined, stays in codegen
+
+    assert eng.sql("SELECT ms_to_hour(7200123) AS h").collect()[0]["h"] == 2
+
+    # table-valued macro reads the registered events_ts view
+    n_click = eng.sql(
+        "SELECT count(*) AS n FROM events_of_type('click')"
+    ).collect()[0]["n"]
+    n_direct = eng.sql(
+        "SELECT count(*) AS n FROM events_ts WHERE event_type = 'click'"
+    ).collect()[0]["n"]
+    assert n_click == n_direct > 0
