@@ -101,6 +101,8 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             ea.user_state_history,
             ea.user_state_history_oracle(),
         ),
+        "funnel_conversion": (ea.funnel_conversion, ea.funnel_conversion_oracle()),
+        "retention_cohorts": (ea.retention_cohorts, ea.retention_cohorts_oracle()),
     }
 
     try:

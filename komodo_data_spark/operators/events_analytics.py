@@ -298,3 +298,154 @@ def user_state_history_oracle() -> str:
            n_events
     FROM per_run
     """
+
+
+# --------------------------------------------------------------------------
+# funnel conversion (ordered step matching)
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user converts step k only
+    with an event strictly AFTER their step-k-1 time (the standard funnel
+    semantics, not mere per-type existence). Output: one row per step with
+    users reaching it and conversion vs step 1.
+
+    Scale design: one conditional min-aggregate per step, all keyed by
+    user_id — the first groupBy shuffles on user_id and every later join
+    and aggregate reuses that partitioning (co-partitioned sort-merge, no
+    extra Exchange of the big side). Event rows are filtered to the step's
+    type *before* each aggregate (partial map-side min), so no step ever
+    re-scans the whole table shuffle-side. The final rollup is 3 rows.
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ms")
+    reached = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t"))
+    )
+    per_step = [reached]
+    for step in _FUNNEL_STEPS[1:]:
+        prev = per_step[-1]
+        per_step.append(
+            ev.filter(F.col("event_type") == step)
+            .join(prev.select("user_id", F.col("t").alias("t_prev")), "user_id")
+            .filter(F.col("ts_ms") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts_ms").alias("t"))
+        )
+    counts = [df.agg(F.count(F.lit(1)).alias("n")) for df in per_step]
+    step_rows = [
+        c.select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("event_type"),
+            F.col("n").alias("n_users"),
+        )
+        for i, (name, c) in enumerate(zip(_FUNNEL_STEPS, counts))
+    ]
+    out = step_rows[0]
+    for s in step_rows[1:]:
+        out = out.union(s)
+    base = per_step[0].agg(F.count(F.lit(1)).alias("base"))
+    return (
+        out.crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            "event_type",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("base")).alias("conversion"),
+        )
+        .orderBy("step")
+    )
+
+
+def funnel_conversion_oracle() -> str:
+    return """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+    ),
+    s1 AS (SELECT user_id, min(ts_ms) AS t FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts_ms) AS t FROM e
+           JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts_ms > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts_ms) AS t FROM e
+           JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t GROUP BY e.user_id),
+    steps AS (
+      SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT count(*) FROM s2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    )
+    SELECT step, event_type, n_users,
+           n_users::DOUBLE / (SELECT count(*) FROM s1) AS conversion
+    FROM steps ORDER BY step
+    """
+
+
+# --------------------------------------------------------------------------
+# retention cohorts
+# --------------------------------------------------------------------------
+
+_WEEK_MS = 7 * 24 * 3600 * 1000
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-activity week
+    (cohort), counted distinct in each later week, reported as
+    (cohort_week, offset_weeks, n_active, retention vs cohort size).
+
+    Scale design: both inputs aggregate on user_id first (cohort via min,
+    activity via distinct (user, week) — the distinct is the dedup, so the
+    big join carries one row per user-week, not per event). Join keyed on
+    user_id reuses the aggregation partitioning; the rollup output is
+    O(weeks^2) rows.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "user_id", (F.expr(f"ts_ms div {_WEEK_MS}")).alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    grid = (
+        active.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset_weeks"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        grid.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_weeks",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "offset_weeks")
+    )
+
+
+def retention_cohorts_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) // {_WEEK_MS} AS week FROM events
+    ),
+    first AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM e),
+    grid AS (
+      SELECT f.cohort_week, a.week - f.cohort_week AS offset_weeks,
+             count(*) AS n_active
+      FROM active a JOIN first f ON f.user_id = a.user_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM first GROUP BY 1)
+    SELECT g.cohort_week, g.offset_weeks, g.n_active,
+           g.n_active::DOUBLE / s.cohort_size AS retention
+    FROM grid g JOIN sizes s ON s.cohort_week = g.cohort_week
+    ORDER BY g.cohort_week, g.offset_weeks
+    """
