@@ -103,6 +103,14 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
         ),
         "funnel_conversion": (ea.funnel_conversion, ea.funnel_conversion_oracle()),
         "retention_cohorts": (ea.retention_cohorts, ea.retention_cohorts_oracle()),
+        "events_value_histogram": (
+            ea.events_value_histogram,
+            ea.events_value_histogram_oracle(),
+        ),
+        "events_value_anomalies": (
+            ea.events_value_anomalies,
+            ea.events_value_anomalies_oracle(),
+        ),
     }
 
     try:

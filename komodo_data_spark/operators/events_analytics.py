@@ -449,3 +449,88 @@ def retention_cohorts_oracle() -> str:
     FROM grid g JOIN sizes s ON s.cohort_week = g.cohort_week
     ORDER BY g.cohort_week, g.offset_weeks
     """
+
+
+# --------------------------------------------------------------------------
+# fixed-width value histogram
+# --------------------------------------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 100.0, 20
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event_type: 20 bins over
+    [0, 100), out-of-range values clamped into the edge bins. Single
+    aggregate keyed by (event_type, bin) — fully map-side combinable; bin
+    edges are constants so the whole thing is one shuffle of at most
+    types × bins rows. (Equi-depth binning needs a quantile pass first —
+    see sources/layout.py for that pattern.)
+    """
+    width = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    ev = load_events(spark, sf_dir)
+    bin_id = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(_HIST_LO)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        ev.groupBy("event_type", bin_id.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("bin_min"),
+            F.max("value").alias("bin_max"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+def events_value_histogram_oracle() -> str:
+    width = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    return f"""
+    SELECT event_type,
+      least(greatest(floor((value - {_HIST_LO}) / {width}), 0),
+            {_HIST_BINS - 1})::BIGINT AS bin,
+      count(*) AS n, min(value) AS bin_min, max(value) AS bin_max
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+# --------------------------------------------------------------------------
+# z-score anomaly detection
+# --------------------------------------------------------------------------
+
+_ZSCORE_CUT = 2.5
+
+
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is > 2.5 sample standard deviations from their
+    event_type's mean. Two narrow aggregates: per-type mean/std (types ×
+    1 rows, broadcast back), then a scan-side filter — the anomaly scan is
+    one pass, no shuffle of event rows. At 100 TB the stats frame is a few
+    rows regardless of data size.
+    """
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", (F.col("value") - F.col("mu")) / F.col("sigma"))
+        .filter(F.abs("zscore") > _ZSCORE_CUT)
+        .select("event_id", "event_type", "value", "zscore")
+    )
+
+
+def events_value_anomalies_oracle() -> str:
+    return f"""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.mu) / s.sigma AS zscore
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > {_ZSCORE_CUT}
+    """

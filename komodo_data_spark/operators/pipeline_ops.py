@@ -291,9 +291,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_j", "dst")
         .cache()
     )
+    # Round 0 fused into initialization: with label(v) = v initially, one
+    # propagation round is exactly min(self, neighbors) — a plain aggregate
+    # over the edge list, no join. Cliques (the overwhelming near-dup
+    # component shape) are fully labeled here; the loop below only verifies
+    # convergence (and finishes diameter>1 stragglers).
     labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min(F.least("src", "dst")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(_CC_MAX_ROUNDS):
