@@ -69,3 +69,89 @@ def user_running_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 transformWithState twin
+# --------------------------------------------------------------------------
+
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming import StatefulProcessor as _SP
+except ImportError:  # pragma: no cover - older Spark
+    _SP = object
+
+
+class _RunningTotalsProcessor(_SP):
+    """``StatefulProcessor`` computing the same per-user running totals as
+    ``user_running_totals`` through Spark 4's transformWithState API — the
+    successor to applyInPandasWithState: named state variables (ValueState /
+    ListState / MapState) with per-variable TTL, timers, and schema
+    evolution, instead of one opaque state tuple. Requires the RocksDB
+    state store provider (see ``tws_required_confs``), which is also the
+    provider you want at 100 TB: state lives off-heap and spills to disk,
+    bounded by neither executor heap nor micro-batch size.
+    """
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, s, m = self._totals.get() if self._totals.exists() else (0, 0.0, 0)
+        for pdf in rows:
+            n += int(len(pdf))
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                m = max(m, int(pdf["ts_ms"].max()))
+        self._totals.update((n, s, m))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "max_ts_ms": [m],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithState's state protocol speaks protobuf between the JVM
+    and the Python driver worker; without the ``protobuf`` package the
+    worker crashes at init. Gate callers on this instead of failing deep
+    inside a streaming query."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def tws_required_confs() -> dict[str, str]:
+    """Session confs transformWithState needs (RocksDB-backed state)."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    }
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of :func:`user_running_totals` —
+    identical semantics, new-API state management."""
+    if _SP is object:  # pragma: no cover - older Spark
+        raise NotImplementedError("transformWithState needs Spark >= 4.0")
+    return (
+        events.select("user_id", "value", "ts_ms")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )

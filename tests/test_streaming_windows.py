@@ -196,3 +196,62 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir, tmp_path)
     pd.testing.assert_frame_equal(
         _sorted_pdf(got, keys), _sorted_pdf(exp, keys), check_dtype=False
     )
+
+
+def test_tws_running_totals_match_batch(spark, sf_dir, events_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API): final state per
+    user equals the batch aggregate, same as the applyInPandasWithState
+    twin. Needs the RocksDB state store provider for this query only."""
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.streaming.stateful import (
+        tws_available,
+        tws_required_confs,
+        user_running_totals_tws,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithState needs the protobuf package")
+
+    old = {}
+    for k, v in tws_required_confs().items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        stream = W.events_stream(spark, events_dir)
+        out = user_running_totals_tws(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_mem")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("tws_mem").toPandas()
+        got = got.sort_values("n_events").groupby("user_id").last().reset_index()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    exp = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts_ms").alias("max_ts_ms"),
+        )
+        .toPandas()
+    )
+    keys = ["user_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(keys).reset_index(drop=True)[exp.columns],
+        exp.sort_values(keys).reset_index(drop=True),
+        check_dtype=False,
+        rtol=1e-9,
+    )
