@@ -126,9 +126,167 @@ def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
         "corpus_clean": (corpus_clean, corpus_clean_oracle()),
+        "corpus_prepare": (corpus_prepare, corpus_prepare_oracle()),
         "event_value_percentiles": (
             event_value_percentiles,
             event_value_percentiles_oracle(),
         ),
         "event_value_percentiles_approx": (event_value_percentiles_approx, None),
     }
+
+
+# --------------------------------------------------------------------------
+# full preparation pipeline: quality -> decontaminate -> dedup -> split
+# --------------------------------------------------------------------------
+
+CONTAM_MAX = 0.25  # max tolerated benchmark-shingle overlap fraction
+
+
+def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data preparation pipeline as ONE composed plan:
+    quality gate -> benchmark decontamination -> exact-dedup keep-first ->
+    deterministic split assignment, summarized per (split, lang).
+
+    Stage order is the 100 TB order: the zero-shuffle quality gate runs
+    first in the scan pass; decontamination joins survivors' shingles
+    against the broadcast benchmark set; dedup shuffles only what remains
+    (window over content_fp); the split label is a pure hash projection;
+    the final rollup is tiny. One pipeline, four reused operator bodies,
+    no driver-side loop anywhere — Catalyst fuses the map stages.
+    """
+    from komodo_data_spark.functions.text_features import shingles
+    from komodo_data_spark.operators.dedup import _spread
+    from komodo_data_spark.operators.pipeline_ops import (
+        _BENCH_MOD,
+        _CONTAM_N,
+        _TRAIN_END,
+        _VAL_END,
+        _bucket_col,
+    )
+    from komodo_data_spark.plans import exploded
+
+    d = _spread(spark, load_table(spark, sf_dir, "documents")).withColumn(
+        "toks", tokens()
+    )
+    n_tokens = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    quality = F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (0.5 + 0.5 * ttr)
+    gated = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat_ws(" ", "toks")).alias("content_fp"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality_score"),
+        shingles(F.col("toks"), _CONTAM_N).alias("sh"),
+    ).filter(
+        (F.col("n_tokens") >= MIN_TOKENS) & (F.col("quality_score") >= MIN_QUALITY)
+    )
+    # benchmark shingle set comes from the FULL corpus (members excluded
+    # from the output regardless of quality)
+    bench_sh = (
+        exploded(
+            d.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+                shingles(F.col("toks"), _CONTAM_N).alias("sh")
+            ),
+            F.col("sh"),
+            "s",
+        )
+        .select("s")
+        .distinct()
+    )
+    candidates = gated.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    hits = (
+        exploded(candidates, F.col("sh"), "s", "doc_id")
+        .join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    clean = (
+        candidates.drop("sh")
+        .join(hits, "doc_id", "left")
+        .filter(
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            <= F.lit(CONTAM_MAX)
+            * F.greatest(F.col("n_tokens") - (_CONTAM_N - 1), F.lit(0))
+        )
+    )
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    kept = clean.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    split = (
+        F.when(_bucket_col() < _TRAIN_END, "train")
+        .when(_bucket_col() < _VAL_END, "val")
+        .otherwise("test")
+    )
+    return (
+        kept.select("doc_id", "lang", "n_tokens", "quality_score", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.avg("quality_score").alias("avg_quality"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def corpus_prepare_oracle() -> str:
+    from komodo_data_spark.functions.text_features import sql_shingles
+    from komodo_data_spark.operators.pipeline_ops import (
+        _BENCH_MOD,
+        _CONTAM_N,
+        _TRAIN_END,
+        _VAL_END,
+    )
+
+    t = sql_tokens()
+    sh = sql_shingles("toks", _CONTAM_N)
+    return f"""
+    WITH d AS (SELECT doc_id, lang, {t} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang, toks,
+        md5(array_to_string(toks, ' ')) AS content_fp,
+        len(toks) AS n_tokens,
+        least(len(toks) / 100.0, 1.0)
+          * (0.5 + 0.5 * (len(list_distinct(toks))::DOUBLE / len(toks)))
+          AS quality_score,
+        {sh} AS sh
+      FROM d
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= {MIN_TOKENS} AND quality_score >= {MIN_QUALITY}
+    ),
+    bench AS (
+      SELECT DISTINCT s
+      FROM (SELECT {sh} AS sh FROM d WHERE doc_id % {_BENCH_MOD} = 0) b,
+           unnest(b.sh) AS u(s)
+    ),
+    cand AS (SELECT * FROM gated WHERE doc_id % {_BENCH_MOD} <> 0),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n_hit
+      FROM cand c, unnest(c.sh) AS u(s) JOIN bench USING (s)
+      GROUP BY c.doc_id
+    ),
+    clean AS (
+      SELECT c.* FROM cand c LEFT JOIN hits h ON h.doc_id = c.doc_id
+      WHERE coalesce(h.n_hit, 0)
+        <= {CONTAM_MAX} * greatest(c.n_tokens - {_CONTAM_N - 1}, 0)
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY content_fp ORDER BY doc_id) rn
+        FROM clean
+      ) WHERE rn = 1
+    ),
+    labeled AS (
+      SELECT doc_id, lang, n_tokens, quality_score,
+        CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < {_TRAIN_END} THEN 'train'
+             WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < {_VAL_END} THEN 'val'
+             ELSE 'test' END AS split
+      FROM kept
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           avg(quality_score) AS avg_quality
+    FROM labeled GROUP BY split, lang ORDER BY split, lang
+    """
