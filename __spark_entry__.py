@@ -115,6 +115,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             ea.events_props_variant,
             ea.events_props_variant_oracle(),
         ),
+        "user_click_purchase_reconcile": (
+            ea.user_click_purchase_reconcile,
+            ea.user_click_purchase_reconcile_oracle(),
+        ),
     }
 
     try:

@@ -589,3 +589,66 @@ def events_props_variant_oracle() -> str:
     FROM events
     GROUP BY event_type ORDER BY event_type
     """
+
+
+# --------------------------------------------------------------------------
+# full-outer reconciliation (segment users by click vs purchase presence)
+# --------------------------------------------------------------------------
+
+
+def user_click_purchase_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two per-user rollups with a FULL OUTER join: users who
+    click vs users who purchase, segmented both/click_only/purchase_only —
+    the audit-join shape (unmatched rows from BOTH sides must survive).
+
+    Scale: both inputs pre-aggregate to one row per user before the join,
+    so the full-outer carries |users| rows per side, not |events|; both
+    sides arrive hash-partitioned on user_id from their aggregates, so the
+    join adds no extra exchange.
+    """
+    ev = load_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    seg = (
+        F.when(F.col("n_clicks").isNotNull() & F.col("n_purchases").isNotNull(), "both")
+        .when(F.col("n_clicks").isNotNull(), "click_only")
+        .otherwise("purchase_only")
+    )
+    return (
+        clicks.join(purchases, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            seg.alias("segment"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def user_click_purchase_reconcile_oracle() -> str:
+    return """
+    WITH c AS (
+      SELECT user_id, count(*) AS n_clicks FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+      SELECT user_id, count(*) AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(c.n_clicks, 0) AS n_clicks,
+           coalesce(p.n_purchases, 0) AS n_purchases,
+           CASE WHEN c.user_id IS NOT NULL AND p.user_id IS NOT NULL THEN 'both'
+                WHEN c.user_id IS NOT NULL THEN 'click_only'
+                ELSE 'purchase_only' END AS segment
+    FROM c FULL OUTER JOIN p ON p.user_id = c.user_id
+    ORDER BY user_id
+    """

@@ -7,6 +7,8 @@ needs read+write on each so results can re-enter pipelines. Schema fidelity
 rules enforced here:
 
 - parquet: lossless, self-describing — the default for anything re-read.
+- orc: the other self-describing columnar format Spark speaks natively
+  (ecosystem interchange; same lossless rules as parquet).
 - csv/json: schema is NOT self-describing (csv untyped, json loses ints vs
   longs); both readers therefore require the caller to pass the schema the
   writer saved (``schema_of``), never inference — inference over 100 TB is a
@@ -20,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def schema_of(df: DataFrame) -> str:
@@ -53,8 +55,8 @@ def read_result(
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
     reader = spark.read
-    if fmt == "parquet":
-        return reader.parquet(path)
+    if fmt in ("parquet", "orc"):
+        return getattr(reader, fmt)(path)
     if schema is None:
         raise ValueError(f"{fmt} round-trip requires the writer's schema")
     reader = reader.schema(schema)

@@ -202,11 +202,11 @@ def test_formats_round_trip(spark, sf_dir, tmp_path):
         drop=True
     )
     ddl = schema_of(df)
-    for fmt in ("parquet", "csv", "json"):
+    for fmt in ("parquet", "orc", "csv", "json"):
         path = str(tmp_path / f"rt_{fmt}")
         write_result(df, path, fmt, single_file=True)
         back = read_result(
-            spark, path, fmt, schema=None if fmt == "parquet" else ddl
+            spark, path, fmt, schema=None if fmt in ("parquet", "orc") else ddl
         )
         got = back.toPandas().sort_values(
             ["l_returnflag", "l_linestatus"]
