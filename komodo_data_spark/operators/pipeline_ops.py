@@ -436,6 +436,7 @@ def registry():
             url_canonical_dedup,
             url_canonical_dedup_oracle(),
         ),
+        "cdc_apply_changes": (cdc_apply_changes, cdc_apply_changes_oracle()),
     }
 
 
@@ -680,4 +681,72 @@ def url_canonical_dedup_oracle() -> str:
       count(*) - 1 AS n_dups_folded
     FROM d
     GROUP BY 1
+    """
+
+
+# --------------------------------------------------------------------------
+# CDC apply-changes (insert/update/delete log -> current snapshot)
+# --------------------------------------------------------------------------
+
+_CDC_OPS = {"view": "I", "click": "U", "purchase": "D"}
+
+
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the current snapshot from a change log: latest change
+    per key wins; a terminal delete removes the key. This is the batch
+    CDC-apply that complements ``sources/merge.py`` (which upserts full
+    rows without deletes).
+
+    The change log here is derived deterministically from events
+    (view→insert, click→update, purchase→delete, ordered by (ts_ms,
+    event_id)); production feeds a real CDC stream. Plan: one window over
+    the key (single shuffle), rank to the latest change, filter deletes —
+    no join at all. At 100 TB the shuffle carries one row per change, and
+    swapping the window for a max_by aggregate keeps it map-side
+    combinable if change logs are append-heavy.
+    """
+    from komodo_data_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin(*_CDC_OPS.keys())
+    )
+    op = F.element_at(
+        F.create_map(*[F.lit(x) for k, v in _CDC_OPS.items() for x in (k, v)]),
+        F.col("event_type"),
+    )
+    log = ev.select(
+        "user_id",
+        op.alias("op"),
+        "ts_ms",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("user_id", "op", F.col("ts_ms").alias("as_of_ms"), "value")
+        .orderBy("user_id")
+    )
+
+
+def cdc_apply_changes_oracle() -> str:
+    cases = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _CDC_OPS.items())
+    return f"""
+    WITH log AS (
+      SELECT user_id, CASE event_type {cases} END AS op,
+             epoch_ms(ts) AS ts_ms, event_id, value
+      FROM events
+      WHERE event_type IN ({", ".join(repr(k) for k in _CDC_OPS)})
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC
+      ) AS rn
+      FROM log
+    )
+    SELECT user_id, op, ts_ms AS as_of_ms, value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    ORDER BY user_id
     """
