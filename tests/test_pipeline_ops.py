@@ -90,3 +90,84 @@ def test_token_packing_respects_capacity_per_bin(spark):
     ).first()[0]
     for r in out:
         assert r["bin_tokens"] < P.PACK_CAPACITY + max_doc_tokens
+
+
+def test_funnel_strictly_after_semantics(spark, tmp_path):
+    """A purchase BEFORE the user's click must not count as step 3; a click
+    before the first view must not count as step 2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        # u1: proper view -> click -> purchase (counts all 3 steps)
+        (1, 1_000_000_000_000_000_000, 1, "view", 1.0, "{}"),
+        (2, 1_100_000_000_000_000_000, 1, "click", 1.0, "{}"),
+        (3, 1_200_000_000_000_000_000, 1, "purchase", 1.0, "{}"),
+        # u2: purchase BEFORE click (steps 1-2 only)
+        (4, 1_000_000_000_000_000_000, 2, "view", 1.0, "{}"),
+        (5, 1_050_000_000_000_000_000, 2, "purchase", 1.0, "{}"),
+        (6, 1_100_000_000_000_000_000, 2, "click", 1.0, "{}"),
+        # u3: click before any view (step... no steps: no view first)
+        (7, 1_000_000_000_000_000_000, 3, "click", 1.0, "{}"),
+        (8, 1_100_000_000_000_000_000, 3, "view", 1.0, "{}"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "funnel_sf"
+    d.mkdir()
+    pq.write_table(table, d / "events.parquet")
+
+    from komodo_data_spark.operators.events_analytics import funnel_conversion
+
+    got = {
+        r["event_type"]: r["n_users"]
+        for r in funnel_conversion(spark, str(d)).collect()
+    }
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_cdc_latest_delete_removes_key(spark, tmp_path):
+    """CDC apply: the LATEST change decides — a user whose last change is a
+    purchase (delete) disappears from the snapshot even with earlier
+    inserts/updates; ties on ts break by event_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns = 1_000_000  # ms -> ns
+    rows = [
+        # u1: I then D  -> gone
+        (1, 1000 * ns, 1, "view", 1.0, "{}"),
+        (2, 2000 * ns, 1, "purchase", 2.0, "{}"),
+        # u2: D then U  -> survives with the update
+        (3, 1000 * ns, 2, "purchase", 3.0, "{}"),
+        (4, 2000 * ns, 2, "click", 4.0, "{}"),
+        # u3: same-ts tie, higher event_id wins (delete)
+        (5, 1000 * ns, 3, "view", 5.0, "{}"),
+        (6, 1000 * ns, 3, "purchase", 6.0, "{}"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "cdc_sf"
+    d.mkdir()
+    pq.write_table(table, d / "events.parquet")
+
+    from komodo_data_spark.operators.pipeline_ops import cdc_apply_changes
+
+    got = {r["user_id"]: (r["op"], r["value"]) for r in cdc_apply_changes(spark, str(d)).collect()}
+    assert got == {2: ("U", 4.0)}
