@@ -437,6 +437,10 @@ def registry():
             url_canonical_dedup_oracle(),
         ),
         "cdc_apply_changes": (cdc_apply_changes, cdc_apply_changes_oracle()),
+        "docs_surrogate_keys": (
+            docs_surrogate_keys,
+            docs_surrogate_keys_oracle(),
+        ),
     }
 
 
@@ -749,4 +753,58 @@ def cdc_apply_changes_oracle() -> str:
     SELECT user_id, op, ts_ms AS as_of_ms, value
     FROM ranked WHERE rn = 1 AND op <> 'D'
     ORDER BY user_id
+    """
+
+
+# --------------------------------------------------------------------------
+# distributed surrogate-key assignment (global ordinals, no global sort task)
+# --------------------------------------------------------------------------
+
+_SK_PARTITIONS = 8
+
+
+def docs_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign dense sequential ids 1..N in doc_id order — WITHOUT the
+    single-task trap. ``row_number() OVER (ORDER BY doc_id)`` forces every
+    row through ONE partition; instead: range-partition on the key (global
+    order across partitions), count rows per partition, prefix-sum those
+    counts into per-partition offsets (a tiny driver-size frame), broadcast
+    them back, and rank within each partition. Every stage is bounded by a
+    partition, so the same plan assigns ordinals to 100 TB.
+
+    The partitioned frame is checkpointed eagerly: partition ids must be
+    identical in the count pass and the rank pass (two plan branches would
+    re-sample range boundaries independently).
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .repartitionByRange(_SK_PARTITIONS, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wc = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("offset", F.coalesce(F.sum("n").over(wc), F.lit(0)))
+        .select("pid", "offset")
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("offset") + F.row_number().over(w)).alias("sk"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def docs_surrogate_keys_oracle() -> str:
+    return """
+    SELECT doc_id, lang,
+           row_number() OVER (ORDER BY doc_id) AS sk
+    FROM documents ORDER BY doc_id
     """
