@@ -560,16 +560,25 @@ def boilerplate_ngrams_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
             % CM_WIDTH
         )
 
-    cells = None
-    for j in range(CM_DEPTH):
-        c = (
-            posts.select(
+    # ONE pass over the postings: each row emits its D (depth, bucket)
+    # coordinates and a single partial-aggregated groupBy folds them —
+    # the map-side combine caps every partition's output at W×D cells, so
+    # the explode's 4× row fan-out never reaches the shuffle. (The
+    # union-of-D-aggregates form re-scanned the postings D times.)
+    coords = F.array(
+        *[
+            F.struct(
                 F.lit(j).alias("depth"), bucket(j, F.col("g")).alias("bucket")
             )
-            .groupBy("depth", "bucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        cells = c if cells is None else cells.union(c)
+            for j in range(CM_DEPTH)
+        ]
+    )
+    cells = (
+        posts.select(F.explode(coords).alias("db"))
+        .select("db.depth", "db.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     probes = top.select(
         "g",
         "df_exact",
