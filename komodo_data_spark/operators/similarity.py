@@ -196,6 +196,7 @@ def registry():
         "knn_ivf": (knn_ivf, knn_ivf_oracle()),
         "knn_lsh_multiprobe": (knn_lsh_multiprobe, knn_lsh_multiprobe_oracle()),
         "knn_ivf_multiprobe": (knn_ivf_multiprobe, knn_ivf_multiprobe_oracle()),
+        "knn_lsh_recall": (knn_lsh_recall, knn_lsh_recall_oracle()),
     }
 
 
@@ -464,4 +465,61 @@ def knn_ivf_multiprobe_oracle() -> str:
       ) AS rnk FROM scored
     )
     SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 3
+    """
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation: recall@K of the LSH index vs exact ground truth
+# --------------------------------------------------------------------------
+
+
+def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of sign-bit LSH against the exact brute-force top-K — the
+    evaluation loop every ANN deployment runs before trusting an index.
+
+    Plan shape: both inputs end as K rows per query; the semi-join on
+    (query_id, neighbor_id) and the per-query rollup shuffle only
+    O(queries × K) rows regardless of corpus size — the expensive part is
+    the underlying searches, not the evaluation.
+    """
+    bf = knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = knn_lsh_signbits(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(lsh, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    truth = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        truth.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("k")).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def knn_lsh_recall_oracle() -> str:
+    return f"""
+    WITH bf AS (
+      SELECT query_id, neighbor_id FROM ({knn_brute_force_oracle()}) b
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM ({knn_lsh_signbits_oracle()}) l
+    ),
+    hits AS (
+      SELECT bf.query_id, count(*) AS n_hit
+      FROM bf SEMI JOIN lsh
+        ON lsh.query_id = bf.query_id AND lsh.neighbor_id = bf.neighbor_id
+      GROUP BY bf.query_id
+    ),
+    truth AS (SELECT query_id, count(*) AS k FROM bf GROUP BY query_id)
+    SELECT t.query_id, coalesce(h.n_hit, 0) AS n_hit,
+           coalesce(h.n_hit, 0)::DOUBLE / t.k AS recall
+    FROM truth t LEFT JOIN hits h ON h.query_id = t.query_id
+    ORDER BY t.query_id
     """
