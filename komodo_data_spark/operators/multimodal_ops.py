@@ -273,4 +273,64 @@ def registry():
             media_decoded_features,
             media_decoded_features_oracle(),
         ),
+        "media_audio_energy": (media_audio_energy, media_audio_energy_oracle()),
     }
+
+
+# --------------------------------------------------------------------------
+# audio-style windowed energy (numpy over raw bytes, no codec needed)
+# --------------------------------------------------------------------------
+
+_ENERGY_SCHEMA = "doc_id long, frame_idx long, rms double"
+
+
+def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame RMS energy over the payload interpreted as unsigned 8-bit
+    samples (64-sample frames, partial tail frame dropped) — the windowed
+    feature-extraction shape of an audio pipeline, with REAL computation
+    (numpy reshape + vectorized RMS), not a codec stub.
+
+    Scale: one mapInPandas stage; each Arrow batch reshapes to
+    (n_frames, 64) and reduces along axis 1 — SIMD inside numpy, payloads
+    never return to the JVM, output is 3 narrow columns. No shuffle.
+    """
+    import numpy as np
+
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, rms = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(a) // FRAME_BYTES
+                if n == 0:
+                    continue
+                frames = a[: n * FRAME_BYTES].astype(np.float64).reshape(
+                    n, FRAME_BYTES
+                )
+                ids.extend([doc_id] * n)
+                idxs.extend(range(n))
+                rms.extend(np.sqrt((frames**2).sum(axis=1) / FRAME_BYTES))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "rms": rms}
+            )
+
+    return m.mapInPandas(energies, schema=_ENERGY_SCHEMA)
+
+
+def media_audio_energy_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text, unnest(range(0, nb // {FRAME_BYTES})) AS frame_idx
+      FROM d
+    )
+    SELECT doc_id, frame_idx,
+      sqrt(list_sum(list_transform(range(1, {FRAME_BYTES} + 1),
+        i -> pow(ascii(substr(text, (frame_idx * {FRAME_BYTES} + i)::INT, 1))::DOUBLE, 2)))
+        / {FRAME_BYTES}) AS rms
+    FROM f
+    """
