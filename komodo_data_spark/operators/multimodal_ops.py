@@ -274,6 +274,10 @@ def registry():
             media_decoded_features_oracle(),
         ),
         "media_audio_energy": (media_audio_energy, media_audio_energy_oracle()),
+        "media_metadata_arrow": (
+            media_metadata_arrow,
+            media_metadata_arrow_oracle(),
+        ),
     }
 
 
@@ -333,4 +337,53 @@ def media_audio_energy_oracle() -> str:
         i -> pow(ascii(substr(text, (frame_idx * {FRAME_BYTES} + i)::INT, 1))::DOUBLE, 2)))
         / {FRAME_BYTES}) AS rms
     FROM f
+    """
+
+
+# --------------------------------------------------------------------------
+# pure-Arrow metadata path (mapInArrow — no pandas materialization)
+# --------------------------------------------------------------------------
+
+_ARROW_META_SCHEMA = "doc_id long, n_bytes long, n_frames long"
+
+
+def media_metadata_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-length metadata via ``mapInArrow``: the batch stays a
+    ``pyarrow.RecordBatch`` end-to-end and the byte lengths come from
+    Arrow compute kernels (C++), never materializing pandas objects or
+    Python bytes. For binary-heavy columns this skips the whole
+    Arrow→pandas→Arrow copy that mapInPandas pays — the right hot path
+    when the per-row work is expressible as Arrow kernels. (The sha256
+    digest stays in the mapInPandas variant: hashing needs Python today.)
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def extract(batches):
+        for batch in batches:
+            n_bytes = pc.binary_length(batch.column(1))
+            n_frames = pc.ceil(
+                pc.divide(pc.cast(n_bytes, pa.float64()), float(FRAME_BYTES))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(n_bytes, pa.int64()),
+                    pc.cast(n_frames, pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_frames"],
+            )
+
+    return m.mapInArrow(extract, schema=_ARROW_META_SCHEMA)
+
+
+def media_metadata_arrow_oracle() -> str:
+    return f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ceil(octet_length(encode(text)) / {FRAME_BYTES}.0)::BIGINT
+             AS n_frames
+    FROM documents
     """
