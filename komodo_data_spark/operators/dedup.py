@@ -597,4 +597,79 @@ def registry():
             dedup_embedding_pairs,
             dedup_embedding_pairs_oracle(),
         ),
+        "dedup_fuzzy_prefix": (dedup_fuzzy_prefix, dedup_fuzzy_prefix_oracle()),
     }
+
+
+# --------------------------------------------------------------------------
+# 6. fuzzy edit-distance matching (blocked levenshtein)
+# --------------------------------------------------------------------------
+
+FUZZY_PREFIX_TOKENS = 5  # the "title": first 5 tokens
+FUZZY_MAX_DIST = 3
+
+
+def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate pairs by edit distance over the document "title"
+    (first 5 tokens): pairs whose titles are within levenshtein ≤ 3 —
+    the record-linkage modality (typo'd titles, OCR noise) that token-set
+    methods (Jaccard/MinHash) miss entirely.
+
+    Scale design: never all-pairs. Candidates are BLOCKED on
+    (length bucket, first character) — two strings within distance d can
+    differ in length by at most d, so comparing only blocks with matching
+    coarse keys keeps recall while bounding each block's pair count; the
+    equi-join on the block key is a plain hash join and levenshtein runs
+    codegen-side as the residual predicate. Skewed blocks fall to AQE
+    skew-join splitting; tighter blocking (more key chars) trades recall
+    for cost, exactly like LSH band width.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(tokens(), 1, FUZZY_PREFIX_TOKENS)
+        ).alias("title"),
+    )
+    # block key: (floor(len/4), first char) — distance ≤ 3 implies length
+    # difference ≤ 3, so same-bucket OR adjacent-bucket; emit both bucket
+    # memberships per row (explode) so matching pairs share ≥ 1 exact key.
+    base = F.floor(F.length("title") / 4)
+    blocked = d.select(
+        "doc_id",
+        "title",
+        F.explode(F.array(base, base + 1)).alias("lb"),
+        F.substring("title", 1, 1).alias("fc"),
+    )
+    return (
+        blocked.alias("a")
+        .join(blocked.alias("b"), ["lb", "fc"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"),
+            F.col("b.doc_id").alias("doc_j"),
+            F.levenshtein("a.title", "b.title").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .distinct()
+    )
+
+
+def dedup_fuzzy_prefix_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+        array_to_string(({t})[1:{FUZZY_PREFIX_TOKENS}], ' ') AS title
+      FROM documents
+    ),
+    blocked AS (
+      SELECT doc_id, title, unnest([length(title) // 4, length(title) // 4 + 1]) AS lb,
+             substr(title, 1, 1) AS fc
+      FROM d
+    )
+    SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+           levenshtein(a.title, b.title) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.lb = b.lb AND a.fc = b.fc AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_DIST}
+    """
