@@ -107,6 +107,27 @@ class KomodoEngine:
 
         return sorted(entry.queries())
 
+    # -- observability ----------------------------------------------------
+    def run_observed(
+        self, name: str, metrics: dict[str, "F.Column"] | None = None
+    ) -> tuple[list, dict]:
+        """Run a registered query and collect per-run metrics from the SAME
+        pass over the data (``DataFrame.observe`` — aggregates piggyback on
+        the action; no second scan). Default metrics: row count. Returns
+        (rows, metrics_dict). This is the data-quality hook a production
+        pipeline wires into every scheduled run: assert row counts, null
+        budgets, or value invariants without re-reading 100 TB.
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql import Observation
+
+        df = self.query(name)
+        metrics = metrics or {"n_rows": F.count(F.lit(1))}
+        obs = Observation(f"obs_{name}")
+        observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+        rows = observed.collect()
+        return rows, obs.get
+
     # -- reference lifecycle ----------------------------------------------
     def ingest_captures(
         self, captures: DataFrame, captures_dir: str, data_table_path: str

@@ -257,3 +257,27 @@ def test_engine_sql_macros(spark, sf_dir):
         "SELECT count(*) AS n FROM events_ts WHERE event_type = 'click'"
     ).collect()[0]["n"]
     assert n_click == n_direct > 0
+
+
+def test_engine_run_observed(spark, sf_dir):
+    """observe(): metrics ride the query's own action — row count matches
+    len(rows), custom invariants come back typed."""
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.engine import KomodoEngine
+
+    eng = KomodoEngine(spark, sf_dir)
+    rows, metrics = eng.run_observed("q1_pricing_summary")
+    assert metrics["n_rows"] == len(rows) == 6
+
+    rows, metrics = eng.run_observed(
+        "events_value_histogram",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "total_n": F.sum("n"),
+            "max_bin": F.max("bin"),
+        },
+    )
+    assert metrics["n_rows"] == len(rows)
+    assert metrics["total_n"] == sum(r["n"] for r in rows)
+    assert metrics["max_bin"] == 19
