@@ -255,3 +255,48 @@ def test_tws_running_totals_match_batch(spark, sf_dir, events_dir, tmp_path):
         check_dtype=False,
         rtol=1e-9,
     )
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path):
+    """Exactly-once evidence: restarting the materialized-rollup stream
+    from its checkpoint ingests ONLY the file added since the last run
+    (state restored, old input not replayed), and the final store still
+    equals the full batch rollup."""
+    import pyarrow.parquet as pq
+
+    from komodo_data_spark.streaming.materialize import start_rollup_maintenance
+
+    src = tmp_path / "incr_src"
+    src.mkdir()
+    table = pq.read_table(f"{sf_dir}/events.parquet")
+    half = table.num_rows // 2
+    pq.write_table(table.slice(0, half), src / "part-a.parquet")
+
+    rollup_path = str(tmp_path / "incr_store")
+    ckpt = str(tmp_path / "incr_ckpt")
+
+    q1 = start_rollup_maintenance(
+        spark, W.hourly_rollup(W.events_stream(spark, str(src))), rollup_path, ckpt
+    )
+    q1.awaitTermination()
+
+    # second half arrives; SAME checkpoint -> only the new file is read
+    pq.write_table(table.slice(half), src / "part-b.parquet")
+    q2 = start_rollup_maintenance(
+        spark, W.hourly_rollup(W.events_stream(spark, str(src))), rollup_path, ckpt
+    )
+    q2.awaitTermination()
+    n_input_run2 = sum(
+        int(p["numInputRows"]) for p in q2.recentProgress
+    )
+    assert n_input_run2 <= table.num_rows - half  # no replay of part-a
+
+    got = spark.read.parquet(rollup_path)
+    exp = events_hourly_rollup(spark, sf_dir)
+    keys = ["window_start_ms", "event_type"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got, keys)[_sorted_pdf(exp, keys).columns],
+        _sorted_pdf(exp, keys),
+        check_dtype=False,
+        rtol=1e-9,
+    )
