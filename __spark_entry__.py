@@ -57,6 +57,7 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             rel.asof_oracle(),
         ),
         "asof_nearest_click": (rel.asof_nearest_click, rel.asof_nearest_oracle()),
+        "asof_cogroup": (rel.asof_cogroup, rel.asof_oracle()),
         "events_hourly_rollup": (rel.events_hourly_rollup, rel.events_hourly_oracle()),
         "customer_year_setops": (
             rel.customer_year_setops,

@@ -740,3 +740,57 @@ def events_distinct_users_two_stage_oracle() -> str:
            count(*) AS n_events
     FROM events GROUP BY event_type
     """
+
+
+def asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-applyInPandas twin of :func:`asof_last_click_before_purchase`
+    — identical semantics through the OTHER custom-op surface: clicks and
+    purchases are cogrouped on user_id, and each (click-group,
+    purchase-group) pair is merged in pandas (sort + forward-fill), the
+    canonical cogroup use case.
+
+    When to prefer which: the window form stays fully in the JVM and wins
+    when the logic fits SQL semantics; cogroup is the escape hatch when the
+    per-key merge needs imperative/pandas logic (interpolation, model
+    scoring, merge_asof tolerances). Same shuffle shape either way — one
+    hash partition by key per side, Arrow batches per group.
+    """
+    import pandas as pd
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "ts_ms", "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+
+    def merge(cl: pd.DataFrame, pu: pd.DataFrame) -> pd.DataFrame:
+        if pu.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "purchase_ms", "last_click_ms"]
+            )
+        both = pd.concat(
+            [cl.assign(is_p=0), pu.assign(is_p=1)], ignore_index=True
+        ).sort_values(["ts", "event_id"], kind="mergesort")
+        # forward-carry the last click's ts_ms; ties on ts resolve by
+        # event_id order, matching the window form's (ts, event_id) frame
+        carried = both["ts_ms"].where(both["is_p"] == 0).ffill()
+        out = both[both["is_p"] == 1]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "user_id": out["user_id"],
+                "purchase_ms": out["ts_ms"],
+                "last_click_ms": pd.array(
+                    carried[both["is_p"] == 1], dtype="Int64"
+                ),
+            }
+        )
+
+    return (
+        clicks.groupby("user_id")
+        .cogroup(purchases.groupby("user_id"))
+        .applyInPandas(
+            merge,
+            schema="event_id long, user_id long, purchase_ms long, last_click_ms long",
+        )
+    )
