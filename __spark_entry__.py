@@ -120,6 +120,7 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             ea.user_click_purchase_reconcile,
             ea.user_click_purchase_reconcile_oracle(),
         ),
+        "events_user_trend": (ea.events_user_trend, ea.events_user_trend_oracle()),
     }
 
     try:

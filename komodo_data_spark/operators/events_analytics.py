@@ -652,3 +652,65 @@ def user_click_purchase_reconcile_oracle() -> str:
     FROM c FULL OUTER JOIN p ON p.user_id = c.user_id
     ORDER BY user_id
     """
+
+
+# --------------------------------------------------------------------------
+# grouped-map applyInPandas: per-user OLS trend
+# --------------------------------------------------------------------------
+
+
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of value over time (OLS slope + intercept,
+    x = hours since the user's first event) via grouped-map
+    ``applyInPandas`` — the surface for per-key model fitting that SQL
+    aggregates can't express (here OLS CAN be — the oracle uses
+    regr_slope — which is exactly what makes it verifiable end-to-end).
+
+    Scale: one shuffle on user_id; each group fits in pandas (vectorized
+    closed-form OLS, no iterative solver). Keys are high-cardinality users
+    — parallelism scales with the key space, and skew is bounded by the
+    busiest single user.
+    """
+    import pandas as pd
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts_ms", "value")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = (pdf["ts_ms"] - pdf["ts_ms"].min()) / 3_600_000.0
+        y = pdf["value"]
+        xc = x - x.mean()
+        denom = float((xc * xc).sum())
+        if len(pdf) < 2 or denom == 0.0:
+            slope, intercept = None, None
+        else:
+            slope = float((xc * (y - y.mean())).sum()) / denom
+            intercept = float(y.mean()) - slope * float(x.mean())
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "slope_per_hour": [slope],
+                "intercept": [intercept],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fit,
+        schema="user_id long, n_events long, slope_per_hour double, intercept double",
+    )
+
+
+def events_user_trend_oracle() -> str:
+    return """
+    WITH e AS (
+      SELECT user_id, value, epoch_ms(ts) AS ts_ms,
+             min(epoch_ms(ts)) OVER (PARTITION BY user_id) AS min_ts
+      FROM events
+    ), x AS (
+      SELECT user_id, value, (ts_ms - min_ts) / 3600000.0 AS xh FROM e
+    )
+    SELECT user_id, count(*) AS n_events,
+           regr_slope(value, xh) AS slope_per_hour,
+           regr_intercept(value, xh) AS intercept
+    FROM x GROUP BY user_id
+    """
