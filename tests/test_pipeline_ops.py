@@ -171,3 +171,52 @@ def test_cdc_latest_delete_removes_key(spark, tmp_path):
 
     got = {r["user_id"]: (r["op"], r["value"]) for r in cdc_apply_changes(spark, str(d)).collect()}
     assert got == {2: ("U", 4.0)}
+
+
+def test_profile_orders_counts_real_nulls(spark, tmp_path):
+    """The profiling op's null/distinct/min-max paths against a frame that
+    actually CONTAINS nulls (the shipped testdata has none)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "o_orderkey": [1, 2, 3, None],
+        "o_custkey": [10, 10, None, None],
+        "o_orderstatus": ["O", None, "F", "F"],
+        "o_totalprice": [100.0, None, 300.0, 50.0],
+        "o_orderdate": [datetime.datetime(1995, 1, 1), None,
+                        datetime.datetime(1996, 6, 1),
+                        datetime.datetime(1994, 2, 2)],
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "2-HIGH", None],
+    }
+    table = pa.table(
+        {
+            "o_orderkey": pa.array(rows["o_orderkey"], pa.int64()),
+            "o_custkey": pa.array(rows["o_custkey"], pa.int64()),
+            "o_orderstatus": pa.array(rows["o_orderstatus"], pa.string()),
+            "o_totalprice": pa.array(rows["o_totalprice"], pa.float64()),
+            "o_orderdate": pa.array(rows["o_orderdate"], pa.timestamp("us")),
+            "o_orderpriority": pa.array(rows["o_orderpriority"], pa.string()),
+        }
+    )
+    d = tmp_path / "prof_sf"
+    d.mkdir()
+    pq.write_table(table, d / "orders.parquet")
+
+    from komodo_data_spark.operators.profiling import profile_orders
+
+    p = {r["col_name"]: r for r in profile_orders(spark, str(d)).collect()}
+    assert all(r["n_rows"] == 4 for r in p.values())
+    assert p["o_orderkey"]["n_null"] == 1
+    assert p["o_orderkey"]["n_distinct"] == 3
+    assert p["o_custkey"]["n_null"] == 2
+    assert p["o_custkey"]["n_distinct"] == 1
+    assert p["o_totalprice"]["min_num"] == 50.0
+    assert p["o_totalprice"]["max_num"] == 300.0
+    assert p["o_orderstatus"]["n_null"] == 1
+    assert p["o_orderstatus"]["min_txt"] == "F"
+    assert p["o_orderdate"]["min_txt"] == "1994-02-02"
+    assert p["o_orderdate"]["max_txt"] == "1996-06-01"
+    assert p["o_orderpriority"]["n_distinct"] == 2
