@@ -155,3 +155,58 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="none",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# streaming funnel (per-user step progression as keyed state)
+# --------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_OUTPUT_SCHEMA = "user_id long, step_reached int"
+FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"
+
+
+def _update_funnel(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Advance one user's funnel (view -> click -> purchase, each step
+    strictly after the previous) with this batch's events. Rows are sorted
+    by (ts_ms, event_id) inside the batch; step times persist across
+    batches. Assumes batches arrive in event-time order per key (file
+    streams replaying history do; heavily late data can only under-count,
+    never over-count, because steps require strictly-later timestamps)."""
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    for pdf in pdfs:
+        for _, row in pdf.sort_values(["ts_ms", "event_id"]).iterrows():
+            et, ts = row["event_type"], int(row["ts_ms"])
+            if et == FUNNEL_STEPS[0]:
+                if t1 is None:
+                    t1 = ts
+            elif et == FUNNEL_STEPS[1]:
+                if t2 is None and t1 is not None and ts > t1:
+                    t2 = ts
+            elif et == FUNNEL_STEPS[2]:
+                if t3 is None and t2 is not None and ts > t2:
+                    t3 = ts
+    state.update((t1, t2, t3))
+    reached = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+    yield pd.DataFrame({"user_id": [key[0]], "step_reached": [reached]})
+
+
+def user_funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming funnel: per-user highest step reached, updated per batch.
+    State is 3 longs per user — bounded by the user population, not the
+    event volume, so it holds at 100 TB of replayed history."""
+    return (
+        events.select("user_id", "event_type", "ts_ms", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

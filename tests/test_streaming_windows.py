@@ -300,3 +300,33 @@ def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path):
         check_dtype=False,
         rtol=1e-9,
     )
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Streaming per-user funnel state == the batch funnel's per-step user
+    counts after the stream drains."""
+    from komodo_data_spark.operators.events_analytics import funnel_conversion
+    from komodo_data_spark.streaming.stateful import user_funnel_stream
+
+    stream = W.events_stream(spark, events_dir)
+    q = (
+        user_funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_mem")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("funnel_mem").toPandas()
+    # keep the final (highest) state per user, then count users per step
+    final = got.sort_values("step_reached").groupby("user_id").last()
+    stream_counts = {
+        step: int((final["step_reached"] >= step).sum()) for step in (1, 2, 3)
+    }
+    exp = {
+        r["step"]: r["n_users"]
+        for r in funnel_conversion(spark, sf_dir).collect()
+    }
+    assert stream_counts == exp
