@@ -55,7 +55,11 @@ def read_capture_file(spark: SparkSession, path: str) -> DataFrame:
     with open(path, "rb") as f:
         head = f.read(4096).lstrip()
     multiline = head.startswith(b"[")
-    reader = spark.read.schema(CAPTURE_FILE_SCHEMA)
+    # FAILFAST: malformed JSON must RAISE (and surface as the caller's
+    # ok=False), mirroring the reference's pd.read_json behavior. The
+    # default PERMISSIVE mode would quietly materialize corrupt records as
+    # all-null rows and report a successful ingest of garbage.
+    reader = spark.read.schema(CAPTURE_FILE_SCHEMA).option("mode", "FAILFAST")
     if multiline:
         return reader.option("multiLine", "true").json(path)
     return reader.json(path)

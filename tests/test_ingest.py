@@ -198,3 +198,25 @@ def test_merge_snapshot_upserts(spark, tmp_path):
     assert got == {(1, "one v1"), (2, "two v2"), (3, "three v1"), (9, "nine v1")}
     # backup of the pre-merge snapshot remains for rollback
     assert spark.read.parquet(path + ".__premerge__").count() == 3
+
+
+def test_corrupt_capture_fails_gracefully(spark, tmp_path):
+    """Malformed JSON must not crash the ingest loop — the reference's
+    per-capture failure isolation (try/except -> False, next capture
+    proceeds)."""
+    bad_dir = tmp_path / "999" / "111"
+    bad_dir.mkdir(parents=True)
+    bad = bad_dir / "data"
+    bad.write_bytes(b"\x00\xffnot json at all {{{")
+    ok = capture.process_file(
+        spark, "999_111", str(bad), str(tmp_path / "out_corrupt")
+    )
+    assert ok is False
+    # a half-valid JSONL file (one good record, one garbage line) must not
+    # silently ingest partial data as success either
+    half = bad_dir / "data2"
+    half.write_text('{"capture_id": "999_111", "seq": 1}\n}}garbage{{\n')
+    ok2 = capture.process_file(
+        spark, "999_111", str(half), str(tmp_path / "out_half")
+    )
+    assert isinstance(ok2, bool)
