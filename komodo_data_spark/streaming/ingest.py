@@ -15,7 +15,20 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
 from komodo_data_spark.schemas import CAPTURE_FILE_SCHEMA
+
+#: Dead-letter column for malformed records. Batch ingest FAILFASTs per
+#: capture (sources/capture.py — the reference's per-file isolation); a
+#: stream must NOT die on one bad file, so malformed records land here and
+#: are filtered from the main sink instead (count them for alerting).
+CORRUPT_COL = "_corrupt_record"
+
+_STREAM_SCHEMA = StructType(
+    list(CAPTURE_FILE_SCHEMA.fields) + [StructField(CORRUPT_COL, StringType())]
+)
 
 
 def start_capture_stream(
@@ -39,10 +52,15 @@ def start_capture_stream(
     (the batch-parity mode used in tests).
     """
     stream = (
-        spark.readStream.schema(CAPTURE_FILE_SCHEMA)
+        spark.readStream.schema(_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 64)
         .option("multiLine", "true" if multiline else "false")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(captures_glob)
+        # failure isolation, streaming form: drop (don't die on) malformed
+        # records; the main sink only ever sees parsed rows
+        .filter(F.col(CORRUPT_COL).isNull())
+        .drop(CORRUPT_COL)
     )
     writer = (
         stream.writeStream.format("parquet")

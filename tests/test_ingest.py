@@ -220,3 +220,30 @@ def test_corrupt_capture_fails_gracefully(spark, tmp_path):
         spark, "999_111", str(half), str(tmp_path / "out_half")
     )
     assert isinstance(ok2, bool)
+
+
+def test_streaming_ingest_survives_corrupt_file(spark, tmp_path):
+    """One malformed capture file must not kill the stream: good records
+    land, corrupt ones are dropped (dead-letter filter), the query drains."""
+    from komodo_data_spark.streaming.ingest import start_capture_stream
+
+    src_dir = tmp_path / "caps" / "126" / "111"
+    src_dir.mkdir(parents=True)
+    good = '{"capture_id": "126_111", "session_id": 126, "client_id": 1, "type": "sync", "ts": 1, "seq": 1, "message": "{}"}'
+    (src_dir / "data").write_text(good + "\n" + good.replace('"seq": 1', '"seq": 2') + "\n")
+    bad_dir = tmp_path / "caps" / "126" / "222"
+    bad_dir.mkdir(parents=True)
+    (bad_dir / "data").write_bytes(b"\x00\xff{{{not json")
+
+    out = str(tmp_path / "data_out")
+    q = start_capture_stream(
+        spark,
+        str(tmp_path / "caps" / "*" / "*" / "data"),
+        out,
+        str(tmp_path / "ckpt_corrupt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    loaded = spark.read.parquet(out)
+    assert loaded.count() == 2
+    assert loaded.filter("capture_id = '126_111'").count() == 2
