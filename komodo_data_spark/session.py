@@ -59,3 +59,49 @@ def get_spark(
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
     return configure(builder.getOrCreate())
+
+
+def recommended_cluster_conf(
+    input_bytes: int,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+) -> dict[str, str]:
+    """Sizing formulas for a real cluster run at a given input volume —
+    design-for-100-TB as code, derived from first principles rather than
+    defaults:
+
+    - ``shuffle.partitions``: target ~128 MB of shuffle data per task
+      (assume shuffle ≈ input for worst-case wide transforms), floored at
+      2× total cores so every slot has work and AQE can only *coalesce*
+      downward — it never splits an under-partitioned shuffle.
+    - ``files.maxPartitionBytes``: keep the default 128 MB split for
+      row-group alignment; payload-heavy (multimodal) tables should halve
+      it instead of raising executor memory.
+    - ``autoBroadcastJoinThreshold``: 64 MB — at 16 GB executors a
+      broadcast twice the default 10 MB is still cheap, and every
+      dim-table join it converts removes a full shuffle of the fact side.
+    - memory: ~60% of executor memory is usable for execution after
+      reserved + storage; a partition must fit with ~3× expansion room
+      (deserialization + sort buffers), which the 128 MB target respects
+      at 16 GB / 4 cores.
+
+    At local[32]/sf0.1 none of this matters (32 partitions suffice — see
+    bench.py); this function is the knob sheet for the real deployment.
+    """
+    total_cores = executors * cores_per_executor
+    target_task_bytes = 128 * 1024 * 1024
+    parts = max(2 * total_cores, input_bytes // target_task_bytes)
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.files.maxPartitionBytes": str(target_task_bytes),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            target_task_bytes
+        ),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.executor.cores": str(cores_per_executor),
+    }

@@ -281,3 +281,18 @@ def test_engine_run_observed(spark, sf_dir):
     assert metrics["n_rows"] == len(rows)
     assert metrics["total_n"] == sum(r["n"] for r in rows)
     assert metrics["max_bin"] == 19
+
+
+def test_recommended_cluster_conf_scales_with_input():
+    from komodo_data_spark.session import recommended_cluster_conf
+
+    tb = 1024**4
+    small = recommended_cluster_conf(10 * tb)
+    large = recommended_cluster_conf(100 * tb)
+    # 100 TB at 128 MB/task ≈ 800k tasks; 10 TB ≈ 80k — scales linearly
+    assert int(large["spark.sql.shuffle.partitions"]) == 10 * int(
+        small["spark.sql.shuffle.partitions"]
+    )
+    # tiny input still floors at 2x total cores
+    tiny = recommended_cluster_conf(1024**3, executors=10, cores_per_executor=4)
+    assert int(tiny["spark.sql.shuffle.partitions"]) == 80
