@@ -108,6 +108,19 @@ class KomodoEngine:
         return sorted(entry.queries())
 
     # -- observability ----------------------------------------------------
+    def explain_query(self, name: str) -> dict:
+        """Execute a registered query and return its final-plan stats
+        (shuffles, broadcast vs sort-merge joins, codegen spans, Python
+        stages, scan pushdown) — the numbers to check before promoting a
+        query to a 100 TB run. See plans/audit.py."""
+        from komodo_data_spark.plans.audit import (
+            executed_plan_string,
+            plan_stats,
+        )
+
+        return plan_stats(executed_plan_string(self.query(name)))
+
+
     def run_observed(
         self, name: str, metrics: dict[str, "F.Column"] | None = None
     ) -> tuple[list, dict]:

@@ -296,3 +296,14 @@ def test_recommended_cluster_conf_scales_with_input():
     # tiny input still floors at 2x total cores
     tiny = recommended_cluster_conf(1024**3, executors=10, cores_per_executor=4)
     assert int(tiny["spark.sql.shuffle.partitions"]) == 80
+
+
+def test_engine_explain_query(spark, sf_dir):
+    from komodo_data_spark.engine import KomodoEngine
+
+    eng = KomodoEngine(spark, sf_dir)
+    stats = eng.explain_query("q3_shipping_priority")
+    assert stats["broadcast_joins"] >= 1  # dims broadcast, never sort-merge
+    assert stats["python_stages"] == 0  # hot path stays in the JVM
+    assert stats["pushed_filters"] is True  # predicate reached the scan
+    assert stats["codegen_spans"] >= 1
