@@ -126,3 +126,51 @@ def aggregation_file_download(
         if on_fulfilled is not None:
             on_fulfilled(rid, path)
     return done
+
+
+# --------------------------------------------------------------------------
+# streaming request queue (file-arrival -> dispatch via foreachBatch)
+# --------------------------------------------------------------------------
+
+
+def start_request_stream(
+    spark: SparkSession,
+    requests_glob: str,
+    data: DataFrame,
+    out_dir: str,
+    checkpoint_path: str,
+    on_fulfilled=None,
+    available_now: bool = True,
+):
+    """The reference's request-polling loop (process.py:450-473, 10 s
+    sleep over ``data_requests``) as a stream: request rows arrive as
+    JSON-lines files, each micro-batch dispatches them through the SAME
+    batch dispatcher (``aggregation_file_download``) inside foreachBatch,
+    and the checkpoint guarantees each request file is dispatched once —
+    the ``is_it_fulfilled`` flag polling becomes unnecessary exactly the
+    way ``captures.processed`` did for ingest (streaming/ingest.py).
+
+    Scale note: the queue is control-plane (tiny); the heavy side is
+    ``data``, a plain batch frame re-used across batches — foreachBatch is
+    what allows mixing a static 100 TB table with a streaming queue.
+    """
+    from komodo_data_spark.schemas import DATA_REQUESTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(DATA_REQUESTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(requests_glob)
+    )
+
+    def dispatch_batch(batch_df: DataFrame, _epoch: int) -> None:
+        aggregation_file_download(
+            spark, batch_df, data, out_dir, on_fulfilled=on_fulfilled
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(dispatch_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -247,3 +247,43 @@ def test_streaming_ingest_survives_corrupt_file(spark, tmp_path):
     loaded = spark.read.parquet(out)
     assert loaded.count() == 2
     assert loaded.filter("capture_id = '126_111'").count() == 2
+
+
+def test_streaming_request_dispatch(spark, data_df, tmp_path):
+    """Requests arriving as files are served exactly once through the batch
+    dispatcher inside foreachBatch; outputs match the batch dispatcher's."""
+    import json as _json
+
+    from komodo_data_spark.streaming.dispatch import start_request_stream
+
+    req_dir = tmp_path / "req_queue"
+    req_dir.mkdir()
+    lines = []
+    for rid, fn, ful, msg in REQUESTS:
+        lines.append(_json.dumps(dict(
+            request_id=rid, processed_capture_id="126_1630443513898",
+            who_requested=2, aggregation_function=fn, is_it_fulfilled=ful,
+            url=None, message=msg, file_location=None,
+        )))
+    (req_dir / "batch1.json").write_text("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "stream_exports")
+    fulfilled = []
+    q = start_request_stream(
+        spark,
+        str(req_dir / "*.json"),
+        data_df,
+        out,
+        str(tmp_path / "ckpt_req"),
+        on_fulfilled=lambda rid, p: fulfilled.append(rid),
+    )
+    q.awaitTermination()
+    assert sorted(fulfilled) == [1, 2, 6]
+    # re-running with the same checkpoint dispatches nothing new
+    q2 = start_request_stream(
+        spark, str(req_dir / "*.json"), data_df, out,
+        str(tmp_path / "ckpt_req"),
+        on_fulfilled=lambda rid, p: fulfilled.append(rid),
+    )
+    q2.awaitTermination()
+    assert sorted(fulfilled) == [1, 2, 6]
