@@ -424,6 +424,10 @@ def registry():
         "dedup_clusters": (dedup_clusters, dedup_clusters_oracle()),
         "token_packing": (token_packing, token_packing_oracle()),
         "dedup_keep_latest": (dedup_keep_latest, dedup_keep_latest_oracle()),
+        "dedup_keep_latest_maxby": (
+            dedup_keep_latest_maxby,
+            dedup_keep_latest_oracle(),  # same semantics, aggregate plan
+        ),
         "incremental_new_docs": (
             incremental_new_docs,
             incremental_new_docs_oracle(),
@@ -808,3 +812,35 @@ def docs_surrogate_keys_oracle() -> str:
            row_number() OVER (ORDER BY doc_id) AS sk
     FROM documents ORDER BY doc_id
     """
+
+
+def dedup_keep_latest_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by twin of :func:`dedup_keep_latest`: the latest row per key as
+    a plain AGGREGATE (``max_by(payload_struct, ordering_struct)``) instead
+    of a window rank.
+
+    Why it matters at 100 TB: the aggregate form is map-side combinable —
+    each task reduces its partition to one candidate per key BEFORE the
+    shuffle, so the exchange carries |keys| rows, while the window form
+    shuffles EVERY row and then sorts each partition. Same deterministic
+    tie-break (lexicographic struct ordering on (ts, event_id)). The
+    window form wins only when you need more than rank-1.
+    """
+    from komodo_data_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    latest = F.max_by(
+        F.struct("event_id", "ts_ms", "value"),
+        F.struct("ts", "event_id"),
+    ).alias("latest")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(latest)
+        .select(
+            "user_id",
+            "event_type",
+            "latest.event_id",
+            "latest.ts_ms",
+            "latest.value",
+        )
+    )
