@@ -307,3 +307,27 @@ def test_engine_explain_query(spark, sf_dir):
     assert stats["python_stages"] == 0  # hot path stays in the JVM
     assert stats["pushed_filters"] is True  # predicate reached the scan
     assert stats["codegen_spans"] >= 1
+
+
+def test_hll_sketch_union_close_to_exact(spark, sf_dir):
+    """Unioned daily HLL sketches estimate within ~5% of the exact distinct
+    count (lgK=12 → ~1.6% RSE; 3σ margin)."""
+    from komodo_data_spark.operators.events_analytics import (
+        events_distinct_sketch_union,
+    )
+    from komodo_data_spark.sources.tables import load_events
+
+    got = {
+        r["event_type"]: r["approx_distinct_users"]
+        for r in events_distinct_sketch_union(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, est in got.items():
+        assert abs(est - exact[et]) <= max(2, 0.05 * exact[et]), (et, est, exact[et])
