@@ -121,6 +121,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             ea.user_click_purchase_reconcile_oracle(),
         ),
         "events_user_trend": (ea.events_user_trend, ea.events_user_trend_oracle()),
+        "events_value_histogram_equidepth": (
+            ea.events_value_histogram_equidepth,
+            ea.events_value_histogram_equidepth_oracle(),
+        ),
         "events_distinct_sketch_union": (
             ea.events_distinct_sketch_union,
             None,  # sketch estimate: rows-only; exact twin pins semantics in tests

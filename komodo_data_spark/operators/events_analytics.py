@@ -751,3 +751,51 @@ def events_distinct_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quartiles) of event values: one exact
+    percentile aggregate produces the 3 quartile boundaries, broadcast
+    back as a 1-row frame, and a second pass buckets by comparison — no
+    global sort, no single-task window (the percent_rank formulation
+    would funnel every row through one partition; see sources/layout.py
+    for the same pattern used at write time). At extreme scale swap the
+    exact percentile for approx_percentile — same plan, bounded memory.
+    """
+    ev = load_events(spark, sf_dir).select("value")
+    bounds = ev.agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("q")
+    )
+    b = ev.crossJoin(F.broadcast(bounds))
+    bucket = (
+        F.when(F.col("value") <= F.col("q")[0], "q1")
+        .when(F.col("value") <= F.col("q")[1], "q2")
+        .when(F.col("value") <= F.col("q")[2], "q3")
+        .otherwise("q4")
+    )
+    return (
+        b.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def events_value_histogram_equidepth_oracle() -> str:
+    return """
+    WITH q AS (
+      SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.5) AS q2,
+             quantile_cont(value, 0.75) AS q3
+      FROM events
+    )
+    SELECT CASE WHEN value <= q.q1 THEN 'q1'
+                WHEN value <= q.q2 THEN 'q2'
+                WHEN value <= q.q3 THEN 'q3'
+                ELSE 'q4' END AS bucket,
+           count(*) AS n, min(value) AS lo, max(value) AS hi
+    FROM events, q
+    GROUP BY 1 ORDER BY 1
+    """
