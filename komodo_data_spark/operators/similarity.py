@@ -197,6 +197,7 @@ def registry():
         "knn_lsh_multiprobe": (knn_lsh_multiprobe, knn_lsh_multiprobe_oracle()),
         "knn_ivf_multiprobe": (knn_ivf_multiprobe, knn_ivf_multiprobe_oracle()),
         "knn_lsh_recall": (knn_lsh_recall, knn_lsh_recall_oracle()),
+        "kmeans_clusters": (kmeans_clusters, kmeans_clusters_oracle()),
     }
 
 
@@ -522,4 +523,122 @@ def knn_lsh_recall_oracle() -> str:
            coalesce(h.n_hit, 0)::DOUBLE / t.k AS recall
     FROM truth t LEFT JOIN hits h ON h.query_id = t.query_id
     ORDER BY t.query_id
+    """
+
+
+# --------------------------------------------------------------------------
+# iterative numeric: k-means (fixed 2-iteration unroll)
+# --------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def _sqdist(e_a, e_b):
+    return F.aggregate(
+        F.zip_with(e_a, e_b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embeddings (k=4, 2 fixed Lloyd iterations,
+    deterministic init = the first k vectors) — the iterative-numeric
+    pattern on DataFrames: assignment is a broadcast of k centroids +
+    min_by aggregate-free argmin per row; the centroid update is
+    posexplode → per-(cluster, dim) mean → re-assemble, one shuffle per
+    iteration keyed by (cluster, dim). Fixed unrolling keeps the plan
+    finite (same trade as graph_pagerank); convergence-checked loops add
+    a localCheckpoint per round like pipeline_ops.dedup_clusters.
+    Output: cluster sizes + centroid norm (scalar digest of the centroid,
+    engine-portable for the oracle).
+    """
+    v = _vectors(spark, sf_dir).select("vec_id", "e")
+    centroids = v.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = (
+            v.crossJoin(F.broadcast(centroids))
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        _sqdist(F.col("e"), F.col("ce")).alias("d"),
+                        F.col("cid").alias("cid"),
+                    )
+                )["cid"].alias("cid"),
+                F.first("e").alias("e"),
+            )
+        )
+        centroids = (
+            assigned.select("cid", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("ce"))
+        )
+    sizes = (
+        v.crossJoin(F.broadcast(centroids))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    _sqdist(F.col("e"), F.col("ce")).alias("d"),
+                    F.col("cid").alias("cid"),
+                )
+            )["cid"].alias("cid")
+        )
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    return (
+        centroids.join(sizes, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            _nrm(F.col("ce")).alias("centroid_norm"),
+        )
+        .orderBy("cid")
+    )
+
+
+def kmeans_clusters_oracle() -> str:
+    sqd = (
+        "list_sum(list_transform(range(1, len(v.e)+1),"
+        " i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])))"
+    )
+
+    def assign(vecs: str, cents: str) -> str:
+        return f"""
+      SELECT v.vec_id, v.e,
+             min([{sqd}, c.cid::DOUBLE])[2]::BIGINT AS cid
+      FROM {vecs} v CROSS JOIN {cents} c
+      GROUP BY v.vec_id, v.e
+    """
+
+    def update(assigned: str) -> str:
+        return f"""
+      SELECT cid, list(m ORDER BY pos) AS ce FROM (
+        SELECT a.cid, t.pos, avg(a.e[t.pos]) AS m
+        FROM {assigned} a, unnest(range(1, len(a.e)+1)) AS t(pos)
+        GROUP BY a.cid, t.pos
+      ) GROUP BY cid
+    """
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {KMEANS_K}),
+    a1 AS ({assign("v", "c0")}),
+    c1 AS ({update("a1")}),
+    a2 AS ({assign("v", "c1")}),
+    c2 AS ({update("a2")}),
+    af AS ({assign("v", "c2")}),
+    sizes AS (SELECT cid, count(*) AS n_members FROM af GROUP BY cid)
+    SELECT c.cid, coalesce(s.n_members, 0) AS n_members,
+           sqrt(list_sum(list_transform(c.ce, x -> x * x))) AS centroid_norm
+    FROM c2 c LEFT JOIN sizes s ON s.cid = c.cid
+    ORDER BY c.cid
     """
