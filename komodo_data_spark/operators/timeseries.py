@@ -1,0 +1,156 @@
+"""Time-series operators over the ``events`` table (north-star extensions).
+
+The reference's time handling is limited to per-timestamp GROUP BY and two
+globally-ordered windows (SURVEY.md §2.5, reference process.py:175-249);
+this module adds the hypertable-style surface a telemetry store needs:
+
+- ``events_gapfill_locf``   — regularize each user's stream onto an hourly
+  grid (gap filling) and carry the last observation forward (LOCF).
+- ``events_sliding_rollup`` — hopping-window rollup (1 h window / 30 min
+  slide); the streaming twin is ``streaming/windows.sliding_rollup``.
+
+Scale notes (100 TB): every shuffle here is keyed by ``user_id`` (or
+``(user_id, hour)``) — no global sort, no driver collect. The dense grid is
+generated per user from that user's own [min, max] hour span, so spine size
+is bounded by sum(user activity spans), not (n_users × global span): dormant
+users don't inflate the grid. ``sequence()`` explodes map-side after a
+single per-user aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from komodo_data_spark.sources.tables import load_events
+
+HOUR_MS = 3_600_000
+SLIDE_MS = 1_800_000
+
+
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user grid with last-observation-carried-forward values.
+
+    Three stages, each one exchange:
+    1. hourly downsample — per (user, hour) keep the LAST event's value,
+       decided by max(struct(ts_ms, event_id, value)): struct ordering gives
+       a total, engine-portable tie-break (event_id breaks equal-ms stamps)
+       and is a map-side-combinable aggregate (shuffles one struct per
+       (user, hour), not the raw events);
+    2. spine — per user, explode sequence(min_hour, max_hour) so every hour
+       in the user's own active span exists exactly once;
+    3. LOCF — last(value, ignorenulls) over (user ORDER BY hour): Spark
+       evaluates it with a running state in one pass per partition.
+
+    Output: (user_id, hour_ms, value_filled, had_events).
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "ts_ms", "event_id", "value")
+    hour = (F.floor(F.col("ts_ms") / F.lit(HOUR_MS)) * F.lit(HOUR_MS)).alias("hour_ms")
+
+    hourly = (
+        ev.groupBy("user_id", hour)
+        .agg(
+            F.max(F.struct("ts_ms", "event_id", "value"))
+            .getField("value")
+            .alias("last_value")
+        )
+    )
+
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_ms").alias("lo"), F.max("hour_ms").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.lit(HOUR_MS))).alias("hour_ms"),
+        )
+    )
+
+    w = Window.partitionBy("user_id").orderBy("hour_ms").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour_ms"], "left")
+        .select(
+            "user_id",
+            "hour_ms",
+            F.last("last_value", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("last_value").isNotNull().alias("had_events"),
+        )
+    )
+
+
+def events_gapfill_locf_oracle() -> str:
+    return f"""
+    WITH hourly AS (
+      SELECT user_id, (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS hour_ms,
+             value AS last_value
+      FROM events
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, hour_ms
+        ORDER BY epoch_ms(ts) DESC, event_id DESC, value DESC
+      ) = 1
+    ), spine AS (
+      SELECT user_id, unnest(range(min(hour_ms), max(hour_ms) + 1, {HOUR_MS}))
+             AS hour_ms
+      FROM hourly GROUP BY user_id
+    )
+    SELECT s.user_id, s.hour_ms,
+           last_value(h.last_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.hour_ms
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled,
+           h.last_value IS NOT NULL AS had_events
+    FROM spine s LEFT JOIN hourly h USING (user_id, hour_ms)
+    """
+
+
+def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup: 1-hour windows every 30 minutes per event type.
+
+    Built-in ``F.window(ts, '1 hour', '30 minutes')`` — Catalyst expands each
+    event into its size/slide = 2 overlapping windows map-side (an Expand,
+    no join against a window table), then a single hash aggregate on
+    (window, event_type). The streaming twin shares this exact plan plus a
+    watermark (streaming/windows.sliding_rollup; stream == batch pinned in
+    tests/test_streaming_windows.py).
+    """
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts_ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_sliding_rollup_oracle() -> str:
+    # Each event belongs to exactly size/slide = 2 hopping windows:
+    # starts (epoch_ms // slide - k) * slide for k in {0, 1}.
+    return f"""
+    SELECT (epoch_ms(e.ts) // {SLIDE_MS} - k.k) * {SLIDE_MS} AS window_start_ms,
+           e.event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e CROSS JOIN (VALUES (0), (1)) k(k)
+    GROUP BY 1, 2
+    """
+
+
+def registry():
+    """Driver-contract entries: name -> (query fn, oracle SQL)."""
+    return {
+        "events_gapfill_locf": (events_gapfill_locf, events_gapfill_locf_oracle()),
+        "events_sliding_rollup": (
+            events_sliding_rollup,
+            events_sliding_rollup_oracle(),
+        ),
+    }
