@@ -69,6 +69,30 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_rollup(events: DataFrame) -> DataFrame:
+    """Hopping 1-hour/30-minute window per event_type — the streaming twin
+    of operators/timeseries.events_sliding_rollup (same Expand-then-agg
+    plan; each event lands in exactly 2 windows). State is keyed by
+    (window, event_type); the watermark expires windows older than
+    ``WATERMARK`` so state stays bounded by the active window span."""
+    src = events.withWatermark("ts_ts", WATERMARK) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts_ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_millis("window.start").alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_rollup(events: DataFrame) -> DataFrame:
     """Per-user session windows (30-minute gap): session_window merges
     overlapping [ts, ts+gap) intervals — same sessions as the batch

@@ -39,6 +39,20 @@ def test_stream_hourly_rollup_matches_batch(spark, sf_dir, events_dir, tmp_path)
     )
 
 
+def test_stream_sliding_rollup_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    from komodo_data_spark.operators.timeseries import events_sliding_rollup
+
+    stream = W.events_stream(spark, events_dir)
+    got = W.run_to_memory(
+        W.sliding_rollup(stream), "sliding_mem", str(tmp_path / "ckpt_slide")
+    )
+    exp = events_sliding_rollup(spark, sf_dir)
+    keys = ["window_start_ms", "event_type"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got, keys), _sorted_pdf(exp, keys), check_dtype=False
+    )
+
+
 def test_stream_session_rollup_matches_batch_islands(
     spark, sf_dir, events_dir, tmp_path
 ):
