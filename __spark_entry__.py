@@ -204,6 +204,12 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
     except ImportError:
         pass
     try:
+        from komodo_data_spark.operators import stats_ops
+
+        reg.update(stats_ops.registry())
+    except ImportError:
+        pass
+    try:
         from komodo_data_spark.operators import timeseries
 
         reg.update(timeseries.registry())
