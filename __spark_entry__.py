@@ -204,6 +204,12 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
     except ImportError:
         pass
     try:
+        from komodo_data_spark.operators import join_strategies
+
+        reg.update(join_strategies.registry())
+    except ImportError:
+        pass
+    try:
         from komodo_data_spark.operators import stats_ops
 
         reg.update(stats_ops.registry())

@@ -1,0 +1,112 @@
+"""Join-strategy operators: skew salting and null-aware anti join.
+
+The reference executes every join single-node in MySQL (SURVEY.md §2.3), so
+strategy never matters there; on a 1000-executor cluster it decides whether
+a query finishes. This module ships the two strategies Catalyst does NOT
+apply automatically:
+
+- ``orders_customer_join_salted`` — explicit key salting for skewed
+  shuffle joins. AQE's skew-join split only kicks in for sort-merge joins
+  at stage boundaries it can observe; salting is the portable fallback
+  (and the only option for skewed *aggregation* keys feeding a join).
+- ``customers_no_f_orders_notin`` — SQL ``NOT IN`` with its null-aware
+  three-valued semantics (one NULL in the subquery => empty result), which
+  a plain left-anti join silently gets wrong. Spark plans the single-column
+  case as a broadcast null-aware anti join (NAAJ), not a nested loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from komodo_data_spark.sources.tables import load_table
+
+#: Salt fan-out: the hottest key splits across this many shuffle tasks.
+N_SALTS = 8
+
+
+def orders_customer_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders⋈customer revenue per nation with an 8-way salted join.
+
+    Probe side (orders — the big/skewed side at scale) gets a deterministic
+    salt from pmod(xxhash64(o_orderkey), 8); build side replicates each row
+    into all 8 salts map-side (explode of a literal range — no shuffle). The
+    join key becomes (custkey, salt), so one hot customer's rows spread over
+    8 tasks instead of one straggler. The merge hint pins a shuffle join —
+    broadcasting would defeat the demonstration (and at 100 TB the dim side
+    of a genuinely skewed join is too big to broadcast anyway). Semantics
+    are oracle-checked equal to the plain join.
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(N_SALTS)).cast("int")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))))
+    )
+    return (
+        o.hint("merge")
+        .join(c, (o["o_custkey"] == c["c_custkey"]) & (o["salt"] == c["salt"]))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def orders_customer_join_salted_oracle() -> str:
+    return """
+    SELECT c.c_nationkey, count(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """
+
+
+def customers_no_f_orders_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no 'F'-status order, phrased as NOT IN so Spark's
+    null-aware anti join carries the three-valued logic: if any subquery
+    o_custkey were NULL the result must be empty (pinned on a synthetic
+    frame in tests/test_join_strategies.py). Physical plan is a broadcast
+    NAAJ — one broadcast of the distinct build keys, zero shuffles of the
+    probe side."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("naaj_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("naaj_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM naaj_customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM naaj_orders WHERE o_orderstatus = 'F'
+        )
+        """
+    )
+
+
+def customers_no_f_orders_notin_oracle() -> str:
+    return """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """
+
+
+def registry():
+    """Driver-contract entries: name -> (query fn, oracle SQL)."""
+    return {
+        "orders_customer_join_salted": (
+            orders_customer_join_salted,
+            orders_customer_join_salted_oracle(),
+        ),
+        "customers_no_f_orders_notin": (
+            customers_no_f_orders_notin,
+            customers_no_f_orders_notin_oracle(),
+        ),
+    }

@@ -73,6 +73,79 @@ def event_sessions_oracle() -> str:
     """
 
 
+#: Overlap-join chunk width. Sessions explode into the 1-hour chunks they
+#: span, turning the interval θ-join into an equi-join on chunk id.
+OVERLAP_CHUNK_MS = 3_600_000
+
+
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join: pairs of sessions from DIFFERENT users whose
+    [start, end] spans intersect, with the overlap length.
+
+    Naive formulation is an O(n²) θ-join (BroadcastNestedLoop — a
+    cross-product at 100 TB). Scale path used here: each session is
+    exploded map-side into the fixed-width time chunks it covers, the pair
+    search becomes an equi-join on chunk id (hash-partitioned, AQE-skew-
+    splittable), the exact predicate re-verifies on the joined row, and a
+    distinct collapses pairs that share several chunks. Cost is bounded by
+    (sessions per chunk)² per chunk instead of (all sessions)² — the same
+    blocking idea as dedup's LSH band join. u1 < u2 keeps one row per
+    unordered pair.
+    """
+    s = event_sessions(spark, sf_dir).select("user_id", "session_seq", "start_ms", "end_ms")
+    chunked = s.withColumn(
+        "chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_ms") / F.lit(OVERLAP_CHUNK_MS)),
+                F.floor(F.col("end_ms") / F.lit(OVERLAP_CHUNK_MS)),
+            )
+        ),
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.start_ms") <= F.col("b.end_ms"))
+            & (F.col("b.start_ms") <= F.col("a.end_ms")),
+        )
+        .select(
+            F.col("a.user_id").alias("u1"),
+            F.col("a.session_seq").alias("s1"),
+            F.col("b.user_id").alias("u2"),
+            F.col("b.session_seq").alias("s2"),
+            (
+                F.least("a.end_ms", "b.end_ms")
+                - F.greatest("a.start_ms", "b.start_ms")
+            ).alias("overlap_ms"),
+        )
+        .distinct()
+    )
+
+
+def session_overlap_pairs_oracle() -> str:
+    sessions_cte = event_sessions_oracle().strip()
+    return f"""
+    WITH sess AS ({sessions_cte})
+    SELECT a.user_id AS u1, a.session_seq AS s1,
+           b.user_id AS u2, b.session_seq AS s2,
+           least(a.end_ms, b.end_ms) - greatest(a.start_ms, b.start_ms)
+             AS overlap_ms
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id
+     AND a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms
+    """
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
-    return {"event_sessions": (event_sessions, event_sessions_oracle())}
+    return {
+        "event_sessions": (event_sessions, event_sessions_oracle()),
+        "session_overlap_pairs": (
+            session_overlap_pairs,
+            session_overlap_pairs_oracle(),
+        ),
+    }
