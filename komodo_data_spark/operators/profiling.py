@@ -111,8 +111,87 @@ def profile_orders_oracle() -> str:
     )
 
 
+#: rule name -> SQL predicate that a GOOD row satisfies (NULL => violation,
+#: via the shared CASE WHEN ok THEN 0 ELSE 1 three-valued convention).
+_ORDERS_RULES: dict[str, str] = {
+    "not_null_custkey": "o_custkey IS NOT NULL",
+    "positive_price": "o_totalprice > 0",
+    "valid_status": "o_orderstatus IN ('O', 'F', 'P')",
+    "date_in_range": (
+        "o_orderdate >= TIMESTAMP '1992-01-01' "
+        "AND o_orderdate < TIMESTAMP '1999-01-01'"
+    ),
+    "priority_format": "o_orderpriority RLIKE '^[1-5]-'",
+}
+
+
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations over ``orders``: one row per rule with its
+    violation count and pass flag — the write-audit gate a pipeline runs
+    before publishing a snapshot (cf. sources/compaction.py).
+
+    Scale design: like profile_orders, ONE aggregation pass evaluates every
+    rule (each is a map-side CASE sum; the uniqueness rule rides the same
+    pass as a count(DISTINCT) Expand). NULL counts as a violation for value
+    rules — the CASE WHEN ok THEN 0 ELSE 1 phrasing encodes that uniformly
+    in both engines.
+    """
+    df = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for rule, ok in _ORDERS_RULES.items():
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {ok} THEN 0 ELSE 1 END")).alias(f"v__{rule}")
+        )
+    aggs.append(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
+            "v__unique_orderkey"
+        )
+    )
+    one = df.agg(*aggs)
+
+    rule_names = [*_ORDERS_RULES, "unique_orderkey"]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rule"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"v__{r}").alias("violations"),
+                (F.col(f"v__{r}") == 0).alias("passed"),
+            )
+            for r in rule_names
+        ]
+    )
+    return one.select(F.explode(entries).alias("e")).select("e.*")
+
+
+def orders_expectations_oracle() -> str:
+    agg_parts = ["count(*) AS n_rows"]
+    for rule, ok in _ORDERS_RULES.items():
+        pred = ok.replace("RLIKE", "SIMILAR TO").replace(
+            "'^[1-5]-'", "'[1-5]-.*'"
+        )
+        agg_parts.append(
+            f"CAST(sum(CASE WHEN {pred} THEN 0 ELSE 1 END) AS BIGINT) AS v__{rule}"
+        )
+    agg_parts.append(
+        "count(*) - count(DISTINCT o_orderkey) AS v__unique_orderkey"
+    )
+    rows = [
+        f"SELECT '{r}' AS rule, n_rows, v__{r} AS violations,"
+        f" v__{r} = 0 AS passed FROM one"
+        for r in [*_ORDERS_RULES, "unique_orderkey"]
+    ]
+    return (
+        "WITH one AS (SELECT "
+        + ", ".join(agg_parts)
+        + " FROM orders) "
+        + " UNION ALL ".join(rows)
+    )
+
+
 def registry():
     """name -> (query fn, oracle SQL) for the driver contract."""
     return {
         "profile_orders": (profile_orders, profile_orders_oracle()),
+        "orders_expectations": (orders_expectations, orders_expectations_oracle()),
     }
