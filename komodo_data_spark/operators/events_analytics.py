@@ -666,35 +666,51 @@ def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates can't express (here OLS CAN be — the oracle uses
     regr_slope — which is exactly what makes it verifiable end-to-end).
 
-    Scale: one shuffle on user_id; each group fits in pandas (vectorized
-    closed-form OLS, no iterative solver). Keys are high-cardinality users
-    — parallelism scales with the key space, and skew is bounded by the
-    busiest single user.
+    Scale: grouping on raw user_id costs one Python call per user — tiny
+    groups make per-call overhead the bottleneck (measured 4 s for 1.5k
+    users / 100k events). The grouped-map key is a HASH BUCKET of the user
+    (fixed fan-out, one Arrow batch per bucket) and the closed-form OLS is
+    evaluated for ALL users in the batch with vectorized groupby
+    transforms — same per-user model, group count independent of the user
+    population. Skew stays bounded: a bucket holds ~|users|/32 keys.
     """
     import pandas as pd
 
-    ev = load_events(spark, sf_dir).select("user_id", "ts_ms", "value")
+    n_buckets = 32
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "ts_ms",
+        "value",
+        F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("bucket"),
+    )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = (pdf["ts_ms"] - pdf["ts_ms"].min()) / 3_600_000.0
+        u = pdf["user_id"]
+        x = (pdf["ts_ms"] - pdf.groupby("user_id")["ts_ms"].transform("min")) / 3_600_000.0
         y = pdf["value"]
-        xc = x - x.mean()
-        denom = float((xc * xc).sum())
-        if len(pdf) < 2 or denom == 0.0:
-            slope, intercept = None, None
-        else:
-            slope = float((xc * (y - y.mean())).sum()) / denom
-            intercept = float(y.mean()) - slope * float(x.mean())
+        xc = x - x.groupby(u).transform("mean")
+        yc = y - y.groupby(u).transform("mean")
+        per = pd.DataFrame(
+            {"user_id": u, "sxx": xc * xc, "sxy": xc * yc, "x": x, "y": y}
+        ).groupby("user_id", as_index=False).agg(
+            n_events=("x", "size"),
+            sxx=("sxx", "sum"),
+            sxy=("sxy", "sum"),
+            xmean=("x", "mean"),
+            ymean=("y", "mean"),
+        )
+        ok = (per["n_events"] >= 2) & (per["sxx"] != 0.0)
+        slope = (per["sxy"] / per["sxx"]).where(ok)
         return pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "slope_per_hour": [slope],
-                "intercept": [intercept],
+                "user_id": per["user_id"],
+                "n_events": per["n_events"],
+                "slope_per_hour": slope,
+                "intercept": (per["ymean"] - slope * per["xmean"]).where(ok),
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
+    return ev.groupBy("bucket").applyInPandas(
         fit,
         schema="user_id long, n_events long, slope_per_hour double, intercept double",
     )
