@@ -91,6 +91,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             rel.events_distinct_users_two_stage,
             rel.events_distinct_users_two_stage_oracle(),
         ),
+        "nation_revenue_share": (
+            rel.nation_revenue_share,
+            rel.nation_revenue_share_oracle(),
+        ),
         # --- reference analytics re-targeted at the events table ---
         "interaction_counts": (ea.interaction_counts, ea.interaction_counts_oracle()),
         "user_activity": (ea.user_activity, ea.user_activity_oracle()),

@@ -189,9 +189,53 @@ def orders_expectations_oracle() -> str:
     )
 
 
+def orders_group_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint per order status — the
+    cross-engine data-validation primitive (compare a migrated table to its
+    source without sorting or moving either).
+
+    Each row canonicalizes to a '|'-joined string (decimals at fixed scale,
+    dates formatted — so both engines render identical bytes), hashes
+    through md5, and the group fingerprint is the bit_xor of the first 15
+    hex digits as a 60-bit int: commutative (shuffle-order-free), no
+    overflow, map-side combinable. One aggregation pass, one tiny shuffle.
+    """
+    df = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(h).alias("fingerprint"),
+    )
+
+
+def orders_group_fingerprint_oracle() -> str:
+    return """
+    SELECT o_orderstatus, count(*) AS n_rows,
+           bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+             o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)),
+             strftime(o_orderdate, '%Y-%m-%d'),
+             o_orderpriority)), 1, 15) AS BIGINT)) AS fingerprint
+    FROM orders GROUP BY o_orderstatus
+    """
+
+
 def registry():
     """name -> (query fn, oracle SQL) for the driver contract."""
     return {
         "profile_orders": (profile_orders, profile_orders_oracle()),
         "orders_expectations": (orders_expectations, orders_expectations_oracle()),
+        "orders_group_fingerprint": (
+            orders_group_fingerprint,
+            orders_group_fingerprint_oracle(),
+        ),
     }

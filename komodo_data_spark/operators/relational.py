@@ -807,3 +807,47 @@ def asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="event_id long, user_id long, purchase_ms long, last_click_ms long",
         )
     )
+
+
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's share of global
+    order revenue — the OLAP idiom where a windowed grand total divides a
+    grouped aggregate.
+
+    Scale: the unpartitioned window would be a red flag on a fact table,
+    but here it runs AFTER the groupBy collapsed 100 TB to |nations| rows —
+    a single-task window over 25 rows is free. Decimal accumulation keeps
+    the shares reproducible against the oracle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_nation = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(dec("o_totalprice", 18, 2)).alias("rev_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "c_nationkey",
+        "n_orders",
+        _dbl(F.col("rev_dec")).alias("revenue"),
+        _dbl(F.col("rev_dec") / F.sum("rev_dec").over(w)).alias("revenue_share"),
+    )
+
+
+def nation_revenue_share_oracle() -> str:
+    return """
+    WITH per_nation AS (
+      SELECT c.c_nationkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+             count(*) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    )
+    SELECT c_nationkey, n_orders, CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(rev_dec / SUM(rev_dec) OVER () AS DOUBLE) AS revenue_share
+    FROM per_nation
+    """

@@ -198,6 +198,10 @@ def registry():
         "knn_ivf_multiprobe": (knn_ivf_multiprobe, knn_ivf_multiprobe_oracle()),
         "knn_lsh_recall": (knn_lsh_recall, knn_lsh_recall_oracle()),
         "kmeans_clusters": (kmeans_clusters, kmeans_clusters_oracle()),
+        "embeddings_vector_stats": (
+            embeddings_vector_stats,
+            embeddings_vector_stats_oracle(),
+        ),
     }
 
 
@@ -641,4 +645,42 @@ def kmeans_clusters_oracle() -> str:
            sqrt(list_sum(list_transform(c.ce, x -> x * x))) AS centroid_norm
     FROM c2 c LEFT JOIN sizes s ON s.cid = c.cid
     ORDER BY c.cid
+    """
+
+
+def embeddings_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector geometry stats (dim, L2 norm, mean component, max |x|)
+    computed entirely with JVM higher-order functions — the zero-UDF path
+    for vector-column feature engineering.
+
+    Scale: pure map-side projection (no shuffle, no Python); the transform/
+    aggregate lambdas run inside whole-stage codegen over the Arrow-decoded
+    array column. Elements are cast to double BEFORE any math so the fold
+    is bit-identical to the DuckDB oracle's sequential list_aggregate.
+    """
+    v = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        F.transform(e, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    el_sum = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x)
+    return v.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.sqrt(sq_sum).alias("l2_norm"),
+        (el_sum / F.size("embedding")).alias("mean_val"),
+        F.array_max(F.transform(e, F.abs)).alias("max_abs"),
+    )
+
+
+def embeddings_vector_stats_oracle() -> str:
+    return """
+    SELECT vec_id, len(embedding) AS dim,
+           sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                'sum')) AS l2_norm,
+           list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'sum')
+             / len(embedding) AS mean_val,
+           list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max')
+             AS max_abs
+    FROM embeddings
     """
