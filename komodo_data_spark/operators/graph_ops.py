@@ -199,9 +199,52 @@ def graph_pagerank_oracle() -> str:
     """
 
 
+#: Hop bound for the recursive reachability walk (terminates regardless of
+#: graph shape; the u < v orientation already rules out cycles).
+REACH_MAX_HOPS = 3
+
+_REACH_SQL = f"""
+WITH RECURSIVE r(node, hops) AS (
+  SELECT u, 0 FROM (SELECT min(u) AS u FROM {{edges}}) s WHERE u IS NOT NULL
+  UNION ALL
+  SELECT e.v, r.hops + 1
+  FROM r JOIN {{edges}} e ON e.u = r.node
+  WHERE r.hops < {REACH_MAX_HOPS}
+)
+SELECT node, min(hops) AS min_hops, count(*) AS n_paths
+FROM r GROUP BY node
+"""
+
+
+def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure via Spark 4's recursive CTE: nodes within
+    REACH_MAX_HOPS of the seed (smallest vertex), with min-hop distance and
+    path multiplicity.
+
+    The recursion is the SQL-native sibling of graph_pagerank's unrolled
+    iteration: each recursive step is one equi-join of the frontier against
+    the edge list (hash-partitioned on the join key — the same shuffle
+    shape an unrolled loop would produce), and the hop guard bounds the
+    plan depth irrespective of data. Edges keep the u < v orientation, so
+    the walk runs on a DAG and path counts stay finite even without the
+    guard. Empty graphs (tiny SFs) yield an empty anchor and an empty
+    result on both engines — no special-casing.
+    """
+    _user_edges(spark, sf_dir).createOrReplaceTempView("reach_edges")
+    return spark.sql(_REACH_SQL.format(edges="reach_edges"))
+
+
+def graph_reachability_oracle() -> str:
+    inner = _REACH_SQL.format(edges="e").strip()
+    assert inner.startswith("WITH RECURSIVE ")
+    body = inner[len("WITH RECURSIVE ") :]
+    return f"WITH RECURSIVE e AS ({_sql_user_edges()}), {body}"
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
         "graph_triangles": (graph_triangles, graph_triangles_oracle()),
         "graph_pagerank": (graph_pagerank, graph_pagerank_oracle()),
+        "graph_reachability": (graph_reachability, graph_reachability_oracle()),
     }

@@ -98,9 +98,50 @@ def customers_no_f_orders_notin_oracle() -> str:
     """
 
 
+def nation_top2_customers_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by account balance per nation via a correlated
+    LATERAL subquery (SQL:1999) — the for-each-row-run-a-query surface.
+
+    Catalyst decorrelates the LATERAL (DomainJoin rewrite) into the same
+    ranked-window shape as top_customers_per_nation rather than executing
+    |nation| probe queries — the point of pairing these two: identical
+    semantics through the declarative window AND the correlated-subquery
+    syntax, one physical plan. Ties break on c_custkey for determinism.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_nationkey, n.n_name, x.c_custkey, x.c_acctbal
+        FROM lat_nation n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) x
+        """
+    )
+
+
+def nation_top2_customers_lateral_oracle() -> str:
+    return """
+    SELECT n.n_nationkey, n.n_name, x.c_custkey, x.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) x
+    """
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
+        "nation_top2_customers_lateral": (
+            nation_top2_customers_lateral,
+            nation_top2_customers_lateral_oracle(),
+        ),
         "orders_customer_join_salted": (
             orders_customer_join_salted,
             orders_customer_join_salted_oracle(),
