@@ -34,11 +34,16 @@ def main() -> int:
 
     qs = e.queries()
 
-    # Warm-up: force parquet footer reads + JVM codegen on a cheap query.
+    # Warm-up: force parquet footer reads + JVM codegen on a cheap query,
+    # and spin up the Arrow/pandas worker pool so the first Python-surface
+    # query isn't billed several seconds of one-time worker startup.
     from komodo_data_spark.sources.tables import TABLE_NAMES, load_table
 
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).count()
+    spark.range(0, int(cpus)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from komodo_data_spark.functions.text_features import sql_tokens, tokens
-from komodo_data_spark.sources.tables import load_table
+from komodo_data_spark.sources.tables import load_events, load_table
 
 # --------------------------------------------------------------------------
 # deterministic hash split (train/val/test)
@@ -445,6 +445,14 @@ def registry():
             docs_surrogate_keys,
             docs_surrogate_keys_oracle(),
         ),
+        "customers_pseudonymized": (
+            customers_pseudonymized,
+            customers_pseudonymized_oracle(),
+        ),
+        "events_key_skew_profile": (
+            events_key_skew_profile,
+            events_key_skew_profile_oracle(),
+        ),
     }
 
 
@@ -844,3 +852,92 @@ def dedup_keep_latest_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
             "latest.value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PII pseudonymization + join-key skew profiling
+# --------------------------------------------------------------------------
+
+
+def customers_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII pseudonymization: replace the name with a salted
+    sha256 token that stays JOINABLE (same input -> same token across tables
+    and runs) while being non-reversible without the salt — the standard
+    privacy gate before training-data export.
+
+    Pure map-side projection (zero shuffle, codegen sha256); the salt would
+    come from a secret store in production and is a fixed literal here so
+    the oracle can mirror it.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.sha2(F.concat(F.lit("kds-salt-v1|"), F.col("c_name")), 256).alias(
+            "name_token"
+        ),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+
+
+def customers_pseudonymized_oracle() -> str:
+    return """
+    SELECT c_custkey, sha256('kds-salt-v1|' || c_name) AS name_token,
+           c_nationkey, c_mktsegment
+    FROM customer
+    """
+
+
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for ``events.user_id``: per-key counts
+    re-aggregated into the numbers that decide a join strategy — key count,
+    max/avg key frequency, the hot key's share of all rows, and how many
+    keys exceed 2x the mean (salting candidates).
+
+    Two cheap aggregations: the first shuffles one combined count per key
+    (map-side partial), the second collapses |keys| rows to one summary
+    row. This is the measurement feeding join_strategies'
+    orders_customer_join_salted: skew_ratio >> 1 says salt; ~1 says a
+    plain hash join is fine.
+    """
+    ev = load_events(spark, sf_dir).select("user_id")
+    # Checkpointed: both the summary agg and the hot-key count branch from
+    # it, and a lazy plan would re-run the events groupBy per branch.
+    per_key = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    mean_df = per_key.agg(F.avg("cnt").alias("mean_cnt"))
+    hot = (
+        per_key.crossJoin(F.broadcast(mean_df))
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > F.lit(2.0) * F.col("mean_cnt"), 1).otherwise(0)
+            ).alias("n_hot_keys")
+        )
+    )
+    summary = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        (F.sum("cnt") / F.count(F.lit(1))).alias("avg_key_rows"),
+        (F.max("cnt") / F.sum("cnt")).cast("double").alias("top_key_share"),
+    )
+    return summary.crossJoin(hot)
+
+
+def events_key_skew_profile_oracle() -> str:
+    return """
+    WITH per_key AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           max(cnt) AS max_key_rows,
+           sum(cnt) / count(*) AS avg_key_rows,
+           CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_key_share,
+           CAST(sum(CASE WHEN cnt > 2.0 * (SELECT avg(cnt) FROM per_key)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
+    FROM per_key
+    """
