@@ -57,6 +57,36 @@ def events_heavy_hitters_oracle() -> str:
     """
 
 
+def events_heavy_hitters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same heavy-hitter result through the MERGEABLE sketch lifecycle:
+    approx_top_k_accumulate per day -> approx_top_k_combine across days ->
+    approx_top_k_estimate — the incremental pattern where each day's sketch
+    is persisted bytes and today's scan never re-reads history (the
+    frequency-sketch sibling of events_distinct_sketch_union).
+
+    The daily pre-aggregate stands in for the stored sketch table. Counts
+    stay exact while distinct keys per sketch fit maxItemsTracked, so the
+    same HAVING oracle pins the merge path end-to-end at gate scale.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.expr("ts_ms div 86400000").alias("day")).agg(
+        F.expr("approx_top_k_accumulate(user_id, 100000)").alias("sk")
+    )
+    merged = daily.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(sk, 1000000), 1000)").alias(
+            "tk"
+        )
+    )
+    return (
+        merged.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").alias("n_events"),
+        )
+        .filter(F.col("n_events") >= HEAVY_MIN_EVENTS)
+    )
+
+
 def orders_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority order statistics: modal status (deterministic lowest-on-
     tie via WITHIN GROUP ASC), exact median and 25th discrete percentile of
@@ -114,5 +144,9 @@ def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
         "events_heavy_hitters": (events_heavy_hitters, events_heavy_hitters_oracle()),
+        "events_heavy_hitters_merged": (
+            events_heavy_hitters_merged,
+            events_heavy_hitters_oracle(),  # same result through the merge path
+        ),
         "orders_stats_pack": (orders_stats_pack, orders_stats_pack_oracle()),
     }

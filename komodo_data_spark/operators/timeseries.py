@@ -145,6 +145,38 @@ def events_sliding_rollup_oracle() -> str:
     """
 
 
+#: Reporting timezone for the local-day rollup (DST-aware via ICU/JVM tz db).
+LOCAL_TZ = "America/New_York"
+
+
+def events_local_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup in a reporting timezone: UTC event instants bucketed by
+    their LOCAL calendar day (DST-aware — an epoch-math `div 86400000`
+    gets the 23/25-hour transition days wrong, which is exactly why this
+    exists next to events_hourly_rollup's epoch buckets).
+
+    ``convert_timezone`` is a codegen scalar, so bucketing stays map-side;
+    one shuffle on (local_date, event_type), same as any rollup.
+    """
+    ev = load_events(spark, sf_dir)
+    local_day = F.date_format(
+        F.convert_timezone(F.lit("UTC"), F.lit(LOCAL_TZ), F.col("ts_ts")),
+        "yyyy-MM-dd",
+    ).alias("local_date")
+    return ev.groupBy(local_day, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def events_local_daily_rollup_oracle() -> str:
+    return f"""
+    SELECT strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE '{LOCAL_TZ}',
+                    '%Y-%m-%d') AS local_date,
+           event_type, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
@@ -152,5 +184,9 @@ def registry():
         "events_sliding_rollup": (
             events_sliding_rollup,
             events_sliding_rollup_oracle(),
+        ),
+        "events_local_daily_rollup": (
+            events_local_daily_rollup,
+            events_local_daily_rollup_oracle(),
         ),
     }
