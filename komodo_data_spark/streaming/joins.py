@@ -75,6 +75,47 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_left_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream variant of :func:`click_purchase_join`:
+    every click appears; clicks with no purchase in the following 30 min
+    emit with NULL purchase columns once the watermark passes their
+    interval (the outer-join-needs-watermark contract — Spark rejects the
+    query without both watermarks and the time bound, because that's what
+    lets it prove when an unmatched row can be finalized).
+
+    Output: (click_id, user_id, purchase_id nullable, gap_ms nullable).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_ts").alias("c_ts"),
+        F.col("ts_ms").alias("c_ms"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_ts").alias("p_ts"),
+        F.col("ts_ms").alias("p_ms"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("c_ts", WATERMARK)
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", WATERMARK)
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    return joined.select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "purchase_id",
+        (F.col("p_ms") - F.col("c_ms")).alias("gap_ms"),
+    )
+
+
 def run_to_memory_append(
     stream_df: DataFrame, query_name: str, checkpoint: str
 ) -> DataFrame:

@@ -7,6 +7,7 @@ import shutil
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from komodo_data_spark.operators.relational import events_hourly_rollup
 from komodo_data_spark.operators.sessions import event_sessions
@@ -191,6 +192,49 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir, tmp_path):
     keys = ["purchase_id", "click_id"]
     pd.testing.assert_frame_equal(
         _sorted_pdf(got, keys), _sorted_pdf(exp, keys), check_dtype=False
+    )
+
+
+def test_stream_stream_left_join_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched clicks must flush with NULL
+    purchase columns once the watermark closes their interval — AvailableNow
+    over bounded input advances the watermark to the end, so the drained
+    result equals the batch left join exactly (including the NULL rows)."""
+    from komodo_data_spark.streaming import joins as J
+
+    def split(df):
+        return (
+            df.filter(df.event_type == "click"),
+            df.filter(df.event_type == "purchase"),
+        )
+
+    s_clicks, s_purch = split(W.events_stream(spark, events_dir))
+    got = J.run_to_memory_append(
+        J.click_purchase_left_join(s_clicks, s_purch),
+        "ssljoin_mem",
+        str(tmp_path / "ckpt_ssljoin"),
+    )
+    ev = load_events(spark, sf_dir)
+    b_clicks, b_purch = split(ev)
+    exp = J.click_purchase_left_join(b_clicks, b_purch)
+    assert got.filter("purchase_id IS NULL").count() > 0  # outer rows exist
+    # Clicks whose 30-min interval the FINAL watermark never closes can't
+    # flush their unmatched row — that's the outer-join contract, not a
+    # bug. The global watermark is the MIN over both input streams (each
+    # max event time - 2 h), so the closed region ends 2 h 30 m before the
+    # EARLIER of the two stream heads.
+    wm_base = min(
+        b_clicks.agg(F.max("ts_ms")).first()[0],
+        b_purch.agg(F.max("ts_ms")).first()[0],
+    )
+    closed = b_clicks.select(F.col("event_id").alias("click_id")).filter(
+        b_clicks.ts_ms < wm_base - (2 * 3600 + 30 * 60) * 1000
+    )
+    keys = ["click_id", "purchase_id"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got.join(closed, "click_id", "left_semi"), keys),
+        _sorted_pdf(exp.join(closed, "click_id", "left_semi"), keys),
+        check_dtype=False,
     )
 
 
