@@ -189,3 +189,79 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join must split a pathologically hot key's sort-merge
+    partition into multiple tasks (the runtime half of the salting story:
+    join_strategies salts when writing the query, AQE rescues unsalted
+    SMJs at runtime). Thresholds lowered — the defaults trigger at 256 MB
+    partitions, three orders above test data."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # probe side: one hot key (90% of rows) + long tail; build side:
+        # unique keys, so the join doesn't multiply rows and the only
+        # oversized partition is the probe's hot one
+        left = spark.range(0, 100_000).select(
+            F.when(F.col("id") % 10 < 9, 42).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 100_000).select(
+            F.col("id").alias("k"),
+            F.sha2((F.col("id") + 7).cast("string"), 256).alias("pad2"),
+        )
+        # aggregate OVER the payloads so column pruning can't strip them —
+        # an all-constant key column compresses below the skew threshold
+        j = left.join(right, "k").agg(
+            F.sum(F.length("pad")).alias("a"), F.sum(F.length("pad2")).alias("b")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_cbo_table_stats_feed_the_optimizer(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS must land row/size stats in the
+    catalog and surface them in the optimized plan — the input the
+    cost-based join-reorder and broadcast decisions read on a warehouse
+    deployment (file-scan relations fall back to size-on-disk only)."""
+    from komodo_data_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "cbo_nation"
+    )
+    saved_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        # rowCount only reaches plan stats when the cost-based optimizer is
+        # on; without it Spark propagates sizeInBytes alone.
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS")
+        stats = (
+            spark.table("cbo_nation")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().isDefined()
+        assert stats.rowCount().get() == 25
+        assert int(str(stats.sizeInBytes())) > 0
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", saved_cbo)
+        spark.sql("DROP TABLE IF EXISTS cbo_nation")
