@@ -1,0 +1,83 @@
+"""Incremental frequency-sketch maintenance over the events stream.
+
+The streaming sibling of operators/stats_ops.events_heavy_hitters_merged:
+each micro-batch collapses to ONE persisted approx_top_k state row
+(appended to a parquet sketch store via ``foreachBatch``), and the heavy-
+hitter query combines + estimates over the stored sketches at read time —
+no replay of ingested batches, ever.
+
+Why this shape at 100 TB: the per-batch write is O(sketch) ≈ KBs no matter
+how many rows the batch carried, the store grows by one row per batch (not
+per key), and the read-side combine is a single tiny aggregation. Appends
+are idempotent per epoch via the epoch_id column — a replayed batch
+overwrites its own partition instead of double-counting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+MAX_ITEMS_TRACKED = 100_000
+
+
+def accumulate_batch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, sketch_path: str
+) -> None:
+    """Collapse one micro-batch into a single sketch row, written to the
+    epoch's own partition (idempotent under micro-batch replay)."""
+    sk = batch_df.agg(
+        F.expr(f"approx_top_k_accumulate(user_id, {MAX_ITEMS_TRACKED})").alias("sk")
+    ).withColumn("epoch_id", F.lit(int(epoch_id)))
+    (
+        sk.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(sketch_path)
+    )
+
+
+def start_sketch_maintenance(
+    spark: SparkSession,
+    events: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Maintain the per-batch sketch store from a streaming events frame."""
+    return (
+        events.select("user_id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda batch_df, epoch: accumulate_batch(
+                spark, batch_df, epoch, sketch_path
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def heavy_hitters_from_store(
+    spark: SparkSession, sketch_path: str, min_events: int, k: int = 1000
+) -> DataFrame:
+    """Combine every stored batch sketch and return keys with
+    count >= min_events — same output contract as stats_ops'
+    events_heavy_hitters, without touching the raw events."""
+    if not os.path.exists(sketch_path):
+        raise FileNotFoundError(sketch_path)
+    store = spark.read.parquet(sketch_path)
+    merged = store.agg(
+        F.expr(
+            f"approx_top_k_estimate("
+            f"approx_top_k_combine(sk, {MAX_ITEMS_TRACKED}), {k})"
+        ).alias("tk")
+    )
+    return (
+        merged.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("user_id"), F.col("e.count").alias("n_events"))
+        .filter(F.col("n_events") >= min_events)
+    )

@@ -388,3 +388,54 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, events_dir, tmp_path):
         for r in funnel_conversion(spark, sf_dir).collect()
     }
     assert stream_counts == exp
+
+
+def test_streaming_sketch_store_matches_batch_heavy_hitters(
+    spark, sf_dir, tmp_path
+):
+    """Per-batch sketch rows accumulated via foreachBatch, combined at read
+    time, must reproduce the batch heavy-hitter set exactly (counts are
+    exact below maxItemsTracked)."""
+    import shutil as _sh
+
+    from komodo_data_spark.operators.stats_ops import (
+        HEAVY_MIN_EVENTS,
+        events_heavy_hitters,
+    )
+    from komodo_data_spark.streaming import sketches as SK
+
+    # three disjoint files -> three micro-batches -> three sketch rows
+    src = tmp_path / "ev_parts"
+    src.mkdir()
+    ev = load_events(spark, sf_dir)
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).coalesce(1).write.parquet(str(src / f"chunk={i}"))
+        _sh.move(
+            str(next((src / f"chunk={i}").glob("part-*.parquet"))),
+            str(src / f"part-{i}.parquet"),
+        )
+        _sh.rmtree(src / f"chunk={i}")
+
+    stream = (
+        spark.readStream.schema(W.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = SK.start_sketch_maintenance(
+        spark, stream, str(tmp_path / "sk_store"), str(tmp_path / "ckpt_sk")
+    )
+    q.awaitTermination()
+
+    store = spark.read.parquet(str(tmp_path / "sk_store"))
+    assert store.count() == 3  # one sketch row per micro-batch
+
+    got = SK.heavy_hitters_from_store(
+        spark, str(tmp_path / "sk_store"), HEAVY_MIN_EVENTS
+    )
+    exp = events_heavy_hitters(spark, sf_dir)
+    keys = ["user_id"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got, keys), _sorted_pdf(exp, keys), check_dtype=False
+    )
