@@ -513,17 +513,28 @@ def _cos(e_a, e_b):
     return dot / (F.sqrt(na) * F.sqrt(nb))
 
 
+#: Block count for the exact all-pairs triangle join. Per-task memory is two
+#: blocks (2·(n/B)·d·8 bytes); shuffle volume is n·(B+1)/2 rows. Size B so a
+#: block fits comfortably in executor memory at the target scale — e.g. at
+#: 10M×64d vectors, B=128 → ~40 MB/block, 8256 block-pair tasks.
+EMB_BLOCKS = 8
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector near-dup: pairs with cosine ≥ 0.45 over array<float>.
 
-    Block-nested-loop with BLAS: the full (normalized, float64) matrix is a
-    Spark broadcast variable; a mapInPandas stage computes each Arrow batch's
-    block × matrixᵀ in one matmul and emits only pairs over threshold. This
-    replaces an O(n²) BroadcastNestedLoopJoin evaluating interpreted
-    higher-order functions per pair (~60× slower measured at sf0.1). Pattern
-    holds when one side fits in executor memory (here: n·d·8 bytes; ~5 GB at
-    10M×64). Beyond that, LSH-bucket first (knn_lsh_signbits) so each bucket
-    is a small matmul — candidate volume drops 2^bits-fold.
+    Exact all-pairs via a distributed block-pair (triangle) join — NOTHING is
+    collected to the driver. Vectors hash into B blocks; each unordered block
+    pair (bi ≤ bj) becomes one cogroup task whose two sides are BLAS-matmul'd
+    (float64) and thresholded. The left side replicates each row to pairs
+    (blk, blk..B-1), the right to (0..blk, blk), so every unordered block
+    pair meets in exactly one task: off-diagonal tasks emit (min_id, max_id)
+    for every hit; diagonal tasks keep the upper triangle. Cost model is the
+    honest O(n²/B) exact bound — per-task memory 2·(n/B)·d·8 bytes, shuffle
+    n·(B+1)/2 rows — all executor-side, unlike a broadcast built from a
+    driver collect whose ceiling is driver RAM. For approximate-at-scale,
+    LSH-bucket first (dedup_embedding_lsh below): candidate volume drops
+    2^bits-fold and the same per-bucket matmul applies.
     """
     import numpy as np
     import pandas as pd
@@ -531,42 +542,132 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _spread(
         spark, load_table(spark, sf_dir, "embeddings")
     ).select("vec_id", "embedding")
-    all_pdf = v.toPandas().sort_values("vec_id")
-    ids = all_pdf["vec_id"].to_numpy()
-    mat = np.stack(all_pdf["embedding"].to_numpy()).astype(np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-    # Size the Python stage to the data (known exactly post-collect): each
-    # mapInPandas task pays worker spin-up + broadcast deserialization, so
-    # ~250 rows/task is the floor where BLAS time dominates overhead. At
-    # corpus scale this saturates every core; at bench scale it stops 32
-    # near-empty tasks from paying 32 startups.
-    n_parts = max(2, min(
-        spark.sparkContext.defaultParallelism, len(all_pdf) // 250
-    ))
-    v = v.repartition(n_parts)
+    B = EMB_BLOCKS
+    blk = F.pmod(F.hash("vec_id"), F.lit(B))
+    left = v.withColumn("bi", blk).withColumn(
+        "bj", F.explode(F.sequence(F.col("bi"), F.lit(B - 1)))
+    )
+    # The right side MUST carry distinct attribute names: a self-cogroup
+    # where both sides share one scan lineage lets Catalyst alias the right
+    # side's (vec_id, embedding) to the left's attribute ids and prune them
+    # out of the right-hand Arrow batches entirely (observed: r_pdf arrives
+    # with only [bj, bi]). Renaming forces fresh exprIds on a real Project.
+    right = (
+        v.select(
+            F.col("vec_id").alias("r_vec_id"),
+            F.col("embedding").alias("r_embedding"),
+        )
+        .withColumn("bj", F.pmod(F.hash("r_vec_id"), F.lit(B)))
+        .withColumn("bi", F.explode(F.sequence(F.lit(0), F.col("bj"))))
+    )
 
-    def block_cosine(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy()
-            q_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
-            sims = (q_mat @ b_mat.T) / np.outer(q_norms, b_norms)
-            # upper triangle only: emit (i, j) with i < j
-            mask = (sims >= COSINE_THRESHOLD) & (q_ids[:, None] < b_ids[None, :])
-            qi, bj = np.nonzero(mask)
-            yield pd.DataFrame(
+    def pair_blocks(key, l_pdf, r_pdf):
+        empty = pd.DataFrame(
+            {
+                "vec_i": np.array([], dtype=np.int64),
+                "vec_j": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+        if l_pdf.empty or r_pdf.empty:
+            return empty
+        l_ids = l_pdf["vec_id"].to_numpy()
+        r_ids = r_pdf["r_vec_id"].to_numpy()
+        l_mat = np.stack(l_pdf["embedding"].to_numpy()).astype(np.float64)
+        r_mat = np.stack(r_pdf["r_embedding"].to_numpy()).astype(np.float64)
+        l_nrm = np.sqrt((l_mat * l_mat).sum(axis=1))
+        r_nrm = np.sqrt((r_mat * r_mat).sum(axis=1))
+        sims = (l_mat @ r_mat.T) / np.outer(l_nrm, r_nrm)
+        hit = sims >= COSINE_THRESHOLD
+        if key[0] == key[1]:
+            # same block on both sides: each unordered pair appears twice;
+            # keep the strict upper triangle by id
+            hit &= l_ids[:, None] < r_ids[None, :]
+        li, rj = np.nonzero(hit)
+        a, b = l_ids[li], r_ids[rj]
+        return pd.DataFrame(
+            {
+                "vec_i": np.minimum(a, b),
+                "vec_j": np.maximum(a, b),
+                "cosine": sims[li, rj],
+            }
+        )
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(pair_blocks, schema="vec_i long, vec_j long, cosine double")
+    )
+
+
+#: Sign-bit planes for the approximate LSH variant. 6 bits → 64 buckets;
+#: expected bucket occupancy n/64, so per-bucket matmul cost is n²/64 total.
+EMB_LSH_BITS = 6
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine near-dup: candidates restricted to the same
+    sign-bit LSH bucket (bit i = sign of dim i), then an exact per-bucket
+    BLAS matmul. This is the 100 TB default path: bucketing is a map-side
+    Catalyst expression, candidate volume drops 2^bits-fold vs all-pairs,
+    and each task touches only one bucket (~n/2^bits rows). Recall is
+    tunable via bits/multiprobe (see knn_lsh_multiprobe); the oracle mirrors
+    the bucket restriction exactly, so correctness is deterministic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = _spread(
+        spark, load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "embedding")
+    bkt = F.lit(0)
+    for i in range(EMB_LSH_BITS):
+        bkt = bkt + F.when(
+            F.element_at(F.col("embedding"), i + 1) > 0, F.lit(2**i)
+        ).otherwise(F.lit(0))
+    v = v.withColumn("bkt", bkt)
+
+    def bucket_pairs(pdf):
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
                 {
-                    "vec_i": q_ids[qi],
-                    "vec_j": b_ids[bj],
-                    "cosine": sims[qi, bj],
+                    "vec_i": np.array([], dtype=np.int64),
+                    "vec_j": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
                 }
             )
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(nrm, nrm)
+        hit = (sims >= COSINE_THRESHOLD) & (ids[:, None] < ids[None, :])
+        li, rj = np.nonzero(hit)
+        return pd.DataFrame(
+            {"vec_i": ids[li], "vec_j": ids[rj], "cosine": sims[li, rj]}
+        )
 
-    return v.mapInPandas(
-        block_cosine, schema="vec_i long, vec_j long, cosine double"
+    return v.groupBy("bkt").applyInPandas(
+        bucket_pairs, schema="vec_i long, vec_j long, cosine double"
     )
+
+
+def dedup_embedding_lsh_oracle() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN e[{i + 1}] > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(EMB_LSH_BITS)
+    )
+    dot = "list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]))"
+    na = "list_sum(list_transform(a.e, x -> x * x))"
+    nb = "list_sum(list_transform(b.e, x -> x * x))"
+    cos = f"{dot} / (sqrt({na}) * sqrt({nb}))"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e, ({bits}) AS bkt FROM embeddings
+    )
+    SELECT a.vec_id AS vec_i, b.vec_id AS vec_j, {cos} AS cosine
+    FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    WHERE {cos} >= {COSINE_THRESHOLD}
+    """
 
 
 def dedup_embedding_pairs_oracle() -> str:
@@ -596,6 +697,10 @@ def registry():
         "dedup_embedding_pairs": (
             dedup_embedding_pairs,
             dedup_embedding_pairs_oracle(),
+        ),
+        "dedup_embedding_lsh": (
+            dedup_embedding_lsh,
+            dedup_embedding_lsh_oracle(),
         ),
         "dedup_fuzzy_prefix": (dedup_fuzzy_prefix, dedup_fuzzy_prefix_oracle()),
     }

@@ -679,20 +679,28 @@ def lineitem_price_tiers_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
         "tier string, lo double, hi double",
     )
     # cap the open-ended top tier at the data's max so the bucket explode
-    # stays finite: one tiny scalar agg, broadcast into the expression
-    max_price = (
-        load_table(spark, sf_dir, "lineitem")
-        .agg(F.max("l_extendedprice"))
-        .first()[0]
+    # stays finite: a 1-row scalar agg crossJoined (broadcast) into the tier
+    # frame, so it evaluates lazily inside the plan (no scan at query
+    # construction) and an empty lineitem degrades to the tier's own cap
+    # via coalesce instead of a TypeError (fallback is lo, not hi: the open
+    # top tier's hi=1e12 would explode 2e8 buckets; lo yields one bucket per
+    # tier and the join is empty anyway).
+    max_price = load_table(spark, sf_dir, "lineitem").agg(
+        F.max("l_extendedprice").alias("max_price")
     )
-    tier_buckets = tiers.select(
+    tier_buckets = tiers.crossJoin(F.broadcast(max_price)).select(
         "tier",
         "lo",
         "hi",
         F.explode(
             F.sequence(
                 F.floor(F.col("lo") / width),
-                F.floor(F.least(F.col("hi"), F.lit(float(max_price))) / width),
+                F.floor(
+                    F.least(
+                        F.col("hi"), F.coalesce(F.col("max_price"), F.col("lo"))
+                    )
+                    / width
+                ),
             )
         ).alias("bucket"),
     )

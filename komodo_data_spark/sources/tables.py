@@ -38,17 +38,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with `ts` (raw nanos long) plus derived `ts_ms` and `ts_ts`."""
-    ev = load_table(spark, sf_dir, "events")
-    # Integer division, never double: nanos (~1.7e18) exceed double's 53-bit
-    # mantissa, so (ts/1e6).cast('long') is off by 1 ms on exact-ms stamps.
+def normalize_events(ev: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a canonical trio regardless of the physical
+    parquet type: ``ts`` (epoch-nanos long), ``ts_ms`` (epoch-millis long),
+    ``ts_ts`` (timestamp). The driver testdata has shipped ``ts`` both as
+    TIMESTAMP(NANOS) (surfacing as a raw nanos long under ``nanosAsLong``)
+    and as timestamp[us] (surfacing as TIMESTAMP_NTZ); with the session
+    timezone pinned to UTC both derivations agree with the DuckDB oracles'
+    ``epoch_ms(ts)``. Pure deterministic expressions — safe on streaming
+    DataFrames too (streaming/windows.events_stream reuses this).
+    """
+    dt = ev.schema["ts"].dataType.simpleString()
+    if dt == "bigint":
+        # Integer division, never double: nanos (~1.7e18) exceed double's
+        # 53-bit mantissa, so (ts/1e6).cast('long') is off by 1 ms on
+        # exact-ms stamps.
+        return ev.withColumns(
+            {
+                "ts_ms": F.expr("ts div 1000000"),
+                "ts_ts": F.timestamp_micros(F.expr("ts div 1000")),
+            }
+        )
+    # timestamp / timestamp_ntz: the NTZ→TIMESTAMP cast is wall-clock
+    # identity under the UTC session timezone.
     return ev.withColumns(
         {
-            "ts_ms": F.expr("ts div 1000000"),
-            "ts_ts": F.timestamp_micros(F.expr("ts div 1000")),
+            "ts": F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000),
+            "ts_ms": F.expr("unix_micros(cast(ts as timestamp)) div 1000"),
+            "ts_ts": F.col("ts").cast("timestamp"),
         }
     )
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with `ts` (epoch-nanos long) plus derived `ts_ms` and `ts_ts`."""
+    return normalize_events(load_table(spark, sf_dir, "events"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

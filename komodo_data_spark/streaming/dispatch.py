@@ -54,12 +54,16 @@ def pending_requests(requests: DataFrame) -> DataFrame:
     )
 
 
-def export_csv(df: DataFrame, out_dir: str, prefix: str) -> str:
+def export_csv(
+    df: DataFrame, out_dir: str, prefix: str, filename: str | None = None
+) -> str:
     """CSV result sink with the reference's timestamped filename
     (process.py:100-107; the '%Y-%m-%d %H-%S' format — minutes skipped —
-    is preserved verbatim)."""
+    is preserved verbatim). ``filename`` overrides the timestamp for
+    callers that need deterministic (replay-idempotent) names."""
     os.makedirs(out_dir, exist_ok=True)
-    filename = f"{prefix}_{time.strftime('%Y-%m-%d %H-%S')}.csv"
+    if filename is None:
+        filename = f"{prefix}_{time.strftime('%Y-%m-%d %H-%S')}.csv"
     path = os.path.join(out_dir, filename)
     df.toPandas().to_csv(path, index=False)
     return os.path.abspath(path)
@@ -71,13 +75,20 @@ def aggregation_file_download(
     data: DataFrame,
     out_dir: str,
     on_fulfilled=None,
+    deterministic_names: bool = False,
 ) -> list[tuple[int, str, str]]:
     """Process every pending request; returns [(request_id, function, csv_path)].
 
     ``on_fulfilled(request_id, path)`` is the seam for control-table updates
-    (sources.control.update_data_request).
+    (sources.control.update_data_request). With ``deterministic_names`` the
+    CSV name is derived from the request_id instead of the wall clock, so a
+    replayed batch overwrites its own files (used by the streaming path).
     """
     done: list[tuple[int, str, str]] = []
+
+    def _name(prefix: str, rid: int) -> str | None:
+        return f"{prefix}_req{rid}.csv" if deterministic_names else None
+
     rows = pending_requests(requests).collect()  # control-plane: tiny
     for row in rows:
         fn = row["aggregation_function"]
@@ -92,7 +103,10 @@ def aggregation_file_download(
                     result = analytics.aggregate_interaction_type(
                         data, _as_int(session_id), _as_int(interaction_type)
                     )
-                    path = export_csv(result, out_dir, "aggregate_interaction")
+                    path = export_csv(
+                        result, out_dir, "aggregate_interaction",
+                        filename=_name("aggregate_interaction", rid),
+                    )
                 else:
                     print("Argument(s) for aggregate_interaction not valid!")
                     continue
@@ -101,7 +115,10 @@ def aggregation_file_download(
                     result = analytics.aggregate_user(
                         data, _as_int(session_id), _as_int(client_id)
                     )
-                    path = export_csv(result, out_dir, "aggregate_user")
+                    path = export_csv(
+                        result, out_dir, "aggregate_user",
+                        filename=_name("aggregate_user", rid),
+                    )
                 else:
                     print("Argument(s) for aggregate_user not valid!")
                     continue
@@ -113,7 +130,10 @@ def aggregation_file_download(
                         _as_int(client_id),
                         entity_type,
                     )
-                    path = export_csv(result, out_dir, "user_energy")
+                    path = export_csv(
+                        result, out_dir, "user_energy",
+                        filename=_name("user_energy", rid),
+                    )
                 else:
                     print("Argument(s) for user_energy not valid!")
                     continue
@@ -145,10 +165,18 @@ def start_request_stream(
     """The reference's request-polling loop (process.py:450-473, 10 s
     sleep over ``data_requests``) as a stream: request rows arrive as
     JSON-lines files, each micro-batch dispatches them through the SAME
-    batch dispatcher (``aggregation_file_download``) inside foreachBatch,
-    and the checkpoint guarantees each request file is dispatched once —
+    batch dispatcher (``aggregation_file_download``) inside foreachBatch —
     the ``is_it_fulfilled`` flag polling becomes unnecessary exactly the
     way ``captures.processed`` did for ingest (streaming/ingest.py).
+
+    Delivery semantics: source offsets are exactly-once (the checkpoint
+    never re-reads a committed file), but foreachBatch side effects are
+    AT-LEAST-ONCE — a crash between dispatch and checkpoint commit replays
+    the batch. Both side effects are therefore idempotent under replay:
+    CSV names are derived from the request_id (``deterministic_names``), so
+    a replay overwrites the same files, and ``on_fulfilled`` feeds the
+    latest-wins control log (sources.control), where a duplicate
+    fulfillment row collapses to the same state.
 
     Scale note: the queue is control-plane (tiny); the heavy side is
     ``data``, a plain batch frame re-used across batches — foreachBatch is
@@ -164,7 +192,8 @@ def start_request_stream(
 
     def dispatch_batch(batch_df: DataFrame, _epoch: int) -> None:
         aggregation_file_download(
-            spark, batch_df, data, out_dir, on_fulfilled=on_fulfilled
+            spark, batch_df, data, out_dir, on_fulfilled=on_fulfilled,
+            deterministic_names=True,
         )
 
     writer = (

@@ -15,8 +15,6 @@ overwrites its own partition instead of double-counting.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -66,9 +64,12 @@ def heavy_hitters_from_store(
 ) -> DataFrame:
     """Combine every stored batch sketch and return keys with
     count >= min_events — same output contract as stats_ops'
-    events_heavy_hitters, without touching the raw events."""
-    if not os.path.exists(sketch_path):
-        raise FileNotFoundError(sketch_path)
+    events_heavy_hitters, without touching the raw events.
+
+    No driver-local existence pre-check: the store path may live on any
+    Hadoop-visible filesystem (s3://, hdfs://, ...), where ``os.path``
+    would wrongly report absence. A missing store surfaces as Spark's own
+    scheme-aware PATH_NOT_FOUND from the read itself."""
     store = spark.read.parquet(sketch_path)
     merged = store.agg(
         F.expr(

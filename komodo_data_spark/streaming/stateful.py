@@ -172,24 +172,37 @@ def _update_funnel(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Advance one user's funnel (view -> click -> purchase, each step
-    strictly after the previous) with this batch's events. Rows are sorted
-    by (ts_ms, event_id) inside the batch; step times persist across
-    batches. Assumes batches arrive in event-time order per key (file
-    streams replaying history do; heavily late data can only under-count,
-    never over-count, because steps require strictly-later timestamps)."""
+    strictly after the previous) with this batch's events. Step times
+    persist across batches. Assumes batches arrive in event-time order per
+    key (file streams replaying history do; heavily late data can only
+    under-count, never over-count, because steps require strictly-later
+    timestamps).
+
+    Vectorized: within one Arrow chunk the sequential scan's fixed point is
+    closed-form — t1 is the earliest view, t2 the earliest click strictly
+    after t1, t3 the earliest purchase strictly after t2 — three masked
+    ``min``s instead of a per-row Python loop (the chunk needn't even be
+    sorted). Chunk boundaries keep the scan order the row loop had."""
+    import numpy as np
+
     t1, t2, t3 = state.get if state.exists else (None, None, None)
     for pdf in pdfs:
-        for _, row in pdf.sort_values(["ts_ms", "event_id"]).iterrows():
-            et, ts = row["event_type"], int(row["ts_ms"])
-            if et == FUNNEL_STEPS[0]:
-                if t1 is None:
-                    t1 = ts
-            elif et == FUNNEL_STEPS[1]:
-                if t2 is None and t1 is not None and ts > t1:
-                    t2 = ts
-            elif et == FUNNEL_STEPS[2]:
-                if t3 is None and t2 is not None and ts > t2:
-                    t3 = ts
+        if not len(pdf):
+            continue
+        et = pdf["event_type"].to_numpy()
+        ts = pdf["ts_ms"].to_numpy(dtype=np.int64)
+        if t1 is None:
+            views = ts[et == FUNNEL_STEPS[0]]
+            if views.size:
+                t1 = int(views.min())
+        if t1 is not None and t2 is None:
+            clicks = ts[(et == FUNNEL_STEPS[1]) & (ts > t1)]
+            if clicks.size:
+                t2 = int(clicks.min())
+        if t2 is not None and t3 is None:
+            buys = ts[(et == FUNNEL_STEPS[2]) & (ts > t2)]
+            if buys.size:
+                t3 = int(buys.min())
     state.update((t1, t2, t3))
     reached = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
     yield pd.DataFrame({"user_id": [key[0]], "step_reached": [reached]})

@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Events parquet reads with ts as raw nanos (legacy.parquet.nanosAsLong).
+#: Canonical (normalized) events stream schema: ts as epoch-nanos long, the
+#: form the engine itself writes (sources.tables.normalize_events output).
 EVENTS_STREAM_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
@@ -34,17 +35,20 @@ WATERMARK = "2 hours"
 
 def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over an events parquet directory, with the same
-    derived ``ts_ms``/``ts_ts`` columns as sources.tables.load_events."""
-    return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    derived ``ts``/``ts_ms``/``ts_ts`` columns as sources.tables.load_events.
+
+    Streams must declare their schema up front, but the driver testdata has
+    shipped ``ts`` under two physical types (nanos-long and timestamp[us]);
+    a one-time batch footer peek picks up whichever is on disk, then
+    normalize_events canonicalizes — driver-side metadata only, no data scan.
+    """
+    from komodo_data_spark.sources.tables import normalize_events
+
+    schema = spark.read.parquet(events_dir).schema
+    return normalize_events(
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 16)
         .parquet(events_dir)
-        .withColumns(
-            {
-                "ts_ms": F.expr("ts div 1000000"),
-                "ts_ts": F.timestamp_micros(F.expr("ts div 1000")),
-            }
-        )
     )
 
 

@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
+EXPECTED_REGISTRY_COUNT = 131
+
 
 def canon(df: pd.DataFrame) -> list[tuple]:
     df = df[sorted(df.columns)]
@@ -43,6 +45,11 @@ def main() -> int:
     import __spark_entry__ as e
 
     qs, oracles = e.queries(), e.oracle_sql()
+    # Backstop against a pack silently vanishing from the registry: the gate
+    # must fail loudly if the query count ever shrinks.
+    assert len(qs) >= EXPECTED_REGISTRY_COUNT, (
+        f"registry shrank: {len(qs)} < {EXPECTED_REGISTRY_COUNT}"
+    )
 
     con = duckdb.connect()
     for t in [
