@@ -249,6 +249,120 @@ def test_streaming_ingest_survives_corrupt_file(spark, tmp_path):
     assert loaded.filter("capture_id = '126_111'").count() == 2
 
 
+def test_reference_e2e_lifecycle(spark, tmp_path, captures_dir, data_pdf):
+    """The reference's full main-loop lifecycle (process.py:450-473) in one
+    pass: seed `captures` -> streaming ingest of ready capture files ->
+    mark processed (epoch stamp) -> seed `data_requests` -> streaming
+    dispatch -> CSV exports on disk -> request fulfillment recorded in the
+    control table. Asserts every lifecycle behavior end-to-end: only ready
+    captures ingest, processed stamps land, valid requests export non-empty
+    CSVs, the JSON-null request is rejected untouched, and re-running with
+    the same checkpoints is a no-op (the streaming analogue of the
+    `processed`/`is_it_fulfilled` flags)."""
+    import json as _json
+
+    from komodo_data_spark.schemas import CAPTURES_SCHEMA, DATA_REQUESTS_SCHEMA
+    from komodo_data_spark.streaming.dispatch import start_request_stream
+
+    # -- 1. seed the captures control table (one in-flight: end IS NULL) --
+    caps_path = str(tmp_path / "captures_ctl")
+    caps = spark.createDataFrame(
+        pd.DataFrame(make_captures()), schema=CAPTURES_SCHEMA
+    )
+    control.init_table(caps, caps_path)
+
+    # -- 2. streaming ingest drains the capture directory --
+    data_path = str(tmp_path / "data_tbl")
+    q = start_capture_stream(
+        spark,
+        os.path.join(captures_dir, "*", "*", "data"),
+        data_path,
+        str(tmp_path / "ckpt_ingest"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    data = spark.read.parquet(data_path)
+    assert data.count() == len(data_pdf)
+    ingested = {r["capture_id"] for r in data.select("capture_id").distinct().collect()}
+    # the in-flight capture (999_...) has no file on disk and never ingests
+    assert ingested == set(data_pdf["capture_id"].unique())
+
+    # -- 3. mark ingested captures processed (epoch stamp; process.py:255) --
+    control.mark_processed(
+        spark, caps_path, [(cid, True, 1_700_000_000) for cid in sorted(ingested)]
+    )
+    cur = {
+        r["capture_id"]: r["processed"]
+        for r in control.current_view(spark, caps_path, "capture_id").collect()
+    }
+    assert all(cur[cid] == 1_700_000_000 for cid in ingested)
+    assert cur["999_1700000000000"] is None  # in-flight stays unprocessed
+
+    # -- 4. seed the data_requests queue (control table + request files) --
+    reqs_path = str(tmp_path / "requests_ctl")
+    req_rows = [
+        dict(
+            request_id=rid, processed_capture_id="126_1630443513898",
+            who_requested=2, aggregation_function=fn, is_it_fulfilled=ful,
+            url=None, message=msg, file_location=None,
+        )
+        for rid, fn, ful, msg in REQUESTS
+    ]
+    control.init_table(
+        spark.createDataFrame(req_rows, schema=DATA_REQUESTS_SCHEMA), reqs_path
+    )
+    req_dir = tmp_path / "req_files"
+    req_dir.mkdir()
+    (req_dir / "reqs.json").write_text(
+        "\n".join(_json.dumps(r) for r in req_rows) + "\n"
+    )
+
+    # -- 5. streaming dispatch over the ingested data table --
+    out_dir = str(tmp_path / "exports")
+    q2 = start_request_stream(
+        spark,
+        str(req_dir / "*.json"),
+        data,
+        out_dir,
+        str(tmp_path / "ckpt_dispatch"),
+        on_fulfilled=lambda rid, path: control.update_data_request(
+            spark, reqs_path, rid, 1, path
+        ),
+    )
+    q2.awaitTermination()
+
+    # -- 6. CSVs on disk, fulfillment recorded, invalid request untouched --
+    fulfilled = {
+        r["request_id"]: (r["is_it_fulfilled"], r["file_location"])
+        for r in control.current_view(spark, reqs_path, "request_id").collect()
+    }
+    for rid in (1, 2, 6):  # the three valid requests
+        flag, path = fulfilled[rid]
+        assert flag == 1
+        assert path is not None and os.path.isfile(path)
+        assert len(pd.read_csv(path)) > 0
+    assert fulfilled[3] == (0, None)  # JSON-null sessionId -> rejected
+    assert fulfilled[4] == (0, None)  # unknown function -> ignored
+    assert fulfilled[5][0] == 1       # pre-fulfilled -> never re-dispatched
+    assert fulfilled[5][1] is None    # ...so no export path was recorded
+
+    # -- 7. the loop is restart-safe: same checkpoints re-dispatch nothing --
+    seen: list[int] = []
+    q3 = start_capture_stream(
+        spark, os.path.join(captures_dir, "*", "*", "data"), data_path,
+        str(tmp_path / "ckpt_ingest"), available_now=True,
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(data_path).count() == len(data_pdf)
+    q4 = start_request_stream(
+        spark, str(req_dir / "*.json"), data, out_dir,
+        str(tmp_path / "ckpt_dispatch"),
+        on_fulfilled=lambda rid, path: seen.append(rid),
+    )
+    q4.awaitTermination()
+    assert seen == []
+
+
 def test_streaming_request_dispatch(spark, data_df, tmp_path):
     """Requests arriving as files are served exactly once through the batch
     dispatcher inside foreachBatch; outputs match the batch dispatcher's."""
