@@ -31,6 +31,9 @@ WARMUP_QUERIES = (
     "dedup_ngram_pairs_capped",
     "dedup_clusters",
     "corpus_prepare",
+    # scalar-subquery + sequence-explode + decimal agg: ~3s of one-time
+    # codegen vs ~1s steady state (measured 4.3 / 1.2 / 1.0 s at sf0.1)
+    "lineitem_price_tiers_bucketed",
 )
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
