@@ -22,7 +22,7 @@ computations are pure Catalyst expressions — no UDFs, fully codegen'd.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from komodo_data_spark.plans import exploded
@@ -683,6 +683,121 @@ def dedup_embedding_pairs_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# 5b. cross-document duplicated substring spans (ExactSubstr-style)
+# --------------------------------------------------------------------------
+
+#: Tokens per positional gram. A span is reported when >= SPAN_GRAM
+#: consecutive tokens also occur (as the same gram) in another document —
+#: the span-level dedup signal from "Deduplicating Training Data Makes
+#: Language Models Better" (Lee et al., 2022), re-expressed relationally.
+SPAN_GRAM = 5
+
+
+def _positional_grams(toks, n: int):
+    """Ordered (non-distinct) n-token grams — one per start position. Same
+    zip-and-shift construction as :func:`text_features.shingles` minus the
+    array_distinct, because HERE position identity matters."""
+    m = F.size(toks) - (n - 1)
+    zipped = F.slice(toks, 1, m)
+    for k in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(toks, 1 + k, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(F.size(toks) >= n, zipped).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal per-document spans of tokens duplicated VERBATIM in some
+    other document: every SPAN_GRAM-token window shared across >= 2 docs is
+    a hit; overlapping/adjacent hit windows merge into one reported span
+    (gaps-and-islands on the start positions).
+
+    Unlike the pair-level dedup families above, the output is *positional*
+    — (doc_id, span_start, span_end) token offsets a cleaning pass can cut,
+    not just which docs match. The suffix-array of the original ExactSubstr
+    is replaced by the relational equivalent: positional gram explode →
+    duplicated-gram semi-join → per-doc interval merge.
+
+    100 TB: two shuffles (gram-key aggregate; per-doc window). Gram
+    cardinality ~ corpus token count — the aggregate is the big one, but it
+    is map-side combinable and the key space is uniform (grams are near-
+    unique by construction; duplicated grams ARE the signal, and a gram hot
+    enough to skew a partition is boilerplate that dedup WANTS to find).
+    The per-doc window shuffles only hit positions (ints), not text.
+    """
+    d = _spread(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", _positional_grams(tokens(), SPAN_GRAM).alias("grams")
+    )
+    g = (
+        d.select("doc_id", F.posexplode_outer("grams").alias("p0", "gram"))
+        .filter(F.col("gram").isNotNull())
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # new island when this window starts past the previous window's end+1
+    # (pos > lag + SPAN_GRAM); first row: null comparison -> otherwise(0)
+    isl = hits.withColumn(
+        "brk",
+        F.when(
+            F.col("pos") > F.lag("pos").over(w) + SPAN_GRAM, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("brk").over(w))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + SPAN_GRAM - 1).alias("span_end"),
+            (F.max("pos") + SPAN_GRAM - F.min("pos")).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .drop("island")
+    )
+
+
+def dedup_substring_spans_oracle() -> str:
+    t = sql_tokens()
+    k = SPAN_GRAM
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, {t} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest([{{'pos': i, 'gram': array_to_string(toks[i:i+{k - 1}], ' ')}}
+                     for i in range(1, greatest(len(toks) - {k - 1}, 0) + 1)],
+                    recursive := true)
+      FROM toked
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             + {k}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id, min(pos) AS span_start, max(pos) + {k - 1} AS span_end,
+           max(pos) + {k} - min(pos) AS span_tokens,
+           count(*) AS n_dup_grams
+    FROM grp GROUP BY doc_id, island
+    """
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
@@ -703,6 +818,10 @@ def registry():
             dedup_embedding_lsh_oracle(),
         ),
         "dedup_fuzzy_prefix": (dedup_fuzzy_prefix, dedup_fuzzy_prefix_oracle()),
+        "dedup_substring_spans": (
+            dedup_substring_spans,
+            dedup_substring_spans_oracle(),
+        ),
     }
 
 

@@ -174,6 +174,89 @@ def docs_weighted_sample_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# token-budget corpus mixing (per-source caps)
+# --------------------------------------------------------------------------
+
+#: Per-source token budgets for the mixing pass; sources not listed get the
+#: default. Real pipelines derive these from target mixture weights × total
+#: token budget (e.g. up-weight curated sources, cap crawl dumps).
+MIX_TOKEN_BUDGETS = {"src0": 3000, "src1": 750, "src2": 0}
+MIX_DEFAULT_BUDGET = 1500
+
+
+def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source token-budget selection — the "mix sources to
+    target proportions" step of a training-data build. Docs are ordered
+    inside each source by content-independent hash (stable under
+    repartition, retries, and appends — the same property as
+    sample_hash_split); a running token cumsum admits each doc iff the
+    budget was not yet exhausted BEFORE it (greedy prefix, so one doc may
+    overshoot but selection never depends on physical row order). Output is
+    the per-source audit: docs/tokens admitted vs budget.
+
+    100 TB: one shuffle (hash-partition by source) + per-source window
+    cumsum. A mega-source makes that window single-reducer; the scale
+    escape is two-stage: approx-quantile the per-source hash at the token
+    budget (one pass, mergeable sketch) and broadcast the cutoff hash back
+    as a map-side filter — same admitted set whenever the cut lands between
+    docs. The window form is the exact reference semantics.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    budget = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(b))
+            for s, b in sorted(MIX_TOKEN_BUDGETS.items())
+        ],
+        F.lit(MIX_DEFAULT_BUDGET),
+    )
+    d = d.select(
+        "doc_id",
+        "source",
+        budget.alias("budget_tokens"),
+        F.size(tokens()).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("cum_tok", F.sum("n_tok").over(w))
+    kept = d.filter(F.col("cum_tok") - F.col("n_tok") < F.col("budget_tokens"))
+    return kept.groupBy("source", "budget_tokens").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tok").alias("n_tokens_kept"),
+    )
+
+
+def docs_token_budget_mix_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(MIX_TOKEN_BUDGETS.items())
+    )
+    t = sql_tokens()
+    return f"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CASE source {cases} ELSE {MIX_DEFAULT_BUDGET} END AS budget_tokens,
+             len({t}) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), running AS (
+      SELECT *,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum_tok
+      FROM sized
+    )
+    SELECT source, budget_tokens, count(*) AS n_docs_kept,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept
+    FROM running
+    WHERE cum_tok - n_tok < budget_tokens
+    GROUP BY source, budget_tokens
+    """
+
+
+# --------------------------------------------------------------------------
 # overlapping document chunking
 # --------------------------------------------------------------------------
 
@@ -418,6 +501,10 @@ def registry():
         "docs_weighted_sample": (
             docs_weighted_sample,
             docs_weighted_sample_oracle(),
+        ),
+        "docs_token_budget_mix": (
+            docs_token_budget_mix,
+            docs_token_budget_mix_oracle(),
         ),
         "doc_chunks": (doc_chunks, doc_chunks_oracle()),
         "term_redaction": (term_redaction, term_redaction_oracle()),

@@ -220,3 +220,62 @@ def test_profile_orders_counts_real_nulls(spark, tmp_path):
     assert p["o_orderdate"]["min_txt"] == "1994-02-02"
     assert p["o_orderdate"]["max_txt"] == "1996-06-01"
     assert p["o_orderpriority"]["n_distinct"] == 2
+
+
+def test_token_budget_mix_prefix_and_zero_budget(spark):
+    """Budget-0 sources admit nothing; every admitted doc's PRE-doc cumsum
+    is under its source's budget (greedy prefix may overshoot by at most
+    one doc); selection is rerun-deterministic."""
+    out = {
+        r["source"]: (r["n_docs_kept"], r["n_tokens_kept"], r["budget_tokens"])
+        for r in P.docs_token_budget_mix(spark, SF).collect()
+    }
+    assert "src2" not in out  # MIX_TOKEN_BUDGETS["src2"] == 0
+    for src, (n_docs, n_tok, budget) in out.items():
+        assert n_docs >= 1
+        # greedy prefix: only the LAST admitted doc may cross the budget,
+        # so tokens-kept minus that one doc must be under budget
+        assert n_tok - budget < budget or n_docs == 1
+    again = {
+        r["source"]: (r["n_docs_kept"], r["n_tokens_kept"], r["budget_tokens"])
+        for r in P.docs_token_budget_mix(spark, SF).collect()
+    }
+    assert out == again
+
+
+def test_substring_spans_merge_adjacent_windows(spark, tmp_path):
+    """Two docs sharing an 8-token run -> ONE maximal span per doc covering
+    all 8 tokens (4 overlapping 5-grams merged), not 4 separate spans; a
+    doc with no cross-doc 5-gram yields no row."""
+    import pandas as pd
+
+    from komodo_data_spark.operators import dedup as D
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"one two {shared} three four",
+                f"{shared} nine ten eleven twelve",
+                "totally different words with no overlap at all here",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    sf = str(tmp_path / "spans_sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    pdf.to_parquet(os.path.join(sf, "documents.parquet"))
+    rows = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"], r["n_dup_grams"])
+        for r in D.dedup_substring_spans(spark, sf).collect()
+    }
+    # doc 1: shared run occupies token positions 3..10 (1-based)
+    assert rows[1] == (3, 10, 8, 4)
+    # doc 2: same run at positions 1..8
+    assert rows[2] == (1, 8, 8, 4)
+    assert 3 not in rows
