@@ -26,6 +26,9 @@ ENGINE_CONFS: dict[str, str] = {
     # vectorized parquet reader rejects; read it as raw nanos longs instead
     # (we do all event-time math on epoch integers anyway, like the reference).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python DataSource filter pushdown (sources/capture_datasource.py):
+    # lets a Python connector's pushFilters() prune partitions driver-side.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -1,0 +1,159 @@
+"""`capturefs` — a Spark 4 Python DataSource for the reference's capture-file
+layout (``{CAPTURES_DIR}/{session}/{capture}/data``; /root/reference/
+process.py:16,460-462), exposing the whole directory tree as ONE logical
+table without a staging ingest.
+
+Why a custom connector (vs ``spark.read.json(glob)``): the capture layout
+encodes two partition columns in the PATH (session, capture epoch) that a
+plain JSON scan cannot prune by. This source maps each capture file to one
+input partition and implements ``pushFilters`` so ``session_id = :x`` /
+``capture_id = :y`` equality and IN filters prune partitions BEFORE any file
+is opened — the Python-DataSource analogue of Hive-style partition pruning,
+and exactly the filter shape every reference analytic issues
+(process.py:83,149,207).
+
+Scale design (100 TB): partition = capture file, the natural unit of work
+(files are written once per session recording and are typically MBs; a
+pathological multi-GB capture would be split by byte range in `partitions`).
+``read`` yields ONE Arrow RecordBatch per file — the vectorized path, no
+per-row Python objects; schema is fixed (CAPTURE_FILE_SCHEMA), so there is
+no inference scan. Directory listing happens driver-side once per query; at
+millions of captures, swap `glob` for a manifest table (the `captures`
+control table already holds exactly that listing).
+
+Corrupt files follow the STREAMING dead-letter contract (skip, keep going;
+streaming/ingest.py) rather than batch FAILFAST, because a multi-capture
+scan is an availability surface: one bad capture must not kill a 100 TB
+query. Per-capture FAILFAST ingest remains in sources/capture.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterable, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+#: Arrow schema mirroring CAPTURE_FILE_SCHEMA (komodo_data_spark.schemas).
+_COLUMNS = ("capture_id", "session_id", "client_id", "type", "ts", "seq", "message")
+
+
+@dataclass
+class CaptureFilePartition(InputPartition):
+    capture_id: str
+    path: str
+
+
+class CaptureFsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("capturefs requires .option('path', <captures dir>)")
+        # capture_id values admitted by pushed filters; None = all
+        self._keep_captures: set[str] | None = None
+        self._keep_sessions: set[str] | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        """Accept equality/IN filters on the path-derived columns; everything
+        else is returned for Spark to evaluate post-scan. Accepted filters
+        shrink the partition list — files outside never open."""
+        remaining: list[Filter] = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("session_id",):
+                self._keep_sessions = {str(f.value)}
+            elif isinstance(f, EqualTo) and f.attribute == ("capture_id",):
+                self._keep_captures = {str(f.value)}
+            elif isinstance(f, In) and f.attribute == ("session_id",):
+                self._keep_sessions = {str(v) for v in f.values}
+            elif isinstance(f, In) and f.attribute == ("capture_id",):
+                self._keep_captures = {str(v) for v in f.values}
+            else:
+                remaining.append(f)
+        return remaining
+
+    def partitions(self) -> Sequence[CaptureFilePartition]:
+        parts = []
+        for path in sorted(glob.glob(os.path.join(self.root, "*", "*", "data"))):
+            capture_dir, _ = os.path.split(path)
+            session_dir, capture = os.path.split(capture_dir)
+            _, session = os.path.split(session_dir)
+            if self._keep_sessions is not None and session not in self._keep_sessions:
+                continue
+            cid = f"{session}_{capture}"
+            if self._keep_captures is not None and cid not in self._keep_captures:
+                continue
+            parts.append(CaptureFilePartition(capture_id=cid, path=path))
+        return parts
+
+    def read(self, partition: CaptureFilePartition):
+        """One Arrow RecordBatch per capture file (vectorized transfer).
+        Structural format detection as sources.capture.read_capture_file:
+        leading '[' = records array, else JSON-lines. Corrupt files yield
+        nothing (dead-letter semantics; see module docstring)."""
+        import pyarrow as pa
+
+        try:
+            with open(partition.path, "rb") as fh:
+                raw = fh.read()
+            head = raw.lstrip()
+            if head.startswith(b"["):
+                records = json.loads(raw)
+            else:
+                records = [
+                    json.loads(line)
+                    for line in raw.splitlines()
+                    if line.strip()
+                ]
+        except (OSError, ValueError):
+            return
+        if not records:
+            return
+        arrow_schema = pa.schema(
+            [
+                ("capture_id", pa.string()),
+                ("session_id", pa.int32()),
+                ("client_id", pa.int32()),
+                ("type", pa.string()),
+                ("ts", pa.int64()),
+                ("seq", pa.int64()),
+                ("message", pa.string()),
+            ]
+        )
+        cols = {c: [r.get(c) for r in records] for c in _COLUMNS}
+        # message may arrive as a JSON object (records-array files) — keep
+        # the raw-text contract of the `data` table
+        cols["message"] = [
+            m if isinstance(m, (str, type(None))) else json.dumps(m)
+            for m in cols["message"]
+        ]
+        yield pa.RecordBatch.from_pydict(cols, schema=arrow_schema)
+
+
+class CaptureDataSource(DataSource):
+    """Register with ``spark.dataSource.register(CaptureDataSource)`` and
+    read via ``spark.read.format("capturefs").option("path", root).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "capturefs"
+
+    def schema(self) -> str:
+        return (
+            "capture_id string, session_id int, client_id int, type string, "
+            "ts long, seq long, message string"
+        )
+
+    def reader(self, schema: StructType) -> CaptureFsReader:
+        return CaptureFsReader(schema, self.options)

@@ -223,3 +223,33 @@ def user_funnel_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# state-store inspection (Spark 4 `statestore` reader)
+# --------------------------------------------------------------------------
+
+
+def running_totals_state(spark, checkpoint_path: str) -> DataFrame:
+    """Read :func:`user_running_totals`'s live per-user state DIRECTLY from
+    its streaming checkpoint via Spark 4's ``statestore`` batch reader —
+    no replay, no stream restart, no memory-sink scrape.
+
+    This is the ops surface a 100 TB stateful pipeline needs: the state
+    store (RocksDB/HDFS-backed at scale) is itself a queryable table, so
+    state audits ("is per-user state drifting from the batch recompute?"),
+    state-size profiling per partition, and incident debugging are plain
+    batch queries over the checkpoint — the stream keeps running. Reads the
+    latest committed batch by default; pass ``.option("batchId", n)`` via
+    the raw reader for time travel over retained checkpoints.
+    """
+    from pyspark.sql import functions as F
+
+    st = spark.read.format("statestore").load(checkpoint_path)
+    # key/value struct layout mirrors the groupBy key + STATE_SCHEMA tuple
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.groupState.n").alias("n_events"),
+        F.col("value.groupState.s").alias("sum_value"),
+        F.col("value.groupState.m").alias("max_ts_ms"),
+    )

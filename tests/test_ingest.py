@@ -401,3 +401,53 @@ def test_streaming_request_dispatch(spark, data_df, tmp_path):
     )
     q2.awaitTermination()
     assert sorted(fulfilled) == [1, 2, 6]
+
+
+def test_capturefs_datasource_matches_batch_ingest(spark, tmp_path, captures_dir, data_pdf):
+    """The Python DataSource reads the capture tree as one table, equal to
+    the batch-ingested rows; session_id equality prunes partitions before
+    any file opens; corrupt files dead-letter (skip) instead of failing."""
+    from komodo_data_spark.sources.capture_datasource import (
+        CaptureDataSource,
+        CaptureFsReader,
+    )
+
+    spark.dataSource.register(CaptureDataSource)
+    df = spark.read.format("capturefs").option("path", captures_dir).load()
+    assert df.count() == len(data_pdf)
+    # full row-level equality vs the fixture frame
+    got = df.orderBy("capture_id", "seq").toPandas()
+    exp = data_pdf.sort_values(["capture_id", "seq"]).reset_index(drop=True)
+    assert list(got["capture_id"]) == list(exp["capture_id"])
+    assert list(got["seq"]) == list(exp["seq"])
+    assert list(got["ts"]) == list(exp["ts"])
+
+    # filter correctness through the scan
+    s126 = df.filter(F.col("session_id") == 126).count()
+    assert s126 == int((data_pdf["session_id"] == 126).sum())
+
+    # pushFilters prunes the partition list driver-side
+    from pyspark.sql.datasource import EqualTo
+
+    r = CaptureFsReader(None, {"path": captures_dir})
+    rest = list(r.pushFilters([EqualTo(("session_id",), 126)]))
+    assert rest == []  # fully absorbed
+    parts = r.partitions()
+    assert len(parts) >= 1
+    assert all(p.capture_id.startswith("126_") for p in parts)
+    r_all = CaptureFsReader(None, {"path": captures_dir})
+    assert len(r_all.partitions()) > len(parts) or len(parts) == len(
+        r_all.partitions()
+    ) == 1
+
+    # corrupt file -> dead-letter skip, good files still read
+    bad_dir = tmp_path / "cap_ds" / "999" / "777"
+    bad_dir.mkdir(parents=True)
+    (bad_dir / "data").write_bytes(b"\x00\xff{{{nope")
+    import shutil
+
+    shutil.copytree(
+        os.path.join(captures_dir, "126"), str(tmp_path / "cap_ds" / "126")
+    )
+    df2 = spark.read.format("capturefs").option("path", str(tmp_path / "cap_ds")).load()
+    assert df2.count() == int((data_pdf["session_id"] == 126).sum())

@@ -439,3 +439,45 @@ def test_streaming_sketch_store_matches_batch_heavy_hitters(
     pd.testing.assert_frame_equal(
         _sorted_pdf(got, keys), _sorted_pdf(exp, keys), check_dtype=False
     )
+
+
+def test_statestore_reader_matches_batch_state(spark, sf_dir, events_dir, tmp_path):
+    """Spark 4 statestore reader: the checkpoint's per-user state (read as a
+    batch table, no replay) equals the batch aggregate after the stream
+    drains — the state-audit loop a production stateful pipeline runs."""
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.streaming.stateful import (
+        running_totals_state,
+        user_running_totals,
+    )
+
+    ck = str(tmp_path / "ckpt_ssr")
+    q = (
+        user_running_totals(W.events_stream(spark, events_dir))
+        .writeStream.format("memory")
+        .queryName("ssr_sink")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = running_totals_state(spark, ck).toPandas()
+    exp = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts_ms").alias("max_ts_ms"),
+        )
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("user_id").reset_index(drop=True)[exp.columns],
+        exp.sort_values("user_id").reset_index(drop=True),
+        check_dtype=False,
+        rtol=1e-9,
+    )
