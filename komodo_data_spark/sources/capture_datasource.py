@@ -38,6 +38,7 @@ from typing import Iterable, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
@@ -53,6 +54,49 @@ _COLUMNS = ("capture_id", "session_id", "client_id", "type", "ts", "seq", "messa
 class CaptureFilePartition(InputPartition):
     capture_id: str
     path: str
+
+
+def _read_capture_arrow(path: str):
+    """Parse one capture file into Arrow RecordBatches (vectorized path —
+    no per-row Python objects cross to the JVM). Structural format
+    detection as sources.capture.read_capture_file: leading '[' = records
+    array, else JSON-lines. Corrupt files yield nothing (dead-letter
+    semantics; see module docstring)."""
+    import pyarrow as pa
+
+    try:
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        head = raw.lstrip()
+        if head.startswith(b"["):
+            records = json.loads(raw)
+        else:
+            records = [
+                json.loads(line) for line in raw.splitlines() if line.strip()
+            ]
+    except (OSError, ValueError):
+        return
+    if not records:
+        return
+    arrow_schema = pa.schema(
+        [
+            ("capture_id", pa.string()),
+            ("session_id", pa.int32()),
+            ("client_id", pa.int32()),
+            ("type", pa.string()),
+            ("ts", pa.int64()),
+            ("seq", pa.int64()),
+            ("message", pa.string()),
+        ]
+    )
+    cols = {c: [r.get(c) for r in records] for c in _COLUMNS}
+    # message may arrive as a JSON object (records-array files) — keep
+    # the raw-text contract of the `data` table
+    cols["message"] = [
+        m if isinstance(m, (str, type(None))) else json.dumps(m)
+        for m in cols["message"]
+    ]
+    yield pa.RecordBatch.from_pydict(cols, schema=arrow_schema)
 
 
 class CaptureFsReader(DataSourceReader):
@@ -98,52 +142,64 @@ class CaptureFsReader(DataSourceReader):
         return parts
 
     def read(self, partition: CaptureFilePartition):
-        """One Arrow RecordBatch per capture file (vectorized transfer).
-        Structural format detection as sources.capture.read_capture_file:
-        leading '[' = records array, else JSON-lines. Corrupt files yield
-        nothing (dead-letter semantics; see module docstring)."""
-        import pyarrow as pa
+        """One Arrow RecordBatch per capture file (vectorized transfer)."""
+        yield from _read_capture_arrow(partition.path)
 
-        try:
-            with open(partition.path, "rb") as fh:
-                raw = fh.read()
-            head = raw.lstrip()
-            if head.startswith(b"["):
-                records = json.loads(raw)
-            else:
-                records = [
-                    json.loads(line)
-                    for line in raw.splitlines()
-                    if line.strip()
-                ]
-        except (OSError, ValueError):
-            return
-        if not records:
-            return
-        arrow_schema = pa.schema(
-            [
-                ("capture_id", pa.string()),
-                ("session_id", pa.int32()),
-                ("client_id", pa.int32()),
-                ("type", pa.string()),
-                ("ts", pa.int64()),
-                ("seq", pa.int64()),
-                ("message", pa.string()),
-            ]
-        )
-        cols = {c: [r.get(c) for r in records] for c in _COLUMNS}
-        # message may arrive as a JSON object (records-array files) — keep
-        # the raw-text contract of the `data` table
-        cols["message"] = [
-            m if isinstance(m, (str, type(None))) else json.dumps(m)
-            for m in cols["message"]
-        ]
-        yield pa.RecordBatch.from_pydict(cols, schema=arrow_schema)
+
+class CaptureFsStreamReader(DataSourceStreamReader):
+    """Streaming form: the reference's 10-second capture poll
+    (process.py:455-469) as a CUSTOM exactly-once source. The offset is the
+    set of capture files already committed; each micro-batch's partitions
+    are the newly appeared files, read executor-side as Arrow batches (same
+    code path as the batch reader).
+
+    Offset growth is bounded by capture count (control-plane scale: one
+    file per recorded session); at millions of captures, replace the
+    file-set offset with a (mtime-watermark, lexicographic tiebreak) pair
+    or drive discovery from the `captures` control table, which already is
+    the manifest. Spark checkpoints the offset JSON — restart resumes
+    without re-reading committed files (the `processed` flag, for free).
+    """
+
+    def __init__(self, schema: StructType, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("capturefs requires .option('path', <captures dir>)")
+
+    def _listing(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.root, "*", "*", "data")))
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": self._listing()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[CaptureFilePartition]:
+        new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        parts = []
+        for path in new:
+            capture_dir, _ = os.path.split(path)
+            session_dir, cap = os.path.split(capture_dir)
+            session = os.path.basename(session_dir)
+            parts.append(
+                CaptureFilePartition(capture_id=f"{session}_{cap}", path=path)
+            )
+        return parts
+
+    def read(self, partition: CaptureFilePartition):
+        yield from _read_capture_arrow(partition.path)
+
+    def commit(self, end: dict) -> None:
+        # Progress lives entirely in Spark's offset checkpoint; nothing to
+        # clean up source-side (capture files are immutable once written).
+        pass
 
 
 class CaptureDataSource(DataSource):
-    """Register with ``spark.dataSource.register(CaptureDataSource)`` and
-    read via ``spark.read.format("capturefs").option("path", root).load()``."""
+    """Register with ``spark.dataSource.register(CaptureDataSource)``; read
+    via ``spark.read.format("capturefs").option("path", root).load()`` or
+    ``spark.readStream.format("capturefs")...`` for the polling form."""
 
     @classmethod
     def name(cls) -> str:
@@ -157,3 +213,6 @@ class CaptureDataSource(DataSource):
 
     def reader(self, schema: StructType) -> CaptureFsReader:
         return CaptureFsReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> CaptureFsStreamReader:
+        return CaptureFsStreamReader(schema, self.options)

@@ -451,3 +451,59 @@ def test_capturefs_datasource_matches_batch_ingest(spark, tmp_path, captures_dir
     )
     df2 = spark.read.format("capturefs").option("path", str(tmp_path / "cap_ds")).load()
     assert df2.count() == int((data_pdf["session_id"] == 126).sum())
+
+
+def test_capturefs_stream_source_incremental(spark, tmp_path, captures_dir, data_pdf):
+    """The custom streaming source drains existing captures, then a second
+    run with the same checkpoint picks up ONLY a newly arrived capture —
+    exactly-once per file via Spark's offset checkpoint (the reference's
+    `processed` flag, for free)."""
+    import shutil
+
+    from komodo_data_spark.sources.capture_datasource import CaptureDataSource
+
+    spark.dataSource.register(CaptureDataSource)
+    root = tmp_path / "caps_stream"
+    shutil.copytree(captures_dir, str(root))
+    out = str(tmp_path / "cap_stream_out")
+    ck = str(tmp_path / "cap_stream_ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("capturefs")
+            .option("path", str(root))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == len(data_pdf)
+
+    # a new capture arrives between polls
+    new_dir = root / "777" / "1700000009999"
+    new_dir.mkdir(parents=True)
+    (new_dir / "data").write_text(
+        json.dumps(
+            [
+                {
+                    "capture_id": "777_1700000009999",
+                    "session_id": 777,
+                    "client_id": 1,
+                    "type": "sync",
+                    "ts": 1,
+                    "seq": i,
+                    "message": "{}",
+                }
+                for i in range(3)
+            ]
+        )
+    )
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == len(data_pdf) + 3  # old files NOT re-read
+    assert got.filter(F.col("capture_id") == "777_1700000009999").count() == 3
