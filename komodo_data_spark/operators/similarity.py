@@ -198,6 +198,7 @@ def registry():
         "knn_ivf_multiprobe": (knn_ivf_multiprobe, knn_ivf_multiprobe_oracle()),
         "knn_lsh_recall": (knn_lsh_recall, knn_lsh_recall_oracle()),
         "kmeans_clusters": (kmeans_clusters, kmeans_clusters_oracle()),
+        "dedup_semantic": (dedup_semantic, dedup_semantic_oracle()),
         "embeddings_vector_stats": (
             embeddings_vector_stats,
             embeddings_vector_stats_oracle(),
@@ -546,6 +547,42 @@ def _sqdist(e_a, e_b):
     )
 
 
+def _kmeans_fit(spark: SparkSession, sf_dir: str):
+    """Shared 2-iteration Lloyd fit (see kmeans_clusters docstring): returns
+    (centroids(cid, ce), final_assignment(vec_id, cid, e))."""
+    v = _vectors(spark, sf_dir).select("vec_id", "e")
+    centroids = v.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+
+    def assign(cents):
+        return (
+            v.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        _sqdist(F.col("e"), F.col("ce")).alias("d"),
+                        F.col("cid").alias("cid"),
+                    )
+                )["cid"].alias("cid"),
+                F.first("e").alias("e"),
+            )
+        )
+
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(centroids)
+        centroids = (
+            assigned.select("cid", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("ce"))
+        )
+    return centroids, assign(centroids)
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means over the embeddings (k=4, 2 fixed Lloyd iterations,
     deterministic init = the first k vectors) — the iterative-numeric
@@ -558,46 +595,8 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: cluster sizes + centroid norm (scalar digest of the centroid,
     engine-portable for the oracle).
     """
-    v = _vectors(spark, sf_dir).select("vec_id", "e")
-    centroids = v.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
-    )
-    for _ in range(KMEANS_ITERS):
-        assigned = (
-            v.crossJoin(F.broadcast(centroids))
-            .groupBy("vec_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        _sqdist(F.col("e"), F.col("ce")).alias("d"),
-                        F.col("cid").alias("cid"),
-                    )
-                )["cid"].alias("cid"),
-                F.first("e").alias("e"),
-            )
-        )
-        centroids = (
-            assigned.select("cid", F.posexplode("e").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cid", F.transform("pm", lambda s: s["m"]).alias("ce"))
-        )
-    sizes = (
-        v.crossJoin(F.broadcast(centroids))
-        .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(
-                    _sqdist(F.col("e"), F.col("ce")).alias("d"),
-                    F.col("cid").alias("cid"),
-                )
-            )["cid"].alias("cid")
-        )
-        .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n_members"))
-    )
+    centroids, assigned = _kmeans_fit(spark, sf_dir)
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return (
         centroids.join(sizes, "cid", "left")
         .select(
@@ -609,7 +608,9 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_clusters_oracle() -> str:
+def _kmeans_cte_prefix() -> str:
+    """DuckDB CTE chain fitting the same 2-iteration Lloyd unroll: exposes
+    ``c2`` (final centroids) and ``af`` (final assignment: vec_id, e, cid)."""
     sqd = (
         "list_sum(list_transform(range(1, len(v.e)+1),"
         " i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])))"
@@ -639,12 +640,88 @@ def kmeans_clusters_oracle() -> str:
     c1 AS ({update("a1")}),
     a2 AS ({assign("v", "c1")}),
     c2 AS ({update("a2")}),
-    af AS ({assign("v", "c2")}),
+    af AS ({assign("v", "c2")})"""
+
+
+def kmeans_clusters_oracle() -> str:
+    return f"""
+    {_kmeans_cte_prefix()},
     sizes AS (SELECT cid, count(*) AS n_members FROM af GROUP BY cid)
     SELECT c.cid, coalesce(s.n_members, 0) AS n_members,
            sqrt(list_sum(list_transform(c.ce, x -> x * x))) AS centroid_norm
     FROM c2 c LEFT JOIN sizes s ON s.cid = c.cid
     ORDER BY c.cid
+    """
+
+
+#: Within-cluster cosine above which the higher-id member is pruned.
+SEMDEDUP_COSINE = 0.40
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., 2023, re-expressed
+    Spark-first): cluster the embedding space (k-means), then look for
+    near-duplicates ONLY within each cluster — the cluster id acts as a
+    learned LSH bucket, shrinking the candidate space from O(n²) to
+    Σ(cluster²) — and prune the higher vec_id of any within-cluster pair
+    with cosine ≥ SEMDEDUP_COSINE.
+
+    Plan: the Lloyd fit is broadcast-centroid map-side assignment (shared
+    with kmeans_clusters); per-cluster pairwise similarity is one
+    applyInPandas BLAS matmul per cluster (the dedup_embedding_lsh bucket
+    pattern — executor memory bounds cluster size; sub-cluster by sign-bit
+    LSH inside a mega-cluster if needed). Output: every vector with its
+    cluster and keep/prune verdict.
+    """
+    import numpy as np
+    import pandas as pd
+
+    _, assigned = _kmeans_fit(spark, sf_dir)
+
+    def cluster_pairs(key, pdf):
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_j": np.array([], dtype=np.int64)})
+        mat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(nrm, nrm)
+        hit = (sims >= SEMDEDUP_COSINE) & (ids[:, None] < ids[None, :])
+        return pd.DataFrame({"vec_j": np.unique(ids[np.nonzero(hit)[1]])})
+
+    pruned = (
+        assigned.select("cid", "vec_id", "e")
+        .groupBy("cid")
+        .applyInPandas(cluster_pairs, schema="vec_j long")
+        .select(F.col("vec_j").alias("vec_id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "cid")
+        .join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce("is_pruned", F.lit(False)).alias("is_pruned"),
+        )
+    )
+
+
+def dedup_semantic_oracle() -> str:
+    dot = "list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]))"
+    na = "list_sum(list_transform(a.e, x -> x * x))"
+    nb = "list_sum(list_transform(b.e, x -> x * x))"
+    cos = f"{dot} / (sqrt({na}) * sqrt({nb}))"
+    return f"""
+    {_kmeans_cte_prefix()},
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {cos} >= {SEMDEDUP_COSINE}
+    )
+    SELECT af.vec_id, af.cid,
+           af.vec_id IN (SELECT vec_id FROM pruned) AS is_pruned
+    FROM af
     """
 
 

@@ -431,6 +431,102 @@ def text_repetition_signals_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# model-based quality classifier (fixed-weight logistic scorer)
+# --------------------------------------------------------------------------
+
+#: Logistic-regression weights for the quality gate. In production these
+#: come from a model trained offline (fastText/LR over labeled quality
+#: judgments); here they are fixed constants so the operator is
+#: deterministic and oracle-checkable. The SHAPE is the point: broadcast
+#: weights, map-side featurize + dot + sigmoid, no shuffle until the
+#: decision aggregate.
+QUALITY_LR_WEIGHTS = {
+    "bias": -1.0,
+    "log_n_tokens": 0.55,
+    "type_token_ratio": 1.8,
+    "stopword_ratio": 2.2,
+    "mean_word_len": -0.12,
+}
+QUALITY_LR_KEEP_THRESHOLD = 0.5
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: featurize each document (log token
+    count, type-token ratio, stopword ratio, mean word length), apply a
+    linear model + sigmoid, keep docs with p >= threshold. The whole scorer
+    is ONE codegen'd projection — at 100 TB this runs at scan speed with
+    zero shuffles; only the per-source decision rollup aggregates (tiny).
+    Swapping in real trained weights (or a quantized MLP as a pandas_udf)
+    changes no plan shape."""
+    stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    from komodo_data_spark.operators.dedup import _spread
+
+    d = _spread(spark, _docs(spark, sf_dir)).withColumn("toks", tokens())
+    n_tok = F.size("toks")
+    w = QUALITY_LR_WEIGHTS
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["log_n_tokens"]) * F.log(n_tok + F.lit(1.0))
+        + F.lit(w["type_token_ratio"])
+        * (F.size(F.array_distinct("toks")).cast("double") / n_tok)
+        + F.lit(w["stopword_ratio"])
+        * (
+            F.expr(f"size(filter(toks, t -> t IN ({stop})))").cast("double")
+            / n_tok
+        )
+        + F.lit(w["mean_word_len"])
+        * (
+            F.aggregate(
+                F.transform("toks", F.length),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / n_tok
+        )
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    scored = d.select(
+        "doc_id", "source", p.alias("p_keep"),
+        (p >= QUALITY_LR_KEEP_THRESHOLD).alias("keep"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum("p_keep").alias("sum_p_keep"),
+    )
+
+
+def text_quality_classifier_oracle() -> str:
+    t = sql_tokens()
+    stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    w = QUALITY_LR_WEIGHTS
+    z = (
+        f"{w['bias']} "
+        f"+ {w['log_n_tokens']} * ln(len(toks) + 1.0) "
+        f"+ {w['type_token_ratio']}"
+        f" * (len(list_distinct(toks))::DOUBLE / len(toks)) "
+        f"+ {w['stopword_ratio']}"
+        f" * (len(list_filter(toks, t -> t IN ({stop})))::DOUBLE / len(toks)) "
+        f"+ {w['mean_word_len']}"
+        f" * (list_sum(list_transform(toks, t -> length(t)::DOUBLE))"
+        f" / len(toks))"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, source, {t} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, source,
+             1.0 / (1.0 + exp(-({z}))) AS p_keep
+      FROM d
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN p_keep >= {QUALITY_LR_KEEP_THRESHOLD}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           sum(p_keep) AS sum_p_keep
+    FROM scored GROUP BY source
+    """
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
@@ -440,6 +536,10 @@ def registry():
         ),
         "text_token_stats": (text_token_stats, text_token_stats_oracle()),
         "text_quality_scores": (text_quality_scores, text_quality_scores_oracle()),
+        "text_quality_classifier": (
+            text_quality_classifier,
+            text_quality_classifier_oracle(),
+        ),
         "text_language_id": (text_language_id, text_language_id_oracle()),
         "text_fingerprints": (text_fingerprints, text_fingerprints_oracle()),
         "text_tfidf_top_terms": (
