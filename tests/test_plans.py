@@ -143,3 +143,37 @@ def test_nearest_asof_is_window_not_theta_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_substring_spans_equi_joins_only(spark):
+    """The duplicated-gram candidate restriction must stay an equi-join on
+    the gram key — a cartesian/BNLJ here is the quadratic scale-killer."""
+    plan = plan_of(dedup.dedup_substring_spans(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_block_pairs_has_no_driver_collect_shape(spark):
+    """Block-pair embedding dedup: plan is scan -> explode -> shuffle on
+    (bi, bj) -> cogroup pandas; no broadcast built from a driver collect
+    (the round-2 anti-pattern) and no nested-loop join."""
+    plan = plan_of(dedup.dedup_embedding_pairs(spark, SF))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_broadcasts_centroids(spark):
+    """The Lloyd assignment must broadcast the k centroids (tiny side), and
+    the per-cluster prune is a grouped pandas stage keyed by cluster."""
+    plan = plan_of(similarity.dedup_semantic(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_quality_classifier_single_shuffle(spark):
+    """Scorer is a map-side projection; the only exchanges are the _spread
+    rebalance and the per-source rollup — no join, no window."""
+    plan = plan_of(text_analysis.text_quality_classifier(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
