@@ -59,6 +59,38 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+def postings_of(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Flat (doc_id, g) shingle postings for ANY docs frame (doc_id, text)
+    — the reusable core of _doc_postings, shared with the streaming
+    incremental detector (streaming/dedup_incremental.py)."""
+    d = docs.select("doc_id", shingles(tokens(), n).alias("sh"))
+    return exploded(d, F.col("sh"), "g", "doc_id")
+
+
+def bands_of(posts: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH band keys from flat postings —
+    signature via grouped min-aggregates (see dedup_minhash_lsh for why
+    this beats the expression-form minhash ~4×)."""
+    sig = posts.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"h{i}|"), F.col("g")))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    band_cols = []
+    for b in range(LSH_BANDS):
+        parts = [f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     d = _spread(spark, load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", shingles(tokens(), n).alias("sh"))
@@ -301,24 +333,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text_features.minhash) runs 12 interpreted higher-order array_min
     # passes per row; the grouped form is one shuffle on doc_id and ~4×
     # faster at sf0.1. Values are identical.
-    sig = posts.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"h{i}|"), F.col("g")))).alias(f"h{i}")
-            for i in range(MINHASH_K)
-        ]
-    )
-    band_cols = []
-    for b in range(LSH_BANDS):
-        parts = [f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
-            )
-        )
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    bands = bands_of(posts)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_hash"])

@@ -481,3 +481,74 @@ def test_statestore_reader_matches_batch_state(spark, sf_dir, events_dir, tmp_pa
         check_dtype=False,
         rtol=1e-9,
     )
+
+
+def test_incremental_minhash_candidates_match_batch(spark, sf_dir, tmp_path):
+    """Streaming incremental near-dup detection: documents arrive file by
+    file; the union of candidate pairs across batches (new-vs-new plus
+    new-vs-store) equals the batch detector's candidate set over the full
+    corpus — order of arrival must not change what is detected. A second
+    drain over the same checkpoint adds nothing (epoch-idempotent store)."""
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.dedup import bands_of, postings_of
+    from komodo_data_spark.sources.tables import load_table
+    from komodo_data_spark.streaming.dedup_incremental import (
+        candidates_from_store,
+        start_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # stage the corpus as 3 arrival files (deterministic split by doc_id)
+    src = tmp_path / "docs_arrivals"
+    src.mkdir()
+    for i in range(3):
+        docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            str(src / f"arrival_{i}.parquet_dir")
+        )
+    import glob as _glob
+    import shutil
+
+    for i, part in enumerate(
+        sorted(_glob.glob(str(src / "*" / "part-*.parquet")))
+    ):
+        shutil.copy(part, str(src / f"file_{i}.parquet"))
+    for d in _glob.glob(str(src / "*.parquet_dir")):
+        shutil.rmtree(d)
+
+    store = str(tmp_path / "band_store")
+    pairs = str(tmp_path / "pairs_store")
+    ck = str(tmp_path / "ckpt_inc_dedup")
+    q = start_incremental_dedup(spark, str(src), store, pairs, ck)
+    q.awaitTermination()
+
+    got = {
+        (r["doc_i"], r["doc_j"])
+        for r in candidates_from_store(spark, pairs).collect()
+    }
+    bands = bands_of(postings_of(docs))
+    exp = {
+        (r["doc_i"], r["doc_j"])
+        for r in (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band_id", "band_hash"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_i"),
+                F.col("b.doc_id").alias("doc_j"),
+            )
+            .distinct()
+            .collect()
+        )
+    }
+    assert got == exp
+    assert len(exp) > 0  # the corpus does contain near-dup candidates
+
+    # restart with the same checkpoint: no new batches, store unchanged
+    q2 = start_incremental_dedup(spark, str(src), store, pairs, ck)
+    q2.awaitTermination()
+    got2 = {
+        (r["doc_i"], r["doc_j"])
+        for r in candidates_from_store(spark, pairs).collect()
+    }
+    assert got2 == exp
