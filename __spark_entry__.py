@@ -185,9 +185,9 @@ _PRIORITY: tuple[str, ...] = (
     "user_activity",
     "user_energy_events",
     "user_copresence",
-    "copresence_pairs",
     "event_pattern",
-    # dedup (§2.12)
+    # dedup (§2.12; copresence_pairs/media_resize stay local-pass — their
+    # families keep other in-window representatives)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -195,10 +195,12 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_fuzzy_prefix",
     "dedup_embedding_pairs",
     "dedup_clusters",
-    # similarity search (§2.12)
+    "dedup_substring_spans",
+    # similarity search + semantic dedup (§2.12)
     "knn_brute_force",
     "knn_lsh_signbits",
     "knn_ivf_multiprobe",
+    "dedup_semantic",
     # text analysis (§2.12)
     "text_token_stats",
     "text_quality_scores",
@@ -210,7 +212,6 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal (§2.12)
     "media_metadata",
     "media_frame_samples",
-    "media_resize",
     "media_audio_energy",
     # corpus composition (§2.12)
     "corpus_clean",
