@@ -124,3 +124,86 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
         .first()[0]
     )
     assert s1["n_chars"].mean() > corpus_mean
+
+
+def py_dup_spans(docs: dict[int, list[str]], k: int = 5):
+    """Reference implementation of dedup_substring_spans on token lists."""
+    grams: dict[str, set[int]] = {}
+    pos_grams: dict[int, list[tuple[int, str]]] = {}
+    for did, toks in docs.items():
+        pg = []
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i : i + k])
+            grams.setdefault(g, set()).add(did)
+            pg.append((i + 1, g))  # 1-based
+        pos_grams[did] = pg
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    spans = {}
+    for did, pg in pos_grams.items():
+        hits = sorted({p for p, g in pg if g in dup})
+        cur = []
+        for p in hits:
+            if cur and p <= cur[-1] + k:
+                cur.append(p)
+            else:
+                if cur:
+                    spans.setdefault(did, []).append(cur)
+                cur = [p]
+        if cur:
+            spans.setdefault(did, []).append(cur)
+    out = set()
+    for did, islands in spans.items():
+        for isl in islands:
+            out.add((did, isl[0], isl[-1] + k - 1, isl[-1] + k - isl[0], len(isl)))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_substring_spans_match_python(spark, token_lists):
+    """dedup_substring_spans == the pure-Python reference on arbitrary tiny
+    corpora (small alphabet => plenty of cross-doc collisions)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from komodo_data_spark.operators import dedup as D
+
+    docs = {i: toks for i, toks in enumerate(token_lists)}
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": [" ".join(t) for t in docs.values()],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [0] * len(docs),
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf.to_parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            (
+                r["doc_id"],
+                r["span_start"],
+                r["span_end"],
+                r["span_tokens"],
+                r["n_dup_grams"],
+            )
+            for r in D.dedup_substring_spans(spark, tmp).collect()
+        }
+    # NB: empty token lists tokenize to [''] in both engines; harmless for
+    # k=5 grams (too short to emit any)
+    exp = py_dup_spans(
+        {i: (t if t else [""]) for i, t in docs.items()}, D.SPAN_GRAM
+    )
+    assert got == exp
