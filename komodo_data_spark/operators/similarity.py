@@ -677,6 +677,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     _, assigned = _kmeans_fit(spark, sf_dir)
+    # hub frame consumed by TWO branches (pandas prune + output join):
+    # truncate lineage so the Lloyd fit runs once, not once per branch
+    # (SURVEY §4 lesson (c); halves this query's exchange count)
+    assigned = assigned.localCheckpoint(eager=True)
 
     def cluster_pairs(key, pdf):
         ids = pdf["vec_id"].to_numpy()

@@ -164,11 +164,16 @@ def test_embedding_block_pairs_has_no_driver_collect_shape(spark):
 
 
 def test_semantic_dedup_broadcasts_centroids(spark):
-    """The Lloyd assignment must broadcast the k centroids (tiny side), and
-    the per-cluster prune is a grouped pandas stage keyed by cluster."""
+    """The Lloyd assignment must broadcast the k centroids (tiny side); the
+    final plan prunes per cluster in a grouped pandas stage over the
+    checkpointed assignment (lineage truncated so the fit runs once — the
+    fit's own broadcast shape is pinned via the shared _kmeans_fit)."""
     plan = plan_of(similarity.dedup_semantic(spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    _, assigned = similarity._kmeans_fit(spark, SF)
+    fit_plan = plan_of(assigned)
+    assert "BroadcastNestedLoopJoin" in fit_plan or "BroadcastExchange" in fit_plan
 
 
 def test_quality_classifier_single_shuffle(spark):
