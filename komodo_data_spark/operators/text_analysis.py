@@ -451,18 +451,12 @@ QUALITY_LR_WEIGHTS = {
 QUALITY_LR_KEEP_THRESHOLD = 0.5
 
 
-def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based quality filtering: featurize each document (log token
-    count, type-token ratio, stopword ratio, mean word length), apply a
-    linear model + sigmoid, keep docs with p >= threshold. The whole scorer
-    is ONE codegen'd projection — at 100 TB this runs at scan speed with
-    zero shuffles; only the per-source decision rollup aggregates (tiny).
-    Swapping in real trained weights (or a quantized MLP as a pandas_udf)
-    changes no plan shape."""
+def quality_probability_col():
+    """The classifier's keep-probability as a reusable Column over a frame
+    that already carries ``toks`` (array<string>) — one codegen'd
+    projection, shared between the batch rollup below and the streaming
+    corpus gate (streaming/corpus_stream.py)."""
     stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
-    from komodo_data_spark.operators.dedup import _spread
-
-    d = _spread(spark, _docs(spark, sf_dir)).withColumn("toks", tokens())
     n_tok = F.size("toks")
     w = QUALITY_LR_WEIGHTS
     z = (
@@ -485,7 +479,21 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n_tok
         )
     )
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: featurize each document (log token
+    count, type-token ratio, stopword ratio, mean word length), apply a
+    linear model + sigmoid, keep docs with p >= threshold. The whole scorer
+    is ONE codegen'd projection — at 100 TB this runs at scan speed with
+    zero shuffles; only the per-source decision rollup aggregates (tiny).
+    Swapping in real trained weights (or a quantized MLP as a pandas_udf)
+    changes no plan shape."""
+    from komodo_data_spark.operators.dedup import _spread
+
+    d = _spread(spark, _docs(spark, sf_dir)).withColumn("toks", tokens())
+    p = quality_probability_col()
     scored = d.select(
         "doc_id", "source", p.alias("p_keep"),
         (p >= QUALITY_LR_KEEP_THRESHOLD).alias("keep"),
@@ -527,6 +535,89 @@ def text_quality_classifier_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# corpus-fit bigram LM scoring (the perplexity-filter shape)
+# --------------------------------------------------------------------------
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score each document under the corpus's OWN empirical bigram
+    distribution — the CCNet/Gopher "perplexity filter" shape with the
+    n-gram LM fit and the scoring in one job. A doc whose bigrams are rare
+    corpus-wide (boilerplate noise, wrong language, mangled encodings)
+    scores low; the filter keeps the head of the distribution.
+
+    Two stages, both distributed: (1) fit — one aggregation over exploded
+    bigrams produces the count table (the "model" is a DataFrame, never
+    driver-collected; at 100 TB the vocab² table can itself be large, which
+    is exactly why it must stay distributed); (2) score — an equi-join of
+    each doc's bigrams against the model plus a per-doc average of
+    ln(count/total). Every candidate bigram exists in the model by
+    construction (the corpus fit saw every doc), so the join is inner with
+    no smoothing term; scoring NEW text against a frozen model would add
+    left-join + floor probability, same plan shape. Output: per-doc bigram
+    count, avg log-prob, and the keep verdict at the 25th-percentile-ish
+    fixed threshold.
+    """
+    from komodo_data_spark.operators.dedup import _spread, postings_of
+
+    d = _spread(spark, _docs(spark, sf_dir))
+    # positional bigrams (duplicates KEPT — each occurrence scores)
+    from komodo_data_spark.operators.dedup import _positional_grams
+
+    grams = (
+        d.select(
+            "doc_id",
+            _positional_grams(tokens(), 2).alias("grams"),
+        )
+        .select("doc_id", F.explode_outer("grams").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    model = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    total = model.agg(F.sum("c").alias("n_total"))
+    scored = (
+        grams.join(model, "g")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log(F.col("c") / F.col("n_total"))).alias("avg_logprob"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        (F.col("avg_logprob") >= BIGRAM_LOGPROB_MIN).alias("keep"),
+    )
+
+
+#: Fixed keep threshold on the average bigram log-probability.
+BIGRAM_LOGPROB_MIN = -9.2
+
+
+def text_bigram_logprob_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+      FROM d, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+    ),
+    model AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+    tot AS (SELECT sum(c) AS n_total FROM model),
+    scored AS (
+      SELECT grams.doc_id, count(*) AS n_bigrams,
+             avg(ln(model.c / tot.n_total)) AS avg_logprob
+      FROM grams JOIN model USING (g) CROSS JOIN tot
+      GROUP BY grams.doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_logprob,
+           avg_logprob >= {BIGRAM_LOGPROB_MIN} AS keep
+    FROM scored
+    """
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
@@ -539,6 +630,10 @@ def registry():
         "text_quality_classifier": (
             text_quality_classifier,
             text_quality_classifier_oracle(),
+        ),
+        "text_bigram_logprob": (
+            text_bigram_logprob,
+            text_bigram_logprob_oracle(),
         ),
         "text_language_id": (text_language_id, text_language_id_oracle()),
         "text_fingerprints": (text_fingerprints, text_fingerprints_oracle()),

@@ -552,3 +552,45 @@ def test_incremental_minhash_candidates_match_batch(spark, sf_dir, tmp_path):
         for r in candidates_from_store(spark, pairs).collect()
     }
     assert got2 == exp
+
+
+def test_corpus_clean_stream_matches_batch_gate(spark, sf_dir, tmp_path):
+    """Streaming corpus cleaning == the batch gate on the same corpus: the
+    surviving content-fingerprint set is identical, each fingerprint
+    appears exactly once, and every survivor's keep probability clears the
+    threshold — arrival order changes WHICH duplicate survives, never
+    WHAT content survives."""
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.sources.tables import load_table
+    from komodo_data_spark.streaming.corpus_stream import (
+        clean_docs,
+        start_corpus_clean_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = tmp_path / "docs_gate_arrivals"
+    src.mkdir()
+    import glob as _glob
+    import shutil
+
+    for i in range(3):
+        docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            str(src / f"a{i}.d")
+        )
+    for i, part in enumerate(sorted(_glob.glob(str(src / "*" / "part-*.parquet")))):
+        shutil.copy(part, str(src / f"file_{i}.parquet"))
+    for d in _glob.glob(str(src / "*.d")):
+        shutil.rmtree(d)
+
+    out = str(tmp_path / "clean_out")
+    q = start_corpus_clean_stream(
+        spark, str(src), out, str(tmp_path / "ckpt_gate")
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out).toPandas()
+    exp = clean_docs(docs).toPandas()
+    assert sorted(got["content_fp"]) == sorted(exp["content_fp"])
+    assert got["content_fp"].is_unique
+    assert (got["p_keep"] >= 0.5).all()
