@@ -594,3 +594,51 @@ def test_corpus_clean_stream_matches_batch_gate(spark, sf_dir, tmp_path):
     assert sorted(got["content_fp"]) == sorted(exp["content_fp"])
     assert got["content_fp"].is_unique
     assert (got["p_keep"] >= 0.5).all()
+
+
+def test_expectations_stream_gates_and_quarantines(spark, sf_dir, events_dir, tmp_path):
+    """Streaming expectations gate: clean + quarantine partition the input
+    exactly; every quarantined row is annotated with the rules it broke;
+    counts match the batch application of the same rules; replaying with
+    the same checkpoint adds nothing (epoch-idempotent writes)."""
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.streaming.expectations import (
+        EVENTS_RULES,
+        annotate,
+        start_expectations_stream,
+    )
+
+    clean_p = str(tmp_path / "ev_clean")
+    quar_p = str(tmp_path / "ev_quarantine")
+    ck = str(tmp_path / "ckpt_expect")
+    q = start_expectations_stream(spark, events_dir, clean_p, quar_p, ck)
+    q.awaitTermination()
+
+    clean = spark.read.parquet(clean_p)
+    quar = spark.read.parquet(quar_p)
+    batch = annotate(load_events(spark, sf_dir), EVENTS_RULES)
+    n_bad = batch.filter(F.size("failed_rules") > 0).count()
+    n_all = batch.count()
+    assert quar.count() == n_bad
+    assert clean.count() == n_all - n_bad
+    assert n_bad > 0  # fixture contains 'error' events -> real violations
+    # quarantined rows carry the exact broken rules
+    assert (
+        quar.filter(
+            (F.col("event_type") == "error")
+            & ~F.array_contains("failed_rules", "known_type")
+        ).count()
+        == 0
+    )
+    # clean rows pass every rule when re-audited
+    assert (
+        annotate(clean, EVENTS_RULES).filter(F.size("failed_rules") > 0).count()
+        == 0
+    )
+
+    # replay: same checkpoint -> no new epochs, identical counts
+    q2 = start_expectations_stream(spark, events_dir, clean_p, quar_p, ck)
+    q2.awaitTermination()
+    assert spark.read.parquet(clean_p).count() == n_all - n_bad
+    assert spark.read.parquet(quar_p).count() == n_bad
