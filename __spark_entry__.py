@@ -125,6 +125,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             ea.user_click_purchase_reconcile_oracle(),
         ),
         "events_user_trend": (ea.events_user_trend, ea.events_user_trend_oracle()),
+        "events_transition_matrix": (
+            ea.events_transition_matrix,
+            ea.events_transition_matrix_oracle(),
+        ),
         "events_value_histogram_equidepth": (
             ea.events_value_histogram_equidepth,
             ea.events_value_histogram_equidepth_oracle(),

@@ -815,3 +815,55 @@ def events_value_histogram_equidepth_oracle() -> str:
     FROM events, q
     GROUP BY 1 ORDER BY 1
     """
+
+
+# --------------------------------------------------------------------------
+# event-sequence transition matrix (first-order Markov estimate)
+# --------------------------------------------------------------------------
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts/probabilities between consecutive
+    event types per user — the Markov-chain estimate behind next-action
+    prediction and anomalous-sequence detection.
+
+    Plan: one per-user lag window (shuffle on user_id — co-partitioned
+    with sessionization/funnel ops so a pipeline running several
+    sequence analyses reuses the exchange), then a |types|² aggregate.
+    The row probability divides by the per-prev-type total via a window
+    AFTER the collapse (the percent-of-total lesson: the window runs over
+    the tiny matrix, never the event stream).
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    t = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    share = Window.partitionBy("prev_type")
+    return t.withColumn(
+        "p_next",
+        F.col("n_transitions") / F.sum("n_transitions").over(share),
+    )
+
+
+def events_transition_matrix_oracle() -> str:
+    return """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ms(ts), event_id) AS prev_type
+      FROM events
+    ),
+    m AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_transitions,
+           n_transitions / (sum(n_transitions) OVER (PARTITION BY prev_type))
+             AS p_next
+    FROM m
+    """
