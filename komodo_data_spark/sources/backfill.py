@@ -1,0 +1,64 @@
+"""Idempotent partition backfill — recompute a SUBSET of a partitioned
+table in place without touching sibling partitions.
+
+The op a 100 TB pipeline runs daily: a late-arriving correction or a logic
+fix invalidates some partitions; rerunning the whole table is a non-starter
+and hand-deleting directories is how tables get corrupted. The contract
+here: the caller names the partition values to rebuild and supplies the
+recompute as a DataFrame function; the write uses dynamic partition
+overwrite, so exactly the recomputed partitions are replaced atomically
+per-partition and a re-run of the same backfill is a no-op-shaped overwrite
+(idempotent, like every per-epoch streaming write in streaming/).
+
+Scale: the recompute frame is filtered to the target partitions BEFORE any
+work (partition pruning on the source scan), and the overwrite touches only
+those directories — cost scales with the backfill, not the table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def backfill_partitions(
+    spark: SparkSession,
+    table_path: str,
+    partition_col: str,
+    partition_values: Sequence,
+    recompute: Callable[[SparkSession], DataFrame],
+) -> dict:
+    """Rebuild ``partition_values`` of ``table_path`` from ``recompute``'s
+    output (which must include ``partition_col``). Returns an audit dict.
+
+    Rows in the recompute output that fall OUTSIDE the named partitions are
+    dropped (and counted in the audit) — a backfill must never silently
+    widen its blast radius.
+    """
+    fresh = recompute(spark)
+    in_scope = fresh.filter(F.col(partition_col).isin(list(partition_values)))
+    out_of_scope = fresh.count() - in_scope.count()
+    before = (
+        spark.read.parquet(table_path)
+        .filter(F.col(partition_col).isin(list(partition_values)))
+        .count()
+    )
+    (
+        in_scope.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(table_path)
+    )
+    after = (
+        spark.read.parquet(table_path)
+        .filter(F.col(partition_col).isin(list(partition_values)))
+        .count()
+    )
+    return {
+        "partitions": list(partition_values),
+        "rows_before": before,
+        "rows_after": after,
+        "rows_dropped_out_of_scope": out_of_scope,
+    }

@@ -507,3 +507,65 @@ def test_capturefs_stream_source_incremental(spark, tmp_path, captures_dir, data
     got = spark.read.parquet(out)
     assert got.count() == len(data_pdf) + 3  # old files NOT re-read
     assert got.filter(F.col("capture_id") == "777_1700000009999").count() == 3
+
+
+def test_backfill_rebuilds_only_named_partitions(spark, tmp_path):
+    """Partition backfill: the named partitions are replaced with the
+    recompute output, sibling partitions are byte-for-byte untouched,
+    out-of-scope recompute rows are dropped (audited), and re-running the
+    same backfill is idempotent."""
+    from komodo_data_spark.sources.backfill import backfill_partitions
+
+    path = str(tmp_path / "events_by_day")
+    spark.createDataFrame(
+        [(d, i, float(i)) for d in ("d1", "d2", "d3") for i in range(10)],
+        "day string, event_id int, value double",
+    ).write.partitionBy("day").parquet(path)
+
+    def recompute(s):
+        # corrected d2 (values doubled, one row fewer) + a stray d3 row the
+        # backfill must refuse to write
+        return s.createDataFrame(
+            [("d2", i, float(i) * 2) for i in range(9)] + [("d3", 99, 0.0)],
+            "day string, event_id int, value double",
+        )
+
+    audit = backfill_partitions(spark, path, "day", ["d2"], recompute)
+    assert audit == {
+        "partitions": ["d2"],
+        "rows_before": 10,
+        "rows_after": 9,
+        "rows_dropped_out_of_scope": 1,
+    }
+    got = spark.read.parquet(path)
+    assert got.filter("day = 'd2'").count() == 9
+    assert got.filter("day = 'd2' AND value = 2.0 AND event_id = 1").count() == 1
+    # siblings untouched (d3 kept its original 10 rows, no stray event 99)
+    assert got.filter("day = 'd1'").count() == 10
+    assert got.filter("day = 'd3'").count() == 10
+    assert got.filter("day = 'd3' AND event_id = 99").count() == 0
+    # idempotent
+    audit2 = backfill_partitions(spark, path, "day", ["d2"], recompute)
+    assert audit2["rows_before"] == 9 and audit2["rows_after"] == 9
+
+
+def test_data_table_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on the append-only data table: epochs written with
+    an added column merge into one readable frame (mergeSchema), old rows
+    surface NULL for the new column, and session filters still prune."""
+    path = str(tmp_path / "data_evolving")
+    spark.createDataFrame(
+        [(126, 1, "sync"), (126, 2, "sync")],
+        "session_id int, seq long, type string",
+    ).write.partitionBy("session_id").parquet(path)
+    spark.createDataFrame(
+        [(127, 3, "sync", "v2-extra")],
+        "session_id int, seq long, type string, annotation string",
+    ).write.mode("append").partitionBy("session_id").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"session_id", "seq", "type", "annotation"}
+    assert merged.count() == 3
+    old = merged.filter("session_id = 126")
+    assert old.filter(F.col("annotation").isNull()).count() == 2
+    assert merged.filter("annotation = 'v2-extra'").count() == 1
