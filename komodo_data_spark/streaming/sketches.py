@@ -15,6 +15,8 @@ overwrites its own partition instead of double-counting.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -82,3 +84,53 @@ def heavy_hitters_from_store(
         .select(F.col("e.item").alias("user_id"), F.col("e.count").alias("n_events"))
         .filter(F.col("n_events") >= min_events)
     )
+
+
+def compact_store(spark: SparkSession, sketch_path: str) -> int:
+    """Fold every per-epoch sketch row into ONE base row so the store stays
+    O(1) instead of one-row-per-batch forever — the retention pass that
+    makes the per-epoch write pattern sustainable over years of batches.
+
+    Mergeability is the whole point of the sketch choice: combine(combine(
+    a, b), c) == combine(a, b, c), so folding historical epochs into a base
+    row changes no downstream estimate (pinned by test). The base lands in
+    the reserved ``epoch_id=-1`` partition via the same dynamic-overwrite
+    write the stream uses; old epoch directories are removed only AFTER the
+    base commit (write-then-prune — a crash between the two steps leaves a
+    double-counted base + epoch? No: the base is built FROM the epochs and
+    replaces them; until pruning completes, readers see base + originals,
+    so the estimate can transiently over-count. Run compaction while the
+    maintenance stream is paused, or read through a snapshot listing, the
+    same operational contract as parquet compaction in sources/compaction).
+
+    Returns the number of epoch partitions folded away. Pruning uses the
+    local filesystem API (this rig); on s3://-style stores swap the rmtree
+    for the Hadoop FileSystem delete, same two-step contract.
+    """
+    import shutil
+
+    store = spark.read.parquet(sketch_path)
+    epochs = [
+        r["epoch_id"]
+        for r in store.select("epoch_id").distinct().collect()
+        if r["epoch_id"] != -1
+    ]
+    if not epochs:
+        return 0
+    base = (
+        store.agg(
+            F.expr(f"approx_top_k_combine(sk, {MAX_ITEMS_TRACKED})").alias("sk")
+        ).withColumn("epoch_id", F.lit(-1))
+    )
+    # materialize BEFORE overwriting: the combine must not lazily re-read
+    # partitions mid-delete
+    base = base.localCheckpoint(eager=True)
+    (
+        base.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(sketch_path)
+    )
+    for e in epochs:
+        shutil.rmtree(os.path.join(sketch_path, f"epoch_id={e}"))
+    return len(epochs)

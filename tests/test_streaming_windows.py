@@ -440,6 +440,22 @@ def test_streaming_sketch_store_matches_batch_heavy_hitters(
         _sorted_pdf(got, keys), _sorted_pdf(exp, keys), check_dtype=False
     )
 
+    # retention: folding all epochs into the base row must not change any
+    # estimate (mergeable-sketch law), and the store becomes O(1)
+    n_folded = SK.compact_store(spark, str(tmp_path / "sk_store"))
+    assert n_folded == 3
+    store2 = spark.read.parquet(str(tmp_path / "sk_store"))
+    assert store2.count() == 1
+    assert store2.select("epoch_id").first()[0] == -1
+    got2 = SK.heavy_hitters_from_store(
+        spark, str(tmp_path / "sk_store"), HEAVY_MIN_EVENTS
+    )
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got2, keys), _sorted_pdf(exp, keys), check_dtype=False
+    )
+    # compacting an already-compacted store is a no-op
+    assert SK.compact_store(spark, str(tmp_path / "sk_store")) == 0
+
 
 def test_statestore_reader_matches_batch_state(spark, sf_dir, events_dir, tmp_path):
     """Spark 4 statestore reader: the checkpoint's per-user state (read as a
