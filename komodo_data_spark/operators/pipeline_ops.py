@@ -256,6 +256,81 @@ def docs_token_budget_mix_oracle() -> str:
     """
 
 
+def docs_token_budget_mix_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for :func:`docs_token_budget_mix`, admitted-set
+    EXACT (same oracle): replace the per-source global ordered window with
+    bucketed prefix sums, the docs_surrogate_keys technique applied to a
+    budget cut.
+
+    Docs bucket by the first 2 hex chars of their ordering hash (256
+    buckets whose lexicographic order refines the doc order). Stage 1
+    aggregates token sums per (source, bucket) — distributed, map-side
+    combinable. Stage 2 runs the running total over the ≤256-row bucket
+    frame (tiny window). Each bucket is then decided wholesale:
+    fully-admitted (cum_before + bucket_sum <= budget — no per-doc work at
+    all), fully-rejected (cum_before >= budget), or THE boundary bucket,
+    where an ordered window runs over ~1/256th of one source. The
+    quadratic-free proof: cum_before_doc < budget for every doc of a
+    fully-admitted bucket because doc order refines bucket order.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    budget = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(b))
+            for s, b in sorted(MIX_TOKEN_BUDGETS.items())
+        ],
+        F.lit(MIX_DEFAULT_BUDGET),
+    )
+    sized = d.select(
+        "doc_id",
+        "source",
+        budget.alias("budget_tokens"),
+        F.size(tokens()).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    bstats = sized.groupBy("source", "budget_tokens", "bucket").agg(
+        F.sum("n_tok").alias("b_sum")
+    )
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bstats = bstats.withColumn(
+        "cum_before_bucket", F.coalesce(F.sum("b_sum").over(wb), F.lit(0))
+    )
+    joined = sized.join(F.broadcast(bstats), ["source", "budget_tokens", "bucket"])
+    full = joined.filter(
+        F.col("cum_before_bucket") + F.col("b_sum") <= F.col("budget_tokens")
+    ).select("source", "budget_tokens", "n_tok")
+    boundary = joined.filter(
+        (F.col("cum_before_bucket") < F.col("budget_tokens"))
+        & (F.col("cum_before_bucket") + F.col("b_sum") > F.col("budget_tokens"))
+    )
+    wd = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary_kept = (
+        boundary.withColumn(
+            "cum_before_doc",
+            F.col("cum_before_bucket")
+            + F.coalesce(F.sum("n_tok").over(wd), F.lit(0)),
+        )
+        .filter(F.col("cum_before_doc") < F.col("budget_tokens"))
+        .select("source", "budget_tokens", "n_tok")
+    )
+    return (
+        full.unionByName(boundary_kept)
+        .groupBy("source", "budget_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").alias("n_tokens_kept"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # overlapping document chunking
 # --------------------------------------------------------------------------
@@ -505,6 +580,10 @@ def registry():
         "docs_token_budget_mix": (
             docs_token_budget_mix,
             docs_token_budget_mix_oracle(),
+        ),
+        "docs_token_budget_mix_twostage": (
+            docs_token_budget_mix_twostage,
+            docs_token_budget_mix_oracle(),  # admitted-set exact scale path
         ),
         "doc_chunks": (doc_chunks, doc_chunks_oracle()),
         "term_redaction": (term_redaction, term_redaction_oracle()),
