@@ -569,3 +569,52 @@ def test_data_table_schema_evolution_merge(spark, tmp_path):
     old = merged.filter("session_id = 126")
     assert old.filter(F.col("annotation").isNull()).count() == 2
     assert merged.filter("annotation = 'v2-extra'").count() == 1
+
+
+def test_cli_serve_runs_reference_loop(spark, tmp_path, captures_dir, data_pdf):
+    """`python -m komodo_data_spark serve --available-now ...` is the
+    drop-in replacement for the reference daemon: one loop iteration
+    ingests the capture tree, dispatches the queued requests to CSV, and
+    records fulfillments; a second invocation against the same state dir
+    re-processes nothing."""
+    from komodo_data_spark.__main__ import main
+
+    req_dir = tmp_path / "req_q"
+    req_dir.mkdir()
+    (req_dir / "r.json").write_text(
+        "\n".join(
+            json.dumps(
+                dict(
+                    request_id=rid, processed_capture_id="126_1630443513898",
+                    who_requested=2, aggregation_function=fn,
+                    is_it_fulfilled=ful, url=None, message=msg,
+                    file_location=None,
+                )
+            )
+            for rid, fn, ful, msg in REQUESTS
+        )
+        + "\n"
+    )
+    argv = [
+        "serve", "--available-now",
+        "--captures-dir", captures_dir,
+        "--requests-dir", str(req_dir),
+        "--data-path", str(tmp_path / "data_tbl"),
+        "--out-dir", str(tmp_path / "exports"),
+        "--state-dir", str(tmp_path / "state"),
+    ]
+    assert main(argv) == 0
+    assert spark.read.parquet(str(tmp_path / "data_tbl")).count() == len(data_pdf)
+    ful = spark.read.parquet(str(tmp_path / "state" / "fulfillments"))
+    got = {
+        (r["request_id"], r["file_location"]) for r in ful.collect()
+    }
+    assert sorted(rid for rid, _ in got) == [1, 2, 6]
+    for _, path in got:
+        assert os.path.isfile(path)
+        assert len(pd.read_csv(path)) > 0
+
+    # second iteration: checkpoints make it a no-op
+    assert main(argv) == 0
+    assert spark.read.parquet(str(tmp_path / "state" / "fulfillments")).count() == 3
+    assert spark.read.parquet(str(tmp_path / "data_tbl")).count() == len(data_pdf)
