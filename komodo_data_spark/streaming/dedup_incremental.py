@@ -118,3 +118,41 @@ def start_incremental_dedup(
 def candidates_from_store(spark: SparkSession, pairs_path: str) -> DataFrame:
     """All candidate pairs detected so far, deduped across epochs."""
     return spark.read.parquet(pairs_path).select("doc_i", "doc_j").distinct()
+
+
+def compact_band_store(spark: SparkSession, store_path: str) -> int:
+    """Fold all epoch partitions of the band store into the reserved
+    ``epoch_id=-1`` base partition — band rows are plain facts (doc_id,
+    band_id, band_hash), so the fold is a DISTINCT, and future probes see
+    exactly the same key set (pinned by test). Same write-then-prune
+    contract and local-FS caveat as sketches.compact_store; run while the
+    detection stream is paused.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F811 (module-level alias)
+
+    store = spark.read.parquet(store_path)
+    epochs = [
+        r["epoch_id"]
+        for r in store.select("epoch_id").distinct().collect()
+        if r["epoch_id"] != -1
+    ]
+    if not epochs:
+        return 0
+    base = (
+        store.select("doc_id", "band_id", "band_hash")
+        .distinct()
+        .withColumn("epoch_id", F.lit(-1))
+        .localCheckpoint(eager=True)
+    )
+    (
+        base.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(store_path)
+    )
+    for e in epochs:
+        shutil.rmtree(os.path.join(store_path, f"epoch_id={e}"))
+    return len(epochs)

@@ -569,6 +569,34 @@ def test_incremental_minhash_candidates_match_batch(spark, sf_dir, tmp_path):
     }
     assert got2 == exp
 
+    # retention: folding the band store into its base partition preserves
+    # the probe key set exactly (a new arrival detects the same candidates)
+    from komodo_data_spark.streaming.dedup_incremental import (
+        compact_band_store,
+        detect_batch,
+    )
+
+    before_keys = {
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert compact_band_store(spark, store) == 3
+    after = spark.read.parquet(store)
+    after_keys = {
+        (r["doc_id"], r["band_id"], r["band_hash"]) for r in after.collect()
+    }
+    assert after_keys == before_keys
+    assert after.select("epoch_id").distinct().collect()[0][0] == -1
+    assert compact_band_store(spark, store) == 0  # idempotent
+    # a replayed batch against the compacted store finds the same pairs
+    batch0 = docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
+    detect_batch(spark, batch0, 99, store, pairs)
+    got3 = {
+        (r["doc_i"], r["doc_j"])
+        for r in candidates_from_store(spark, pairs).collect()
+    }
+    assert got3 == exp
+
 
 def test_corpus_clean_stream_matches_batch_gate(spark, sf_dir, tmp_path):
     """Streaming corpus cleaning == the batch gate on the same corpus: the
