@@ -253,3 +253,68 @@ def running_totals_state(spark, checkpoint_path: str) -> DataFrame:
         F.col("value.groupState.s").alias("sum_value"),
         F.col("value.groupState.m").alias("max_ts_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# streaming transition matrix (per-user last-event state)
+# --------------------------------------------------------------------------
+
+TRANSITIONS_OUTPUT_SCHEMA = (
+    "prev_type string, next_type string, n_transitions long"
+)
+TRANSITIONS_STATE_SCHEMA = "ts long, eid long, etype string"
+
+
+def _update_transitions(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Advance one user's transition counts with this batch: the state is
+    just the LAST event seen (ts, event_id, type) — O(1) per user — so
+    consecutive-pair counting seams correctly across micro-batches. Emits
+    this batch's (prev, next, count) increments; the consumer sums. Same
+    cross-batch ordering assumption as the funnel above."""
+    last = state.get if state.exists else None
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        if last is not None:
+            state.update(last)
+        yield pd.DataFrame(
+            {"prev_type": [], "next_type": [], "n_transitions": []}
+        ).astype({"n_transitions": "int64"})
+        return
+    pdf = pd.concat(frames).sort_values(["ts_ms", "event_id"])
+    types = pdf["event_type"].tolist()
+    prevs = ([last[2]] + types[:-1]) if last is not None else types[:-1]
+    nexts = types if last is not None else types[1:]
+    counts: dict[tuple[str, str], int] = {}
+    for p, n in zip(prevs, nexts):
+        counts[(p, n)] = counts.get((p, n), 0) + 1
+    tail = pdf.iloc[-1]
+    state.update((int(tail["ts_ms"]), int(tail["event_id"]), tail["event_type"]))
+    yield pd.DataFrame(
+        {
+            "prev_type": [p for p, _ in counts],
+            "next_type": [n for _, n in counts],
+            "n_transitions": list(counts.values()),
+        }
+    )
+
+
+def user_transitions_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of events_analytics.events_transition_matrix's count
+    core: per-user last-event state seams pair counting across batches;
+    the matrix itself stays an aggregation over the emitted increments
+    (mergeable — sum of per-batch counts == batch count)."""
+    return (
+        events.select("user_id", "event_type", "ts_ms", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions,
+            outputStructType=TRANSITIONS_OUTPUT_SCHEMA,
+            stateStructType=TRANSITIONS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

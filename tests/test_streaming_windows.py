@@ -686,3 +686,79 @@ def test_expectations_stream_gates_and_quarantines(spark, sf_dir, events_dir, tm
     q2.awaitTermination()
     assert spark.read.parquet(clean_p).count() == n_all - n_bad
     assert spark.read.parquet(quar_p).count() == n_bad
+
+
+def test_streaming_transitions_match_batch_matrix(spark, sf_dir, tmp_path):
+    """Per-user last-event state seams consecutive-pair counting across
+    micro-batches: the summed streaming increments equal the batch
+    transition matrix exactly. Files are staged in event-time tertiles so
+    the state must genuinely carry across batches."""
+    import shutil as _sh
+
+    from komodo_data_spark.operators.events_analytics import (
+        events_transition_matrix,
+    )
+    from komodo_data_spark.streaming.stateful import user_transitions_stream
+
+    ev = load_events(spark, sf_dir)
+    lo, hi = ev.selectExpr(
+        "percentile(ts_ms, 0.33)", "percentile(ts_ms, 0.66)"
+    ).first()
+    src = tmp_path / "ev_tertiles"
+    src.mkdir()
+    parts = [
+        ev.filter(F.col("ts_ms") <= lo),
+        ev.filter((F.col("ts_ms") > lo) & (F.col("ts_ms") <= hi)),
+        ev.filter(F.col("ts_ms") > hi),
+    ]
+    import os as _os
+    import time as _time
+
+    for i, p in enumerate(parts):
+        p.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).coalesce(1).write.parquet(str(src / f"chunk{i}"))
+        f = next((src / f"chunk{i}").glob("part-*.parquet"))
+        dest = src / f"part-{i}.parquet"
+        _sh.move(str(f), str(dest))
+        _sh.rmtree(src / f"chunk{i}")
+        # file source orders by modification time: force arrival order
+        _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+        _time.sleep(0.01)
+
+    stream = W.events_stream(spark, str(src))
+    # one file per batch so state must seam across three batches
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    from komodo_data_spark.sources.tables import normalize_events
+
+    q = (
+        user_transitions_stream(normalize_events(stream))
+        .writeStream.format("memory")
+        .queryName("trans_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("trans_mem")
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n_transitions").alias("n_transitions"))
+        .toPandas()
+    )
+    exp = (
+        events_transition_matrix(spark, sf_dir)
+        .select("prev_type", "next_type", "n_transitions")
+        .toPandas()
+    )
+    keys = ["prev_type", "next_type"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(keys).reset_index(drop=True),
+        exp.sort_values(keys).reset_index(drop=True),
+        check_dtype=False,
+    )
