@@ -331,3 +331,23 @@ def test_hll_sketch_union_close_to_exact(spark, sf_dir):
     assert set(got) == set(exact)
     for et, est in got.items():
         assert abs(est - exact[et]) <= max(2, 0.05 * exact[et]), (et, est, exact[et])
+
+
+def test_cli_list_run_sql(spark, capsys):
+    """CLI smoke: list prints every registry name; run/sql execute against
+    sf0.001 without error (reusing the session via getOrCreate)."""
+    from komodo_data_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "q1_pricing_summary" in out and len(out) >= 138
+
+    assert main(["run", "q6_forecast_revenue", "--sf-dir",
+                 "/root/testdata/sf0.001", "--cores", "4"]) == 0
+    assert "revenue" in capsys.readouterr().out
+
+    assert main(["sql", "SELECT count(*) AS n FROM region", "--sf-dir",
+                 "/root/testdata/sf0.001", "--cores", "4"]) == 0
+    assert "5" in capsys.readouterr().out
+
+    assert main(["run", "not_a_query", "--cores", "4"]) == 2
