@@ -72,7 +72,15 @@ def events_heavy_hitters_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.expr("ts_ms div 86400000").alias("day")).agg(
         F.expr("approx_top_k_accumulate(user_id, 100000)").alias("sk")
     )
-    merged = daily.agg(
+    # approx_top_k_combine over ZERO rows crashes (scala.MatchError: null)
+    # rather than returning an empty sketch, so an empty events table would
+    # kill the query. Union in a seed: accumulate over zero rows DOES yield
+    # a valid empty sketch, making the combine input provably non-empty and
+    # the empty-input result an empty frame, as it should be.
+    seed = ev.limit(0).agg(
+        F.expr("approx_top_k_accumulate(user_id, 100000)").alias("sk")
+    )
+    merged = daily.select("sk").unionByName(seed).agg(
         F.expr("approx_top_k_estimate(approx_top_k_combine(sk, 1000000), 1000)").alias(
             "tk"
         )

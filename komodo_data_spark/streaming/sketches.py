@@ -73,7 +73,18 @@ def heavy_hitters_from_store(
     would wrongly report absence. A missing store surfaces as Spark's own
     scheme-aware PATH_NOT_FOUND from the read itself."""
     store = spark.read.parquet(sketch_path)
-    merged = store.agg(
+    # approx_top_k_combine over ZERO rows crashes (scala.MatchError) — seed
+    # with a valid empty sketch so an empty store means "no hitters yet"
+    seed = (
+        spark.range(0)
+        .selectExpr("id AS user_id")
+        .agg(
+            F.expr(
+                f"approx_top_k_accumulate(user_id, {MAX_ITEMS_TRACKED})"
+            ).alias("sk")
+        )
+    )
+    merged = store.select("sk").unionByName(seed).agg(
         F.expr(
             f"approx_top_k_estimate("
             f"approx_top_k_combine(sk, {MAX_ITEMS_TRACKED}), {k})"
