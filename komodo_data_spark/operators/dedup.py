@@ -554,9 +554,14 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    v = _spread(
-        spark, load_table(spark, sf_dir, "embeddings")
-    ).select("vec_id", "embedding")
+    # NULL vectors cannot be near anything (their cosine is NULL, which
+    # never clears the threshold — same in the oracle); drop them BEFORE
+    # the pandas stage, where np.stack over a None would kill the task
+    v = (
+        _spread(spark, load_table(spark, sf_dir, "embeddings"))
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
     B = EMB_BLOCKS
     blk = F.pmod(F.hash("vec_id"), F.lit(B))
     left = v.withColumn("bi", blk).withColumn(
@@ -632,9 +637,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    v = _spread(
-        spark, load_table(spark, sf_dir, "embeddings")
-    ).select("vec_id", "embedding")
+    # NULL vectors cannot be near anything (their cosine is NULL, which
+    # never clears the threshold — same in the oracle); drop them BEFORE
+    # the pandas stage, where np.stack over a None would kill the task
+    v = (
+        _spread(spark, load_table(spark, sf_dir, "embeddings"))
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
     bkt = F.lit(0)
     for i in range(EMB_LSH_BITS):
         bkt = bkt + F.when(

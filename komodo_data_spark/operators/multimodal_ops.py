@@ -49,7 +49,11 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. Downstream operators must treat payload as opaque bytes.
     """
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    # rows with a NULL source text carry no media: drop them here so every
+    # downstream Arrow/pandas stage can rely on payload being real bytes
+    # (len(None)/hash(None) in a worker is a task-killer at scale). The
+    # oracles mirror with WHERE text IS NOT NULL.
+    return d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.struct(
@@ -122,7 +126,7 @@ def media_metadata_oracle() -> str:
            sha256(text) AS payload_sha256,
            ceil(octet_length(encode(text)) / {FRAME_BYTES}.0)::BIGINT
              AS n_frames
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """
 
 
@@ -167,7 +171,7 @@ def media_frame_samples_oracle() -> str:
     WITH d AS (
       SELECT doc_id, text,
              ceil(length(text) / {FRAME_BYTES}.0)::BIGINT AS n_frames
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, fi AS frame_idx,
            md5(substr(text, fi * {FRAME_BYTES} + 1, {FRAME_BYTES}))
@@ -215,7 +219,7 @@ def media_decoded_features_oracle() -> str:
            length(text) AS n_bytes,
            list_sum({codes})::DOUBLE / length(text) AS mean_byte,
            list_max({codes})::BIGINT AS max_byte
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """
 
 
@@ -259,7 +263,7 @@ def media_resize_oracle() -> str:
            length(text) AS n_bytes_in,
            length({resized}) AS n_bytes_out,
            md5({resized}) AS resized_md5
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """
 
 
@@ -326,7 +330,7 @@ def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_audio_energy_oracle() -> str:
     return f"""
     WITH d AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+      SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents WHERE text IS NOT NULL
     ),
     f AS (
       SELECT doc_id, text, unnest(range(0, nb // {FRAME_BYTES})) AS frame_idx
@@ -385,5 +389,5 @@ def media_metadata_arrow_oracle() -> str:
            octet_length(encode(text)) AS n_bytes,
            ceil(octet_length(encode(text)) / {FRAME_BYTES}.0)::BIGINT
              AS n_frames
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """

@@ -40,3 +40,51 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
         except Exception as exc:  # noqa: BLE001 - collecting the full list
             fails.append(f"{name}: {exc!r}"[:300])
     assert not fails, "queries crashed on empty input:\n" + "\n".join(fails)
+
+
+@pytest.fixture(scope="module")
+def nulled_sf_dir(tmp_path_factory) -> str:
+    """sf0.001 with NULLs injected into optional columns of every 7th row —
+    the shape real crawl/telemetry data has."""
+    d = tmp_path_factory.mktemp("sf_nulls")
+    nullable = {
+        "documents": ["text", "lang", "source"],
+        "events": ["props", "event_type", "value"],
+        "embeddings": ["embedding", "label"],
+        "customer": ["c_comment"],
+        "orders": ["o_comment", "o_orderpriority"],
+        "lineitem": ["l_comment"],
+    }
+    import pyarrow.compute as pc
+
+    for t in TABLE_NAMES:
+        tb = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        n = tb.num_rows
+        if t in nullable and n:
+            mask = pa.array([i % 7 == 0 for i in range(n)], pa.bool_())
+            for col in nullable[t]:
+                if col not in tb.column_names:
+                    continue
+                i = tb.column_names.index(col)
+                arr = tb.column(i).combine_chunks()
+                tb = tb.set_column(
+                    i, tb.field(i), pc.if_else(mask, pa.nulls(n, arr.type), arr)
+                )
+        pq.write_table(tb, os.path.join(str(d), f"{t}.parquet"))
+    return str(d)
+
+
+def test_every_query_survives_null_heavy_tables(spark, nulled_sf_dir):
+    """Found in round 3: null embeddings killed the BLAS cogroup stages
+    (np.stack over None) and null texts killed every media op (len(None)
+    in the Arrow batch); both now drop null rows at the source with
+    oracle-equivalent semantics."""
+    import __spark_entry__ as e
+
+    fails = []
+    for name, fn in e.queries().items():
+        try:
+            fn(spark, nulled_sf_dir).count()
+        except Exception as exc:  # noqa: BLE001
+            fails.append(f"{name}: {exc!r}"[:300])
+    assert not fails, "queries crashed on null-heavy input:\n" + "\n".join(fails)
