@@ -789,7 +789,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_substring_spans_oracle() -> str:
+def _substring_spans_cte() -> str:
+    """Shared DuckDB CTE chain ending in ``spans(doc_id, span_start,
+    span_end, ...)`` — used by the span report and the scrub oracle."""
     t = sql_tokens()
     k = SPAN_GRAM
     return f"""
@@ -815,11 +817,90 @@ def dedup_substring_spans_oracle() -> str:
       SELECT doc_id, pos,
              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
       FROM isl
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + {k - 1} AS span_end,
+             max(pos) + {k} - min(pos) AS span_tokens,
+             count(*) AS n_dup_grams
+      FROM grp GROUP BY doc_id, island
+    )"""
+
+
+def dedup_substring_spans_oracle() -> str:
+    return f"""
+    {_substring_spans_cte()}
+    SELECT doc_id, span_start, span_end, span_tokens, n_dup_grams
+    FROM spans
+    """
+
+
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the ExactSubstr loop: CUT the detected duplicated spans out of
+    each document and report the per-doc cleaning result (tokens before /
+    after, spans removed). Detection feeds a per-doc interval list
+    (collect_list over the tiny span rows); excision is one codegen'd
+    higher-order filter over the token array — position-indexed lambda, no
+    Python. Docs without spans pass through via the left join + empty-array
+    coalesce, so output cardinality == corpus cardinality.
+
+    100 TB: the spans frame is violation-bounded (duplicated regions), so
+    the join broadcast-hashes in practice; the excision itself is map-side.
+    """
+    spans = dedup_substring_spans(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )
-    SELECT doc_id, min(pos) AS span_start, max(pos) + {k - 1} AS span_end,
-           max(pos) + {k} - min(pos) AS span_tokens,
-           count(*) AS n_dup_grams
-    FROM grp GROUP BY doc_id, island
+    d = (
+        _spread(spark, load_table(spark, sf_dir, "documents"))
+        .select("doc_id", tokens().alias("toks"))
+        .join(spans, "doc_id", "left")
+        .withColumn(
+            "spans",
+            F.coalesce(
+                "spans",
+                F.array().cast("array<struct<span_start:long,span_end:long>>"),
+            ),
+        )
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            F.col("spans"),
+            lambda sp: (i + 1 >= sp["span_start"]) & (i + 1 <= sp["span_end"]),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens_before"),
+        F.size(kept).alias("n_tokens_after"),
+        F.size("spans").alias("n_spans_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
+    )
+
+
+def dedup_substring_scrub_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    {_substring_spans_cte()},
+    span_lists AS (
+      SELECT doc_id,
+             list({{'s': span_start, 'e': span_end}}) AS sps
+      FROM spans GROUP BY doc_id
+    ),
+    scrubbed AS (
+      SELECT d.doc_id, {t} AS toks,
+             coalesce(sl.sps, []) AS sps
+      FROM documents d LEFT JOIN span_lists sl ON sl.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens_before,
+           len([toks[i] for i in range(1, len(toks) + 1)
+                if len(list_filter(sps, sp -> i >= sp.s AND i <= sp.e)) = 0])
+             AS n_tokens_after,
+           len(sps) AS n_spans_removed,
+           md5(coalesce(array_to_string(
+               [toks[i] for i in range(1, len(toks) + 1)
+                if len(list_filter(sps, sp -> i >= sp.s AND i <= sp.e)) = 0],
+               ' '), '')) AS clean_fp
+    FROM scrubbed
     """
 
 
@@ -846,6 +927,10 @@ def registry():
         "dedup_substring_spans": (
             dedup_substring_spans,
             dedup_substring_spans_oracle(),
+        ),
+        "dedup_substring_scrub": (
+            dedup_substring_scrub,
+            dedup_substring_scrub_oracle(),
         ),
     }
 
