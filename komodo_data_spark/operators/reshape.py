@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from komodo_data_spark.operators.relational import _dbl, dec
+
 from komodo_data_spark.sources.tables import load_events
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
