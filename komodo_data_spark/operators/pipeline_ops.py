@@ -588,6 +588,10 @@ def registry():
         "doc_chunks": (doc_chunks, doc_chunks_oracle()),
         "term_redaction": (term_redaction, term_redaction_oracle()),
         "dedup_clusters": (dedup_clusters, dedup_clusters_oracle()),
+        "dedup_clusters_best_keeper": (
+            dedup_clusters_best_keeper,
+            dedup_clusters_best_keeper_oracle(),
+        ),
         "token_packing": (token_packing, token_packing_oracle()),
         "dedup_keep_latest": (dedup_keep_latest, dedup_keep_latest_oracle()),
         "dedup_keep_latest_maxby": (
@@ -1106,4 +1110,58 @@ def events_key_skew_profile_oracle() -> str:
            CAST(sum(CASE WHEN cnt > 2.0 * (SELECT avg(cnt) FROM per_key)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
     FROM per_key
+    """
+
+
+def dedup_clusters_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection per near-dup cluster by QUALITY, not by id: real
+    pipelines keep the best-written member of each duplicate cluster (the
+    longest/cleanest crawl of a page), falling back to lowest doc_id only
+    on ties. Composes the connected components with the heuristic quality
+    score; selection is one window rank over the tiny cluster frame —
+    the event stream never re-shuffles.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", tokens())
+    n_tok = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tok
+    quality = F.least(n_tok / F.lit(100.0), F.lit(1.0)) * (0.5 + 0.5 * ttr)
+    j = clusters.join(
+        d.select("doc_id", quality.alias("quality")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("quality").alias("keeper_quality"),
+        )
+    )
+
+
+def dedup_clusters_best_keeper_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH c AS ({dedup_clusters_oracle()}),
+    q AS (
+      SELECT doc_id,
+             least(len(toks) / 100.0, 1.0)
+               * (0.5 + 0.5 * (len(list_distinct(toks))::DOUBLE / len(toks)))
+               AS quality
+      FROM (SELECT doc_id, {t} AS toks FROM documents)
+    ),
+    j AS (
+      SELECT c.cluster_id, c.cluster_size, c.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.doc_id) AS rn
+      FROM c JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, cluster_size, doc_id AS keeper_doc_id,
+           quality AS keeper_quality
+    FROM j WHERE rn = 1
     """
