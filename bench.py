@@ -35,6 +35,7 @@ WARMUP_QUERIES = (
     "dedup_simhash",
     "dedup_ngram_pairs_capped",
     "dedup_clusters",
+    "dedup_clusters_best_keeper",
     "dedup_substring_spans",
     "dedup_semantic",
     "corpus_prepare",
