@@ -129,6 +129,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             ea.events_transition_matrix,
             ea.events_transition_matrix_oracle(),
         ),
+        "events_interarrival_stats": (
+            ea.events_interarrival_stats,
+            ea.events_interarrival_stats_oracle(),
+        ),
         "events_value_histogram_equidepth": (
             ea.events_value_histogram_equidepth,
             ea.events_value_histogram_equidepth_oracle(),

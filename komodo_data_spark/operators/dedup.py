@@ -932,6 +932,10 @@ def registry():
             dedup_substring_scrub,
             dedup_substring_scrub_oracle(),
         ),
+        "dedup_source_overlap": (
+            dedup_source_overlap,
+            dedup_source_overlap_oracle(),
+        ),
     }
 
 
@@ -1019,4 +1023,58 @@ def dedup_fuzzy_prefix_oracle() -> str:
     FROM blocked a JOIN blocked b
       ON a.lb = b.lb AND a.fc = b.fc AND a.doc_id < b.doc_id
     WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_DIST}
+    """
+
+
+# --------------------------------------------------------------------------
+# 7. cross-source duplication audit
+# --------------------------------------------------------------------------
+
+
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which SOURCES duplicate each other: near-dup pairs (MinHash-verified)
+    rolled up by the unordered source pair, with an average similarity per
+    cell. The audit that decides which crawl dumps to drop wholesale before
+    paying per-document dedup on them — at 100 TB, killing a 90%-duplicate
+    source at the manifest level is free; deduping it row by row is not.
+    Cost: the pair list is violation-bounded; the doc→source join
+    broadcast-hashes the (tiny) pair side against the narrow projection.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    enriched = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_i"), F.col("source").alias("src_i")),
+            "doc_i",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_j"), F.col("source").alias("src_j")),
+            "doc_j",
+        )
+        .select(
+            F.least("src_i", "src_j").alias("source_a"),
+            F.greatest("src_i", "src_j").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return enriched.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg("jaccard").alias("avg_jaccard"),
+    )
+
+
+def dedup_source_overlap_oracle() -> str:
+    return f"""
+    WITH pairs AS ({dedup_minhash_lsh_oracle()}),
+    enriched AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b,
+             p.jaccard
+      FROM pairs p
+      JOIN documents a ON a.doc_id = p.doc_i
+      JOIN documents b ON b.doc_id = p.doc_j
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs,
+           avg(jaccard) AS avg_jaccard
+    FROM enriched GROUP BY source_a, source_b
     """

@@ -867,3 +867,53 @@ def events_transition_matrix_oracle() -> str:
              AS p_next
     FROM m
     """
+
+
+# --------------------------------------------------------------------------
+# inter-arrival time statistics
+# --------------------------------------------------------------------------
+
+
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival statistics (median / p90 / max of the
+    per-user gap in ms) — the cadence profile behind rate limiting, bot
+    detection, and session-gap threshold selection (the 30-min gap used by
+    the sessionization ops should come FROM this distribution, not
+    folklore).
+
+    One per-user lag window (co-partitioned with every other sequence op),
+    then exact percentiles per event type — |types| groups, so the
+    percentile buffers are bounded; at higher group cardinality swap in
+    approx_percentile (cf. corpus.event_value_percentiles).
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts_ms").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select("event_type", (F.col("ts_ms") - F.col("prev_ts")).alias("gap_ms"))
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("percentile(gap_ms, 0.5)").alias("median_gap_ms"),
+        F.expr("percentile(gap_ms, 0.9)").alias("p90_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+    )
+
+
+def events_interarrival_stats_oracle() -> str:
+    return """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ) AS gap_ms
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_gaps,
+           quantile_cont(gap_ms, 0.5) AS median_gap_ms,
+           quantile_cont(gap_ms, 0.9) AS p90_gap_ms,
+           max(gap_ms) AS max_gap_ms
+    FROM gaps WHERE gap_ms IS NOT NULL
+    GROUP BY event_type
+    """
