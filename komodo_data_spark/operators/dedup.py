@@ -761,6 +761,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gram").isNotNull())
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
     )
+    # NB: g feeds two branches (dup aggregate + hits join). Measured: a
+    # localCheckpoint here does NOT pay (1.86 s vs 1.73 s at sf0.1) — the
+    # gram explode is cheap relative to its shuffles, unlike the k-means
+    # fit in dedup_semantic where the same pattern saved 24 exchanges.
+    # Lesson (c) applies to EXPENSIVE hub frames, not all hub frames.
     dup = (
         g.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))
