@@ -133,6 +133,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             ea.events_interarrival_stats,
             ea.events_interarrival_stats_oracle(),
         ),
+        "events_type_correlations": (
+            ea.events_type_correlations,
+            ea.events_type_correlations_oracle(),
+        ),
         "events_value_histogram_equidepth": (
             ea.events_value_histogram_equidepth,
             ea.events_value_histogram_equidepth_oracle(),

@@ -917,3 +917,70 @@ def events_interarrival_stats_oracle() -> str:
     FROM gaps WHERE gap_ms IS NOT NULL
     GROUP BY event_type
     """
+
+
+# --------------------------------------------------------------------------
+# cross-type activity correlation
+# --------------------------------------------------------------------------
+
+
+def events_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between the hourly activity series of every
+    event-type pair — "do purchases move with clicks?" — the co-movement
+    matrix behind anomaly attribution and metric forecasting.
+
+    Shape: one hourly (hour, type) count aggregate, a self equi-join on
+    the hour key (series align on time, never a cross join), then the
+    corr() aggregate per unordered type pair. Series length ~ hours, pair
+    count ~ |types|², both tiny next to the event scan; the only
+    corpus-scale work is the first aggregate, which is map-side
+    combinable. Missing (hour, type) cells count as zero activity via the
+    dense hour spine, so sparse types don't fake correlation through
+    join dropout.
+    """
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.expr("ts_ms div 3600000").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hours = hourly.select("hour").distinct()
+    types = hourly.select("event_type").distinct()
+    dense = (
+        hours.crossJoin(types)  # |hours| x |types|: spine, not data
+        .join(hourly, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    a = dense.select(
+        "hour", F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    b = dense.select(
+        "hour", F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, "hour")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.corr("n_a", "n_b").alias("activity_corr"),
+        )
+    )
+
+
+def events_type_correlations_oracle() -> str:
+    return """
+    WITH hourly AS (
+      SELECT epoch_ms(ts) // 3600000 AS hour, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT h.hour, t.event_type, coalesce(hr.n, 0) AS n
+      FROM (SELECT DISTINCT hour FROM hourly) h
+      CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+      LEFT JOIN hourly hr ON hr.hour = h.hour AND hr.event_type = t.event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_hours, corr(a.n, b.n) AS activity_corr
+    FROM dense a JOIN dense b ON a.hour = b.hour
+    WHERE a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """
