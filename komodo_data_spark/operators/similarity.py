@@ -197,6 +197,10 @@ def registry():
         "knn_lsh_multiprobe": (knn_lsh_multiprobe, knn_lsh_multiprobe_oracle()),
         "knn_ivf_multiprobe": (knn_ivf_multiprobe, knn_ivf_multiprobe_oracle()),
         "knn_lsh_recall": (knn_lsh_recall, knn_lsh_recall_oracle()),
+        "knn_quantized_recall": (
+            knn_quantized_recall,
+            knn_quantized_recall_oracle(),
+        ),
         "kmeans_clusters": (kmeans_clusters, kmeans_clusters_oracle()),
         "dedup_semantic": (dedup_semantic, dedup_semantic_oracle()),
         "embeddings_vector_stats": (
@@ -764,4 +768,99 @@ def embeddings_vector_stats_oracle() -> str:
            list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max')
              AS max_abs
     FROM embeddings
+    """
+
+
+# --------------------------------------------------------------------------
+# int8 quantization recall (the memory-reduction rung of the ANN ladder)
+# --------------------------------------------------------------------------
+
+QUANT_LEVELS = 127  # symmetric int8
+
+
+def knn_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of per-vector symmetric int8 quantization against the exact
+    float top-K — the evaluation for the OTHER standard ANN trade: 4×
+    memory reduction (and SIMD int8 dot products on real hardware) at the
+    cost of rounding noise in the ranking. Quantization is a pure map-side
+    projection (scale = max |x| per vector, q = round(127·x/scale));
+    search and evaluation reuse the brute-force + semi-join shapes, so the
+    only new cost at 100 TB is the cheaper representation itself.
+    """
+    v = _vectors(spark, sf_dir)
+    s = F.array_max(F.transform("e", F.abs))
+    qe = F.transform("e", lambda x: F.round(F.lit(float(QUANT_LEVELS)) * x / s))
+    vq = v.select("vec_id", qe.alias("e")).withColumn("nrm", _nrm(F.col("e")))
+    q = vq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = vq.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos_pre(F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")).alias(
+            "qcos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("neighbor_id")
+    )
+    quant = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    bf = knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(quant, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    truth = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        truth.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("k")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def knn_quantized_recall_oracle() -> str:
+    qe = (
+        "list_transform(e, x -> round(127.0 * x /"
+        " list_aggregate(list_transform(e, y -> abs(y)), 'max')))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    vq AS (SELECT vec_id, {qe} AS e FROM v),
+    q AS (SELECT vec_id AS query_id, e FROM vq WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, {_SQL_COS} AS qcos
+      FROM q JOIN vq v ON v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC
+      ) AS rnk FROM scored
+    ),
+    quant AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {TOP_K}),
+    bf AS (SELECT query_id, neighbor_id FROM ({knn_brute_force_oracle()}) b),
+    hits AS (
+      SELECT bf.query_id, count(*) AS n_hit
+      FROM bf SEMI JOIN quant
+        ON quant.query_id = bf.query_id
+       AND quant.neighbor_id = bf.neighbor_id
+      GROUP BY bf.query_id
+    ),
+    truth AS (SELECT query_id, count(*) AS k FROM bf GROUP BY query_id)
+    SELECT t.query_id, coalesce(h.n_hit, 0) AS n_hit,
+           coalesce(h.n_hit, 0)::DOUBLE / t.k AS recall
+    FROM truth t LEFT JOIN hits h ON h.query_id = t.query_id
+    ORDER BY t.query_id
     """
