@@ -207,3 +207,55 @@ def test_substring_spans_match_python(spark, token_lists):
         {i: (t if t else [""]) for i, t in docs.items()}, D.SPAN_GRAM
     )
     assert got == exp
+
+
+@given(
+    docs_spec=st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB", "sC"]),        # source
+            st.integers(min_value=1, max_value=12),     # n tokens in doc
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    budget_a=st.integers(min_value=0, max_value=40),
+    budget_default=st.integers(min_value=0, max_value=40),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_token_budget_twostage_equals_window_form(
+    spark, docs_spec, budget_a, budget_default, monkeypatch, tmp_path_factory
+):
+    """The bucketed two-stage scale path must admit EXACTLY the docs the
+    global-window form admits, for arbitrary corpora and budgets — the
+    property the shared oracle can only spot-check at fixed constants."""
+    import os
+
+    import pandas as pd
+
+    from komodo_data_spark.operators import pipeline_ops as P
+
+    monkeypatch.setattr(P, "MIX_TOKEN_BUDGETS", {"sA": budget_a})
+    monkeypatch.setattr(P, "MIX_DEFAULT_BUDGET", budget_default)
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs_spec)),
+            "text": [" ".join(["tok"] * n) for _, n in docs_spec],
+            "lang": ["en"] * len(docs_spec),
+            "source": [s for s, _ in docs_spec],
+            "n_chars": [0] * len(docs_spec),
+        }
+    )
+    sf = str(tmp_path_factory.mktemp("mix_prop"))
+    pdf.to_parquet(os.path.join(sf, "documents.parquet"))
+
+    def rows(df):
+        return {
+            (r["source"], r["budget_tokens"], r["n_docs_kept"], r["n_tokens_kept"])
+            for r in df.collect()
+        }
+
+    assert rows(P.docs_token_budget_mix(spark, sf)) == rows(
+        P.docs_token_budget_mix_twostage(spark, sf)
+    )
