@@ -762,3 +762,4 @@ def test_streaming_transitions_match_batch_matrix(spark, sf_dir, tmp_path):
         exp.sort_values(keys).reset_index(drop=True),
         check_dtype=False,
     )
+
