@@ -88,3 +88,70 @@ def test_every_query_survives_null_heavy_tables(spark, nulled_sf_dir):
         except Exception as exc:  # noqa: BLE001
             fails.append(f"{name}: {exc!r}"[:300])
     assert not fails, "queries crashed on null-heavy input:\n" + "\n".join(fails)
+
+
+@pytest.fixture(scope="module")
+def shuffled_sf_dir(tmp_path_factory) -> str:
+    """sf0.001 with documents/events rewritten as MANY files in a scrambled
+    row order — the physical layout a real ingest produces. Operators that
+    claim determinism must not notice."""
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("sf_shuffled")
+    rng = np.random.RandomState(7)
+    for t in TABLE_NAMES:
+        tb = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        if t in ("documents", "events", "embeddings") and tb.num_rows > 8:
+            idx = rng.permutation(tb.num_rows)
+            shuffled = tb.take(pa.array(idx, pa.int64()))
+            os.makedirs(os.path.join(str(d), f"{t}.parquet"))
+            step = -(-tb.num_rows // 8)
+            for i in range(8):
+                part = shuffled.slice(i * step, step)
+                if part.num_rows:
+                    pq.write_table(
+                        part,
+                        os.path.join(str(d), f"{t}.parquet", f"part-{i}.parquet"),
+                    )
+        else:
+            pq.write_table(tb, os.path.join(str(d), f"{t}.parquet"))
+    return str(d)
+
+
+#: Queries whose determinism-under-layout claim is load-bearing (keep-first
+#: choices, ordinals, hash orders, label propagation, top-k ties).
+LAYOUT_SENSITIVE = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_substring_spans",
+    "docs_token_budget_mix",
+    "docs_token_budget_mix_twostage",
+    "docs_surrogate_keys",
+    "token_packing",
+    "knn_brute_force",
+    "dedup_keep_latest",
+    "events_transition_matrix",
+]
+
+
+def test_layout_sensitive_queries_are_layout_invariant(spark, shuffled_sf_dir):
+    """Identical results from a many-file scrambled layout and the pristine
+    single-file layout: physical row order must never leak into output."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    diffs = []
+    for name in LAYOUT_SENSITIVE:
+        a = qs[name](spark, "/root/testdata/sf0.001").toPandas()
+        b = qs[name](spark, shuffled_sf_dir).toPandas()
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        try:
+            import pandas as pd
+
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=1e-9)
+        except AssertionError as exc:
+            diffs.append(f"{name}: {str(exc).splitlines()[0]}")
+    assert not diffs, "layout leaked into results:\n" + "\n".join(diffs)
