@@ -89,14 +89,22 @@ def _read_capture_arrow(path: str):
             ("message", pa.string()),
         ]
     )
-    cols = {c: [r.get(c) for r in records] for c in _COLUMNS}
-    # message may arrive as a JSON object (records-array files) — keep
-    # the raw-text contract of the `data` table
-    cols["message"] = [
-        m if isinstance(m, (str, type(None))) else json.dumps(m)
-        for m in cols["message"]
-    ]
-    yield pa.RecordBatch.from_pydict(cols, schema=arrow_schema)
+    try:
+        cols = {c: [r.get(c) for r in records] for c in _COLUMNS}
+        # message may arrive as a JSON object (records-array files) — keep
+        # the raw-text contract of the `data` table
+        cols["message"] = [
+            m if isinstance(m, (str, type(None))) else json.dumps(m)
+            for m in cols["message"]
+        ]
+        batch = pa.RecordBatch.from_pydict(cols, schema=arrow_schema)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, AttributeError, TypeError,
+            OverflowError):
+        # schema-violating records (string ts, non-dict rows, ...) are the
+        # same dead-letter class as unparseable bytes: skip the file, keep
+        # the scan alive
+        return
+    yield batch
 
 
 class CaptureFsReader(DataSourceReader):

@@ -618,3 +618,28 @@ def test_cli_serve_runs_reference_loop(spark, tmp_path, captures_dir, data_pdf):
     assert main(argv) == 0
     assert spark.read.parquet(str(tmp_path / "state" / "fulfillments")).count() == 3
     assert spark.read.parquet(str(tmp_path / "data_tbl")).count() == len(data_pdf)
+
+
+def test_capturefs_dead_letters_schema_violations(spark, tmp_path):
+    """A capture whose records violate the schema (string ts) must
+    dead-letter like unparseable bytes — the scan survives and good
+    captures still read."""
+    from komodo_data_spark.sources.capture_datasource import CaptureDataSource
+
+    spark.dataSource.register(CaptureDataSource)
+    root = tmp_path / "caps_badschema"
+    good = root / "1" / "10"
+    bad = root / "2" / "20"
+    good.mkdir(parents=True)
+    bad.mkdir(parents=True)
+    (good / "data").write_text(json.dumps([
+        {"capture_id": "1_10", "session_id": 1, "client_id": 1,
+         "type": "sync", "ts": 5, "seq": 1, "message": "{}"}
+    ]))
+    (bad / "data").write_text(json.dumps([
+        {"capture_id": "2_20", "session_id": 2, "client_id": 1,
+         "type": "sync", "ts": "not-a-number", "seq": 1, "message": "{}"}
+    ]))
+    df = spark.read.format("capturefs").option("path", str(root)).load()
+    assert df.count() == 1
+    assert df.first()["capture_id"] == "1_10"
