@@ -635,6 +635,10 @@ def registry():
             text_bigram_logprob,
             text_bigram_logprob_oracle(),
         ),
+        "source_unigram_divergence": (
+            source_unigram_divergence,
+            source_unigram_divergence_oracle(),
+        ),
         "text_language_id": (text_language_id, text_language_id_oracle()),
         "text_fingerprints": (text_fingerprints, text_fingerprints_oracle()),
         "text_tfidf_top_terms": (
@@ -827,4 +831,77 @@ def boilerplate_ngrams_cm_oracle() -> str:
     SELECT p.g, p.df_exact, CAST(min(c.cnt) AS BIGINT) AS df_cm
     FROM probes p JOIN cells c ON c.depth = p.depth AND c.bucket = p.bucket
     GROUP BY p.g, p.df_exact
+    """
+
+
+# --------------------------------------------------------------------------
+# source distribution shift (unigram KL divergence)
+# --------------------------------------------------------------------------
+
+
+def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over unigram distributions, per source — the
+    distribution-shift score behind data-selection schemes (DSIR-style
+    importance weighting ranks sources/docs by exactly this kind of
+    n-gram likelihood ratio) and drift monitoring between crawl snapshots.
+
+    Every token in a source also occurs in the corpus (the corpus IS the
+    union), so the ratio is always defined — no smoothing term. Two
+    aggregates (token×source counts; token totals) joined on the token
+    key, then a per-source sum: all map-side combinable, output |sources|
+    rows. At 100 TB the vocabulary table is the big intermediate; it stays
+    distributed end-to-end (same argument as text_bigram_logprob).
+    """
+    from komodo_data_spark.operators.dedup import _spread
+
+    d = _spread(spark, _docs(spark, sf_dir))
+    toks = d.select(
+        "source", F.explode_outer(tokens()).alias("t")
+    ).filter(F.col("t").isNotNull())
+    src_counts = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).alias("c_src")
+    )
+    corpus_counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c_all"))
+    src_totals = src_counts.groupBy("source").agg(
+        F.sum("c_src").alias("n_src")
+    )
+    corpus_total = corpus_counts.agg(F.sum("c_all").alias("n_all"))
+    p_src = F.col("c_src") / F.col("n_src")
+    p_all = F.col("c_all") / F.col("n_all")
+    return (
+        src_counts.join(corpus_counts, "t")
+        .join(F.broadcast(src_totals), "source")
+        .crossJoin(F.broadcast(corpus_total))
+        .groupBy("source")
+        .agg(
+            F.sum(p_src * F.log(p_src / p_all)).alias("kl_divergence"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+        )
+    )
+
+
+def source_unigram_divergence_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH toks AS (
+      SELECT source, unnest({t}) AS t FROM documents
+    ),
+    src_counts AS (
+      SELECT source, t, count(*) AS c_src FROM toks GROUP BY source, t
+    ),
+    corpus_counts AS (SELECT t, count(*) AS c_all FROM toks GROUP BY t),
+    src_totals AS (
+      SELECT source, sum(c_src) AS n_src FROM src_counts GROUP BY source
+    ),
+    corpus_total AS (SELECT sum(c_all) AS n_all FROM corpus_counts)
+    SELECT s.source,
+           sum((s.c_src::DOUBLE / st.n_src)
+               * ln((s.c_src::DOUBLE / st.n_src)
+                    / (c.c_all::DOUBLE / ct.n_all))) AS kl_divergence,
+           count(*) AS n_distinct_tokens
+    FROM src_counts s
+    JOIN corpus_counts c USING (t)
+    JOIN src_totals st USING (source)
+    CROSS JOIN corpus_total ct
+    GROUP BY s.source
     """
