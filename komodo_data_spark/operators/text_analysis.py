@@ -858,14 +858,18 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "source", F.explode_outer(tokens()).alias("t")
     ).filter(F.col("t").isNotNull())
+    # ONE corpus-scale aggregate; everything else derives from its (vocab ×
+    # sources)-sized output: c_all(t) = Σ_src c_src(t), n_src = Σ_t c_src,
+    # n_all = Σ everything. Deriving instead of re-aggregating the token
+    # stream cuts the corpus scans from three to one (was 18 exchanges).
     src_counts = toks.groupBy("source", "t").agg(
         F.count(F.lit(1)).alias("c_src")
-    )
-    corpus_counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c_all"))
+    ).localCheckpoint(eager=True)
+    corpus_counts = src_counts.groupBy("t").agg(F.sum("c_src").alias("c_all"))
     src_totals = src_counts.groupBy("source").agg(
         F.sum("c_src").alias("n_src")
     )
-    corpus_total = corpus_counts.agg(F.sum("c_all").alias("n_all"))
+    corpus_total = src_counts.agg(F.sum("c_src").alias("n_all"))
     p_src = F.col("c_src") / F.col("n_src")
     p_all = F.col("c_all") / F.col("n_all")
     return (
