@@ -955,8 +955,10 @@ def events_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = dense.select(
         "hour", F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
     )
+    # both sides are |hours|x|types| rows (time-bounded, NOT corpus-bound):
+    # broadcast the build side rather than letting stats pick a sort-merge
     return (
-        a.join(b, "hour")
+        a.join(F.broadcast(b), "hour")
         .filter(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(
