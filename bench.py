@@ -36,6 +36,7 @@ WARMUP_QUERIES = (
     "dedup_ngram_pairs_capped",
     "dedup_clusters",
     "dedup_clusters_best_keeper",
+    "dedup_source_overlap",
     "dedup_substring_spans",
     "dedup_semantic",
     "corpus_prepare",
