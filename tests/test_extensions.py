@@ -351,3 +351,35 @@ def test_cli_list_run_sql(spark, capsys):
     assert "5" in capsys.readouterr().out
 
     assert main(["run", "not_a_query", "--cores", "4"]) == 2
+
+
+def test_bench_delta_flags_regressions(tmp_path, capsys):
+    """bench_delta: exit 1 iff a query regressed beyond factor+floor; added/
+    removed queries and totals are reported."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import bench_delta
+
+    old = {"value": 10.0, "queries": {"a": 1.0, "b": 2.0, "gone": 1.0}}
+    new_ok = {"value": 10.5, "queries": {"a": 1.1, "b": 2.2, "fresh": 0.5}}
+    new_bad = {"value": 14.0, "queries": {"a": 1.0, "b": 4.1, "fresh": 0.5}}
+    po, pn_ok, pn_bad = (
+        tmp_path / "o.json", tmp_path / "n1.json", tmp_path / "n2.json"
+    )
+    po.write_text(json.dumps(old))
+    pn_ok.write_text(json.dumps(new_ok))
+    pn_bad.write_text(json.dumps(new_bad))
+
+    assert bench_delta.main.__globals__["json"]  # imported module sanity
+    import unittest.mock as mock
+
+    with mock.patch.object(sys, "argv", ["bench_delta", str(po), str(pn_ok)]):
+        assert bench_delta.main() == 0
+    out = capsys.readouterr().out
+    assert "fresh" in out and "gone" in out
+
+    with mock.patch.object(sys, "argv", ["bench_delta", str(po), str(pn_bad)]):
+        assert bench_delta.main() == 1
+    assert "b: 2.00s -> 4.10s" in capsys.readouterr().out
