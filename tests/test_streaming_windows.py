@@ -763,3 +763,37 @@ def test_streaming_transitions_match_batch_matrix(spark, sf_dir, tmp_path):
         check_dtype=False,
     )
 
+
+
+def test_streaming_observe_metrics_surface_in_progress(spark, sf_dir, events_dir, tmp_path):
+    """Streaming twin of engine.run_observed: df.observe() metrics ride the
+    StreamingQueryProgress — per-batch row counts and invariants with no
+    second scan and no extra action, the streaming audit channel."""
+    import json as _json
+
+    from komodo_data_spark.sources.tables import load_events
+
+    stream = W.events_stream(spark, events_dir)
+    obs = stream.observe(
+        "ingest_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sum_value"),
+    )
+    q = (
+        obs.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = {"n_rows": 0, "sum_value": 0.0}
+    for p in q.recentProgress:
+        m = _json.loads(p.json).get("observedMetrics", {}).get("ingest_metrics")
+        if m:
+            totals["n_rows"] += m["n_rows"]
+            totals["sum_value"] += m["sum_value"]
+    exp = load_events(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    ).first()
+    assert totals["n_rows"] == exp["n"]
+    assert abs(totals["sum_value"] - exp["s"]) < 1e-6
