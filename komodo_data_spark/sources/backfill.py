@@ -36,10 +36,29 @@ def backfill_partitions(
     Rows in the recompute output that fall OUTSIDE the named partitions are
     dropped (and counted in the audit) — a backfill must never silently
     widen its blast radius.
+
+    Two traps closed here: (1) the recompute output is localCheckpointed so
+    the audited frame IS the written frame — a nondeterministic recompute
+    (sampling, current-state reads) cannot make the audit disagree with
+    what landed on disk, and the recompute runs ONCE, not once per count;
+    (2) a partition NAMED in ``partition_values`` whose corrected content
+    is ZERO rows is emptied explicitly — dynamic overwrite only replaces
+    partitions present in the written frame, so without the explicit
+    delete an invalidated partition would silently keep its old bad rows.
+    Emptied partitions are listed in the audit. Deletion uses the local
+    filesystem API (this rig); on object stores swap in the Hadoop
+    FileSystem delete, same contract.
     """
-    fresh = recompute(spark)
+    import os
+    import shutil
+
+    fresh = recompute(spark).localCheckpoint(eager=True)
     in_scope = fresh.filter(F.col(partition_col).isin(list(partition_values)))
     out_of_scope = fresh.count() - in_scope.count()
+    covered = {
+        r[0] for r in in_scope.select(partition_col).distinct().collect()
+    }
+    emptied = [v for v in partition_values if v not in covered]
     before = (
         spark.read.parquet(table_path)
         .filter(F.col(partition_col).isin(list(partition_values)))
@@ -51,6 +70,10 @@ def backfill_partitions(
         .partitionBy(partition_col)
         .parquet(table_path)
     )
+    for v in emptied:
+        d = os.path.join(table_path, f"{partition_col}={v}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     after = (
         spark.read.parquet(table_path)
         .filter(F.col(partition_col).isin(list(partition_values)))
@@ -58,6 +81,7 @@ def backfill_partitions(
     )
     return {
         "partitions": list(partition_values),
+        "partitions_emptied": emptied,
         "rows_before": before,
         "rows_after": after,
         "rows_dropped_out_of_scope": out_of_scope,

@@ -117,23 +117,38 @@ class CaptureFsReader(DataSourceReader):
         self._keep_captures: set[str] | None = None
         self._keep_sessions: set[str] | None = None
 
+    @staticmethod
+    def _intersect(current: set[str] | None, new: set[str]) -> set[str]:
+        """Conjunction semantics: each pushed filter CONSTRAINS the keep-set.
+        ``session_id = 1 AND session_id = 2`` must yield the empty set, not
+        whichever filter arrived last."""
+        return new if current is None else current & new
+
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
-        """Accept equality/IN filters on the path-derived columns; everything
-        else is returned for Spark to evaluate post-scan. Accepted filters
-        shrink the partition list — files outside never open."""
-        remaining: list[Filter] = []
+        """Use equality/IN filters on the path-derived columns to shrink the
+        partition list — files outside the keep-sets never open. Every filter
+        (including the ones used for pruning) is returned in ``remaining`` so
+        Spark re-evaluates it row-level post-scan: the prune is a best-effort
+        partition skip, and the re-check protects against a capture file whose
+        JSON session_id disagrees with its directory name."""
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("session_id",):
-                self._keep_sessions = {str(f.value)}
+                self._keep_sessions = self._intersect(
+                    self._keep_sessions, {str(f.value)}
+                )
             elif isinstance(f, EqualTo) and f.attribute == ("capture_id",):
-                self._keep_captures = {str(f.value)}
+                self._keep_captures = self._intersect(
+                    self._keep_captures, {str(f.value)}
+                )
             elif isinstance(f, In) and f.attribute == ("session_id",):
-                self._keep_sessions = {str(v) for v in f.values}
+                self._keep_sessions = self._intersect(
+                    self._keep_sessions, {str(v) for v in f.value}
+                )
             elif isinstance(f, In) and f.attribute == ("capture_id",):
-                self._keep_captures = {str(v) for v in f.values}
-            else:
-                remaining.append(f)
-        return remaining
+                self._keep_captures = self._intersect(
+                    self._keep_captures, {str(v) for v in f.value}
+                )
+        return list(filters)
 
     def partitions(self) -> Sequence[CaptureFilePartition]:
         parts = []

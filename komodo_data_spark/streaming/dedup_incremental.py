@@ -30,6 +30,7 @@ splits differently — consumers dedup by (doc_i, doc_j), which
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -65,7 +66,15 @@ def detect_batch(
         store = spark.read.parquet(store_path).select(
             "doc_id", "band_id", "band_hash"
         )
-    except Exception:  # first batch: no store yet
+    except AnalysisException as exc:
+        # ONLY the missing-path case means "first batch: no store yet".
+        # Any other read failure (IO error, permissions, corrupt footer)
+        # must propagate: swallowing it would silently drop every
+        # new-vs-history candidate pair for this epoch, and once the epoch
+        # commits via the checkpoint those pairs are lost for good.
+        # Propagating lets foreachBatch fail the batch and retry it.
+        if exc.getCondition() != "PATH_NOT_FOUND":
+            raise
         store = None
     cand = _pairs(bands, bands)
     if store is not None:

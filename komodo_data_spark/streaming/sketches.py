@@ -97,6 +97,55 @@ def heavy_hitters_from_store(
     )
 
 
+#: Scratch partition the new base is staged into before the swap. Never a
+#: real epoch (stream epochs are >= 0; -1 is the committed base).
+_TMP_EPOCH = -2
+#: Underscore-prefixed so Spark's parquet listing ignores it (like _SUCCESS).
+_INFLIGHT_MARKER = "_compaction_inflight.json"
+
+
+def _recover_compaction(sketch_path: str) -> None:
+    """Bring the store to a consistent state after a crash at ANY point of a
+    prior compaction, then (re)enter the finalize steps if a committed fold
+    is pending. Doubles as the finalize path for a live compaction — one
+    code path, every step idempotent:
+
+    - tmp partition WITHOUT marker  → the fold crashed mid-write; originals
+      are intact, so the partial tmp is discarded.
+    - marker + tmp                  → the fold committed; delete exactly the
+      epochs listed in the marker (idempotent — some may already be gone),
+      drop the old base, rename tmp → base (atomic on a local fs; on
+      object stores use the FileSystem rename, same contract), drop marker.
+    - marker WITHOUT tmp            → crash after the rename; just drop the
+      marker.
+
+    The marker records the exact epoch list folded, so epochs that arrive
+    AFTER a crashed compaction (stream resumed before the re-run) are never
+    mistaken for folded ones and never deleted unfolded.
+    """
+    import json
+    import shutil
+
+    marker = os.path.join(sketch_path, _INFLIGHT_MARKER)
+    tmp_dir = os.path.join(sketch_path, f"epoch_id={_TMP_EPOCH}")
+    base_dir = os.path.join(sketch_path, "epoch_id=-1")
+    if not os.path.exists(marker):
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        return
+    with open(marker) as fh:
+        folded = json.load(fh)["epochs"]
+    if os.path.isdir(tmp_dir):
+        for e in folded:
+            d = os.path.join(sketch_path, f"epoch_id={e}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        if os.path.isdir(base_dir):
+            shutil.rmtree(base_dir)
+        os.rename(tmp_dir, base_dir)
+    os.remove(marker)
+
+
 def compact_store(spark: SparkSession, sketch_path: str) -> int:
     """Fold every per-epoch sketch row into ONE base row so the store stays
     O(1) instead of one-row-per-batch forever — the retention pass that
@@ -104,22 +153,25 @@ def compact_store(spark: SparkSession, sketch_path: str) -> int:
 
     Mergeability is the whole point of the sketch choice: combine(combine(
     a, b), c) == combine(a, b, c), so folding historical epochs into a base
-    row changes no downstream estimate (pinned by test). The base lands in
-    the reserved ``epoch_id=-1`` partition via the same dynamic-overwrite
-    write the stream uses; old epoch directories are removed only AFTER the
-    base commit (write-then-prune — a crash between the two steps leaves a
-    double-counted base + epoch? No: the base is built FROM the epochs and
-    replaces them; until pruning completes, readers see base + originals,
-    so the estimate can transiently over-count. Run compaction while the
-    maintenance stream is paused, or read through a snapshot listing, the
-    same operational contract as parquet compaction in sources/compaction).
+    row changes no downstream estimate (pinned by test).
+
+    Crash-reentrant by construction: the new base (old base + epochs) is
+    staged into the scratch ``epoch_id=-2`` partition, a marker file then
+    records WHICH epochs it folded, and only then are those epochs pruned
+    and the scratch renamed over ``epoch_id=-1``. A re-run after a crash at
+    any step resumes (or discards) via ``_recover_compaction`` — the fold
+    can never double-count a previously folded epoch, because a committed
+    base is only ever installed together with the deletion of exactly the
+    epochs it folded. Run while the maintenance stream is paused (readers
+    mid-swap could transiently see both base generations).
 
     Returns the number of epoch partitions folded away. Pruning uses the
-    local filesystem API (this rig); on s3://-style stores swap the rmtree
-    for the Hadoop FileSystem delete, same two-step contract.
+    local filesystem API (this rig); on s3://-style stores swap the
+    rmtree/rename for Hadoop FileSystem delete/rename, same contract.
     """
-    import shutil
+    import json
 
+    _recover_compaction(sketch_path)
     store = spark.read.parquet(sketch_path)
     epochs = [
         r["epoch_id"]
@@ -131,10 +183,10 @@ def compact_store(spark: SparkSession, sketch_path: str) -> int:
     base = (
         store.agg(
             F.expr(f"approx_top_k_combine(sk, {MAX_ITEMS_TRACKED})").alias("sk")
-        ).withColumn("epoch_id", F.lit(-1))
+        ).withColumn("epoch_id", F.lit(_TMP_EPOCH))
     )
     # materialize BEFORE overwriting: the combine must not lazily re-read
-    # partitions mid-delete
+    # partitions mid-swap
     base = base.localCheckpoint(eager=True)
     (
         base.write.mode("overwrite")
@@ -142,6 +194,7 @@ def compact_store(spark: SparkSession, sketch_path: str) -> int:
         .partitionBy("epoch_id")
         .parquet(sketch_path)
     )
-    for e in epochs:
-        shutil.rmtree(os.path.join(sketch_path, f"epoch_id={e}"))
+    with open(os.path.join(sketch_path, _INFLIGHT_MARKER), "w") as fh:
+        json.dump({"epochs": [int(e) for e in epochs]}, fh)
+    _recover_compaction(sketch_path)  # finalize: prune + swap + drop marker
     return len(epochs)

@@ -431,7 +431,9 @@ def test_capturefs_datasource_matches_batch_ingest(spark, tmp_path, captures_dir
 
     r = CaptureFsReader(None, {"path": captures_dir})
     rest = list(r.pushFilters([EqualTo(("session_id",), 126)]))
-    assert rest == []  # fully absorbed
+    # filters are used for pruning but ALSO handed back for Spark's
+    # row-level re-check (path-vs-content mismatch protection)
+    assert rest == [EqualTo(("session_id",), 126)]
     parts = r.partitions()
     assert len(parts) >= 1
     assert all(p.capture_id.startswith("126_") for p in parts)
@@ -439,6 +441,23 @@ def test_capturefs_datasource_matches_batch_ingest(spark, tmp_path, captures_dir
     assert len(r_all.partitions()) > len(parts) or len(parts) == len(
         r_all.partitions()
     ) == 1
+
+    # conjunction semantics: contradictory equalities intersect to EMPTY,
+    # not last-writer-wins
+    r_conj = CaptureFsReader(None, {"path": captures_dir})
+    r_conj.pushFilters(
+        [EqualTo(("session_id",), 126), EqualTo(("session_id",), 127)]
+    )
+    assert r_conj.partitions() == []
+    # ... and an In + EqualTo conjunction narrows to the overlap
+    from pyspark.sql.datasource import In
+
+    r_in = CaptureFsReader(None, {"path": captures_dir})
+    r_in.pushFilters(
+        [In(("session_id",), (126, 127)), EqualTo(("session_id",), 126)]
+    )
+    assert all(p.capture_id.startswith("126_") for p in r_in.partitions())
+    assert len(r_in.partitions()) == len(parts)
 
     # corrupt file -> dead-letter skip, good files still read
     bad_dir = tmp_path / "cap_ds" / "999" / "777"
@@ -533,6 +552,7 @@ def test_backfill_rebuilds_only_named_partitions(spark, tmp_path):
     audit = backfill_partitions(spark, path, "day", ["d2"], recompute)
     assert audit == {
         "partitions": ["d2"],
+        "partitions_emptied": [],
         "rows_before": 10,
         "rows_after": 9,
         "rows_dropped_out_of_scope": 1,
@@ -547,6 +567,37 @@ def test_backfill_rebuilds_only_named_partitions(spark, tmp_path):
     # idempotent
     audit2 = backfill_partitions(spark, path, "day", ["d2"], recompute)
     assert audit2["rows_before"] == 9 and audit2["rows_after"] == 9
+
+
+def test_backfill_empties_named_partition_with_zero_rows(spark, tmp_path):
+    """A partition NAMED in the backfill whose corrected content is zero
+    rows must end up EMPTY — dynamic overwrite alone would leave its old
+    bad rows in place. The audit must describe exactly what landed on
+    disk (the recompute output is materialized once via localCheckpoint
+    before any count or write)."""
+    from komodo_data_spark.sources.backfill import backfill_partitions
+
+    path = str(tmp_path / "events_by_day2")
+    spark.createDataFrame(
+        [(d, i, float(i)) for d in ("d1", "d2", "d3") for i in range(10)],
+        "day string, event_id int, value double",
+    ).write.partitionBy("day").parquet(path)
+
+    def recompute(s):
+        # d2 corrected to 4 rows; d3 corrected to NOTHING (all its rows
+        # were bad)
+        return s.createDataFrame(
+            [("d2", i, float(i) * 3) for i in range(4)],
+            "day string, event_id int, value double",
+        )
+
+    audit = backfill_partitions(spark, path, "day", ["d2", "d3"], recompute)
+    assert audit["partitions_emptied"] == ["d3"]
+    assert audit["rows_before"] == 20 and audit["rows_after"] == 4
+    got = spark.read.parquet(path)
+    assert got.filter("day = 'd3'").count() == 0  # invalidated rows GONE
+    assert got.filter("day = 'd2'").count() == 4
+    assert got.filter("day = 'd1'").count() == 10  # sibling untouched
 
 
 def test_data_table_schema_evolution_merge(spark, tmp_path):

@@ -457,6 +457,88 @@ def test_streaming_sketch_store_matches_batch_heavy_hitters(
     assert SK.compact_store(spark, str(tmp_path / "sk_store")) == 0
 
 
+def test_compact_store_crash_reentrant(spark, tmp_path):
+    """compact_store must converge to exact counts after a crash at ANY
+    point of a prior compaction — the round-3 hazard was a crash between
+    the base write and the epoch prune double-counting the folded epochs
+    on re-run. Three crash points are simulated: (A) fold staged + marker
+    written, prune never ran; (B) same, but a NEW epoch arrived after the
+    crash (must not be mistaken for a folded one); (C) partial tmp
+    partition with no marker (fold died mid-write)."""
+    import json
+    import os
+
+    from komodo_data_spark.streaming import sketches as SK
+
+    store = str(tmp_path / "sk_store_crash")
+
+    def write_epoch(ids, epoch):
+        df = spark.createDataFrame([(int(i),) for i in ids], "user_id long")
+        SK.accumulate_batch(spark, df, epoch, store)
+
+    def counts():
+        return {
+            r["user_id"]: r["n_events"]
+            for r in SK.heavy_hitters_from_store(spark, store, 1).collect()
+        }
+
+    def stage_fold(epochs_in_fold, marker_epochs):
+        staged = (
+            spark.read.parquet(store)
+            .filter(F.col("epoch_id").isin([-1] + epochs_in_fold))
+            .agg(
+                F.expr(
+                    f"approx_top_k_combine(sk, {SK.MAX_ITEMS_TRACKED})"
+                ).alias("sk")
+            )
+            .withColumn("epoch_id", F.lit(-2))
+            .localCheckpoint(eager=True)
+        )
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(store)
+        )
+        with open(os.path.join(store, SK._INFLIGHT_MARKER), "w") as fh:
+            json.dump({"epochs": marker_epochs}, fh)
+
+    write_epoch([1, 1, 1, 2], 0)
+    write_epoch([1, 1, 3], 1)
+    write_epoch([2, 2], 2)
+    exact = {1: 5, 2: 3, 3: 1}
+    assert counts() == exact
+
+    # (A) committed fold of all three epochs, crash before the prune: the
+    # re-run must prune each folded epoch exactly once, never re-fold it
+    stage_fold([0, 1, 2], [0, 1, 2])
+    assert SK.compact_store(spark, store) == 0  # recovery did the work
+    assert counts() == exact
+    s = spark.read.parquet(store)
+    assert s.count() == 1 and s.first()["epoch_id"] == -1
+
+    # (B) fold of epoch 7 committed, crash before prune, then the stream
+    # resumed and produced epoch 9 — recovery must delete ONLY epoch 7
+    write_epoch([4, 4], 7)
+    stage_fold([7], [7])
+    write_epoch([5], 9)  # arrives after the crash, not in the marker
+    assert SK.compact_store(spark, store) == 1  # folds the late epoch 9
+    assert counts() == {1: 5, 2: 3, 3: 1, 4: 2, 5: 1}
+
+    # (C) fold died mid-write: tmp partition exists with garbage, no
+    # marker — must be discarded (not read!) and the fold redone fresh
+    write_epoch([6], 11)
+    tmp_dir = os.path.join(store, "epoch_id=-2")
+    os.makedirs(tmp_dir)
+    with open(os.path.join(tmp_dir, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"\x00garbage, not parquet")
+    assert SK.compact_store(spark, store) == 1
+    assert counts() == {1: 5, 2: 3, 3: 1, 4: 2, 5: 1, 6: 1}
+    s2 = spark.read.parquet(store)
+    assert s2.count() == 1 and s2.first()["epoch_id"] == -1
+    assert not os.path.exists(os.path.join(store, SK._INFLIGHT_MARKER))
+
+
 def test_statestore_reader_matches_batch_state(spark, sf_dir, events_dir, tmp_path):
     """Spark 4 statestore reader: the checkpoint's per-user state (read as a
     batch table, no replay) equals the batch aggregate after the stream
@@ -596,6 +678,34 @@ def test_incremental_minhash_candidates_match_batch(spark, sf_dir, tmp_path):
         for r in candidates_from_store(spark, pairs).collect()
     }
     assert got3 == exp
+
+
+def test_incremental_dedup_store_read_failure_fails_batch(spark, tmp_path):
+    """A MISSING store means 'first batch' and proceeds; a store that exists
+    but cannot be read (corrupt footer, IO error) must raise so foreachBatch
+    retries the epoch — swallowing it would permanently drop every
+    new-vs-history candidate pair for that epoch once the checkpoint
+    commits."""
+    import pytest
+
+    from komodo_data_spark.streaming.dedup_incremental import detect_batch
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "an entirely different document about spark execution plans")],
+        "doc_id long, text string",
+    )
+    pairs = str(tmp_path / "pairs_out")
+
+    # missing store path -> first-batch semantics, no raise
+    detect_batch(spark, docs, 0, str(tmp_path / "no_store_here"), pairs)
+
+    # corrupt store (exists, not parquet) -> the batch must FAIL
+    bad_store = tmp_path / "bad_store"
+    bad_store.mkdir()
+    (bad_store / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        detect_batch(spark, docs, 1, str(bad_store), pairs)
 
 
 def test_corpus_clean_stream_matches_batch_gate(spark, sf_dir, tmp_path):
