@@ -29,9 +29,9 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a) has ≥ 10 tokens, (b) scores ≥ 0.3 on the composite quality metric,
     and (c) is the lowest-doc_id member of its normalized-content group.
     """
-    from komodo_data_spark.operators.dedup import _spread
+    from komodo_data_spark.sources.tables import load_spread
 
-    d = _spread(spark, load_table(spark, sf_dir, "documents")).withColumn(
+    d = load_spread(spark, sf_dir, "documents").withColumn(
         "toks", tokens()
     )
     n_tokens = F.size("toks")
@@ -155,7 +155,7 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver-side loop anywhere — Catalyst fuses the map stages.
     """
     from komodo_data_spark.functions.text_features import shingles
-    from komodo_data_spark.operators.dedup import _spread
+    from komodo_data_spark.sources.tables import load_spread
     from komodo_data_spark.operators.pipeline_ops import (
         _BENCH_MOD,
         _CONTAM_N,
@@ -165,7 +165,7 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from komodo_data_spark.plans import exploded
 
-    d = _spread(spark, load_table(spark, sf_dir, "documents")).withColumn(
+    d = load_spread(spark, sf_dir, "documents").withColumn(
         "toks", tokens()
     )
     n_tokens = F.size("toks")

@@ -35,7 +35,7 @@ from komodo_data_spark.functions.text_features import (
     sql_tokens,
     tokens,
 )
-from komodo_data_spark.sources.tables import load_table
+from komodo_data_spark.sources.tables import load_spread, load_table
 
 #: MinHash/LSH geometry: 12 hashes in 4 bands of 3. With Jaccard j the
 #: band-collision probability is 1-(1-j³)⁴ — ~0.95 at j=0.8, ~0.02 at j=0.2.
@@ -47,16 +47,6 @@ JACCARD_THRESHOLD = 0.7
 COSINE_THRESHOLD = 0.45
 SIMHASH_BITS = 32
 HAMMING_MAX = 2
-
-
-def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Round-robin repartition to core count. The testdata ships one parquet
-    file per table with a single row group — unsplittable, so every
-    downstream expression would run in ONE task (measured 10 s for the
-    shingle stage at sf0.1). One cheap shuffle of the raw text unlocks all
-    cores. On a real multi-file 100 TB table the scan already yields
-    thousands of splits and this becomes a no-op-sized rebalance."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def postings_of(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -92,7 +82,7 @@ def bands_of(posts: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    d = _spread(spark, load_table(spark, sf_dir, "documents"))
+    d = load_spread(spark, sf_dir, "documents")
     return d.select("doc_id", shingles(tokens(), n).alias("sh"))
 
 
@@ -162,7 +152,7 @@ def _sql_doc_shingles(n: int = 3) -> str:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on the normalized token stream: one hash-aggregate on the
     md5 fingerprint; representative = min doc_id (deterministic keeper)."""
-    d = _spread(spark, load_table(spark, sf_dir, "documents")).withColumn(
+    d = load_spread(spark, sf_dir, "documents").withColumn(
         "toks", tokens()
     )
     return (
@@ -558,7 +548,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never clears the threshold — same in the oracle); drop them BEFORE
     # the pandas stage, where np.stack over a None would kill the task
     v = (
-        _spread(spark, load_table(spark, sf_dir, "embeddings"))
+        load_spread(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
     )
@@ -641,7 +631,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never clears the threshold — same in the oracle); drop them BEFORE
     # the pandas stage, where np.stack over a None would kill the task
     v = (
-        _spread(spark, load_table(spark, sf_dir, "embeddings"))
+        load_spread(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
     )
@@ -753,7 +743,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     enough to skew a partition is boilerplate that dedup WANTS to find).
     The per-doc window shuffles only hit positions (ints), not text.
     """
-    d = _spread(spark, load_table(spark, sf_dir, "documents")).select(
+    d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", _positional_grams(tokens(), SPAN_GRAM).alias("grams")
     )
     g = (
@@ -854,7 +844,7 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )
     d = (
-        _spread(spark, load_table(spark, sf_dir, "documents"))
+        load_spread(spark, sf_dir, "documents")
         .select("doc_id", tokens().alias("toks"))
         .join(spans, "doc_id", "left")
         .withColumn(

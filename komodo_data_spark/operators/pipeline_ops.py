@@ -729,11 +729,11 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed before the explode), so the only shuffle is the final
     groupBy(doc_id) count, keyed by a high-cardinality key with no skew.
     """
-    from komodo_data_spark.operators.dedup import _spread
+    from komodo_data_spark.sources.tables import load_spread
     from komodo_data_spark.functions.text_features import shingles
     from komodo_data_spark.plans import exploded
 
-    d = _spread(spark, load_table(spark, sf_dir, "documents")).select(
+    d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", shingles(tokens(), _CONTAM_N).alias("sh")
     )
     bench_sh = (

@@ -130,9 +130,9 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix. Ties break in declaration order (en > de > fr > es); docs with
     zero stopword hits are 'und'. The per-doc scoring is shuffle-free; only
     the tiny confusion-matrix groupBy shuffles (≤ |langs|² rows)."""
-    from komodo_data_spark.operators.dedup import _spread
+    from komodo_data_spark.sources.tables import load_spread
 
-    d = _spread(spark, _docs(spark, sf_dir)).withColumn("toks", tokens())
+    d = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens())
     scores = {}
     for lang, words in LANG_STOPWORDS.items():
         lst = ", ".join(f"'{w}'" for w in words)
@@ -314,9 +314,9 @@ def text_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB restructure is posexplode(chars) + an 8-row sliding window, all
     codegen, at the cost of one shuffle on doc_id.
     """
-    from komodo_data_spark.operators.dedup import _spread
+    from komodo_data_spark.sources.tables import load_spread
 
-    d = _spread(spark, _docs(spark, sf_dir))
+    d = load_spread(spark, sf_dir, "documents")
     full = F.expr(
         f"aggregate(transform(sequence(1, length(text)), "
         f"i -> ascii(substring(text, i, 1))), 0L, "
@@ -490,9 +490,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles; only the per-source decision rollup aggregates (tiny).
     Swapping in real trained weights (or a quantized MLP as a pandas_udf)
     changes no plan shape."""
-    from komodo_data_spark.operators.dedup import _spread
+    from komodo_data_spark.sources.tables import load_spread
 
-    d = _spread(spark, _docs(spark, sf_dir)).withColumn("toks", tokens())
+    d = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens())
     p = quality_probability_col()
     scored = d.select(
         "doc_id", "source", p.alias("p_keep"),
@@ -559,9 +559,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, avg log-prob, and the keep verdict at the 25th-percentile-ish
     fixed threshold.
     """
-    from komodo_data_spark.operators.dedup import _spread, postings_of
+    from komodo_data_spark.operators.dedup import postings_of
+    from komodo_data_spark.sources.tables import load_spread
 
-    d = _spread(spark, _docs(spark, sf_dir))
+    d = load_spread(spark, sf_dir, "documents")
     # positional bigrams (duplicates KEPT — each occurrence scores)
     from komodo_data_spark.operators.dedup import _positional_grams
 
@@ -670,9 +671,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     data. This is TF-IDF as plain DataFrame algebra (no MLlib pipeline
     state), which keeps it incremental-friendly and oracle-checkable.
     """
-    from komodo_data_spark.operators.dedup import _spread
+    from komodo_data_spark.sources.tables import load_spread
 
-    d = _spread(spark, _docs(spark, sf_dir)).withColumn("toks", tokens())
+    d = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens())
     n_docs = d.count()  # scalar; one job over doc_id only (column-pruned)
     terms = exploded(d, F.col("toks"), "term", "doc_id")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -852,9 +853,9 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. At 100 TB the vocabulary table is the big intermediate; it stays
     distributed end-to-end (same argument as text_bigram_logprob).
     """
-    from komodo_data_spark.operators.dedup import _spread
+    from komodo_data_spark.sources.tables import load_spread
 
-    d = _spread(spark, _docs(spark, sf_dir))
+    d = load_spread(spark, sf_dir, "documents")
     toks = d.select(
         "source", F.explode_outer(tokens()).alias("t")
     ).filter(F.col("t").isNotNull())

@@ -33,9 +33,100 @@ TABLE_NAMES = [
 ]
 
 
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _size_bytes(v: str) -> int:
+    """Parse a Spark size conf value ("134217728b", "128m", "4194304")."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(s) * mult
+
+
+def estimated_scan_splits(spark: SparkSession, path: str) -> int:
+    """Driver-side estimate of how many input splits a parquet scan of
+    ``path`` yields — from the file listing alone, at plan-build time, no
+    Spark job (``df.rdd.getNumPartitions()`` would trigger one). Mirrors
+    Spark's FilePartition packing: files are chopped into maxSplitBytes
+    pieces (maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes/cores))), sorted descending, and greedily bin-packed with
+    an openCostInBytes pad per piece.
+
+    A path the local filesystem cannot see (s3://, hdfs://) is assumed to
+    be a real production table with a splittable multi-file layout —
+    callers gating a rebalance on this estimate will then skip it, which
+    is the right default off-rig."""
+    import math
+
+    if os.path.isfile(path):
+        sizes = [os.path.getsize(path)]
+    elif os.path.isdir(path):
+        sizes = [
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith(("_", ".")) and not f.endswith(".crc")
+        ]
+    else:
+        return spark.sparkContext.defaultParallelism
+    if not sizes:
+        return 1
+    total = sum(sizes)
+    max_part = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    open_cost = _size_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4m")
+    )
+    cores = spark.sparkContext.defaultParallelism
+    max_split = min(max_part, max(open_cost, math.ceil(total / cores)))
+    pieces = []
+    for s in sizes:
+        while s > max_split:
+            pieces.append(max_split)
+            s -= max_split
+        pieces.append(s)
+    pieces.sort(reverse=True)
+    bins, cur = 0, 0
+    for p in pieces:
+        w = p + open_cost
+        if cur > 0 and cur + w > max_split:
+            bins += 1
+            cur = 0
+        cur += w
+    return bins + (1 if cur > 0 else 0)
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load ``name`` and round-robin repartition to core count ONLY when
+    the scan cannot already feed every core.
+
+    The testdata ships one parquet file per table with a single row group —
+    unsplittable, so every downstream expression would run in ONE task
+    (measured 10 s for the shingle stage at sf0.1); one cheap shuffle of
+    the raw text unlocks all cores. But ``repartition()`` always shuffles
+    every row — on a real multi-file 100 TB table that is an avoidable
+    full shuffle of the corpus per query, so the rebalance is gated on the
+    scan's estimated split count: a layout that already yields >= cores
+    splits loads untouched (pinned by tests/test_plans.py on the
+    scrambled multi-file fixture)."""
+    df = load_table(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if estimated_scan_splits(spark, table_path(sf_dir, name)) >= cores:
+        return df
+    return df.repartition(cores)
 
 
 def normalize_events(ev: DataFrame) -> DataFrame:

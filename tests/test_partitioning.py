@@ -265,3 +265,51 @@ def test_cbo_table_stats_feed_the_optimizer(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", saved_cbo)
         spark.sql("DROP TABLE IF EXISTS cbo_nation")
+
+
+def test_load_spread_rebalances_only_unsplittable_layouts(spark, sf_dir, tmp_path):
+    """load_spread round-robin repartitions ONLY when the scan cannot feed
+    every core: the single-file testdata layout gets the rebalance Exchange;
+    a multi-file layout with >= cores splits loads with NO Repartition node
+    — at 100 TB that node would be an avoidable full shuffle of the corpus
+    on every dedup/text query. Results must be identical either way."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from komodo_data_spark.sources.tables import (
+        estimated_scan_splits,
+        load_spread,
+        table_path,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+
+    # single unsplittable file -> estimate 1 -> rebalance present
+    assert estimated_scan_splits(spark, table_path(sf_dir, "documents")) < cores
+    single = load_spread(spark, sf_dir, "documents")
+    assert "Repartition" in single._jdf.queryExecution().optimizedPlan().toString()
+    assert single.rdd.getNumPartitions() == cores
+
+    # many-file layout (>= cores files) -> estimate >= cores -> NO rebalance
+    d = str(tmp_path / "multi")
+    tb = pq.read_table(table_path(sf_dir, "documents"))
+    os.makedirs(os.path.join(d, "documents.parquet"))
+    step = -(-tb.num_rows // (cores * 2))
+    for i in range(cores * 2):
+        part = tb.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(
+                part, os.path.join(d, "documents.parquet", f"part-{i}.parquet")
+            )
+    assert estimated_scan_splits(spark, table_path(d, "documents")) >= cores
+    multi = load_spread(spark, d, "documents")
+    assert "Repartition" not in multi._jdf.queryExecution().optimizedPlan().toString()
+
+    # same rows either way
+    assert multi.count() == single.count() == tb.num_rows
+
+    # an unlistable (object-store-style) path is assumed splittable
+    assert (
+        estimated_scan_splits(spark, "s3://bucket/table.parquet") == cores
+    )
