@@ -492,6 +492,128 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Safety cap for the alternating star algorithm: rounds ~ log2(n), so 30
+#: covers components far beyond any real corpus; exhausting it means the
+#: input violated assumptions and the labels would be WRONG — so raise.
+_CC_STAR_MAX_ROUNDS = 30
+
+
+def _cc_star(edges: DataFrame, max_rounds: int = _CC_STAR_MAX_ROUNDS):
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds regardless of component shape, vs O(diameter) for
+    min-label propagation. The scale path for chain-shaped components
+    (crawl mirror chains), where a 100 TB corpus can hold paths thousands
+    of hops long; dedup_clusters' propagation stays as the cheaper default
+    for the clique-shaped components near-dup detection actually emits.
+
+    ``edges``: undirected edge list with columns (src, dst), self-loops
+    ignored. Returns ``(labels, rounds)`` where labels is (node, label)
+    with label = the component's minimum node id — every node that appears
+    in the edge list gets a row.
+
+    Per round both operators are a groupBy-min + equi-join + distinct —
+    all shuffle-partitioned on node id, no driver-side state; each round's
+    frame is localCheckpointed to cut the iterative lineage. Convergence
+    is detected by an order-independent edge-set signature (count +
+    bit_xor of xxhash64) — one tiny aggregate per round over the
+    just-checkpointed frame.
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # connect every neighbor ABOVE u to u's smallest known node
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
+            )
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # point every edge downhill, then connect each node's lower
+        # neighborhood (and itself) to its minimum
+        directed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("mn"))
+        return (
+            directed.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(mins.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def sig(e: DataFrame) -> tuple:
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    cur = sig(e)
+    rounds = 0
+    converged = e.rdd.isEmpty()
+    while not converged and rounds < max_rounds:
+        e2 = small_star(large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        s = sig(e2)
+        e = e2
+        if s == cur:
+            converged = True
+        cur = s
+    if not converged:
+        raise RuntimeError(
+            f"star connected-components did not converge in {max_rounds} rounds"
+        )
+    # converged edge set is a star forest: every non-root points at its
+    # component min; roots label themselves
+    stars = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("star"))
+    labels = nodes.join(stars, "node", "left").select(
+        "node", F.coalesce("star", "node").alias("label")
+    )
+    return labels, rounds
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters' exact twin on the alternating large-star/small-star
+    algorithm — identical output (same oracle), O(log n) rounds instead of
+    O(diameter), the variant to reach for when components can be long
+    chains rather than near-dup cliques."""
+    from komodo_data_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_i", "doc_j")
+    labels, _rounds = _cc_star(
+        pairs.select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )
+
+
 def dedup_clusters_oracle() -> str:
     from komodo_data_spark.operators.dedup import dedup_minhash_lsh_oracle
 
@@ -588,6 +710,7 @@ def registry():
         "doc_chunks": (doc_chunks, doc_chunks_oracle()),
         "term_redaction": (term_redaction, term_redaction_oracle()),
         "dedup_clusters": (dedup_clusters, dedup_clusters_oracle()),
+        "dedup_clusters_star": (dedup_clusters_star, dedup_clusters_oracle()),
         "dedup_clusters_best_keeper": (
             dedup_clusters_best_keeper,
             dedup_clusters_best_keeper_oracle(),

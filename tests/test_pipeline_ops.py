@@ -75,6 +75,64 @@ def test_dedup_clusters_are_transitive_closures(spark):
         assert label[r["cluster_id"]] == r["cluster_id"]  # rep labels itself
 
 
+def test_cc_star_path_graph_converges_in_log_rounds(spark):
+    """The alternating large-star/small-star components must label a
+    1000-node PATH graph (the worst case for min-label propagation, which
+    needs O(diameter)=999 rounds) in ~log2(n) rounds, with every node
+    labeled by the component minimum."""
+    import math
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "src long, dst long"
+    )
+    labels, rounds = P._cc_star(edges)
+    assert rounds <= math.ceil(math.log2(1000)) + 4
+    got = {(r["node"], r["label"]) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(1000)}
+
+
+def test_cc_star_matches_union_find_on_random_components(spark):
+    """Star components == union-find ground truth on a multi-component
+    graph with chains, duplicate edges, and self-loops."""
+    import random
+
+    rng = random.Random(5)
+    comp_edges = []
+    for c in range(20):
+        nodes = list(range(c * 50, c * 50 + rng.randint(2, 40)))
+        comp_edges.extend(zip(nodes, nodes[1:]))
+        comp_edges.extend(
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(5)
+        )
+    e = spark.createDataFrame(comp_edges, "src long, dst long")
+    labels, _rounds = P._cc_star(e)
+    got = {(r["node"], r["label"]) for r in labels.collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in comp_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {(n, find(n)) for n in parent}
+    assert got == truth
+
+
+def test_dedup_clusters_star_equals_propagation_twin(spark):
+    """dedup_clusters_star is an exact output twin of dedup_clusters —
+    same pairs in, same (doc_id, cluster_id, cluster_size) out."""
+    a = sorted(map(tuple, P.dedup_clusters(spark, SF).collect()))
+    b = sorted(map(tuple, P.dedup_clusters_star(spark, SF).collect()))
+    assert a == b
+
+
 def test_token_packing_respects_capacity_per_bin(spark):
     """Each bin's token total stays under capacity + one overflow doc (the
     classic cut-at-boundary property), and doc counts per lang are
