@@ -1,11 +1,13 @@
 """Round-over-round bench comparison.
 
-Usage: ``python scripts/bench_delta.py OLD.json [NEW.json]`` — OLD/NEW are
-BENCH_DETAIL.json snapshots (NEW defaults to the repo's current one).
-Prints totals, the biggest per-query regressions and improvements beyond a
-noise floor, and queries added/removed. Exit code 1 if any query regressed
-by more than REGRESSION_FACTOR× beyond the absolute noise floor — usable as
-a CI gate.
+Usage: ``python scripts/bench_delta.py [OLD.json [NEW.json]]`` — OLD/NEW are
+BENCH_DETAIL*.json snapshots. With no arguments, compares the two newest
+per-round archives (``BENCH_DETAIL_r*.json``, written by bench.py alongside
+the mutable BENCH_DETAIL.json); with one argument, NEW defaults to the
+repo's current BENCH_DETAIL.json. Prints totals, the biggest per-query
+regressions and improvements beyond a noise floor, and queries added/
+removed. Exit code 1 if any query regressed by more than
+REGRESSION_FACTOR× beyond the absolute noise floor — usable as a CI gate.
 
 Note the ±10% run-to-run variance measured on this rig (bench.py module
 docstring); the floors below are set above it.
@@ -13,6 +15,7 @@ docstring); the floors below are set above it.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -20,17 +23,26 @@ import sys
 NOISE_FLOOR_SEC = 0.35  # ignore absolute deltas below this
 REGRESSION_FACTOR = 1.5  # flag query if new >= old * factor (and above floor)
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def main() -> int:
     if len(sys.argv) < 2:
-        print(__doc__)
-        return 2
-    old_path = sys.argv[1]
-    new_path = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_DETAIL.json")
-    )
+        archives = sorted(glob.glob(os.path.join(REPO, "BENCH_DETAIL_r*.json")))
+        if len(archives) < 2:
+            print(__doc__)
+            print(f"(found {len(archives)} archive(s); need 2 for a default compare)")
+            return 2
+        old_path, new_path = archives[-2], archives[-1]
+        print(f"comparing archives: {os.path.basename(old_path)} -> "
+              f"{os.path.basename(new_path)}")
+    else:
+        old_path = sys.argv[1]
+        new_path = (
+            sys.argv[2]
+            if len(sys.argv) > 2
+            else os.path.join(REPO, "BENCH_DETAIL.json")
+        )
     old = json.load(open(old_path))
     new = json.load(open(new_path))
     oq = {k: v for k, v in old["queries"].items() if v >= 0}

@@ -383,3 +383,12 @@ def test_bench_delta_flags_regressions(tmp_path, capsys):
     with mock.patch.object(sys, "argv", ["bench_delta", str(po), str(pn_bad)]):
         assert bench_delta.main() == 1
     assert "b: 2.00s -> 4.10s" in capsys.readouterr().out
+
+    # no-arg mode compares the two NEWEST per-round archives
+    (tmp_path / "BENCH_DETAIL_r02.json").write_text(json.dumps(old))
+    (tmp_path / "BENCH_DETAIL_r03.json").write_text(json.dumps(new_ok))
+    with mock.patch.object(bench_delta, "REPO", str(tmp_path)), \
+         mock.patch.object(sys, "argv", ["bench_delta"]):
+        assert bench_delta.main() == 0
+    out = capsys.readouterr().out
+    assert "BENCH_DETAIL_r02.json -> BENCH_DETAIL_r03.json" in out
