@@ -75,12 +75,13 @@ def start_expectations_stream(
     quarantine_path: str,
     checkpoint: str,
     rules: dict[str, str] | None = None,
+    max_files_per_trigger: int = 16,
 ) -> StreamingQuery:
     from komodo_data_spark.streaming.windows import events_stream
 
     rules = EVENTS_RULES if rules is None else rules
     return (
-        events_stream(spark, events_dir)
+        events_stream(spark, events_dir, max_files_per_trigger)
         .writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
         .foreachBatch(

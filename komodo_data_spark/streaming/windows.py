@@ -33,7 +33,9 @@ SESSION_GAP = "30 minutes"
 WATERMARK = "2 hours"
 
 
-def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
     """File-source stream over an events parquet directory, with the same
     derived ``ts``/``ts_ms``/``ts_ts`` columns as sources.tables.load_events.
 
@@ -41,13 +43,15 @@ def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     shipped ``ts`` under two physical types (nanos-long and timestamp[us]);
     a one-time batch footer peek picks up whichever is on disk, then
     normalize_events canonicalizes — driver-side metadata only, no data scan.
+    ``max_files_per_trigger`` sets the micro-batch granularity (1 = one
+    batch per arrival file, the shape the latency bench measures).
     """
     from komodo_data_spark.sources.tables import normalize_events
 
     schema = spark.read.parquet(events_dir).schema
     return normalize_events(
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
 

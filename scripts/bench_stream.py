@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Streaming latency/throughput bench: drive the incremental MinHash
+near-dup stream and the expectations/quarantine gate over N micro-batches
+and record per-batch wall time and rows/s from StreamingQueryProgress.
+
+The correctness tests already pin stream == batch results; this harness
+measures the OPERATIONAL claim — per-batch cost must stay flat as the
+persistent stores grow, because the band store folds to O(1) partitions
+and the probe side of every join is the batch, not the history. The flat
+gate compares the mean trigger time of the last third of batches against
+the first third (batch 0 excluded — it pays stream setup): ratio above
+FLAT_FACTOR flags the stream.
+
+Usage: python scripts/bench_stream.py [--sf-dir DIR] [--batches N]
+                                      [--out BENCH_STREAM.json]
+Exit 1 if any stream is flagged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FLAT_FACTOR = 2.0
+
+
+def stage_arrival_files(df, col: str, n: int, dest: str) -> None:
+    """Split a frame into n single-file parquet arrivals (deterministic by
+    hash of ``col``) so maxFilesPerTrigger=1 yields n micro-batches."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(dest, exist_ok=True)
+    for i in range(n):
+        part_dir = os.path.join(dest, f"_stage_{i}")
+        (
+            df.filter(F.pmod(F.xxhash64(F.col(col)), F.lit(n)) == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(dest, f"file_{i:03d}.parquet"))
+        shutil.rmtree(part_dir)
+
+
+def progress_rows(query) -> list[dict]:
+    rows = []
+    for p in query.recentProgress:
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        trig = d.get("durationMs", {}).get("triggerExecution")
+        n = d.get("numInputRows", 0)
+        if trig is None or not n:
+            continue  # the availableNow no-op finalize trigger
+        rows.append(
+            {
+                "batch_id": d.get("batchId"),
+                "trigger_ms": trig,
+                "rows": n,
+                "rows_per_sec": round(n / (trig / 1000.0), 1) if trig else None,
+            }
+        )
+    return rows
+
+
+def flat_check(batches: list[dict]) -> dict:
+    """Mean trigger time, last third vs first third (batch 0 dropped)."""
+    times = [b["trigger_ms"] for b in batches[1:]]
+    if len(times) < 4:
+        return {"flat_ratio": None, "flagged": False}
+    k = max(1, len(times) // 3)
+    first = sum(times[:k]) / k
+    last = sum(times[-k:]) / k
+    ratio = round(last / first, 3) if first else None
+    return {
+        "flat_ratio": ratio,
+        "flagged": bool(ratio is not None and ratio >= FLAT_FACTOR),
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_STREAM.json"))
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args(argv)
+
+    from komodo_data_spark.session import get_spark
+    from komodo_data_spark.sources.tables import load_events, load_table
+    from komodo_data_spark.streaming.dedup_incremental import (
+        start_incremental_dedup,
+    )
+    from komodo_data_spark.streaming.expectations import (
+        start_expectations_stream,
+    )
+
+    spark = get_spark(
+        app_name="komodo-bench-stream",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=int(args.cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="komodo_bench_stream_")
+    report: dict[str, dict] = {}
+
+    # --- stream 1: incremental MinHash near-dup detection -----------------
+    docs_src = os.path.join(work, "docs_arrivals")
+    stage_arrival_files(
+        load_table(spark, args.sf_dir, "documents").select("doc_id", "text"),
+        "doc_id", args.batches, docs_src,
+    )
+    q = start_incremental_dedup(
+        spark, docs_src,
+        os.path.join(work, "band_store"),
+        os.path.join(work, "pairs"),
+        os.path.join(work, "ckpt_dedup"),
+    )
+    q.awaitTermination()
+    batches = progress_rows(q)
+    report["incremental_minhash"] = {"batches": batches, **flat_check(batches)}
+
+    # --- stream 2: expectations/quarantine gate over events ---------------
+    ev_src = os.path.join(work, "events_arrivals")
+    ev = load_events(spark, args.sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    stage_arrival_files(ev, "event_id", args.batches, ev_src)
+    # the expectations stream reads raw events.parquet schema; re-point the
+    # staged files through the same loader contract
+    q2 = start_expectations_stream(
+        spark, ev_src,
+        os.path.join(work, "clean"),
+        os.path.join(work, "quarantine"),
+        os.path.join(work, "ckpt_exp"),
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination()
+    batches2 = progress_rows(q2)
+    report["expectations_gate"] = {"batches": batches2, **flat_check(batches2)}
+
+    flagged = sorted(k for k, v in report.items() if v["flagged"])
+    out = {
+        "metric": "streaming_per_batch_trigger_ms",
+        "sf_dir": args.sf_dir,
+        "n_batches_requested": args.batches,
+        "flat_factor_gate": FLAT_FACTOR,
+        "flagged": flagged,
+        "streams": report,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    for name, v in report.items():
+        times = [b["trigger_ms"] for b in v["batches"]]
+        print(f"{name}: {len(times)} batches, trigger_ms={times}, "
+              f"flat_ratio={v['flat_ratio']} flagged={v['flagged']}")
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"flagged": flagged, "out": os.path.basename(args.out)}))
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

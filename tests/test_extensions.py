@@ -392,3 +392,67 @@ def test_bench_delta_flags_regressions(tmp_path, capsys):
         assert bench_delta.main() == 0
     out = capsys.readouterr().out
     assert "BENCH_DETAIL_r02.json -> BENCH_DETAIL_r03.json" in out
+
+
+def test_bench_stream_flat_gate():
+    """The streaming bench's flat gate: growing per-batch time (store-size
+    leak shape) is flagged; flat and noisy-but-flat profiles pass; short
+    runs are inconclusive, never flagged."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import bench_stream
+
+    mk = lambda times: [
+        {"batch_id": i, "trigger_ms": t, "rows": 100} for i, t in enumerate(times)
+    ]
+    # batch 0 (setup cost) is excluded; flat tail passes
+    assert bench_stream.flat_check(mk([4000, 900, 950, 920, 940, 910]))[
+        "flagged"
+    ] is False
+    # linear growth with history size -> flagged
+    grow = bench_stream.flat_check(mk([500, 500, 800, 1200, 1800, 2600, 3600]))
+    assert grow["flagged"] is True and grow["flat_ratio"] >= 2.0
+    # too few batches: inconclusive, not flagged
+    assert bench_stream.flat_check(mk([500, 600]))["flagged"] is False
+
+
+def test_bench_skew_builder_preserves_schema_and_injects_hot_keys(tmp_path):
+    """The skew-table builder must keep every table's arrow schema
+    byte-identical (the ts physical-type trap!) while injecting the
+    documented hot fractions: ~20% boilerplate docs, ~30% single-user
+    events, ~30% single-customer orders."""
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import bench_skew
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "skew")
+    bench_skew.build_skew_dir(src, dst)
+
+    from komodo_data_spark.sources.tables import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        a = pq.read_schema(f"{src}/{name}.parquet")
+        b = pq.read_schema(f"{dst}/{name}.parquet")
+        assert a.equals(b), f"{name}: schema drifted\n{a}\n{b}"
+
+    docs = pq.read_table(f"{dst}/documents.parquet")
+    texts = docs["text"].to_pylist()
+    frac_boiler = sum(
+        t is not None and t.endswith(bench_skew.BOILERPLATE) for t in texts
+    ) / len(texts)
+    assert 0.15 <= frac_boiler <= 0.25
+
+    ev = pq.read_table(f"{dst}/events.parquet")
+    users = ev["user_id"].to_pylist()
+    top = max(users.count(u) for u in set(users))
+    assert 0.25 <= top / len(users) <= 0.40
+
+    orders = pq.read_table(f"{dst}/orders.parquet")
+    custs = orders["o_custkey"].to_pylist()
+    top_c = max(custs.count(c) for c in set(custs))
+    assert 0.25 <= top_c / len(custs) <= 0.40
