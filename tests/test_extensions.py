@@ -72,12 +72,12 @@ def test_dedup_exact_groups_duplicates(spark):
     df = spark.createDataFrame(
         pdf, "doc_id long, text string, lang string, source string, n_chars long"
     )
-    orig = dedup.load_table
+    orig = dedup.load_spread
     try:
-        dedup.load_table = lambda s, d, n: df  # only documents is loaded here
+        dedup.load_spread = lambda s, d, n: df  # only documents is loaded here
         out = {r["content_fp"]: r for r in dedup.dedup_exact(spark, "ignored").collect()}
     finally:
-        dedup.load_table = orig
+        dedup.load_spread = orig
     groups = sorted((r["n_docs"], r["keeper_doc_id"]) for r in out.values())
     # docs 1+2 normalize identically (lower + whitespace collapse) -> one group
     assert groups == [(1, 3), (2, 1)]
