@@ -141,6 +141,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             ea.events_value_histogram_equidepth,
             ea.events_value_histogram_equidepth_oracle(),
         ),
+        "events_value_psi_drift": (
+            ea.events_value_psi_drift,
+            ea.events_value_psi_drift_oracle(),
+        ),
         "events_distinct_sketch_union": (
             ea.events_distinct_sketch_union,
             None,  # sketch estimate: rows-only; exact twin pins semantics in tests

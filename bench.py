@@ -35,7 +35,10 @@ WARMUP_QUERIES = (
     "dedup_simhash",
     "dedup_ngram_pairs_capped",
     "dedup_clusters",
+    "dedup_clusters_star",
     "dedup_clusters_best_keeper",
+    "graph_components",
+    "customers_fuzzy_name_pairs",
     "dedup_source_overlap",
     "dedup_substring_spans",
     "dedup_semantic",
@@ -43,6 +46,15 @@ WARMUP_QUERIES = (
     # scalar-subquery + sequence-explode + decimal agg: ~3s of one-time
     # codegen vs ~1s steady state (measured 4.3 / 1.2 / 1.0 s at sf0.1)
     "lineitem_price_tiers_bucketed",
+)
+
+#: Iterative queries whose ROUND COUNT grows with scale: a sf0.001 warm-up
+#: leaves the later rounds' generated classes cold (round-3 finding:
+#: generated-class identity follows the physical plan), so these warm at
+#: the bench sf itself. Kept short — each costs one untimed full run.
+WARMUP_AT_BENCH_SF = (
+    "graph_components",
+    "dedup_clusters_star",
 )
 
 
@@ -77,10 +89,12 @@ def main() -> int:
     # at sf0.001 so the warm-up itself is cheap (see module docstring for
     # the A/B against full-scale warming).
     warm_dir = WARMUP_SF_DIR if os.path.isdir(WARMUP_SF_DIR) else sf_dir
-    for name in WARMUP_QUERIES:
+    for name, d in [(n, warm_dir) for n in WARMUP_QUERIES] + [
+        (n, sf_dir) for n in WARMUP_AT_BENCH_SF
+    ]:
         if name in qs:
             try:
-                qs[name](spark, warm_dir).count()
+                qs[name](spark, d).count()
             except Exception:
                 pass
             spark.catalog.clearCache()

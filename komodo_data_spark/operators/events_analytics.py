@@ -510,6 +510,142 @@ def events_value_histogram_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# population-stability-index drift (per-day value distribution vs corpus)
+# --------------------------------------------------------------------------
+
+#: PSI bins reuse the histogram range; 0.5/bin additive smoothing keeps
+#: ln() finite for bins empty on either side.
+_PSI_BINS = 10
+_PSI_SMOOTH = 0.5
+
+
+def events_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each day's value distribution against
+    the whole corpus, per event_type — the standard "did the input
+    distribution move" monitor a training-data pipeline runs on every
+    ingest batch (PSI > 0.2 is the conventional retrain/investigate
+    trigger).
+
+    Shape at 100 TB: ONE aggregate over events keyed by (type, day, bin)
+    — map-side combinable, fixed-width bins so no quantile pass — then all
+    remaining arithmetic happens on types × days × bins rows (KBs). The
+    corpus reference distribution derives from the same aggregate by a
+    second tiny rollup, and the bin spine (types × days × 10 bins) is
+    built with a sequence-explode so days with empty bins still contribute
+    their smoothed term. Day is the integer epoch-day (ts_ms div 86400000)
+    — timezone-free, exact on both engines.
+    """
+    width = (_HIST_HI - _HIST_LO) / _PSI_BINS
+    ev = load_events(spark, sf_dir).select(
+        F.expr("ts_ms div 86400000").alias("day"),
+        "event_type",
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.lit(_HIST_LO)) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    day_bins = ev.groupBy("event_type", "day", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = (
+        day_bins.select("event_type", "day")
+        .distinct()
+        .select(
+            "event_type",
+            "day",
+            F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"),
+        )
+    )
+    dense = spine.join(day_bins, ["event_type", "day", "bin"], "left").select(
+        "event_type", "day", "bin", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    corpus = day_bins.groupBy("event_type", "bin").agg(
+        F.sum("n").alias("n_all")
+    )
+    joined = (
+        dense.join(F.broadcast(corpus), ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "day",
+            "bin",
+            "n",
+            F.coalesce("n_all", F.lit(0)).alias("n_all"),
+        )
+        .withColumn(
+            "day_total", F.sum("n").over(Window.partitionBy("event_type", "day"))
+        )
+        .withColumn(
+            "all_total",
+            F.sum("n_all").over(Window.partitionBy("event_type", "day")),
+        )
+    )
+    smooth = F.lit(_PSI_SMOOTH)
+    denom_pad = F.lit(_PSI_SMOOTH * _PSI_BINS)
+    p = (F.col("n") + smooth) / (F.col("day_total") + denom_pad)
+    q = (F.col("n_all") + smooth) / (F.col("all_total") + denom_pad)
+    return (
+        joined.withColumn("term", (p - q) * F.log(p / q))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("term").alias("psi"),
+            F.sum("n").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def events_value_psi_drift_oracle() -> str:
+    width = (_HIST_HI - _HIST_LO) / _PSI_BINS
+    return f"""
+    WITH binned AS (
+      SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+             least(greatest(floor((value - {_HIST_LO}) / {width}), 0),
+                   {_PSI_BINS - 1})::BIGINT AS bin
+      FROM events
+    ),
+    day_bins AS (
+      SELECT event_type, day, bin, count(*) AS n
+      FROM binned GROUP BY 1, 2, 3
+    ),
+    spine AS (
+      SELECT DISTINCT event_type, day, gs.range AS bin
+      FROM day_bins, range(0, {_PSI_BINS}) gs
+    ),
+    dense AS (
+      SELECT s.event_type, s.day, s.bin, coalesce(db.n, 0) AS n
+      FROM spine s LEFT JOIN day_bins db
+        ON db.event_type = s.event_type AND db.day = s.day AND db.bin = s.bin
+    ),
+    corpus AS (
+      SELECT event_type, bin, sum(n) AS n_all
+      FROM day_bins GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT d.event_type, d.day, d.bin, d.n,
+             coalesce(c.n_all, 0) AS n_all,
+             sum(d.n) OVER (PARTITION BY d.event_type, d.day) AS day_total,
+             sum(coalesce(c.n_all, 0)) OVER (
+               PARTITION BY d.event_type, d.day) AS all_total
+      FROM dense d LEFT JOIN corpus c
+        ON c.event_type = d.event_type AND c.bin = d.bin
+    )
+    SELECT event_type, day,
+           sum(((n + {_PSI_SMOOTH}) / (day_total + {_PSI_SMOOTH * _PSI_BINS})
+                - (n_all + {_PSI_SMOOTH}) / (all_total + {_PSI_SMOOTH * _PSI_BINS}))
+               * ln(((n + {_PSI_SMOOTH}) / (day_total + {_PSI_SMOOTH * _PSI_BINS}))
+                    / ((n_all + {_PSI_SMOOTH}) / (all_total + {_PSI_SMOOTH * _PSI_BINS})))
+              ) AS psi,
+           sum(n)::BIGINT AS n_events
+    FROM terms
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """
+
+
+# --------------------------------------------------------------------------
 # z-score anomaly detection
 # --------------------------------------------------------------------------
 

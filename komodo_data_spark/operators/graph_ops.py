@@ -241,10 +241,60 @@ def graph_reachability_oracle() -> str:
     return f"WITH RECURSIVE e AS ({_sql_user_edges()}), {body}"
 
 
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the copresence graph — the
+    social/session-cluster view of the same edges the triangle and rank
+    operators consume, labeled by the O(log n)-round large-star/small-star
+    algorithm (pipeline_ops._cc_star; second domain reuse of the CC
+    operator beyond near-dup clustering, proving it is edge-list-generic).
+    Output: (user_id, component_id = component-min user, component_size).
+    """
+    from pyspark.sql import Window
+
+    from komodo_data_spark.operators.pipeline_ops import _cc_star
+
+    edges = _user_edges(spark, sf_dir).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    labels, _rounds = _cc_star(edges)
+    w = Window.partitionBy("component_id")
+    return (
+        labels.select(
+            F.col("node").alias("user_id"), F.col("label").alias("component_id")
+        )
+        .withColumn("component_size", F.count(F.lit(1)).over(w))
+        .orderBy("user_id")
+    )
+
+
+def graph_components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    ue AS ({_sql_user_edges()}),
+    edges AS (
+      SELECT u AS src, v AS dst FROM ue
+      UNION ALL
+      SELECT v, u FROM ue
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    lab AS (SELECT node AS user_id, MIN(label) AS component_id
+            FROM walk GROUP BY node)
+    SELECT user_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM lab ORDER BY user_id
+    """
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
         "graph_triangles": (graph_triangles, graph_triangles_oracle()),
         "graph_pagerank": (graph_pagerank, graph_pagerank_oracle()),
         "graph_reachability": (graph_reachability, graph_reachability_oracle()),
+        "graph_components": (graph_components, graph_components_oracle()),
     }

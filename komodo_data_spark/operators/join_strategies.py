@@ -25,6 +25,9 @@ from komodo_data_spark.sources.tables import load_table
 #: Salt fan-out: the hottest key splits across this many shuffle tasks.
 N_SALTS = 8
 
+#: Demo bound for the fuzzy name join (see its docstring).
+FUZZY_MAX_CUSTKEY = 3000
+
 
 def orders_customer_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders⋈customer revenue per nation with an 8-way salted join.
@@ -135,9 +138,91 @@ def nation_top2_customers_lateral_oracle() -> str:
     """
 
 
+def customers_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join: customer pairs whose names are within edit distance
+    1, by DELETION-NEIGHBORHOOD candidate generation — the sub-quadratic
+    fuzzy-join strategy (entity resolution / record linkage at corpus
+    scale).
+
+    Key fact: edit(s,t) <= 1 implies K(s) ∩ K(t) != ∅ where K(x) = {x} ∪
+    {x minus one char} — equality shares x itself, substitution shares the
+    common deletion, insert/delete shares the shorter string. So candidates
+    come from ONE equi-join on the exploded variant key (|s|+1 keys per
+    row, bucket occupancy bounded by alphabet size at the deleted
+    position), and the exact levenshtein predicate is a cheap residual
+    verify on candidates only — never evaluated over the n² cross product
+    the naive form (and the DuckDB oracle, as the labeled baseline) pays.
+    Variants are pure Catalyst (sequence + transform + substr): no UDFs.
+
+    Bounded to FUZZY_MAX_CUSTKEY keys: TPC-H names are serial numbers, so
+    virtually every pair is within edit distance 2 of another — at sf0.1
+    the TRUE match set alone is ~260k pairs, a density no real entity
+    corpus has. The bound keeps the demo's verify/result volume sane while
+    the plan (explode → bucket equi-join → residual verify) is exactly the
+    production shape; drop the filter for a real corpus.
+    """
+    d = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .filter(F.col("c_custkey") <= FUZZY_MAX_CUSTKEY)
+    )
+    variants = d.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("c_name")),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("c_name")),
+                        lambda i: F.concat(
+                            F.substr("c_name", F.lit(1), i - F.lit(1)),
+                            F.substr("c_name", i + F.lit(1), F.length("c_name")),
+                        ),
+                    ),
+                )
+            )
+        ).alias("k"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    return (
+        a.join(b, "k")
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("custkey_i"),
+            F.col("b.c_custkey").alias("custkey_j"),
+            F.col("a.c_name").alias("name_i"),
+            F.col("b.c_name").alias("name_j"),
+        )
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_i", "name_j"))
+        .filter(F.col("dist") <= 1)
+        .orderBy("custkey_i", "custkey_j")
+    )
+
+
+def customers_fuzzy_name_pairs_oracle() -> str:
+    # the labeled O(n²) baseline the candidate join must reproduce exactly
+    return f"""
+    SELECT a.c_custkey AS custkey_i, b.c_custkey AS custkey_j,
+           a.c_name AS name_i, b.c_name AS name_j,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    WHERE a.c_custkey <= {FUZZY_MAX_CUSTKEY}
+      AND b.c_custkey <= {FUZZY_MAX_CUSTKEY}
+    ORDER BY custkey_i, custkey_j
+    """
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
+        "customers_fuzzy_name_pairs": (
+            customers_fuzzy_name_pairs,
+            customers_fuzzy_name_pairs_oracle(),
+        ),
         "nation_top2_customers_lateral": (
             nation_top2_customers_lateral,
             nation_top2_customers_lateral_oracle(),

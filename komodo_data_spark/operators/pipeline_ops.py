@@ -558,16 +558,34 @@ def _cc_star(edges: DataFrame, max_rounds: int = _CC_STAR_MAX_ROUNDS):
         ).first()
         return (r["n"], r["h"])
 
-    e = (
+    e0 = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
+    # One CONTRACTION pass before iterating: map every node to the minimum
+    # of its closed neighborhood and contract edges through the mapping.
+    # Component-preserving (the mapping target is always in the node's own
+    # component; every edge survives as a mapped edge or a dropped loop),
+    # and it collapses each clique-shaped region to ~1 node — near-dup
+    # components and copresence cliques shrink by orders of magnitude, so
+    # the O(log n) star rounds run on a far smaller frame. Worst case
+    # (a path) shrinks nothing and costs one extra shuffle.
+    sym0 = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mapping = (
+        sym0.groupBy(F.col("u").alias("node"))
+        .agg(F.min(F.least("u", "v")).alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        e0.join(mapping.withColumnRenamed("node", "u"), "u")
+        .select(F.col("m").alias("cu"), "v")
+        .join(mapping.withColumnRenamed("node", "v"), "v")
+        .select(F.col("cu").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     cur = sig(e)
     rounds = 0
@@ -584,11 +602,12 @@ def _cc_star(edges: DataFrame, max_rounds: int = _CC_STAR_MAX_ROUNDS):
         raise RuntimeError(
             f"star connected-components did not converge in {max_rounds} rounds"
         )
-    # converged edge set is a star forest: every non-root points at its
-    # component min; roots label themselves
-    stars = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("star"))
-    labels = nodes.join(stars, "node", "left").select(
-        "node", F.coalesce("star", "node").alias("label")
+    # converged edge set is a star forest over CONTRACTED nodes: compose
+    # original->contracted->root, then every original node gets a row
+    # (roots label themselves)
+    stars = e.groupBy(F.col("u").alias("m")).agg(F.min("v").alias("star"))
+    labels = mapping.join(stars, "m", "left").select(
+        "node", F.coalesce("star", "m").alias("label")
     )
     return labels, rounds
 

@@ -456,3 +456,84 @@ def test_bench_skew_builder_preserves_schema_and_injects_hot_keys(tmp_path):
     custs = orders["o_custkey"].to_pylist()
     top_c = max(custs.count(c) for c in set(custs))
     assert 0.25 <= top_c / len(custs) <= 0.40
+
+
+def test_fuzzy_name_pairs_deletion_neighborhood_complete(spark):
+    """Deletion-neighborhood candidates must recover EVERY edit-distance<=1
+    pair (equality, substitution, insertion, deletion) and nothing at
+    distance 2 — the exactness claim behind replacing the n² levenshtein
+    join with a bucketed equi-join."""
+    from komodo_data_spark.operators import join_strategies as J
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha"),
+            (2, "alphx"),   # substitution
+            (3, "alph"),    # deletion
+            (4, "alphaa"),  # insertion
+            (5, "beta"),
+            (6, "betaxx"),  # distance 2 from beta -> excluded
+            (7, "alpha"),   # exact duplicate (distance 0)
+        ],
+        "c_custkey long, c_name string",
+    )
+    orig = J.load_table
+    try:
+        J.load_table = lambda s, d, n: df
+        got = {
+            (r["custkey_i"], r["custkey_j"], r["dist"])
+            for r in J.customers_fuzzy_name_pairs(spark, "ignored").collect()
+        }
+    finally:
+        J.load_table = orig
+    assert got == {
+        (1, 2, 1), (1, 3, 1), (1, 4, 1), (1, 7, 0),
+        (2, 3, 1), (2, 7, 1), (3, 7, 1), (4, 7, 1),
+    }
+
+
+def test_psi_drift_flags_shifted_day_only(spark, tmp_path):
+    """PSI must stay near zero for a day matching the corpus distribution
+    and exceed the conventional 0.2 trigger for a day concentrated in one
+    bin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    DAY_NS = 86_400_000 * 1_000_000
+    rows = []
+    eid = 0
+    # day 0: 100 events spread uniformly over the 10 value bins
+    for i in range(100):
+        eid += 1
+        rows.append((eid, 19000 * DAY_NS + i * 1_000_000_000,
+                     1, "view", (i % 10) * 10.0 + 5.0, "{}"))
+    # day 1: 10 events all in bin 0 (the shifted day)
+    for i in range(10):
+        eid += 1
+        rows.append((eid, 19001 * DAY_NS + i * 1_000_000_000,
+                     1, "view", 5.0, "{}"))
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "psi_sf"
+    d.mkdir()
+    pq.write_table(table, d / "events.parquet")
+
+    from komodo_data_spark.operators.events_analytics import (
+        events_value_psi_drift,
+    )
+
+    psi = {
+        r["day"]: r["psi"] for r in events_value_psi_drift(spark, str(d)).collect()
+    }
+    assert set(psi) == {19000, 19001}
+    assert psi[19000] < 0.1          # matches the corpus: no drift signal
+    assert psi[19001] > 0.2          # concentrated day: retrain trigger
+    assert psi[19001] > 5 * psi[19000]
