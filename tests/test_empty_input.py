@@ -124,6 +124,8 @@ LAYOUT_SENSITIVE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_clusters_star",
+    "customers_fuzzy_name_pairs",
     "dedup_substring_spans",
     "docs_token_budget_mix",
     "docs_token_budget_mix_twostage",
