@@ -87,6 +87,109 @@ def sample_hash_split_oracle() -> str:
     """
 
 
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: near-duplicate pairs whose members
+    landed in DIFFERENT train/val/test splits. A hash split assigns
+    near-dups independently, so ~2·p·(1-p) of duplicate pairs straddle the
+    train/eval boundary — exactly the leakage that inflates eval scores.
+    This is the check an LLM data pipeline runs after splitting and before
+    training; the fix is dedup-then-split or split-by-cluster.
+
+    Plan: the MinHash pair list (bucketed candidate join, not all-pairs)
+    joined twice against the doc->split projection — two broadcast-sized
+    probes at any scale, since pairs ≪ corpus."""
+    from komodo_data_spark.operators.dedup import dedup_minhash_lsh
+
+    split = (
+        F.when(_bucket_col() < _TRAIN_END, "train")
+        .when(_bucket_col() < _VAL_END, "val")
+        .otherwise("test")
+    )
+    splits = load_table(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split")
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_i"), F.col("split").alias("split_i")
+            ),
+            "doc_i",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_j"), F.col("split").alias("split_j")
+            ),
+            "doc_j",
+        )
+        .filter(F.col("split_i") != F.col("split_j"))
+        .select("doc_i", "doc_j", "jaccard", "split_i", "split_j")
+        .orderBy("doc_i", "doc_j")
+    )
+
+
+def split_leakage_pairs_oracle() -> str:
+    from komodo_data_spark.operators.dedup import dedup_minhash_lsh_oracle
+
+    case = f"""CASE
+        WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < {_TRAIN_END} THEN 'train'
+        WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < {_VAL_END} THEN 'val'
+        ELSE 'test' END"""
+    return f"""
+    WITH mh AS ({dedup_minhash_lsh_oracle()}),
+    sp AS (SELECT doc_id, {case} AS split FROM documents)
+    SELECT mh.doc_i, mh.doc_j, mh.jaccard,
+           si.split AS split_i, sj.split AS split_j
+    FROM mh JOIN sp si ON si.doc_id = mh.doc_i
+            JOIN sp sj ON sj.doc_id = mh.doc_j
+    WHERE si.split <> sj.split
+    ORDER BY doc_i, doc_j
+    """
+
+
+#: Per-source deterministic sample size (docs_per_source_sample_k).
+SAMPLE_K = 20
+
+
+def docs_per_source_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-source deterministic sample: rank each source's docs
+    by a salted hash and keep the first SAMPLE_K — the balanced eval-set
+    draw (fixed budget per source regardless of source skew), reproducible
+    across engines/retries unlike rand()-based sampling.
+
+    One shuffle on source for the rank window; at 100 TB swap the full
+    window for the two-stage per-bucket top-k (same move as
+    docs_token_budget_mix_twostage) if a single source's row count
+    overwhelms a partition — sources are usually few and bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= SAMPLE_K)
+        .orderBy("source", "rk")
+    )
+
+
+def docs_per_source_sample_k_oracle() -> str:
+    return f"""
+    SELECT source, doc_id, n_chars, rk FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('sample|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {SAMPLE_K}
+    ORDER BY source, rk
+    """
+
+
 #: Per-stratum sampling rates (percent) for the stratified sampler: oversample
 #: low-resource languages, downsample the head — the canonical corpus
 #: rebalancing move.
@@ -713,6 +816,14 @@ def registry():
     """name -> (query fn, oracle SQL) for the driver contract."""
     return {
         "sample_hash_split": (sample_hash_split, sample_hash_split_oracle()),
+        "split_leakage_pairs": (
+            split_leakage_pairs,
+            split_leakage_pairs_oracle(),
+        ),
+        "docs_per_source_sample_k": (
+            docs_per_source_sample_k,
+            docs_per_source_sample_k_oracle(),
+        ),
         "stratified_sample": (stratified_sample, stratified_sample_oracle()),
         "docs_weighted_sample": (
             docs_weighted_sample,

@@ -149,6 +149,20 @@ def main(argv: list[str] | None = None) -> int:
     batches2 = progress_rows(q2)
     report["expectations_gate"] = {"batches": batches2, **flat_check(batches2)}
 
+    # --- stream 3: PSI drift monitor over the same staged events ----------
+    from komodo_data_spark.streaming import drift as D
+
+    ref_path = os.path.join(work, "drift_ref")
+    D.write_reference(ev, ref_path)
+    q3 = D.start_drift_monitor(
+        spark, ev_src, ref_path,
+        os.path.join(work, "drift_log"),
+        os.path.join(work, "ckpt_drift"),
+    )
+    q3.awaitTermination()
+    batches3 = progress_rows(q3)
+    report["drift_monitor"] = {"batches": batches3, **flat_check(batches3)}
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",

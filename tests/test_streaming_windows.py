@@ -708,6 +708,72 @@ def test_incremental_dedup_store_read_failure_fails_batch(spark, tmp_path):
         detect_batch(spark, docs, 1, str(bad_store), pairs)
 
 
+def test_streaming_drift_monitor_matches_batch_psi(spark, sf_dir, tmp_path):
+    """Streaming PSI drift: each micro-batch's logged PSI equals the batch
+    computation on exactly that batch's rows vs the same frozen reference;
+    replaying the drained stream adds nothing (epoch-idempotent log); and
+    a shifted batch scores above the 0.2 trigger while an in-distribution
+    batch stays below it."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.sources.tables import load_events
+    from komodo_data_spark.streaming import drift as D
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ref_path = str(tmp_path / "drift_ref")
+    D.write_reference(ev, ref_path)
+
+    # arrivals: file 0 = an in-distribution slice, file 1 = a SHIFTED slice
+    # (every value forced into the top bin)
+    src = tmp_path / "drift_arrivals"
+    src.mkdir()
+    slices = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "value", F.lit(999.0)
+        ),
+    ]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(str(src / f"stage_{i}"))
+        part = _glob.glob(str(src / f"stage_{i}" / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"file_{i}.parquet"))
+        shutil.rmtree(src / f"stage_{i}")
+
+    log_path = str(tmp_path / "drift_log")
+    ck = str(tmp_path / "ckpt_drift")
+    q = D.start_drift_monitor(spark, str(src), ref_path, log_path, ck)
+    q.awaitTermination()
+
+    got = {
+        (r["epoch_id"], r["event_type"]): r
+        for r in D.drift_log(spark, log_path).collect()
+    }
+    ref = spark.read.parquet(ref_path)
+    # stream == batch per epoch (file_N arrives as epoch N)
+    for epoch, sl in enumerate(slices):
+        exp = {
+            r["event_type"]: r
+            for r in D.psi_of(D.value_bins(sl), ref, ["event_type"]).collect()
+        }
+        for etype, er in exp.items():
+            gr = got[(epoch, etype)]
+            assert abs(gr["psi"] - er["psi"]) < 1e-12
+            assert gr["n_events"] == er["n_events"]
+    # in-distribution slice quiet (sampling noise only), shifted slice loud
+    assert all(r["psi"] < 0.2 for (e, _t), r in got.items() if e == 0)
+    assert all(r["psi"] > 1.0 for (e, _t), r in got.items() if e == 1)
+
+    # replay with the same checkpoint: no new epochs, log unchanged
+    q2 = D.start_drift_monitor(spark, str(src), ref_path, log_path, ck)
+    q2.awaitTermination()
+    assert D.drift_log(spark, log_path).count() == len(got)
+
+
 def test_corpus_clean_stream_matches_batch_gate(spark, sf_dir, tmp_path):
     """Streaming corpus cleaning == the batch gate on the same corpus: the
     surviving content-fingerprint set is identical, each fingerprint
