@@ -530,11 +530,13 @@ def events_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     — map-side combinable, fixed-width bins so no quantile pass — then all
     remaining arithmetic happens on types × days × bins rows (KBs). The
     corpus reference distribution derives from the same aggregate by a
-    second tiny rollup, and the bin spine (types × days × 10 bins) is
-    built with a sequence-explode so days with empty bins still contribute
-    their smoothed term. Day is the integer epoch-day (ts_ms div 86400000)
-    — timezone-free, exact on both engines.
+    second tiny rollup. Day is the integer epoch-day (ts_ms div 86400000)
+    — timezone-free, exact on both engines. The dense-spine + smoothing +
+    PSI arithmetic is streaming/drift.psi_of — ONE code path with the
+    per-micro-batch monitor, so stream and batch cannot drift apart.
     """
+    from komodo_data_spark.streaming.drift import psi_of
+
     width = (_HIST_HI - _HIST_LO) / _PSI_BINS
     ev = load_events(spark, sf_dir).select(
         F.expr("ts_ms div 86400000").alias("day"),
@@ -550,50 +552,11 @@ def events_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_bins = ev.groupBy("event_type", "day", "bin").agg(
         F.count(F.lit(1)).alias("n")
     )
-    spine = (
-        day_bins.select("event_type", "day")
-        .distinct()
-        .select(
-            "event_type",
-            "day",
-            F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"),
-        )
-    )
-    dense = spine.join(day_bins, ["event_type", "day", "bin"], "left").select(
-        "event_type", "day", "bin", F.coalesce("n", F.lit(0)).alias("n")
-    )
     corpus = day_bins.groupBy("event_type", "bin").agg(
-        F.sum("n").alias("n_all")
+        F.sum("n").alias("n_ref")
     )
-    joined = (
-        dense.join(F.broadcast(corpus), ["event_type", "bin"], "left")
-        .select(
-            "event_type",
-            "day",
-            "bin",
-            "n",
-            F.coalesce("n_all", F.lit(0)).alias("n_all"),
-        )
-        .withColumn(
-            "day_total", F.sum("n").over(Window.partitionBy("event_type", "day"))
-        )
-        .withColumn(
-            "all_total",
-            F.sum("n_all").over(Window.partitionBy("event_type", "day")),
-        )
-    )
-    smooth = F.lit(_PSI_SMOOTH)
-    denom_pad = F.lit(_PSI_SMOOTH * _PSI_BINS)
-    p = (F.col("n") + smooth) / (F.col("day_total") + denom_pad)
-    q = (F.col("n_all") + smooth) / (F.col("all_total") + denom_pad)
-    return (
-        joined.withColumn("term", (p - q) * F.log(p / q))
-        .groupBy("event_type", "day")
-        .agg(
-            F.sum("term").alias("psi"),
-            F.sum("n").alias("n_events"),
-        )
-        .orderBy("event_type", "day")
+    return psi_of(day_bins, corpus, ["event_type", "day"]).orderBy(
+        "event_type", "day"
     )
 
 
