@@ -535,19 +535,12 @@ def events_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     PSI arithmetic is streaming/drift.psi_of — ONE code path with the
     per-micro-batch monitor, so stream and batch cannot drift apart.
     """
-    from komodo_data_spark.streaming.drift import psi_of
+    from komodo_data_spark.streaming.drift import bin_col, psi_of
 
-    width = (_HIST_HI - _HIST_LO) / _PSI_BINS
     ev = load_events(spark, sf_dir).select(
         F.expr("ts_ms div 86400000").alias("day"),
         "event_type",
-        F.least(
-            F.greatest(
-                F.floor((F.col("value") - F.lit(_HIST_LO)) / F.lit(width)),
-                F.lit(0),
-            ),
-            F.lit(_PSI_BINS - 1),
-        ).alias("bin"),
+        bin_col().alias("bin"),
     )
     day_bins = ev.groupBy("event_type", "day", "bin").agg(
         F.count(F.lit(1)).alias("n")

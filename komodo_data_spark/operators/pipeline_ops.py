@@ -52,18 +52,37 @@ def _bucket_col() -> F.Column:
     )
 
 
+def _split_col() -> F.Column:
+    """train/val/test assignment — THE split definition; shared by the
+    splitter (sample_hash_split) and the leakage audit so they can never
+    check different splits."""
+    return (
+        F.when(_bucket_col() < _TRAIN_END, "train")
+        .when(_bucket_col() < _VAL_END, "val")
+        .otherwise("test")
+    )
+
+
+def _sql_split_case() -> str:
+    """DuckDB twin of _split_col, shared by both oracles."""
+    bucket = (
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)"
+        " % 100"
+    )
+    return f"""CASE
+             WHEN {bucket} < {_TRAIN_END} THEN 'train'
+             WHEN {bucket} < {_VAL_END} THEN 'val'
+             ELSE 'test'
+           END"""
+
+
 def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by doc_id hash, reported
     as per-split stats. Hash-assignment (vs random()) keeps every row's
     split stable across engines, retries, and data growth."""
     d = load_table(spark, sf_dir, "documents")
-    split = (
-        F.when(_bucket_col() < _TRAIN_END, "train")
-        .when(_bucket_col() < _VAL_END, "val")
-        .otherwise("test")
-    )
     return (
-        d.select(split.alias("split"), "n_chars")
+        d.select(_split_col().alias("split"), "n_chars")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -75,11 +94,7 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sample_hash_split_oracle() -> str:
     return f"""
-    SELECT CASE
-             WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < {_TRAIN_END} THEN 'train'
-             WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < {_VAL_END} THEN 'val'
-             ELSE 'test'
-           END AS split,
+    SELECT {_sql_split_case()} AS split,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
@@ -100,13 +115,8 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes at any scale, since pairs ≪ corpus."""
     from komodo_data_spark.operators.dedup import dedup_minhash_lsh
 
-    split = (
-        F.when(_bucket_col() < _TRAIN_END, "train")
-        .when(_bucket_col() < _VAL_END, "val")
-        .otherwise("test")
-    )
     splits = load_table(spark, sf_dir, "documents").select(
-        "doc_id", split.alias("split")
+        "doc_id", _split_col().alias("split")
     )
     pairs = dedup_minhash_lsh(spark, sf_dir)
     return (
@@ -131,13 +141,9 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def split_leakage_pairs_oracle() -> str:
     from komodo_data_spark.operators.dedup import dedup_minhash_lsh_oracle
 
-    case = f"""CASE
-        WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < {_TRAIN_END} THEN 'train'
-        WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 100 < {_VAL_END} THEN 'val'
-        ELSE 'test' END"""
     return f"""
     WITH mh AS ({dedup_minhash_lsh_oracle()}),
-    sp AS (SELECT doc_id, {case} AS split FROM documents)
+    sp AS (SELECT doc_id, {_sql_split_case()} AS split FROM documents)
     SELECT mh.doc_i, mh.doc_j, mh.jaccard,
            si.split AS split_i, sj.split AS split_j
     FROM mh JOIN sp si ON si.doc_id = mh.doc_i

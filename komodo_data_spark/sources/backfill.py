@@ -70,10 +70,24 @@ def backfill_partitions(
         .partitionBy(partition_col)
         .parquet(table_path)
     )
-    for v in emptied:
-        d = os.path.join(table_path, f"{partition_col}={v}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+    if emptied:
+        # Spark Hive-escapes special characters in partition DIRECTORY
+        # names (':' -> '%3A', ...), so the on-disk name cannot be built by
+        # naive interpolation. Instead, list the table's partition dirs and
+        # match each one's UNESCAPED value (percent-decoding inverts the
+        # escape) against the emptied set.
+        from urllib.parse import unquote
+
+        targets = {str(v) for v in emptied}
+        prefix = f"{partition_col}="
+        for entry in os.listdir(table_path):
+            d = os.path.join(table_path, entry)
+            if (
+                entry.startswith(prefix)
+                and os.path.isdir(d)
+                and unquote(entry[len(prefix):]) in targets
+            ):
+                shutil.rmtree(d)
     after = (
         spark.read.parquet(table_path)
         .filter(F.col(partition_col).isin(list(partition_values)))

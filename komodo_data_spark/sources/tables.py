@@ -32,6 +32,11 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
+#: estimated_scan_splits probes parquet footers for row-group counts up to
+#: this many files; beyond it, footer reads cost more than they inform (a
+#: many-file layout has enough splits either way).
+_MAX_FOOTER_PROBES = 64
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -64,6 +69,14 @@ def estimated_scan_splits(spark: SparkSession, path: str) -> int:
     totalBytes/cores))), sorted descending, and greedily bin-packed with
     an openCostInBytes pad per piece.
 
+    Byte-range splits overestimate usable parallelism on parquet: a split
+    only does work if a ROW GROUP starts inside it, so a big single-file
+    single-row-group table (this rig's testdata convention) yields many
+    byte splits but one working task. The estimate is therefore clamped to
+    the total row-group count, read from the footers driver-side — skipped
+    above _MAX_FOOTER_PROBES files, where a multi-file layout has enough
+    splits regardless.
+
     A path the local filesystem cannot see (s3://, hdfs://) is assumed to
     be a real production table with a splittable multi-file layout —
     callers gating a rebalance on this estimate will then skip it, which
@@ -71,19 +84,30 @@ def estimated_scan_splits(spark: SparkSession, path: str) -> int:
     import math
 
     if os.path.isfile(path):
-        sizes = [os.path.getsize(path)]
+        files = [path]
     elif os.path.isdir(path):
-        sizes = [
-            os.path.getsize(os.path.join(r, f))
+        files = [
+            os.path.join(r, f)
             for r, _, fs in os.walk(path)
             for f in fs
             if not f.startswith(("_", ".")) and not f.endswith(".crc")
         ]
     else:
         return spark.sparkContext.defaultParallelism
-    if not sizes:
+    if not files:
         return 1
+    sizes = [os.path.getsize(f) for f in files]
     total = sum(sizes)
+    row_group_cap = None
+    if len(files) <= _MAX_FOOTER_PROBES:
+        try:
+            import pyarrow.parquet as pq
+
+            row_group_cap = sum(
+                pq.ParquetFile(f).metadata.num_row_groups for f in files
+            )
+        except Exception:
+            row_group_cap = None  # not parquet / unreadable: bytes only
     max_part = _size_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
     )
@@ -106,7 +130,8 @@ def estimated_scan_splits(spark: SparkSession, path: str) -> int:
             bins += 1
             cur = 0
         cur += w
-    return bins + (1 if cur > 0 else 0)
+    bins += 1 if cur > 0 else 0
+    return bins if row_group_cap is None else min(bins, row_group_cap)
 
 
 def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

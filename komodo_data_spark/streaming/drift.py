@@ -35,21 +35,24 @@ from komodo_data_spark.operators.events_analytics import (
 )
 
 
-def value_bins(ev: DataFrame) -> DataFrame:
-    """(event_type, bin, n) for an events frame — the shared binning of the
-    batch PSI op (fixed width over [_HIST_LO, _HIST_HI), edge-clamped)."""
+def bin_col() -> F.Column:
+    """THE PSI bin assignment for a ``value`` column (fixed width over
+    [_HIST_LO, _HIST_HI), edge-clamped) — shared by the streaming monitor
+    and the batch auditor so their binning cannot drift apart."""
     width = (_HIST_HI - _HIST_LO) / _PSI_BINS
+    return F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(_HIST_LO)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(_PSI_BINS - 1),
+    )
+
+
+def value_bins(ev: DataFrame) -> DataFrame:
+    """(event_type, bin, n) for an events frame."""
     return (
-        ev.select(
-            "event_type",
-            F.least(
-                F.greatest(
-                    F.floor((F.col("value") - F.lit(_HIST_LO)) / F.lit(width)),
-                    F.lit(0),
-                ),
-                F.lit(_PSI_BINS - 1),
-            ).alias("bin"),
-        )
+        ev.select("event_type", bin_col().alias("bin"))
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -129,12 +129,24 @@ def _recover_compaction(sketch_path: str) -> None:
     marker = os.path.join(sketch_path, _INFLIGHT_MARKER)
     tmp_dir = os.path.join(sketch_path, f"epoch_id={_TMP_EPOCH}")
     base_dir = os.path.join(sketch_path, "epoch_id=-1")
+    if os.path.exists(marker + ".tmp"):
+        os.remove(marker + ".tmp")  # crashed mid marker write; orphan
     if not os.path.exists(marker):
         if os.path.isdir(tmp_dir):
             shutil.rmtree(tmp_dir)
         return
-    with open(marker) as fh:
-        folded = json.load(fh)["epochs"]
+    try:
+        with open(marker) as fh:
+            folded = json.load(fh)["epochs"]
+    except (ValueError, KeyError):
+        # Unreadable marker = the marker write itself crashed. The marker
+        # is installed by atomic rename AFTER the fold completes and the
+        # prune only starts once a valid marker exists, so the originals
+        # are intact: discard marker + tmp and let the caller refold.
+        os.remove(marker)
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        return
     if os.path.isdir(tmp_dir):
         for e in folded:
             d = os.path.join(sketch_path, f"epoch_id={e}")
@@ -194,7 +206,11 @@ def compact_store(spark: SparkSession, sketch_path: str) -> int:
         .partitionBy("epoch_id")
         .parquet(sketch_path)
     )
-    with open(os.path.join(sketch_path, _INFLIGHT_MARKER), "w") as fh:
+    # marker install is ATOMIC (tmp write + rename): a crash mid-write can
+    # never leave a half-written marker that wedges recovery
+    marker = os.path.join(sketch_path, _INFLIGHT_MARKER)
+    with open(marker + ".tmp", "w") as fh:
         json.dump({"epochs": [int(e) for e in epochs]}, fh)
+    os.rename(marker + ".tmp", marker)
     _recover_compaction(sketch_path)  # finalize: prune + swap + drop marker
     return len(epochs)

@@ -600,6 +600,32 @@ def test_backfill_empties_named_partition_with_zero_rows(spark, tmp_path):
     assert got.filter("day = 'd1'").count() == 10  # sibling untouched
 
 
+def test_backfill_empties_partition_with_escaped_name(spark, tmp_path):
+    """Partition VALUES with special characters are Hive-escaped in the
+    directory name (':' -> '%3A'); the explicit empty-partition delete must
+    find the on-disk directory anyway — naive name interpolation would
+    silently no-op and keep the invalidated rows."""
+    from komodo_data_spark.sources.backfill import backfill_partitions
+
+    path = str(tmp_path / "events_by_hour")
+    spark.createDataFrame(
+        [(h, i, float(i)) for h in ("10:00", "11:00") for i in range(5)],
+        "hour string, event_id int, value double",
+    ).write.partitionBy("hour").parquet(path)
+    import os
+
+    assert any("%3A" in e for e in os.listdir(path))  # escaping is real
+
+    audit = backfill_partitions(
+        spark, path, "hour", ["10:00"],
+        lambda s: s.createDataFrame([], "hour string, event_id int, value double"),
+    )
+    assert audit["partitions_emptied"] == ["10:00"]
+    got = spark.read.parquet(path)
+    assert got.filter("hour = '10:00'").count() == 0  # actually deleted
+    assert got.filter("hour = '11:00'").count() == 5
+
+
 def test_data_table_schema_evolution_merge(spark, tmp_path):
     """Schema evolution on the append-only data table: epochs written with
     an added column merge into one readable frame (mergeSchema), old rows

@@ -538,6 +538,19 @@ def test_compact_store_crash_reentrant(spark, tmp_path):
     assert s2.count() == 1 and s2.first()["epoch_id"] == -1
     assert not os.path.exists(os.path.join(store, SK._INFLIGHT_MARKER))
 
+    # (D) crash DURING the marker write: truncated JSON + stale tmp — the
+    # prune never started (marker install is rename-atomic), so recovery
+    # must discard both and the refold must still produce exact counts
+    write_epoch([8], 13)
+    os.makedirs(tmp_dir, exist_ok=True)
+    with open(os.path.join(tmp_dir, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"\x00junk")
+    with open(os.path.join(store, SK._INFLIGHT_MARKER), "w") as fh:
+        fh.write('{"epo')  # truncated mid-write
+    assert SK.compact_store(spark, store) == 1
+    assert counts() == {1: 5, 2: 3, 3: 1, 4: 2, 5: 1, 6: 1, 8: 1}
+    assert not os.path.exists(os.path.join(store, SK._INFLIGHT_MARKER))
+
 
 def test_statestore_reader_matches_batch_state(spark, sf_dir, events_dir, tmp_path):
     """Spark 4 statestore reader: the checkpoint's per-user state (read as a
