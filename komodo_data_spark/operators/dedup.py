@@ -931,6 +931,10 @@ def registry():
             dedup_source_overlap,
             dedup_source_overlap_oracle(),
         ),
+        "dedup_repeated_blocks": (
+            dedup_repeated_blocks,
+            dedup_repeated_blocks_oracle(),
+        ),
     }
 
 
@@ -1072,4 +1076,178 @@ def dedup_source_overlap_oracle() -> str:
     SELECT source_a, source_b, count(*) AS n_pairs,
            avg(jaccard) AS avg_jaccard
     FROM enriched GROUP BY source_a, source_b
+    """
+
+
+# --------------------------------------------------------------------------
+# 10. corpus-level repeated-block scrub (C4-style line dedup)
+# --------------------------------------------------------------------------
+
+#: Non-overlapping block width (tokens). C4 deduplicates at the "line"
+#: granularity; this corpus has no newlines, so the line stand-in is a
+#: fixed-width token block — same operator shape, same keep-one rule.
+BLOCK_TOKENS = 8
+
+
+def dedup_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level block dedup (the C4 "three-sentence span" rule, cf. the
+    public C4 paper appendix): any fixed-width token block that occurs more
+    than once ACROSS THE WHOLE CORPUS is kept only at its first occurrence
+    (lexicographic (doc_id, position)) and scrubbed everywhere else; each
+    document is reassembled from its surviving blocks plus its sub-block
+    tail. Returns per-doc block counts and a fingerprint of the cleaned
+    text.
+
+    Scale design — the key point is that document REASSEMBLY is row-local,
+    not a corpus shuffle:
+    - the only corpus-scale shuffle is the block-frequency aggregate
+      (map-side combined, keyed by block hash — high cardinality, no skew);
+      the first-occurrence keeper rides the same aggregate as
+      min(doc_id * POS_BASE + pos), one pass, engine-portable.
+    - blocks repeated >= 2× are a tiny fraction of the corpus (boilerplate
+      + mirror spans); they fold to a one-row map<block, keeper_key> that
+      is **crossJoin-broadcast** to every doc row, and each doc filters its
+      own block array with a higher-order lambda — zero exchange on the
+      document side, full whole-stage codegen. (If the dup set ever
+      outgrew a broadcast, the fallback is the explode + groupBy(doc_id)
+      reassembly — same semantics, one extra corpus shuffle.)
+    """
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", tokens().alias("toks"))
+        .withColumn("n_blocks", F.floor(F.size("toks") / BLOCK_TOKENS))
+        .withColumn(
+            "blocks",
+            # NB: sequence(0, -1) yields the DESCENDING [0, -1] in Spark,
+            # not an empty array — guard the zero-block docs explicitly.
+            F.when(
+                F.col("n_blocks") >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_blocks") - 1),
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        F.array_join(
+                            F.slice(
+                                F.col("toks"), p * BLOCK_TOKENS + 1, BLOCK_TOKENS
+                            ),
+                            " ",
+                        ).alias("blk"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<pos:bigint,blk:string>>")
+            ),
+        )
+        .withColumn(
+            "tail",
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    F.col("n_blocks") * BLOCK_TOKENS + 1,
+                    F.greatest(
+                        F.size("toks") - F.col("n_blocks") * BLOCK_TOKENS,
+                        F.lit(0),
+                    ),
+                ),
+                " ",
+            ),
+        )
+    )
+    # POS_BASE packs (doc_id, pos) into one orderable BIGINT so the
+    # first-occurrence keeper is a single min() in the same aggregate as
+    # the count. pos < POS_BASE always (docs are far shorter than 2^20
+    # blocks); doc_id * 2^20 stays well inside BIGINT.
+    pos_base = 1 << 20
+    occ = (
+        d.select("doc_id", F.explode("blocks").alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.pos").alias("pos"),
+            F.col("b.blk").alias("blk"),
+        )
+    )
+    dup_map = (
+        occ.groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("doc_id") * pos_base + F.col("pos")).alias("keeper"),
+        )
+        .filter(F.col("n") >= 2)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("blk", "keeper"))
+            ).alias("dup")
+        )
+    )
+    cleaned = (
+        d.crossJoin(F.broadcast(dup_map))
+        .withColumn(
+            "kept",
+            F.filter(
+                "blocks",
+                lambda b: F.element_at(F.col("dup"), b["blk"]).isNull()
+                | (
+                    F.col("doc_id") * pos_base + b["pos"]
+                    == F.element_at(F.col("dup"), b["blk"])
+                ),
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            (F.col("n_blocks") - F.size("kept")).alias("n_removed"),
+            F.trim(
+                F.concat_ws(
+                    " ",
+                    F.array_join(
+                        F.transform("kept", lambda b: b["blk"]), " "
+                    ),
+                    "tail",
+                )
+            ).alias("clean_text"),
+        )
+    )
+    return cleaned.select(
+        "doc_id",
+        "n_blocks",
+        "n_removed",
+        F.length("clean_text").alias("clean_len"),
+        F.md5("clean_text").alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+def dedup_repeated_blocks_oracle() -> str:
+    t = sql_tokens()
+    b, pb = BLOCK_TOKENS, 1 << 20
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    dd AS (
+      SELECT doc_id, toks, len(toks) // {b} AS n_blocks,
+             trim(array_to_string(toks[(len(toks) // {b}) * {b} + 1 : len(toks)], ' ')) AS tail
+      FROM d
+    ),
+    occ AS (
+      SELECT doc_id, p.pos, array_to_string(toks[p.pos * {b} + 1 : p.pos * {b} + {b}], ' ') AS blk
+      FROM dd, unnest(range(0, n_blocks)) AS p(pos)
+    ),
+    dup AS (
+      SELECT blk, min(doc_id * {pb} + pos) AS keeper
+      FROM occ GROUP BY blk HAVING count(*) >= 2
+    ),
+    kept AS (
+      SELECT o.doc_id, o.pos, o.blk
+      FROM occ o LEFT JOIN dup USING (blk)
+      WHERE dup.blk IS NULL OR o.doc_id * {pb} + o.pos = dup.keeper
+    ),
+    re AS (
+      SELECT doc_id, count(*) AS kept_n,
+             string_agg(blk, ' ' ORDER BY pos) AS body
+      FROM kept GROUP BY doc_id
+    )
+    SELECT dd.doc_id, dd.n_blocks,
+           dd.n_blocks - coalesce(re.kept_n, 0) AS n_removed,
+           length(trim(concat(coalesce(re.body, ''), ' ', dd.tail))) AS clean_len,
+           md5(trim(concat(coalesce(re.body, ''), ' ', dd.tail))) AS clean_fp
+    FROM dd LEFT JOIN re USING (doc_id)
+    ORDER BY dd.doc_id
     """

@@ -659,6 +659,11 @@ def registry():
             boilerplate_ngrams_cm,
             boilerplate_ngrams_cm_oracle(),
         ),
+        "text_bm25_rank": (text_bm25_rank, text_bm25_rank_oracle()),
+        "text_tfidf_cosine_pairs": (
+            text_tfidf_cosine_pairs,
+            text_tfidf_cosine_pairs_oracle(),
+        ),
     }
 
 
@@ -909,4 +914,263 @@ def source_unigram_divergence_oracle() -> str:
     JOIN src_totals st USING (source)
     CROSS JOIN corpus_total ct
     GROUP BY s.source
+    """
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval (inverted-index scoring against a fixed query)
+# --------------------------------------------------------------------------
+
+#: Query terms for the retrieval demo (drawn from the corpus vocabulary).
+BM25_QUERY = ["spark", "merge", "vector", "slow"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents by BM25 score for a fixed bag-of-words query — the
+    ranked-retrieval primitive a pipeline uses to pull eval-adjacent or
+    topic-targeted documents out of a corpus (e.g. quality-targeted
+    sampling, retrieval-based decontamination triage).
+
+    Scoring is the Lucene BM25 form: idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+    (always positive), tf saturation k1=1.2, length normalization b=0.75.
+
+    Scale design (inverted-index shape, no index materialized):
+    - the IN-list filter on query terms runs **map-side before the
+      shuffle**, so only postings for the |q| query terms — a vanishing
+      fraction of corpus tokens — ever move; the (doc_id, term) partial
+      count is Spark's map-side combine.
+    - doc length rides along with the exploded rows (max aggregate), so no
+      second corpus join is needed.
+    - corpus constants (N, avgdl) are a one-row aggregate crossJoin-
+      broadcast back in; df-per-term is |q| rows, broadcast.
+    - final top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+      heaps + driver merge of k rows, never a global sort).
+    """
+    from komodo_data_spark.sources.tables import load_spread
+
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", tokens().alias("toks"))
+        .withColumn("dl", F.size("toks"))
+    )
+    consts = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    hits = exploded(d, F.col("toks"), "term", "doc_id", "dl").filter(
+        F.col("term").isin(BM25_QUERY)
+    )
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "dl",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_score").alias("bm25_score"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.max("dl").alias("dl"),
+        )
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+def text_bm25_rank_oracle() -> str:
+    t = sql_tokens()
+    q = ", ".join(f"'{w}'" for w in BM25_QUERY)
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+    consts AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dd),
+    hits AS (
+      SELECT doc_id, dl, u.term FROM dd, unnest(dd.toks) AS u(term)
+      WHERE u.term IN ({q})
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+           FROM hits GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.dl,
+             ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1}
+                * (1.0 - {BM25_B} + {BM25_B} * tf.dl / c.avgdl)) AS term_score
+      FROM tf JOIN df USING (term) CROSS JOIN consts c
+    )
+    SELECT doc_id, sum(term_score) AS bm25_score,
+           count(*) AS n_terms_matched, max(dl) AS dl
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_score DESC, doc_id ASC LIMIT {BM25_TOPK}
+    """
+
+
+# --------------------------------------------------------------------------
+# sparse TF-IDF cosine similarity (inverted-index candidate join)
+# --------------------------------------------------------------------------
+
+#: Rare-shingle candidate cap: only 3-token shingles appearing in <= this
+#: many documents generate candidate pairs (identical role to
+#: dedup.NGRAM_DF_CAP — a hot boilerplate shingle never joins).
+TFIDF_PAIR_DF_CAP = 4
+TFIDF_COS_THRESHOLD = 0.9
+
+
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs whose unigram TF-IDF vectors have cosine similarity
+    >= the threshold — the *sparse* (lexical) counterpart of the
+    embedding-cosine near-dup detector: no model needed, and at web scale
+    it is the classic inverted-index candidate join (the all-pairs
+    similarity-search shape, cf. Bayardo et al., WWW'07).
+
+    Scale design, mirroring ``dedup_ngram_pairs_capped``:
+    - candidate generation only from **rare 3-token shingles** (df <= cap):
+      a postings self-join on a bounded-df shingle emits <= cap² pairs, so
+      the join cost is sum_over_rare_shingles(df²) <= |rare| * cap² — never
+      the quadratic blowup of a hot boilerplate shingle. (Unigrams are the
+      wrong candidate key: every natural-language unigram is hot.)
+    - exact verification computes the FULL unigram dot product (all shared
+      terms, hot or not) but only for candidate docs: weights are
+      semi-joined down to the candidate doc set first, so the per-term join
+      runs on a tiny slice of the corpus.
+    - idf/norm constants: df is |vocab| rows (broadcast); per-doc norms are
+      one map-side-combined aggregate.
+    """
+    from komodo_data_spark.sources.tables import load_spread
+
+    d = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens())
+    n_docs = d.count()  # scalar; column-pruned count job
+    terms = exploded(d, F.col("toks"), "term", "doc_id")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        ).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    sh = exploded(
+        d.select("doc_id", shingles(tokens(), 3).alias("sh")),
+        F.col("sh"),
+        "g",
+        "doc_id",
+    )
+    rare = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .filter(F.col("gdf") <= TFIDF_PAIR_DF_CAP)
+        .select("g")
+    )
+    postings = sh.join(F.broadcast(rare), "g")
+    cand = (
+        postings.alias("a")
+        .join(postings.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_i").alias("doc_id"))
+        .union(cand.select("doc_j"))
+        .distinct()
+    )
+    wc = w.join(F.broadcast(cand_docs), "doc_id")
+    dots = (
+        wc.alias("a")
+        .join(wc.alias("b"), "term")
+        .join(
+            F.broadcast(cand),
+            (F.col("a.doc_id") == F.col("doc_i"))
+            & (F.col("b.doc_id") == F.col("doc_j")),
+        )
+        .groupBy("doc_i", "doc_j")
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    ni = norms.select(
+        F.col("doc_id").alias("doc_i"), F.col("norm").alias("norm_i")
+    )
+    nj = norms.select(
+        F.col("doc_id").alias("doc_j"), F.col("norm").alias("norm_j")
+    )
+    return (
+        dots.join(F.broadcast(ni), "doc_i")
+        .join(F.broadcast(nj), "doc_j")
+        .select(
+            "doc_i",
+            "doc_j",
+            (F.col("dot") / (F.col("norm_i") * F.col("norm_j"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= TFIDF_COS_THRESHOLD)
+        .orderBy("doc_i", "doc_j")
+    )
+
+
+def text_tfidf_cosine_pairs_oracle() -> str:
+    t = sql_tokens()
+    sh = sql_shingles("toks", 3)
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS w
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+    e AS (SELECT doc_id, unnest({sh}) AS g FROM d),
+    rare AS (SELECT g FROM e GROUP BY g HAVING count(*) <= {TFIDF_PAIR_DF_CAP}),
+    postings AS (SELECT e.g, e.doc_id FROM e JOIN rare USING (g)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+      FROM postings a JOIN postings b USING (g) WHERE a.doc_id < b.doc_id
+    ),
+    dots AS (
+      SELECT c.doc_i, c.doc_j, sum(a.w * b.w) AS dot
+      FROM cand c
+      JOIN w a ON a.doc_id = c.doc_i
+      JOIN w b ON b.doc_id = c.doc_j AND b.term = a.term
+      GROUP BY c.doc_i, c.doc_j
+    )
+    SELECT d.doc_i, d.doc_j, d.dot / (ni.norm * nj.norm) AS cosine
+    FROM dots d
+    JOIN norms ni ON ni.doc_id = d.doc_i
+    JOIN norms nj ON nj.doc_id = d.doc_j
+    WHERE d.dot / (ni.norm * nj.norm) >= {TFIDF_COS_THRESHOLD}
+    ORDER BY d.doc_i, d.doc_j
     """

@@ -1,0 +1,154 @@
+"""Tests for the retrieval / sparse-similarity / block-dedup additions:
+BM25 ranked retrieval, TF-IDF cosine pairs, corpus repeated-block scrub."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+
+from komodo_data_spark.operators import dedup as D
+from komodo_data_spark.operators import text_analysis as T
+
+
+def _write_docs(tmp_path, texts: list[str]) -> str:
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    pdf.to_parquet(os.path.join(sf, "documents.parquet"))
+    return sf
+
+
+# --------------------------------------------------------------------------
+# BM25
+# --------------------------------------------------------------------------
+
+
+def test_bm25_matches_hand_computed_scores(spark, tmp_path):
+    """Three tiny docs; scores recomputed with the Lucene BM25 formula in
+    plain Python must match the operator to float precision. A doc with no
+    query term must not appear."""
+    texts = [
+        "spark merge spark fast",
+        "slow vector slow slow table",
+        "the quick brown fox",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = {
+        r["doc_id"]: (r["bm25_score"], r["n_terms_matched"], r["dl"])
+        for r in T.text_bm25_rank(spark, sf).collect()
+    }
+
+    n_docs, k1, b = 3.0, T.BM25_K1, T.BM25_B
+    dls = [4, 5, 4]
+    avgdl = sum(dls) / n_docs
+    df = {"spark": 1, "merge": 1, "vector": 1, "slow": 1}
+    tf = {1: {"spark": 2, "merge": 1}, 2: {"slow": 3, "vector": 1}}
+
+    def score(doc: int) -> float:
+        s = 0.0
+        for term, f in tf[doc].items():
+            idf = math.log(1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+            s += (
+                idf
+                * (f * (k1 + 1.0))
+                / (f + k1 * (1.0 - b + b * dls[doc - 1] / avgdl))
+            )
+        return s
+
+    assert set(got) == {1, 2}
+    assert got[1][1:] == (2, 4)
+    assert got[2][1:] == (2, 5)
+    assert abs(got[1][0] - score(1)) < 1e-9
+    assert abs(got[2][0] - score(2)) < 1e-9
+
+
+def test_bm25_plan_is_topk_not_global_sort(spark, sf_dir):
+    """The final limit must compile to TakeOrderedAndProject (per-partition
+    heaps), never a global Sort over the scored corpus."""
+    plan = T.text_bm25_rank(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# TF-IDF cosine pairs
+# --------------------------------------------------------------------------
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark, tmp_path):
+    """Two identical docs (sharing a rare shingle) must pair with cosine 1;
+    an unrelated doc must not appear in any pair."""
+    dup = "alpha bravo charlie delta echo foxtrot golf"
+    texts = [dup, dup, "totally different words entirely here now"]
+    sf = _write_docs(tmp_path, texts)
+    rows = T.text_tfidf_cosine_pairs(spark, sf).collect()
+    pairs = {(r["doc_i"], r["doc_j"]): r["cosine"] for r in rows}
+    assert (1, 2) in pairs
+    assert abs(pairs[(1, 2)] - 1.0) < 1e-9
+    assert all(3 not in p for p in pairs)
+
+
+def test_tfidf_cosine_candidates_are_equi_join_only(spark, sf_dir):
+    """Candidate generation must be a shingle equi-join — no cartesian or
+    nested-loop join anywhere in the physical plan."""
+    plan = (
+        T.text_tfidf_cosine_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# corpus repeated-block scrub
+# --------------------------------------------------------------------------
+
+
+def test_repeated_blocks_keep_first_occurrence_only(spark, tmp_path):
+    """A block repeated across docs survives only at its lexicographically
+    first (doc_id, pos); sub-block tails always survive; short docs pass
+    through untouched."""
+    blk = "a b c d e f g h"  # exactly BLOCK_TOKENS tokens
+    texts = [
+        f"{blk} x1 x2 x3 x4 x5 x6 x7 x8 tail1",  # blk at pos 0 (keeper)
+        f"y1 y2 y3 y4 y5 y6 y7 y8 {blk} tail2",  # blk at pos 1 (scrubbed)
+        "short doc",  # 2 tokens -> 0 blocks
+    ]
+    assert D.BLOCK_TOKENS == 8, "test fixture assumes 8-token blocks"
+    sf = _write_docs(tmp_path, texts)
+    rows = {
+        r["doc_id"]: r for r in D.dedup_repeated_blocks(spark, sf).collect()
+    }
+
+    assert rows[1]["n_blocks"] == 2 and rows[1]["n_removed"] == 0
+    assert rows[1]["clean_len"] == len(texts[0])
+    assert rows[2]["n_blocks"] == 2 and rows[2]["n_removed"] == 1
+    # doc 2 keeps its first block and its tail, loses the repeated block
+    assert rows[2]["clean_len"] == len("y1 y2 y3 y4 y5 y6 y7 y8 tail2")
+    assert rows[3]["n_blocks"] == 0 and rows[3]["n_removed"] == 0
+    assert rows[3]["clean_len"] == len("short doc")
+
+
+def test_repeated_blocks_within_doc_repeat_is_scrubbed(spark, tmp_path):
+    """The keep-one rule also applies WITHIN a document: the same block
+    twice in one doc keeps only the earlier position."""
+    blk = "p q r s t u v w"
+    texts = [f"{blk} {blk}", "unrelated filler words only in this document"]
+    sf = _write_docs(tmp_path, texts)
+    rows = {
+        r["doc_id"]: r for r in D.dedup_repeated_blocks(spark, sf).collect()
+    }
+    assert rows[1]["n_blocks"] == 2 and rows[1]["n_removed"] == 1
+    assert rows[1]["clean_len"] == len(blk)
