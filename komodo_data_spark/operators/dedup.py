@@ -1088,33 +1088,19 @@ def dedup_source_overlap_oracle() -> str:
 #: fixed-width token block — same operator shape, same keep-one rule.
 BLOCK_TOKENS = 8
 
+#: Packs (doc_id, pos) into one orderable BIGINT so the first-occurrence
+#: keeper is a single min() in the same aggregate as the count.
+#: pos < POS_BASE always (docs are far shorter than 2^20 blocks);
+#: doc_id * 2^20 stays well inside BIGINT.
+POS_BASE = 1 << 20
 
-def dedup_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level block dedup (the C4 "three-sentence span" rule, cf. the
-    public C4 paper appendix): any fixed-width token block that occurs more
-    than once ACROSS THE WHOLE CORPUS is kept only at its first occurrence
-    (lexicographic (doc_id, position)) and scrubbed everywhere else; each
-    document is reassembled from its surviving blocks plus its sub-block
-    tail. Returns per-doc block counts and a fingerprint of the cleaned
-    text.
 
-    Scale design — the key point is that document REASSEMBLY is row-local,
-    not a corpus shuffle:
-    - the only corpus-scale shuffle is the block-frequency aggregate
-      (map-side combined, keyed by block hash — high cardinality, no skew);
-      the first-occurrence keeper rides the same aggregate as
-      min(doc_id * POS_BASE + pos), one pass, engine-portable.
-    - blocks repeated >= 2× are a tiny fraction of the corpus (boilerplate
-      + mirror spans); they fold to a one-row map<block, keeper_key> that
-      is **crossJoin-broadcast** to every doc row, and each doc filters its
-      own block array with a higher-order lambda — zero exchange on the
-      document side, full whole-stage codegen. (If the dup set ever
-      outgrew a broadcast, the fallback is the explode + groupBy(doc_id)
-      reassembly — same semantics, one extra corpus shuffle.)
-    """
-    d = (
-        load_spread(spark, sf_dir, "documents")
-        .select("doc_id", tokens().alias("toks"))
+def blocked_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_blocks, blocks: array<struct<pos,blk>>, tail) per doc —
+    the shared block decomposition for the batch scrub and the streaming
+    incremental scrub (one code path, no drift). Row-local, no shuffle."""
+    return (
+        docs.select("doc_id", tokens().alias("toks"))
         .withColumn("n_blocks", F.floor(F.size("toks") / BLOCK_TOKENS))
         .withColumn(
             "blocks",
@@ -1152,42 +1138,40 @@ def dedup_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ),
         )
+        .drop("toks")
     )
-    # POS_BASE packs (doc_id, pos) into one orderable BIGINT so the
-    # first-occurrence keeper is a single min() in the same aggregate as
-    # the count. pos < POS_BASE always (docs are far shorter than 2^20
-    # blocks); doc_id * 2^20 stays well inside BIGINT.
-    pos_base = 1 << 20
-    occ = (
-        d.select("doc_id", F.explode("blocks").alias("b"))
-        .select(
-            "doc_id",
-            F.col("b.pos").alias("pos"),
-            F.col("b.blk").alias("blk"),
+
+
+def block_occurrences(blocked: DataFrame) -> DataFrame:
+    """Exploded (doc_id, pos, blk) occurrence rows from blocked_docs."""
+    return blocked.select("doc_id", F.explode("blocks").alias("b")).select(
+        "doc_id",
+        F.col("b.pos").alias("pos"),
+        F.col("b.blk").alias("blk"),
+    )
+
+
+def scrub_blocks(blocked: DataFrame, dup: DataFrame) -> DataFrame:
+    """Reassemble each doc keeping only blocks that are NOT scrubbed by
+    ``dup`` (rows (blk, keeper): an occurrence survives iff its block has
+    no dup entry or its packed (doc_id, pos) key equals the keeper; a
+    keeper of -1 scrubs every occurrence). The dup set folds to a one-row
+    map<blk, keeper> crossJoin-broadcast to the doc rows, so reassembly is
+    row-local — zero exchange on the document side."""
+    dup_map = dup.agg(
+        F.map_from_entries(F.collect_list(F.struct("blk", "keeper"))).alias(
+            "dup"
         )
     )
-    dup_map = (
-        occ.groupBy("blk")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.col("doc_id") * pos_base + F.col("pos")).alias("keeper"),
-        )
-        .filter(F.col("n") >= 2)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("blk", "keeper"))
-            ).alias("dup")
-        )
-    )
-    cleaned = (
-        d.crossJoin(F.broadcast(dup_map))
+    return (
+        blocked.crossJoin(F.broadcast(dup_map))
         .withColumn(
             "kept",
             F.filter(
                 "blocks",
                 lambda b: F.element_at(F.col("dup"), b["blk"]).isNull()
                 | (
-                    F.col("doc_id") * pos_base + b["pos"]
+                    F.col("doc_id") * POS_BASE + b["pos"]
                     == F.element_at(F.col("dup"), b["blk"])
                 ),
             ),
@@ -1207,7 +1191,43 @@ def dedup_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
         )
     )
-    return cleaned.select(
+
+
+def dedup_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level block dedup (the C4 "three-sentence span" rule, cf. the
+    public C4 paper appendix): any fixed-width token block that occurs more
+    than once ACROSS THE WHOLE CORPUS is kept only at its first occurrence
+    (lexicographic (doc_id, position)) and scrubbed everywhere else; each
+    document is reassembled from its surviving blocks plus its sub-block
+    tail. Returns per-doc block counts and a fingerprint of the cleaned
+    text.
+
+    Scale design — the key point is that document REASSEMBLY is row-local,
+    not a corpus shuffle:
+    - the only corpus-scale shuffle is the block-frequency aggregate
+      (map-side combined, keyed by block hash — high cardinality, no skew);
+      the first-occurrence keeper rides the same aggregate as
+      min(doc_id * POS_BASE + pos), one pass, engine-portable.
+    - blocks repeated >= 2× are a tiny fraction of the corpus (boilerplate
+      + mirror spans); they fold to a one-row map<block, keeper_key> that
+      is **crossJoin-broadcast** to every doc row, and each doc filters its
+      own block array with a higher-order lambda — zero exchange on the
+      document side, full whole-stage codegen. (If the dup set ever
+      outgrew a broadcast, the fallback is the explode + groupBy(doc_id)
+      reassembly — same semantics, one extra corpus shuffle.)
+    """
+    blocked = blocked_docs(load_spread(spark, sf_dir, "documents"))
+    dup = (
+        block_occurrences(blocked)
+        .groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("doc_id") * POS_BASE + F.col("pos")).alias("keeper"),
+        )
+        .filter(F.col("n") >= 2)
+        .select("blk", "keeper")
+    )
+    return scrub_blocks(blocked, dup).select(
         "doc_id",
         "n_blocks",
         "n_removed",

@@ -163,6 +163,21 @@ def main(argv: list[str] | None = None) -> int:
     batches3 = progress_rows(q3)
     report["drift_monitor"] = {"batches": batches3, **flat_check(batches3)}
 
+    # --- stream 4: incremental repeated-block scrub (reuses docs stage) ---
+    from komodo_data_spark.streaming.block_scrub import (
+        start_incremental_block_scrub,
+    )
+
+    q4 = start_incremental_block_scrub(
+        spark, docs_src,
+        os.path.join(work, "block_store"),
+        os.path.join(work, "scrubbed"),
+        os.path.join(work, "ckpt_scrub"),
+    )
+    q4.awaitTermination()
+    batches4 = progress_rows(q4)
+    report["block_scrub"] = {"batches": batches4, **flat_check(batches4)}
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",

@@ -986,3 +986,93 @@ def test_streaming_observe_metrics_surface_in_progress(spark, sf_dir, events_dir
     ).first()
     assert totals["n_rows"] == exp["n"]
     assert abs(totals["sum_value"] - exp["s"]) < 1e-6
+
+
+def test_incremental_block_scrub_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming repeated-block scrub: documents arrive file by file in
+    doc_id order; the union of scrubbed outputs across batches equals the
+    batch operator over the full corpus (the global first-occurrence
+    keeper is then always the first arrival). A second drain over the same
+    checkpoint adds nothing; compacting the block store changes no future
+    decision; a replayed epoch is idempotent."""
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.dedup import dedup_repeated_blocks
+    from komodo_data_spark.sources.tables import load_table
+    from komodo_data_spark.streaming.block_scrub import (
+        compact_block_store,
+        scrub_batch,
+        scrubbed_from_store,
+        start_incremental_block_scrub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    # stage the corpus as 3 arrival files RANGE-split by doc_id, so arrival
+    # order equals doc_id order (file_0 < file_1 < file_2 lexically).
+    src = tmp_path / "docs_arrivals"
+    src.mkdir()
+    splits = [
+        docs.filter(F.col("doc_id") < cut1),
+        docs.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)),
+        docs.filter(F.col("doc_id") >= cut2),
+    ]
+    import glob as _glob
+    import shutil
+
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.parquet(str(src / f"arrival_{i}.parquet_dir"))
+        inner = _glob.glob(str(src / f"arrival_{i}.parquet_dir" / "part-*.parquet"))
+        shutil.copy(inner[0], str(src / f"file_{i}.parquet"))
+        shutil.rmtree(str(src / f"arrival_{i}.parquet_dir"))
+
+    store = str(tmp_path / "block_store")
+    out = str(tmp_path / "scrubbed")
+    ck = str(tmp_path / "ckpt_block_scrub")
+    q = start_incremental_block_scrub(spark, str(src), store, out, ck)
+    q.awaitTermination()
+
+    def rows(df):
+        return {
+            (
+                r["doc_id"],
+                r["n_blocks"],
+                r["n_removed"],
+                r["clean_len"],
+                r["clean_fp"],
+            )
+            for r in df.collect()
+        }
+
+    got = rows(scrubbed_from_store(spark, out))
+    exp = rows(dedup_repeated_blocks(spark, sf_dir))
+    assert got == exp
+    assert sum(r[2] for r in exp) > 0  # the corpus does contain repeats
+
+    # restart with the same checkpoint: no new batches, output unchanged
+    q2 = start_incremental_block_scrub(spark, str(src), store, out, ck)
+    q2.awaitTermination()
+    assert rows(scrubbed_from_store(spark, out)) == exp
+
+    # compaction folds epochs to the base partition, same key set
+    before = {r["blk"] for r in spark.read.parquet(store).collect()}
+    assert compact_block_store(spark, store) == 3
+    after_df = spark.read.parquet(store)
+    assert {r["blk"] for r in after_df.collect()} == before
+    assert after_df.select("epoch_id").distinct().collect()[0][0] == -1
+    assert compact_block_store(spark, store) == 0  # idempotent
+
+    # at-least-once safety: a crash AFTER the store write but BEFORE the
+    # checkpoint commit replays the epoch with its own blocks already on
+    # disk — the replay must make identical decisions (history is
+    # strictly-earlier epochs), not scrub the replayed docs against
+    # themselves.
+    batch0 = spark.read.parquet(str(src / "file_0.parquet")).select(
+        "doc_id", "text"
+    )
+    store2, out2 = str(tmp_path / "store2"), str(tmp_path / "out2")
+    scrub_batch(spark, batch0, 0, store2, out2)
+    first = rows(scrubbed_from_store(spark, out2))
+    scrub_batch(spark, batch0, 0, store2, out2)  # replay of epoch 0
+    assert rows(scrubbed_from_store(spark, out2)) == first
