@@ -57,9 +57,12 @@ SKEW_QUERIES = (
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_source_overlap",
+    "dedup_repeated_blocks",
     "corpus_clean",
     "corpus_prepare",
     "text_tfidf_top_terms",
+    "text_tfidf_cosine_pairs",
+    "text_bm25_rank",
     "orders_customer_join_salted",
     "events_heavy_hitters",
     "event_sessions",
