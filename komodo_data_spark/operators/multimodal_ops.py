@@ -282,6 +282,7 @@ def registry():
             media_metadata_arrow,
             media_metadata_arrow_oracle(),
         ),
+        "media_frame_dedup": (media_frame_dedup, media_frame_dedup_oracle()),
     }
 
 
@@ -390,4 +391,88 @@ def media_metadata_arrow_oracle() -> str:
            ceil(octet_length(encode(text)) / {FRAME_BYTES}.0)::BIGINT
              AS n_frames
     FROM documents WHERE text IS NOT NULL
+    """
+
+
+# --------------------------------------------------------------------------
+# cross-media duplicate-frame detection (sampled-frame hash dedup)
+# --------------------------------------------------------------------------
+
+
+def media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media duplicate-frame profile: which of a media item's SAMPLED
+    frames (the ``media_frame_samples`` stream) also occur — byte-identical
+    — anywhere else in the corpus (same item or another). This is the
+    video-pipeline shape for catching shared intros/outros/logo cards and
+    re-uploaded footage without decoding anything: hash sampled frames,
+    dedup on the hash.
+
+    Scale design: frame hashing is the existing Arrow-batched mapInPandas
+    stage (one code path with the sampler); the only shuffles are the
+    frame-hash frequency aggregate (map-side combined, high-cardinality
+    md5 key — no skew) and the per-doc rollup. Duplicated hashes are a
+    tiny fraction of frames, so the dup set broadcasts back onto the frame
+    stream; the frame stream itself is cached rather than re-run because
+    its producer is a Python stage (the one part worth not paying twice).
+    """
+    frames = media_frame_samples(spark, sf_dir).cache()
+    dup = (
+        frames.groupBy("frame_md5")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 2)
+    )
+    flagged = frames.join(F.broadcast(dup), "frame_md5")
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled")
+    )
+    dups_per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_frames"),
+        F.countDistinct("frame_md5").alias("n_dup_hashes"),
+    )
+    return (
+        per_doc.join(dups_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames_sampled",
+            F.coalesce("n_dup_frames", F.lit(0)).alias("n_dup_frames"),
+            F.coalesce("n_dup_hashes", F.lit(0)).alias("n_dup_hashes"),
+            (
+                F.coalesce("n_dup_frames", F.lit(0)).cast("double")
+                / F.col("n_frames_sampled")
+            ).alias("dup_frame_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def media_frame_dedup_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             ceil(length(text) / {FRAME_BYTES}.0)::BIGINT AS n_frames
+      FROM documents WHERE text IS NOT NULL
+    ),
+    f AS (
+      SELECT doc_id, md5(substr(text, fi * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+               AS frame_md5
+      FROM d, unnest(range(0, n_frames, {FRAME_STRIDE})) AS t(fi)
+    ),
+    dup AS (
+      SELECT frame_md5 FROM f GROUP BY frame_md5 HAVING count(*) >= 2
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_frames_sampled FROM f GROUP BY doc_id
+    ),
+    dpd AS (
+      SELECT f.doc_id, count(*) AS n_dup_frames,
+             count(DISTINCT f.frame_md5) AS n_dup_hashes
+      FROM f JOIN dup USING (frame_md5) GROUP BY f.doc_id
+    )
+    SELECT p.doc_id, p.n_frames_sampled,
+           coalesce(d.n_dup_frames, 0) AS n_dup_frames,
+           coalesce(d.n_dup_hashes, 0) AS n_dup_hashes,
+           coalesce(d.n_dup_frames, 0)::DOUBLE / p.n_frames_sampled
+             AS dup_frame_frac
+    FROM per_doc p LEFT JOIN dpd d ON d.doc_id = p.doc_id
+    ORDER BY p.doc_id
     """
