@@ -1046,19 +1046,22 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is the classic inverted-index candidate join (the all-pairs
     similarity-search shape, cf. Bayardo et al., WWW'07).
 
-    Scale design, mirroring ``dedup_ngram_pairs_capped`` for candidates and
-    ``dedup_repeated_blocks`` for the broadcast-map verify:
+    Scale design, mirroring ``dedup_ngram_pairs_capped`` for candidates:
     - candidate generation only from **rare 3-token shingles** (df <= cap):
       a postings self-join on a bounded-df shingle emits <= cap² pairs, so
       the join cost is sum_over_rare_shingles(df²) <= |rare| * cap² — never
       the quadratic blowup of a hot boilerplate shingle. (Unigrams are the
       wrong candidate key: every natural-language unigram is hot.)
-    - the corpus side never shuffles at full width: document frequencies
-      aggregate the per-doc DISTINCT term lists (|vocab|-bounded result,
-      map-side combined) and fold to a one-row map<term, df> that is
-      crossJoin-broadcast; TF weights and vector norms are then computed
-      **row-locally** (higher-order filter/aggregate over the token array)
-      — and only for docs that appear in a candidate pair (left_semi).
+    - the only corpus-width shuffles are the two frequency aggregates
+      (per-doc distinct terms -> df, shingle -> df), both map-side
+      combined with vocab-bounded results. Everything downstream of the
+      candidate list — term counts, weights, norms, the dot product — is
+      computed only for docs appearing in a candidate pair (left_semi),
+      so its shuffles are candidate-bounded. The df table stays a
+      DISTRIBUTED frame joined on term (AQE broadcasts it when it fits;
+      at web scale, where vocab has hundreds of millions of
+      typo/URL/id terms, it degrades to a shuffle join instead of
+      breaking a broadcast limit).
     - the exact dot product joins THROUGH the candidate pair list: cand ⋈
       weights(doc_i) on doc_i, then ⋈ weights(doc_j) on (doc_j, term) —
       high-cardinality doc-id keys, |cand| × terms-per-doc rows, never a
@@ -1072,7 +1075,7 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens().alias("toks")
     )
     n_docs = d.count()  # scalar; column-pruned count job
-    df_map = (
+    df_ = (
         exploded(
             d.select("doc_id", F.array_distinct("toks").alias("dts")),
             F.col("dts"),
@@ -1080,11 +1083,6 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term", "df"))
-            ).alias("dfm")
-        )
     )
     sh = exploded(
         d.select("doc_id", shingles(F.col("toks"), 3).alias("sh")),
@@ -1117,49 +1115,41 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select("doc_j"))
         .distinct()
     )
-    # TF weights + norm, row-locally and ONLY for candidate docs: per
-    # distinct term, tf = count of its occurrences (higher-order filter),
-    # w = tf * smooth-idf from the broadcast df map; norm folds the weight
-    # array in place. Zero corpus-side exchange.
-    idf = lambda t: F.log(  # noqa: E731 — tiny local expression builder
-        (F.lit(float(n_docs)) + 1.0)
-        / (F.element_at(F.col("dfm"), t) + 1.0)
-    ) + F.lit(1.0)
-    wdocs = (
-        d.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-        .crossJoin(F.broadcast(df_map))
+    # TF weights + norms ONLY for candidate docs; df joined on term as a
+    # distributed frame (no vocab-sized broadcast or single-row map — web
+    # vocabularies don't fit a broadcast).
+    ctf = (
+        exploded(
+            d.join(F.broadcast(cand_docs), "doc_id", "left_semi"),
+            F.col("toks"),
+            "term",
+            "doc_id",
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = (
+        ctf.join(df_, "term")
         .select(
             "doc_id",
-            F.transform(
-                F.array_distinct("toks"),
-                lambda t: F.struct(
-                    t.alias("term"),
-                    (
-                        F.size(F.filter("toks", lambda x: x == t)).cast(
-                            "double"
-                        )
-                        * idf(t)
-                    ).alias("w"),
-                ),
-            ).alias("wts"),
-        )
-        .withColumn(
-            "norm",
-            F.sqrt(
-                F.aggregate(
-                    "wts",
-                    F.lit(0.0),
-                    lambda acc, s: acc + s["w"] * s["w"],
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
                 )
-            ),
+            ).alias("w"),
         )
+        # candidate-bounded (|cand docs| × terms-per-doc) and consumed by
+        # the norm aggregate plus both sides of the pair join — cache so
+        # the semi-join + explode + df join run once.
+        .cache()
     )
-    wflat = exploded(wdocs, F.col("wts"), "tw", "doc_id", "norm").select(
-        "doc_id",
-        F.col("tw.term").alias("term"),
-        F.col("tw.w").alias("w"),
-        "norm",
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
     )
+    wflat = w.join(norms, "doc_id")
     wi = wflat.select(
         F.col("doc_id").alias("doc_i"),
         "term",

@@ -167,35 +167,27 @@ def scrubbed_from_store(spark: SparkSession, out_path: str) -> DataFrame:
     )
 
 
-def compact_block_store(spark: SparkSession, store_path: str) -> int:
-    """Fold all epoch partitions of the block store into the reserved
-    ``epoch_id=-1`` base partition — block rows are plain membership facts,
-    so the fold is a DISTINCT and future probes see exactly the same key
-    set. Same write-then-prune contract and local-FS caveat as
-    sketches.compact_store; run while the scrub stream is paused."""
-    import os
-    import shutil
+def compact_block_store(
+    spark: SparkSession,
+    store_path: str,
+    committed_through: int | None = None,
+) -> int:
+    """Fold epoch partitions of the block store into the reserved
+    ``epoch_id=-1`` base partition (DISTINCT block membership; probes see
+    the same key set). The scrub decision is NOT monotone, so folding an
+    epoch whose checkpoint has not committed would defeat scrub_batch's
+    strictly-earlier-epoch replay guard: the replayed batch would find its
+    own blocks in the base, treat them as history, and scrub every block
+    of every replayed doc. By default the highest epoch — the only one
+    that can be uncommitted — is therefore excluded; pass
+    ``committed_through`` (the last committed batch id from the query's
+    progress) to fold it too once it is known safe."""
+    from komodo_data_spark.streaming.stores import compact_distinct_store
 
-    store = spark.read.parquet(store_path)
-    epochs = [
-        r["epoch_id"]
-        for r in store.select("epoch_id").distinct().collect()
-        if r["epoch_id"] != -1
-    ]
-    if not epochs:
-        return 0
-    base = (
-        store.select("blk")
-        .distinct()
-        .withColumn("epoch_id", F.lit(-1))
-        .localCheckpoint(eager=True)
+    return compact_distinct_store(
+        spark,
+        store_path,
+        ["blk"],
+        keep_max_epoch=True,
+        committed_through=committed_through,
     )
-    (
-        base.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch_id")
-        .parquet(store_path)
-    )
-    for e in epochs:
-        shutil.rmtree(os.path.join(store_path, f"epoch_id={e}"))
-    return len(epochs)

@@ -137,31 +137,13 @@ def compact_band_store(spark: SparkSession, store_path: str) -> int:
     contract and local-FS caveat as sketches.compact_store; run while the
     detection stream is paused.
     """
-    import os
-    import shutil
+    from komodo_data_spark.streaming.stores import compact_distinct_store
 
-    from pyspark.sql import functions as F  # noqa: F811 (module-level alias)
-
-    store = spark.read.parquet(store_path)
-    epochs = [
-        r["epoch_id"]
-        for r in store.select("epoch_id").distinct().collect()
-        if r["epoch_id"] != -1
-    ]
-    if not epochs:
-        return 0
-    base = (
-        store.select("doc_id", "band_id", "band_hash")
-        .distinct()
-        .withColumn("epoch_id", F.lit(-1))
-        .localCheckpoint(eager=True)
+    # Folding even an uncommitted max epoch is safe HERE because candidate
+    # emission is monotone: a replayed batch probing its own bands in the
+    # base re-derives exactly the pairs it already emitted (deduped at
+    # read time). Non-monotone stores (block_scrub) must keep the max
+    # epoch out of the fold.
+    return compact_distinct_store(
+        spark, store_path, ["doc_id", "band_id", "band_hash"]
     )
-    (
-        base.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch_id")
-        .parquet(store_path)
-    )
-    for e in epochs:
-        shutil.rmtree(os.path.join(store_path, f"epoch_id={e}"))
-    return len(epochs)

@@ -1055,9 +1055,30 @@ def test_incremental_block_scrub_matches_batch(spark, sf_dir, tmp_path):
     q2.awaitTermination()
     assert rows(scrubbed_from_store(spark, out)) == exp
 
-    # compaction folds epochs to the base partition, same key set
+    # compaction folds epochs to the base partition, same key set — but by
+    # default it must EXCLUDE the highest epoch: that is the only epoch
+    # whose checkpoint commit can still be pending, and folding it into
+    # the base would make a replay treat its own blocks as history
+    # (scrubbing every block of every replayed doc).
     before = {r["blk"] for r in spark.read.parquet(store).collect()}
-    assert compact_block_store(spark, store) == 3
+    assert compact_block_store(spark, store) == 2  # epochs 0,1; 2 kept
+    mid = spark.read.parquet(store)
+    assert {r["blk"] for r in mid.collect()} == before
+    assert {r[0] for r in mid.select("epoch_id").distinct().collect()} == {
+        -1,
+        2,
+    }
+    # crash-window replay after a default compaction: epoch 2 re-runs
+    # against base(0,1) plus its own intact partition and must make
+    # identical decisions — the exact scenario folding epoch 2 would break
+    batch2 = spark.read.parquet(str(src / "file_2.parquet")).select(
+        "doc_id", "text"
+    )
+    scrub_batch(spark, batch2, 2, store, out)
+    assert rows(scrubbed_from_store(spark, out)) == exp
+
+    # the operator can fold the last epoch once it is known committed
+    assert compact_block_store(spark, store, committed_through=2) == 1
     after_df = spark.read.parquet(store)
     assert {r["blk"] for r in after_df.collect()} == before
     assert after_df.select("epoch_id").distinct().collect()[0][0] == -1
