@@ -259,3 +259,76 @@ def test_token_budget_twostage_equals_window_form(
     assert rows(P.docs_token_budget_mix(spark, sf)) == rows(
         P.docs_token_budget_mix_twostage(spark, sf)
     )
+
+
+def py_block_scrub(docs: dict[int, list[str]], b: int) -> dict[int, tuple]:
+    """Pure-Python reference of dedup_repeated_blocks: keep-first (by
+    (doc_id, pos)) among corpus-repeated non-overlapping b-token blocks;
+    reassemble kept blocks + sub-block tail."""
+    occ: dict[str, list[tuple[int, int]]] = {}
+    blocks: dict[int, list[str]] = {}
+    for did in sorted(docs):
+        toks = docs[did]
+        blocks[did] = [
+            " ".join(toks[i : i + b]) for i in range(0, len(toks) - b + 1, b)
+        ]
+        for pos, blk in enumerate(blocks[did]):
+            occ.setdefault(blk, []).append((did, pos))
+    keeper = {
+        blk: min(where) for blk, where in occ.items() if len(where) >= 2
+    }
+    out = {}
+    for did in sorted(docs):
+        toks = docs[did]
+        n_blocks = len(blocks[did])
+        kept = [
+            blk
+            for pos, blk in enumerate(blocks[did])
+            if blk not in keeper or keeper[blk] == (did, pos)
+        ]
+        tail = " ".join(toks[n_blocks * b :])
+        clean = (" ".join(kept) + " " + tail).strip()
+        out[did] = (n_blocks, n_blocks - len(kept), len(clean))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=26
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repeated_blocks_match_python(spark, token_lists):
+    """dedup_repeated_blocks == the pure-Python keep-first reference on
+    arbitrary tiny corpora (3-letter alphabet + docs spanning 0..3 full
+    blocks => plenty of cross-doc and within-doc block collisions, plus
+    zero-block and tail-only docs)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from komodo_data_spark.operators import dedup as D
+
+    docs = {i: (t if t else [""]) for i, t in enumerate(token_lists)}
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": [" ".join(t) for t in docs.values()],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [0] * len(docs),
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf.to_parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_blocks"], r["n_removed"], r["clean_len"])
+            for r in D.dedup_repeated_blocks(spark, tmp).collect()
+        }
+    assert got == py_block_scrub(docs, D.BLOCK_TOKENS)
