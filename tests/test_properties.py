@@ -332,3 +332,98 @@ def test_repeated_blocks_match_python(spark, token_lists):
             for r in D.dedup_repeated_blocks(spark, tmp).collect()
         }
     assert got == py_block_scrub(docs, D.BLOCK_TOKENS)
+
+
+def py_tfidf_cosine_pairs(
+    docs: dict[int, list[str]], cap: int, thresh: float
+) -> dict[tuple[int, int], float]:
+    """Pure-Python reference of text_tfidf_cosine_pairs: rare-3-shingle
+    candidates, full unigram TF-IDF dot product, smooth idf."""
+    import math
+
+    n_docs = len(docs)
+    tf: dict[int, dict[str, int]] = {}
+    for did, toks in docs.items():
+        tf[did] = {}
+        for t in toks:
+            tf[did][t] = tf[did].get(t, 0) + 1
+    df: dict[str, int] = {}
+    for did in docs:
+        for t in tf[did]:
+            df[t] = df.get(t, 0) + 1
+    w = {
+        did: {
+            t: c * (math.log((n_docs + 1.0) / (df[t] + 1.0)) + 1.0)
+            for t, c in tf[did].items()
+        }
+        for did in docs
+    }
+    norm = {
+        did: math.sqrt(sum(x * x for x in w[did].values())) for did in docs
+    }
+    sh_docs: dict[str, set[int]] = {}
+    for did, toks in docs.items():
+        for s in py_shingles(toks, 3):
+            sh_docs.setdefault(s, set()).add(did)
+    cand = set()
+    for s, members in sh_docs.items():
+        if len(members) <= cap:
+            for i in members:
+                for j in members:
+                    if i < j:
+                        cand.add((i, j))
+    out = {}
+    for i, j in cand:
+        dot = sum(w[i][t] * w[j][t] for t in w[i] if t in w[j])
+        if norm[i] and norm[j]:
+            cos = dot / (norm[i] * norm[j])
+            if cos >= thresh:
+                out[(i, j)] = cos
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=3, max_size=12
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_tfidf_cosine_pairs_match_python(spark, token_lists):
+    """text_tfidf_cosine_pairs == the pure-Python reference: same candidate
+    set (rare-shingle cap), same surviving pairs, cosines equal to 1e-9.
+    The tiny alphabet makes shingles collide constantly, stressing the cap
+    boundary (df == cap vs df == cap+1)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from komodo_data_spark.operators import text_analysis as T
+
+    docs = {i: t for i, t in enumerate(token_lists)}
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": [" ".join(t) for t in docs.values()],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [0] * len(docs),
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf.to_parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            (r["doc_i"], r["doc_j"]): r["cosine"]
+            for r in T.text_tfidf_cosine_pairs(spark, tmp).collect()
+        }
+    exp = py_tfidf_cosine_pairs(
+        docs, T.TFIDF_PAIR_DF_CAP, T.TFIDF_COS_THRESHOLD
+    )
+    assert set(got) == set(exp)
+    for pair, cos in exp.items():
+        assert abs(got[pair] - cos) < 1e-9
