@@ -178,6 +178,20 @@ def main(argv: list[str] | None = None) -> int:
     batches4 = progress_rows(q4)
     report["block_scrub"] = {"batches": batches4, **flat_check(batches4)}
 
+    # --- stream 5: incremental BM25 index (reuses docs stage) --------------
+    from komodo_data_spark.streaming.bm25_incremental import (
+        start_incremental_bm25,
+    )
+
+    q5 = start_incremental_bm25(
+        spark, docs_src,
+        os.path.join(work, "bm25_store"),
+        os.path.join(work, "ckpt_bm25"),
+    )
+    q5.awaitTermination()
+    batches5 = progress_rows(q5)
+    report["bm25_index"] = {"batches": batches5, **flat_check(batches5)}
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",

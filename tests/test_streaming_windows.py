@@ -1097,3 +1097,77 @@ def test_incremental_block_scrub_matches_batch(spark, sf_dir, tmp_path):
     first = rows(scrubbed_from_store(spark, out2))
     scrub_batch(spark, batch0, 0, store2, out2)  # replay of epoch 0
     assert rows(scrubbed_from_store(spark, out2)) == first
+
+
+def test_incremental_bm25_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming BM25 index: documents arrive file by file; scoring from
+    the accumulated store equals the batch operator over the full corpus
+    EXACTLY (scores included — the counters reconstruct the same avgdl
+    arithmetic). Replay of an epoch is idempotent; compacting the
+    postings — even interleaved with a replay of a folded epoch — changes
+    no score."""
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.text_analysis import text_bm25_rank
+    from komodo_data_spark.sources.tables import load_table
+    from komodo_data_spark.streaming.bm25_incremental import (
+        bm25_from_store,
+        compact_bm25_postings,
+        index_batch,
+        start_incremental_bm25,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "docs_arrivals_bm25"
+    src.mkdir()
+    import glob as _glob
+    import shutil
+
+    for i in range(3):
+        part_dir = src / f"arrival_{i}.parquet_dir"
+        docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            str(part_dir)
+        )
+        inner = _glob.glob(str(part_dir / "part-*.parquet"))
+        shutil.copy(inner[0], str(src / f"file_{i}.parquet"))
+        shutil.rmtree(str(part_dir))
+
+    store = str(tmp_path / "bm25_store")
+    ck = str(tmp_path / "ckpt_bm25")
+    q = start_incremental_bm25(spark, str(src), store, ck)
+    q.awaitTermination()
+
+    def rows(df):
+        return [
+            (r["doc_id"], r["bm25_score"], r["n_terms_matched"], r["dl"])
+            for r in df.collect()
+        ]
+
+    def assert_same(got, exp):
+        # identical ranking and integer fields; scores to float tolerance
+        # (the per-doc term-score sum is order-sensitive in the last ulp)
+        assert [(r[0], r[2], r[3]) for r in got] == [
+            (r[0], r[2], r[3]) for r in exp
+        ]
+        for g, e in zip(got, exp):
+            assert abs(g[1] - e[1]) <= 1e-12 * max(abs(e[1]), 1.0)
+
+    exp = rows(text_bm25_rank(spark, sf_dir))
+    assert_same(rows(bm25_from_store(spark, store)), exp)
+    assert len(exp) > 0
+
+    # replayed epoch: dynamic overwrite of the same partitions, no change
+    batch1 = spark.read.parquet(str(src / "file_1.parquet")).select(
+        "doc_id", "text"
+    )
+    index_batch(spark, batch1, 1, store)
+    assert_same(rows(bm25_from_store(spark, store)), exp)
+
+    # compaction preserves scores; a replay AFTER its epoch was folded
+    # duplicates that epoch's rows on disk — the distinct read absorbs it
+    assert compact_bm25_postings(spark, store) == 3
+    assert_same(rows(bm25_from_store(spark, store)), exp)
+    index_batch(spark, batch1, 1, store)  # replay of a folded epoch
+    assert_same(rows(bm25_from_store(spark, store)), exp)
+    assert compact_bm25_postings(spark, store) == 1  # refold absorbs it
+    assert_same(rows(bm25_from_store(spark, store)), exp)
