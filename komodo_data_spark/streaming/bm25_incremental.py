@@ -30,6 +30,7 @@ scoring joins the postings (already one row per doc-term) against a
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -127,11 +128,28 @@ def bm25_from_store(spark: SparkSession, store_path: str) -> DataFrame:
     # re-writes its epoch partition, duplicating rows (base + epoch).
     # Postings rows are deterministic facts, so the duplicates are exact
     # and fold away here — df counts and per-doc sums stay correct.
-    tf = (
-        spark.read.parquet(_postings_path(store_path))
-        .select("doc_id", "term", "tf", "dl")
-        .distinct()
-    )
+    try:
+        tf = (
+            spark.read.parquet(_postings_path(store_path))
+            .select("doc_id", "term", "tf", "dl")
+            .distinct()
+        )
+    except AnalysisException as exc:
+        # Counters exist but postings don't: every ingested batch lacked
+        # the query terms entirely. Dynamic overwrite of an empty frame
+        # leaves either no directory (PATH_NOT_FOUND) or an empty one with
+        # zero partitions (UNABLE_TO_INFER_SCHEMA) — both mean a valid
+        # empty index; return an empty top-k, not a read error. Any OTHER
+        # failure propagates.
+        if exc.getCondition() not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            raise
+        return spark.createDataFrame(
+            [],
+            "doc_id long, bm25_score double, n_terms_matched long, dl long",
+        )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "term")

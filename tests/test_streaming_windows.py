@@ -1171,3 +1171,23 @@ def test_incremental_bm25_matches_batch(spark, sf_dir, tmp_path):
     assert_same(rows(bm25_from_store(spark, store)), exp)
     assert compact_bm25_postings(spark, store) == 1  # refold absorbs it
     assert_same(rows(bm25_from_store(spark, store)), exp)
+
+
+def test_incremental_bm25_empty_postings_is_valid_empty_index(spark, tmp_path):
+    """A corpus containing none of the query terms indexes counters but no
+    postings partitions; scoring must return an empty top-k, not a
+    path-not-found error."""
+    from komodo_data_spark.streaming.bm25_incremental import (
+        bm25_from_store,
+        index_batch,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "nothing matches here"), (2, "still nothing")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "bm25_empty_store")
+    index_batch(spark, batch, 0, store)
+    got = bm25_from_store(spark, store)
+    assert got.count() == 0
+    assert got.columns == ["doc_id", "bm25_score", "n_terms_matched", "dl"]
