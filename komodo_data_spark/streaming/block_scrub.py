@@ -80,11 +80,16 @@ def scrub_batch(
             .distinct()
         )
     except AnalysisException as exc:
-        # ONLY the missing-path case means "first batch: no store yet".
-        # Any other read failure must propagate so foreachBatch fails and
+        # ONLY the empty-store shapes mean "no history yet": a missing
+        # path, or a directory a zero-block batch created with no
+        # partitions in it (dynamic overwrite of an empty frame). Any
+        # other read failure must propagate so foreachBatch fails and
         # retries the epoch — swallowing it would emit unscrubbed docs
         # that the committed checkpoint then never corrects.
-        if exc.getCondition() != "PATH_NOT_FOUND":
+        if exc.getCondition() not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
             raise
         seen = None
     stats = occ.groupBy("blk").agg(

@@ -67,13 +67,18 @@ def detect_batch(
             "doc_id", "band_id", "band_hash"
         )
     except AnalysisException as exc:
-        # ONLY the missing-path case means "first batch: no store yet".
-        # Any other read failure (IO error, permissions, corrupt footer)
-        # must propagate: swallowing it would silently drop every
-        # new-vs-history candidate pair for this epoch, and once the epoch
-        # commits via the checkpoint those pairs are lost for good.
-        # Propagating lets foreachBatch fail the batch and retry it.
-        if exc.getCondition() != "PATH_NOT_FOUND":
+        # ONLY the empty-store shapes mean "no history yet": a missing
+        # path, or a directory an all-short-docs batch (no shingles, so no
+        # bands) created with zero partitions. Any other read failure (IO
+        # error, permissions, corrupt footer) must propagate: swallowing
+        # it would silently drop every new-vs-history candidate pair for
+        # this epoch, and once the epoch commits via the checkpoint those
+        # pairs are lost for good. Propagating lets foreachBatch fail the
+        # batch and retry it.
+        if exc.getCondition() not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
             raise
         store = None
     cand = _pairs(bands, bands)

@@ -1191,3 +1191,39 @@ def test_incremental_bm25_empty_postings_is_valid_empty_index(spark, tmp_path):
     got = bm25_from_store(spark, store)
     assert got.count() == 0
     assert got.columns == ["doc_id", "bm25_score", "n_terms_matched", "dl"]
+
+
+def test_block_scrub_survives_zero_block_first_batch(spark, tmp_path):
+    """A first batch of all-short docs writes an EMPTY store directory
+    (dynamic overwrite of an empty frame creates the dir, no partitions);
+    the next batch must treat that as 'no history yet' rather than failing
+    the read forever. Corrupt stores must still fail the batch."""
+    import pytest
+
+    from komodo_data_spark.streaming.block_scrub import (
+        scrub_batch,
+        scrubbed_from_store,
+    )
+
+    store = str(tmp_path / "store_empty_first")
+    out = str(tmp_path / "out_empty_first")
+    short = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny")], "doc_id long, text string"
+    )
+    blk = "a b c d e f g h"
+    full = spark.createDataFrame(
+        [(3, f"{blk} x y"), (4, f"{blk} z w")], "doc_id long, text string"
+    )
+    scrub_batch(spark, short, 0, store, out)
+    scrub_batch(spark, full, 1, store, out)  # must not raise
+    rows = {
+        r["doc_id"]: r["n_removed"]
+        for r in scrubbed_from_store(spark, out).collect()
+    }
+    assert rows == {1: 0, 2: 0, 3: 0, 4: 1}  # doc 3 keeps, doc 4 scrubbed
+
+    bad_store = tmp_path / "bad_block_store"
+    bad_store.mkdir()
+    (bad_store / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        scrub_batch(spark, full, 2, str(bad_store), out)
