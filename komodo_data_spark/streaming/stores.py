@@ -47,7 +47,20 @@ def compact_distinct_store(
     ``keep_max_epoch=True`` excludes the highest epoch — the only one
     that can be uncommitted. With neither, every epoch folds.
     """
-    store = spark.read.parquet(store_path)
+    from pyspark.errors import AnalysisException
+
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException as exc:
+        # A store that never accumulated a fact (missing path, or a dir
+        # with zero partitions from empty-frame writes) has nothing to
+        # fold; other read failures propagate.
+        if exc.getCondition() not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            raise
+        return 0
     epochs = sorted(
         r["epoch_id"]
         for r in store.select("epoch_id").distinct().collect()
