@@ -525,6 +525,30 @@ def _cos(e_a, e_b):
 EMB_BLOCKS = 8
 
 
+def _matmul_hits(l_ids, l_mat, r_ids, r_mat, diagonal: bool):
+    """BLAS cosine of two id/matrix blocks, thresholded; canonical
+    (min_id, max_id) pairs. Diagonal blocks keep the strict upper triangle
+    by id so each unordered pair is emitted exactly once."""
+    import numpy as np
+    import pandas as pd
+
+    l_nrm = np.sqrt((l_mat * l_mat).sum(axis=1))
+    r_nrm = np.sqrt((r_mat * r_mat).sum(axis=1))
+    sims = (l_mat @ r_mat.T) / np.outer(l_nrm, r_nrm)
+    hit = sims >= COSINE_THRESHOLD
+    if diagonal:
+        hit &= l_ids[:, None] < r_ids[None, :]
+    li, rj = np.nonzero(hit)
+    a, b = l_ids[li], r_ids[rj]
+    return pd.DataFrame(
+        {
+            "vec_i": np.minimum(a, b),
+            "vec_j": np.maximum(a, b),
+            "cosine": sims[li, rj],
+        }
+    )
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector near-dup: pairs with cosine ≥ 0.45 over array<float>.
 
@@ -572,35 +596,20 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pair_blocks(key, l_pdf, r_pdf):
-        empty = pd.DataFrame(
-            {
-                "vec_i": np.array([], dtype=np.int64),
-                "vec_j": np.array([], dtype=np.int64),
-                "cosine": np.array([], dtype=np.float64),
-            }
-        )
         if l_pdf.empty or r_pdf.empty:
-            return empty
-        l_ids = l_pdf["vec_id"].to_numpy()
-        r_ids = r_pdf["r_vec_id"].to_numpy()
-        l_mat = np.stack(l_pdf["embedding"].to_numpy()).astype(np.float64)
-        r_mat = np.stack(r_pdf["r_embedding"].to_numpy()).astype(np.float64)
-        l_nrm = np.sqrt((l_mat * l_mat).sum(axis=1))
-        r_nrm = np.sqrt((r_mat * r_mat).sum(axis=1))
-        sims = (l_mat @ r_mat.T) / np.outer(l_nrm, r_nrm)
-        hit = sims >= COSINE_THRESHOLD
-        if key[0] == key[1]:
-            # same block on both sides: each unordered pair appears twice;
-            # keep the strict upper triangle by id
-            hit &= l_ids[:, None] < r_ids[None, :]
-        li, rj = np.nonzero(hit)
-        a, b = l_ids[li], r_ids[rj]
-        return pd.DataFrame(
-            {
-                "vec_i": np.minimum(a, b),
-                "vec_j": np.maximum(a, b),
-                "cosine": sims[li, rj],
-            }
+            return pd.DataFrame(
+                {
+                    "vec_i": np.array([], dtype=np.int64),
+                    "vec_j": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
+        return _matmul_hits(
+            l_pdf["vec_id"].to_numpy(),
+            np.stack(l_pdf["embedding"].to_numpy()).astype(np.float64),
+            r_pdf["r_vec_id"].to_numpy(),
+            np.stack(r_pdf["r_embedding"].to_numpy()).astype(np.float64),
+            diagonal=key[0] == key[1],
         )
 
     return (
@@ -614,15 +623,27 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: expected bucket occupancy n/64, so per-bucket matmul cost is n²/64 total.
 EMB_LSH_BITS = 6
 
+#: Per-task row cap inside a bucket. LSH occupancy is only EXPECTED to be
+#: n/2^bits — duplicate-heavy corpora (default/zero embeddings, re-encoded
+#: shards) pile into one bucket, and an uncapped per-bucket matmul is then
+#: a single-task O(hot²) memory cliff. Buckets larger than this split into
+#: the same triangle block-pair scheme as the exact operator, so per-task
+#: memory stays ≤ 2·CAP·d·8 bytes no matter how hot a bucket gets.
+EMB_LSH_TASK_ROWS = 4096
+
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine near-dup: candidates restricted to the same
-    sign-bit LSH bucket (bit i = sign of dim i), then an exact per-bucket
-    BLAS matmul. This is the 100 TB default path: bucketing is a map-side
-    Catalyst expression, candidate volume drops 2^bits-fold vs all-pairs,
-    and each task touches only one bucket (~n/2^bits rows). Recall is
-    tunable via bits/multiprobe (see knn_lsh_multiprobe); the oracle mirrors
-    the bucket restriction exactly, so correctness is deterministic.
+    sign-bit LSH bucket (bit i = sign of dim i), then an exact BLAS matmul
+    within the bucket. This is the 100 TB default path: bucketing is a
+    map-side Catalyst expression and candidate volume drops 2^bits-fold vs
+    all-pairs. Hot buckets (duplicate-heavy embeddings) do NOT become one
+    giant task: each bucket splits into ceil(occupancy / cap) hash blocks
+    and every unordered block pair meets in its own cogroup task — the
+    exact operator's triangle scheme, keyed by (bkt, bi, bj). Recall is
+    tunable via bits/multiprobe (see knn_lsh_multiprobe); the oracle
+    mirrors the bucket restriction exactly (blocking never changes the
+    result set), so correctness is deterministic.
     """
     import numpy as np
     import pandas as pd
@@ -641,10 +662,36 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("embedding"), i + 1) > 0, F.lit(2**i)
         ).otherwise(F.lit(0))
     v = v.withColumn("bkt", bkt)
+    # per-bucket block count from the (≤ 2^bits)-row occupancy frame
+    nblk = (
+        v.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bkt",
+            F.ceil(F.col("n") / F.lit(EMB_LSH_TASK_ROWS))
+            .cast("int")
+            .alias("nblk"),
+        )
+    )
+    vb = v.join(F.broadcast(nblk), "bkt")
+    left = vb.withColumn(
+        "bi", F.pmod(F.hash("vec_id"), F.col("nblk"))
+    ).withColumn("bj", F.explode(F.sequence(F.col("bi"), F.col("nblk") - 1)))
+    # fresh exprIds on the right side — same Catalyst self-cogroup pruning
+    # trap as dedup_embedding_pairs (see note there)
+    right = (
+        vb.select(
+            F.col("bkt").alias("r_bkt"),
+            F.col("vec_id").alias("r_vec_id"),
+            F.col("embedding").alias("r_embedding"),
+            F.col("nblk").alias("r_nblk"),
+        )
+        .withColumn("bj", F.pmod(F.hash("r_vec_id"), F.col("r_nblk")))
+        .withColumn("bi", F.explode(F.sequence(F.lit(0), F.col("bj"))))
+    )
 
-    def bucket_pairs(pdf):
-        ids = pdf["vec_id"].to_numpy()
-        if len(ids) < 2:
+    def bucket_block_pairs(key, l_pdf, r_pdf):
+        if l_pdf.empty or r_pdf.empty:
             return pd.DataFrame(
                 {
                     "vec_i": np.array([], dtype=np.int64),
@@ -652,17 +699,20 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cosine": np.array([], dtype=np.float64),
                 }
             )
-        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt((mat * mat).sum(axis=1))
-        sims = (mat @ mat.T) / np.outer(nrm, nrm)
-        hit = (sims >= COSINE_THRESHOLD) & (ids[:, None] < ids[None, :])
-        li, rj = np.nonzero(hit)
-        return pd.DataFrame(
-            {"vec_i": ids[li], "vec_j": ids[rj], "cosine": sims[li, rj]}
+        return _matmul_hits(
+            l_pdf["vec_id"].to_numpy(),
+            np.stack(l_pdf["embedding"].to_numpy()).astype(np.float64),
+            r_pdf["r_vec_id"].to_numpy(),
+            np.stack(r_pdf["r_embedding"].to_numpy()).astype(np.float64),
+            diagonal=key[1] == key[2],
         )
 
-    return v.groupBy("bkt").applyInPandas(
-        bucket_pairs, schema="vec_i long, vec_j long, cosine double"
+    return (
+        left.groupBy("bkt", "bi", "bj")
+        .cogroup(right.groupBy("r_bkt", "bi", "bj"))
+        .applyInPandas(
+            bucket_block_pairs, schema="vec_i long, vec_j long, cosine double"
+        )
     )
 
 

@@ -537,3 +537,57 @@ def test_psi_drift_flags_shifted_day_only(spark, tmp_path):
     assert psi[19000] < 0.1          # matches the corpus: no drift signal
     assert psi[19001] > 0.2          # concentrated day: retrain trigger
     assert psi[19001] > 5 * psi[19000]
+
+
+def test_embedding_lsh_hot_bucket_splits_but_result_unchanged(
+    spark, tmp_path, monkeypatch
+):
+    """A duplicate-heavy corpus piles every vector into ONE sign-bit
+    bucket; the per-bucket matmul must split into capped block-pair tasks
+    (bounded memory) without changing the detected pair set."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n, d = 120, 8
+    # all-positive first EMB_LSH_BITS dims -> every vector in bucket 63
+    base = rng.uniform(0.1, 1.0, size=(n, d)).astype(np.float32)
+    base[60] = base[0] * 1.5  # planted near-dups (cosine 1.0)
+    base[61] = base[1] * 0.5
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [r.tolist() for r in base],
+            "label": [0] * n,
+        }
+    )
+    sf = str(tmp_path / "emb_sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    pdf.to_parquet(os.path.join(sf, "embeddings.parquet"))
+
+    def pairs():
+        return {
+            (r["vec_i"], r["vec_j"])
+            for r in dedup.dedup_embedding_lsh(spark, sf).collect()
+        }
+
+    uncapped = pairs()  # n < default cap: single block per bucket
+    monkeypatch.setattr(dedup, "EMB_LSH_TASK_ROWS", 16)  # force ~8 blocks
+    capped = pairs()
+    assert capped == uncapped
+    assert {(0, 60), (1, 61)} <= uncapped
+
+    # reference: brute force within the (single) bucket
+    nrm = np.sqrt((base.astype(np.float64) ** 2).sum(axis=1))
+    sims = (base.astype(np.float64) @ base.astype(np.float64).T) / np.outer(
+        nrm, nrm
+    )
+    exp = {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if sims[i, j] >= dedup.COSINE_THRESHOLD
+    }
+    assert uncapped == exp
