@@ -865,6 +865,9 @@ def registry():
             benchmark_contamination,
             benchmark_contamination_oracle(),
         ),
+        "text_pii_scan": (text_pii_scan, text_pii_scan_oracle()),
+        "text_pii_redact": (text_pii_redact, text_pii_redact_oracle()),
+        "docs_domain_stats": (docs_domain_stats, docs_domain_stats_oracle()),
         "url_canonical_dedup": (
             url_canonical_dedup,
             url_canonical_dedup_oracle(),
@@ -1061,6 +1064,22 @@ def benchmark_contamination_oracle() -> str:
 # --------------------------------------------------------------------------
 
 
+def _synthetic_url_col() -> F.Column:
+    """Deterministic URL fixture derived from (source, doc_id), with the
+    classic crawl noise baked in: tracking params, trailing slash, mixed
+    host case, explicit default port. Shared by ``url_canonical_dedup``
+    and ``docs_domain_stats`` so their fixtures can never drift."""
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.com:443/docs/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&ref=rss"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("")),
+    )
+
+
 def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalize URL variants and keep one document per canonical URL —
     the crawl-dedup step that runs before any content hashing.
@@ -1080,16 +1099,9 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on canonical_url (high cardinality, no skew) with a min/count
     aggregate — no window, no sort.
     """
-    raw_url = F.concat(
-        F.lit("HTTPS://WWW."),
-        F.col("source"),
-        F.lit(".Example.com:443/docs/"),
-        (F.col("doc_id") % 40).cast("string"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&ref=rss"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
-        .otherwise(F.lit("")),
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _synthetic_url_col().alias("url")
     )
-    d = load_table(spark, sf_dir, "documents").select("doc_id", raw_url.alias("url"))
     canonical = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("url")), r"\?(utm_[a-z]+|ref)=[^?]*$", ""),
@@ -1423,4 +1435,236 @@ def dedup_clusters_best_keeper_oracle() -> str:
     SELECT cluster_id, cluster_size, doc_id AS keeper_doc_id,
            quality AS keeper_quality
     FROM j WHERE rn = 1
+    """
+
+
+# --------------------------------------------------------------------------
+# PII detection + redaction (emails / phone numbers / IPv4 addresses)
+# --------------------------------------------------------------------------
+#
+# The synthetic testdata text contains no real PII, so a deterministic
+# ``pii_text`` column is derived from (text, doc_id) with the three classic
+# PII shapes injected on a doc_id-keyed schedule — the same fixture pattern
+# as ``url_canonical_dedup``'s synthetic URL. The OPERATOR — the pattern
+# bank, the scan, and the typed-placeholder redaction — is the real
+# product; production swaps the fixture for the raw crawl text.
+#
+# Patterns are written to the Java-regex / RE2 common subset (no
+# lookaround, no backreferences) so the Spark body and the DuckDB oracle
+# compile the same automaton.
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+_PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def _pii_text_col() -> F.Column:
+    """Deterministic PII-bearing text fixture (Spark side)."""
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad(((F.col("doc_id") * 37) % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad(((F.col("doc_id") * 91) % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit(" from host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 254 + 1).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+
+
+_PII_TEXT_SQL = """
+      text || CASE
+        WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com'
+        WHEN doc_id % 5 = 1 THEN ' call 555-'
+          || lpad(CAST((doc_id * 37) % 1000 AS VARCHAR), 3, '0') || '-'
+          || lpad(CAST((doc_id * 91) % 10000 AS VARCHAR), 4, '0')
+        WHEN doc_id % 5 = 2 THEN ' from host 10.'
+          || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.'
+          || (doc_id % 254 + 1)
+        ELSE '' END
+"""
+
+
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII hit counts (emails / phones / IPv4) — the scan half
+    of the detect-then-redact stage every training-data pipeline runs
+    before release (cf. the public C4 / Dolma / FineWeb pipelines).
+
+    Scale: pure whole-stage-codegen projection (three regexp_extract_all
+    calls per row, zero Python, zero shuffle before the deterministic
+    output sort); at 100 TB this is a map-only pass that rides the same
+    scan as the rest of the cleaning stack.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _pii_text_col().alias("t")
+    )
+    n_emails = F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), 0))
+    n_phones = F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), 0))
+    n_ips = F.size(F.regexp_extract_all("t", F.lit(_PII_IPV4), 0))
+    return (
+        d.select(
+            "doc_id",
+            n_emails.alias("n_emails"),
+            n_phones.alias("n_phones"),
+            n_ips.alias("n_ips"),
+        )
+        .filter(F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def text_pii_scan_oracle() -> str:
+    return rf"""
+    WITH d AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(t, '{_PII_IPV4}')) AS n_ips
+    FROM d
+    WHERE len(regexp_extract_all(t, '{_PII_EMAIL}'))
+        + len(regexp_extract_all(t, '{_PII_PHONE}'))
+        + len(regexp_extract_all(t, '{_PII_IPV4}')) > 0
+    ORDER BY doc_id
+    """
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-placeholder PII redaction: emails -> ``[EMAIL]``, phones ->
+    ``[PHONE]``, IPv4 -> ``[IP]``; emits the total redaction count and the
+    md5 of the redacted text so the full rewritten corpus is value-checked
+    without shipping megabyte rows through the comparator.
+
+    Scale: same map-only shape as the scan — three chained codegen
+    regexp_replace calls; the redacted corpus would be written back through
+    the partitioned append sink in production.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _pii_text_col().alias("t")
+    )
+    n_hits = (
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), 0))
+        + F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), 0))
+        + F.size(F.regexp_extract_all("t", F.lit(_PII_IPV4), 0))
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IPV4,
+        "[IP]",
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_hits.alias("n_redactions"),
+            F.md5(redacted).alias("redacted_md5"),
+            F.length(redacted).alias("redacted_len"),
+        )
+        .filter(F.col("n_redactions") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def text_pii_redact_oracle() -> str:
+    return rf"""
+    WITH d AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents),
+    r AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '{_PII_EMAIL}'))
+               + len(regexp_extract_all(t, '{_PII_PHONE}'))
+               + len(regexp_extract_all(t, '{_PII_IPV4}')) AS n_redactions,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IPV4}', '[IP]', 'g') AS redacted
+      FROM d
+    )
+    SELECT doc_id, n_redactions, md5(redacted) AS redacted_md5,
+           length(redacted) AS redacted_len
+    FROM r WHERE n_redactions > 0 ORDER BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# per-domain crawl stats (host extraction over the canonical-URL fixture)
+# --------------------------------------------------------------------------
+
+
+def docs_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl statistics — doc count, tracking-param share,
+    distinct path count, total chars — the aggregate a crawl-curation pass
+    uses to pick domain-level keep/drop/cap decisions before any content
+    processing. Reuses ``url_canonical_dedup``'s synthetic URL fixture.
+
+    Scale: host/path extraction is codegen projection; the only shuffle is
+    one groupBy(host) whose map-side combine absorbs hot-domain skew (a
+    domain with 1e9 pages still contributes one partial row per task).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", _synthetic_url_col().alias("url")
+    )
+    low = F.lower(F.col("url"))
+    host = F.regexp_extract(low, r"^[a-z]+://([^/:]+)", 1)
+    path = F.regexp_extract(low, r"^[a-z]+://[^/]+(/[^?]*)", 1)
+    return (
+        d.select(
+            host.alias("host"),
+            path.alias("path"),
+            low.contains("utm_").cast("int").alias("tracked"),
+            "n_chars",
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tracked").alias("n_tracked"),
+            F.countDistinct("path").alias("n_paths"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("host")
+    )
+
+
+def docs_domain_stats_oracle() -> str:
+    return r"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+        lower('HTTPS://WWW.' || source || '.Example.com:443/docs/'
+          || (doc_id % 40)
+          || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=rss'
+                  WHEN doc_id % 3 = 1 THEN '/' ELSE '' END) AS url
+      FROM documents
+    )
+    SELECT regexp_extract(url, '^[a-z]+://([^/:]+)', 1) AS host,
+           count(*) AS n_docs,
+           sum(CASE WHEN url LIKE '%utm_%' THEN 1 ELSE 0 END)::BIGINT
+             AS n_tracked,
+           count(DISTINCT regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1))::BIGINT
+             AS n_paths,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM d GROUP BY 1 ORDER BY 1
     """

@@ -337,3 +337,72 @@ def test_substring_spans_merge_adjacent_windows(spark, tmp_path):
     # doc 2: same run at positions 1..8
     assert rows[2] == (1, 8, 8, 4)
     assert 3 not in rows
+
+
+def test_pii_redaction_removes_every_scanned_hit(spark):
+    """Redaction is exhaustive against the scanner's own pattern bank:
+    after redaction, a re-scan of the redacted text finds zero hits, and
+    the per-doc redaction count equals the scan's total. (The hash-match
+    pins values; this pins the detect/redact contract.)"""
+    from komodo_data_spark.sources.tables import load_table
+
+    scan = {
+        r["doc_id"]: r["n_emails"] + r["n_phones"] + r["n_ips"]
+        for r in P.text_pii_scan(spark, SF).collect()
+    }
+    assert scan and all(n > 0 for n in scan.values())
+    # rebuild redacted text and re-scan it
+    d = load_table(spark, SF, "documents").select(
+        "doc_id", P._pii_text_col().alias("t")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", P._PII_EMAIL, "[EMAIL]"),
+            P._PII_PHONE,
+            "[PHONE]",
+        ),
+        P._PII_IPV4,
+        "[IP]",
+    )
+    residue = d.select(
+        (
+            F.size(F.regexp_extract_all(redacted, F.lit(P._PII_EMAIL), 0))
+            + F.size(F.regexp_extract_all(redacted, F.lit(P._PII_PHONE), 0))
+            + F.size(F.regexp_extract_all(redacted, F.lit(P._PII_IPV4), 0))
+        ).alias("n")
+    ).agg(F.sum("n").alias("total")).collect()[0]["total"]
+    assert residue == 0
+    counts = {
+        r["doc_id"]: r["n_redactions"]
+        for r in P.text_pii_redact(spark, SF).collect()
+    }
+    assert counts == scan
+
+
+def test_pii_scan_is_map_only(spark):
+    """The PII scan must stay a single map-side codegen pass: no Exchange
+    in the plan other than the deterministic output ordering's range
+    partitioning."""
+    plan = P.text_pii_scan(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_stats_fixture_agrees_with_url_dedup(spark):
+    """docs_domain_stats and url_canonical_dedup share one URL fixture:
+    the per-host doc counts must sum to the corpus size, and every host
+    seen by the domain stats appears in some canonical URL."""
+    from komodo_data_spark.sources.tables import load_table
+
+    stats = P.docs_domain_stats(spark, SF).collect()
+    total = load_table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in stats) == total
+    hosts = {r["host"] for r in stats}
+    canon_hosts = {
+        r["canonical_url"].split("://")[1].split("/")[0].split(":")[0]
+        for r in P.url_canonical_dedup(spark, SF).collect()
+    }
+    assert hosts == canon_hosts
