@@ -194,10 +194,13 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 # registration order. The window ROTATES per round so every registry query
 # accumulates a driver-green CORRECTNESS row over time (round-3 verdict
 # ask): each family keeps ONE stable known-green anchor, and the remaining
-# 41 slots hold queries the round-3 window never witnessed. Union of
-# r3+r4 driver-green names: 91 distinct. Queries outside the window keep
-# their oracle pairing and are verified by the judge's full
-# scripts/check.py re-run.
+# 41 slots hold queries the round-3 window never witnessed — including the
+# surfaces added this round (BM25 rank, TF-IDF cosine pairs, repeated-block
+# dedup, PII scan, PSI drift, split-leakage audit, fuzzy-name join,
+# contracted components, cross-media frame dedup). Union of r3+r4
+# driver-green names: 91 distinct. Queries outside the window keep their
+# oracle pairing and are verified by the judge's full scripts/check.py
+# re-run.
 _PRIORITY: tuple[str, ...] = (
     # --- family anchors (driver-green in round 3, kept in-window) ---
     "user_energy_events",   # reference analytics (epoch math + JSON traps)
@@ -215,20 +218,21 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_source_overlap",
     "dedup_clusters_star",
     "dedup_clusters_best_keeper",
-    "dedup_keep_latest",
+    "dedup_repeated_blocks",
     "benchmark_contamination",
     # --- rotated in: pipeline ops ---
     "docs_token_budget_mix_twostage",
-    "stratified_sample",
-    "docs_weighted_sample",
+    "split_leakage_pairs",
+    "text_pii_scan",
     "term_redaction",
     "docs_surrogate_keys",
     "incremental_new_docs",
-    # --- rotated in: text analysis ---
+    # --- rotated in: text analysis / retrieval ---
     "text_quality_classifier",
     "text_bigram_logprob",
     "source_unigram_divergence",
-    "text_rolling_fingerprints",
+    "text_bm25_rank",
+    "text_tfidf_cosine_pairs",
     # --- rotated in: similarity search ---
     "knn_quantized_recall",
     "knn_lsh_recall",
@@ -236,7 +240,7 @@ _PRIORITY: tuple[str, ...] = (
     "embeddings_vector_stats",
     # --- rotated in: multimodal ---
     "media_metadata_arrow",
-    "media_resize",
+    "media_frame_dedup",
     "media_decoded_features",
     # --- rotated in: events analytics ---
     "copresence_pairs",
@@ -244,19 +248,18 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_conversion",
     "retention_cohorts",
     # --- rotated in: TPC-H pack ---
-    "q4_order_priority",
     "q8_market_share",
     "q13_customer_order_histogram",
     "q15_top_supplier",
     "q18_large_volume_customers",
     "q21_sole_late_supplier",
     # --- rotated in: relational / window / graph / join strategies ---
-    "customers_without_orders",
+    "customers_fuzzy_name_pairs",
     "asof_nearest_click",
     "orders_status_cube",
     "events_pivot_daily",
-    "events_range_sum",
-    "graph_triangles",
+    "events_value_psi_drift",
+    "graph_components",
     "orders_customer_join_salted",
 )
 
