@@ -628,6 +628,10 @@ def registry():
         ),
         "text_token_stats": (text_token_stats, text_token_stats_oracle()),
         "text_quality_scores": (text_quality_scores, text_quality_scores_oracle()),
+        "text_quality_rule_flags": (
+            text_quality_rule_flags,
+            text_quality_rule_flags_oracle(),
+        ),
         "text_quality_classifier": (
             text_quality_classifier,
             text_quality_classifier_oracle(),
@@ -1221,4 +1225,139 @@ def text_tfidf_cosine_pairs_oracle() -> str:
     JOIN norms nj ON nj.doc_id = d.doc_j
     WHERE d.dot / (ni.norm * nj.norm) >= {TFIDF_COS_THRESHOLD}
     ORDER BY d.doc_i, d.doc_j
+    """
+
+
+# --------------------------------------------------------------------------
+# Gopher-style per-document quality rule flags (audit shape)
+# --------------------------------------------------------------------------
+#
+# The published Gopher / FineWeb rule banks gate documents on hard
+# per-rule thresholds and record WHICH rule dropped each document — an
+# audit artifact the score-based gates above (text_quality_scores,
+# text_quality_classifier) don't produce. Thresholds here are the public
+# Gopher word-level subset, loosened to the synthetic fixture's range so
+# both verdicts occur.
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_STOP_DISTINCT = 2
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MAX_TOP_SHARE = 0.2
+
+_RULE_ORDER = (
+    ("word_count_ok", "word_count"),
+    ("mean_word_len_ok", "mean_word_len"),
+    ("stopword_ok", "stopwords"),
+    ("alpha_ok", "alpha_ratio"),
+    ("repetition_ok", "repetition"),
+)
+
+
+def text_quality_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality rule verdicts: one boolean per rule, the
+    composite ``keep``, and the FIRST failed rule as ``drop_reason`` —
+    the per-rule audit a curation run reviews before committing a filter.
+
+    Scale design: one explode → groupBy(doc_id, term) → groupBy(doc_id).
+    Every statistic (word count, mean word length, distinct-stopword
+    count, alphabetic ratio, top-term share) derives from the per-term
+    count frame, so a book-length document costs O(terms) shuffled rows —
+    never a per-doc O(n·distinct) lambda over the token array, which is
+    quadratic on exactly the repetitive documents the repetition rule
+    exists to catch. Both shuffles key on high-cardinality doc_id: no
+    skew, full map-side combine.
+    """
+    from komodo_data_spark.sources.tables import load_spread
+
+    stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("toks")
+    )
+    counts = (
+        exploded(d, F.col("toks"), "term", "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_stop = F.expr(f"term IN ({stop})")
+    is_alpha = F.col("term").rlike("[a-zA-Z]")
+    stats = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        (
+            F.sum(F.col("c") * F.length("term")).cast("double") / F.sum("c")
+        ).alias("mean_len"),
+        F.countDistinct(F.when(is_stop, F.col("term"))).alias("n_stop"),
+        (
+            F.sum(F.when(is_alpha, F.col("c")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("c")
+        ).alias("alpha_ratio"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_share"),
+    )
+    flags = stats.select(
+        "doc_id",
+        "n_words",
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias(
+            "word_count_ok"
+        ),
+        F.col("mean_len")
+        .between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+        .alias("mean_word_len_ok"),
+        (F.col("n_stop") >= GOPHER_MIN_STOP_DISTINCT).alias("stopword_ok"),
+        (F.col("alpha_ratio") >= GOPHER_MIN_ALPHA_RATIO).alias("alpha_ok"),
+        (F.col("top_share") <= GOPHER_MAX_TOP_SHARE).alias("repetition_ok"),
+    )
+    keep = F.lit(True)
+    for flag, _ in _RULE_ORDER:
+        keep = keep & F.col(flag)
+    reason = F.lit(None).cast("string")
+    for flag, name in reversed(_RULE_ORDER):
+        reason = F.when(~F.col(flag), F.lit(name)).otherwise(reason)
+    return flags.select(
+        "*", keep.alias("keep"), reason.alias("drop_reason")
+    ).orderBy("doc_id")
+
+
+def text_quality_rule_flags_oracle() -> str:
+    t = sql_tokens()
+    stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    reason = "NULL"
+    for flag, name in reversed(_RULE_ORDER):
+        reason = f"CASE WHEN NOT {flag} THEN '{name}' ELSE {reason} END"
+    keep = " AND ".join(flag for flag, _ in _RULE_ORDER)
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    counts AS (
+      SELECT doc_id, term, count(*) AS c FROM e GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT doc_id,
+        sum(c)::BIGINT AS n_words,
+        sum(c * length(term))::DOUBLE / sum(c) AS mean_len,
+        count(DISTINCT CASE WHEN term IN ({stop}) THEN term END) AS n_stop,
+        sum(CASE WHEN regexp_matches(term, '[a-zA-Z]') THEN c ELSE 0 END)::DOUBLE
+          / sum(c) AS alpha_ratio,
+        max(c)::DOUBLE / sum(c) AS top_share
+      FROM counts GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT doc_id, n_words,
+        n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+          AS word_count_ok,
+        mean_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
+          AS mean_word_len_ok,
+        n_stop >= {GOPHER_MIN_STOP_DISTINCT} AS stopword_ok,
+        alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO} AS alpha_ok,
+        top_share <= {GOPHER_MAX_TOP_SHARE} AS repetition_ok
+      FROM stats
+    )
+    SELECT doc_id, n_words, word_count_ok, mean_word_len_ok, stopword_ok,
+           alpha_ok, repetition_ok,
+           ({keep}) AS keep,
+           {reason} AS drop_reason
+    FROM flags ORDER BY doc_id
     """

@@ -156,3 +156,37 @@ def test_repeated_blocks_within_doc_repeat_is_scrubbed(spark, tmp_path):
     }
     assert rows[1]["n_blocks"] == 2 and rows[1]["n_removed"] == 1
     assert rows[1]["clean_len"] == len(blk)
+
+
+# --------------------------------------------------------------------------
+# Gopher-style rule flags
+# --------------------------------------------------------------------------
+
+
+def test_quality_rule_flags_verdicts_and_first_fail_reason(spark, tmp_path):
+    """Hand-built docs hitting each rule: drop_reason is the FIRST failed
+    rule in bank order, keep is the AND of all flags, and a clean doc
+    passes with a NULL reason."""
+    stop_pad = "the a and of to in is on for with"  # all 10 stopwords
+    clean = (stop_pad + " alpha beta gamma delta epsilon zeta") * 2
+    docs = [
+        clean,                             # passes every rule
+        "short doc",                       # fails word_count first
+        # enough words but only one distinct stopword -> stopwords rule
+        "the " + " ".join(f"word{i}" for i in range(30)),
+        # word-count ok, stopwords ok, but one term is ~40% of the doc
+        stop_pad + " spam" * 15 + " filler other tokens here",
+    ]
+    sf = _write_docs(tmp_path, docs)
+    rows = {r["doc_id"]: r for r in T.text_quality_rule_flags(spark, sf).collect()}
+    assert rows[1]["keep"] and rows[1]["drop_reason"] is None
+    assert not rows[2]["keep"] and rows[2]["drop_reason"] == "word_count"
+    assert not rows[3]["keep"] and rows[3]["drop_reason"] == "stopwords"
+    assert rows[3]["word_count_ok"]  # word count passed; stopwords is first FAIL
+    assert not rows[4]["keep"] and rows[4]["drop_reason"] == "repetition"
+    for r in rows.values():
+        flags = [
+            r["word_count_ok"], r["mean_word_len_ok"], r["stopword_ok"],
+            r["alpha_ok"], r["repetition_ok"],
+        ]
+        assert r["keep"] == all(flags)
