@@ -959,6 +959,10 @@ def registry():
             dedup_ngram_pairs_capped_oracle(),
         ),
         "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_oracle()),
+        "dedup_minhash_recall": (
+            dedup_minhash_recall,
+            dedup_minhash_recall_oracle(),
+        ),
         "dedup_simhash": (dedup_simhash, dedup_simhash_oracle()),
         "dedup_embedding_pairs": (
             dedup_embedding_pairs,
@@ -1320,4 +1324,70 @@ def dedup_repeated_blocks_oracle() -> str:
            md5(trim(concat(coalesce(re.body, ''), ' ', dd.tail))) AS clean_fp
     FROM dd LEFT JOIN re USING (doc_id)
     ORDER BY dd.doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH recall evaluation (vs exact n-gram Jaccard ground truth)
+# --------------------------------------------------------------------------
+
+
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH near-dup detector against exact n-gram
+    Jaccard ground truth — the text-dedup counterpart of
+    ``knn_lsh_recall`` / ``knn_quantized_recall`` on the embedding side,
+    completing the evaluation ladder: every approximate path in the engine
+    ships with a measured-recall twin.
+
+    Output is ONE row: |true pairs| (exact Jaccard >= threshold, from the
+    labeled all-pairs baseline), |LSH-verified pairs|, their overlap, and
+    recall = hit/true. Both detectors verify with exact Jaccard at the
+    same threshold, so LSH pairs are a subset of true pairs and recall
+    isolates exactly the banding loss (pairs whose signatures never
+    collided in any band).
+
+    Scale: ground truth is inherently quadratic — production runs this
+    eval on a sampled slice (plug ``sample_hash_split``'s bucket predicate
+    into the loader), never the full corpus; the LSH side is the linear
+    production path. The three counts are scalar aggregates combined by
+    broadcast cross join (1×1 frames).
+    """
+    truth = dedup_ngram_pairs(spark, sf_dir).select("doc_i", "doc_j").cache()
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_i", "doc_j")
+    hit = truth.join(lsh, ["doc_i", "doc_j"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit_pairs"))
+    return (
+        n_true.crossJoin(n_lsh)
+        .crossJoin(n_hit)
+        .select(
+            "n_true_pairs",
+            "n_lsh_pairs",
+            "n_hit_pairs",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_hit_pairs").cast("double") / F.col("n_true_pairs"),
+            ).alias("recall"),
+        )
+    )
+
+
+def dedup_minhash_recall_oracle() -> str:
+    return f"""
+    WITH truth AS ({dedup_ngram_pairs_oracle()}),
+    lsh AS ({dedup_minhash_lsh_oracle()}),
+    hit AS (
+      SELECT t.doc_i, t.doc_j FROM truth t
+      WHERE EXISTS (
+        SELECT 1 FROM lsh l WHERE l.doc_i = t.doc_i AND l.doc_j = t.doc_j
+      )
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM lsh) AS n_lsh_pairs,
+           (SELECT count(*) FROM hit) AS n_hit_pairs,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN (SELECT count(*) FROM hit)::DOUBLE
+                     / (SELECT count(*) FROM truth)
+                ELSE NULL END AS recall
     """
