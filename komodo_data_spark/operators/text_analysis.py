@@ -1288,7 +1288,10 @@ def text_quality_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum(F.col("c") * F.length("term")).cast("double") / F.sum("c")
         ).alias("mean_len"),
-        F.countDistinct(F.when(is_stop, F.col("term"))).alias("n_stop"),
+        # term is UNIQUE within the group (counts is keyed by doc_id+term),
+        # so distinct-stopword count is a plain conditional sum — avoids the
+        # two-phase distinct-aggregate rewrite and its extra Exchange.
+        F.sum(F.when(is_stop, F.lit(1)).otherwise(F.lit(0))).alias("n_stop"),
         (
             F.sum(F.when(is_alpha, F.col("c")).otherwise(F.lit(0))).cast(
                 "double"
@@ -1338,7 +1341,7 @@ def text_quality_rule_flags_oracle() -> str:
       SELECT doc_id,
         sum(c)::BIGINT AS n_words,
         sum(c * length(term))::DOUBLE / sum(c) AS mean_len,
-        count(DISTINCT CASE WHEN term IN ({stop}) THEN term END) AS n_stop,
+        sum(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END)::BIGINT AS n_stop,
         sum(CASE WHEN regexp_matches(term, '[a-zA-Z]') THEN c ELSE 0 END)::DOUBLE
           / sum(c) AS alpha_ratio,
         max(c)::DOUBLE / sum(c) AS top_share
