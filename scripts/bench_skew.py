@@ -63,6 +63,7 @@ SKEW_QUERIES = (
     "text_tfidf_top_terms",
     "text_tfidf_cosine_pairs",
     "text_bm25_rank",
+    "text_quality_rule_flags",
     "orders_customer_join_salted",
     "events_heavy_hitters",
     "event_sessions",
