@@ -427,3 +427,81 @@ def test_tfidf_cosine_pairs_match_python(spark, token_lists):
     assert set(got) == set(exp)
     for pair, cos in exp.items():
         assert abs(got[pair] - cos) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# PII pattern bank: Spark (Java regex) == Python re on adversarial mixes
+# --------------------------------------------------------------------------
+
+from komodo_data_spark.operators import pipeline_ops as PO
+
+_pii_real = st.sampled_from(
+    [
+        "bob.smith@example.com",
+        "x+tag@sub.domain.org",
+        "A_1%b-c@h-o.st.io",
+        "555-123-4567",
+        "800.555.0199",
+        "10.0.0.1",
+        "192.168.255.254",
+    ]
+)
+_pii_near_miss = st.sampled_from(
+    [
+        "a@b",            # no TLD
+        "user@domain.c",  # 1-char TLD
+        "12.34",          # not 4 octets
+        "555-12-3456",    # 3-2-4, not 3-3-4
+        "1234-567-8901x", # no trailing boundary
+        "not.an.email",
+        "555-123-456789",
+    ]
+)
+_pii_fragment = st.one_of(token, _pii_real, _pii_near_miss)
+
+
+def _py_pii_counts(text: str) -> tuple[int, int, int]:
+    return (
+        len(re.findall(PO._PII_EMAIL, text)),
+        len(re.findall(PO._PII_PHONE, text)),
+        len(re.findall(PO._PII_IPV4, text)),
+    )
+
+
+def _py_pii_redact(text: str) -> str:
+    out = re.sub(PO._PII_EMAIL, "[EMAIL]", text)
+    out = re.sub(PO._PII_PHONE, "[PHONE]", out)
+    return re.sub(PO._PII_IPV4, "[IP]", out)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_pii_fragment, min_size=1, max_size=16).map(" ".join))
+def test_pii_patterns_match_python_and_redaction_is_idempotent(spark, text):
+    """The pattern bank behaves identically under Java regex (Spark) and
+    Python re on mixes of real PII, near-misses, and noise — including
+    interactions like an email whose local part looks like a phone number
+    (redaction order must agree). Redacting an already-redacted text is a
+    no-op (placeholders never re-match any pattern)."""
+    df = spark.createDataFrame([(text,)], "t string")
+    row = df.select(
+        F.size(F.regexp_extract_all("t", F.lit(PO._PII_EMAIL), 0)).alias("e"),
+        F.size(F.regexp_extract_all("t", F.lit(PO._PII_PHONE), 0)).alias("p"),
+        F.size(F.regexp_extract_all("t", F.lit(PO._PII_IPV4), 0)).alias("i"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("t", PO._PII_EMAIL, "[EMAIL]"),
+                PO._PII_PHONE,
+                "[PHONE]",
+            ),
+            PO._PII_IPV4,
+            "[IP]",
+        ).alias("r"),
+    ).collect()[0]
+    assert (row["e"], row["p"], row["i"]) == _py_pii_counts(text)
+    expect = _py_pii_redact(text)
+    assert row["r"] == expect
+    assert _py_pii_redact(expect) == expect  # idempotent
