@@ -90,3 +90,56 @@ def start_expectations_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def docs_rules() -> dict[str, str]:
+    """Expectations for a documents ingestion stream. The PII rule reuses
+    the batch scan/redact pattern bank (operators/pipeline_ops) so the
+    streaming gate and the batch scanner can never disagree about what
+    counts as PII: a document with any unredacted email/phone/IPv4 is
+    quarantined instead of landing in the clean corpus."""
+    from komodo_data_spark.operators.pipeline_ops import (
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_PHONE,
+    )
+
+    def hits(pat: str) -> str:
+        # Spark SQL string literals treat backslash as an escape ('\b' would
+        # become backspace); double them so the parsed literal is the same
+        # pattern the batch DataFrame API uses.
+        return f"size(regexp_extract_all(text, '{pat.replace(chr(92), chr(92) * 2)}', 0))"
+
+    return {
+        "nonempty_text": "text IS NOT NULL AND length(trim(text)) > 0",
+        "no_unredacted_pii": (
+            f"{hits(_PII_EMAIL)} + {hits(_PII_PHONE)} + {hits(_PII_IPV4)} = 0"
+        ),
+    }
+
+
+def start_docs_expectations_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    rules: dict[str, str] | None = None,
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """Gate a documents file-source stream through ``docs_rules()`` —
+    same epoch-idempotent clean/quarantine split as the events gate."""
+    schema = spark.read.parquet(docs_dir).schema
+    rules = docs_rules() if rules is None else rules
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda b, e: gate_batch(b, e, rules, clean_path, quarantine_path)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1227,3 +1227,71 @@ def test_block_scrub_survives_zero_block_first_batch(spark, tmp_path):
     (bad_store / "part-00000.parquet").write_bytes(b"not a parquet file")
     with pytest.raises(Exception):
         scrub_batch(spark, full, 2, str(bad_store), out)
+
+
+def test_docs_pii_gate_quarantines_exactly_the_scanner_hits(spark, tmp_path):
+    """Streaming docs gate with the PII rule: the quarantine holds exactly
+    the documents the batch PII scanner flags (shared pattern bank), clean
+    docs re-audit clean, and checkpoint replay adds nothing."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.streaming.expectations import (
+        annotate,
+        docs_rules,
+        start_docs_expectations_stream,
+    )
+
+    texts = [
+        "plain words only here",
+        "reach me at alice@example.com today",
+        "call 555-123-4567 now",
+        "server at 10.1.2.3 responded",
+        "redacted already [EMAIL] fine",
+        "another clean document",
+    ]
+    docs_dir = str(tmp_path / "docs_in")
+    os.makedirs(docs_dir)
+    # two files -> two micro-batches at maxFilesPerTrigger=1
+    for i, chunk in enumerate((texts[:3], texts[3:])):
+        pd.DataFrame(
+            {
+                "doc_id": range(i * 3 + 1, i * 3 + 1 + len(chunk)),
+                "text": chunk,
+                "lang": ["en"] * len(chunk),
+                "source": ["s"] * len(chunk),
+                "n_chars": [len(t) for t in chunk],
+            }
+        ).to_parquet(os.path.join(docs_dir, f"part{i}.parquet"))
+
+    clean_p = str(tmp_path / "docs_clean")
+    quar_p = str(tmp_path / "docs_quar")
+    ck = str(tmp_path / "ckpt_docs")
+    q = start_docs_expectations_stream(
+        spark, docs_dir, clean_p, quar_p, ck, max_files_per_trigger=1
+    )
+    q.awaitTermination()
+
+    clean = spark.read.parquet(clean_p)
+    quar = spark.read.parquet(quar_p)
+    assert sorted(r["doc_id"] for r in quar.collect()) == [2, 3, 4]
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 5, 6]
+    assert set(quar.select(F.explode("failed_rules")).toPandas().iloc[:, 0]) == {
+        "no_unredacted_pii"
+    }
+    # clean rows re-audit clean under the same rules
+    assert (
+        annotate(clean, docs_rules())
+        .filter(F.size("failed_rules") > 0)
+        .count()
+        == 0
+    )
+    # replay with the same checkpoint: epoch-idempotent, nothing added
+    q2 = start_docs_expectations_stream(
+        spark, docs_dir, clean_p, quar_p, ck, max_files_per_trigger=1
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(clean_p).count() == 3
+    assert spark.read.parquet(quar_p).count() == 3
