@@ -192,6 +192,22 @@ def main(argv: list[str] | None = None) -> int:
     batches5 = progress_rows(q5)
     report["bm25_index"] = {"batches": batches5, **flat_check(batches5)}
 
+    # --- stream 6: docs PII gate (reuses docs stage) -----------------------
+    from komodo_data_spark.streaming.expectations import (
+        start_docs_expectations_stream,
+    )
+
+    q6 = start_docs_expectations_stream(
+        spark, docs_src,
+        os.path.join(work, "docs_clean"),
+        os.path.join(work, "docs_quarantine"),
+        os.path.join(work, "ckpt_pii"),
+        max_files_per_trigger=1,
+    )
+    q6.awaitTermination()
+    batches6 = progress_rows(q6)
+    report["docs_pii_gate"] = {"batches": batches6, **flat_check(batches6)}
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",
