@@ -1352,8 +1352,10 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path. The three counts are scalar aggregates combined by
     broadcast cross join (1×1 frames).
     """
+    # Both frames are consumed twice (their scalar count + the semi-join);
+    # cache them so neither detector pipeline executes twice.
     truth = dedup_ngram_pairs(spark, sf_dir).select("doc_i", "doc_j").cache()
-    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_i", "doc_j")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_i", "doc_j").cache()
     hit = truth.join(lsh, ["doc_i", "doc_j"], "left_semi")
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))

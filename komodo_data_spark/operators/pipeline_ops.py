@@ -1122,12 +1122,9 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def url_canonical_dedup_oracle() -> str:
-    return """
+    return f"""
     WITH d AS (
-      SELECT doc_id,
-        'HTTPS://WWW.' || source || '.Example.com:443/docs/' || (doc_id % 40)
-        || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=rss'
-                WHEN doc_id % 3 = 1 THEN '/' ELSE '' END AS url
+      SELECT doc_id, {_SYNTHETIC_URL_SQL} AS url
       FROM documents
     )
     SELECT
@@ -1621,9 +1618,13 @@ def docs_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses to pick domain-level keep/drop/cap decisions before any content
     processing. Reuses ``url_canonical_dedup``'s synthetic URL fixture.
 
-    Scale: host/path extraction is codegen projection; the only shuffle is
-    one groupBy(host) whose map-side combine absorbs hot-domain skew (a
-    domain with 1e9 pages still contributes one partial row per task).
+    Scale: host/path extraction is codegen projection; the exact distinct
+    path count is computed as two explicit COMBINABLE aggregates — groupBy
+    (host, path) first, then groupBy(host) — never a countDistinct, whose
+    two-phase distinct rewrite would shuffle one row per page for a real
+    crawl (paths are ~unique per page). Both stages map-side combine, so a
+    hot domain's per-page rows collapse to per-(host, path) partials in
+    stage one and one partial per task in stage two.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", _synthetic_url_col().alias("url")
@@ -1631,37 +1632,54 @@ def docs_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = F.lower(F.col("url"))
     host = F.regexp_extract(low, r"^[a-z]+://([^/:]+)", 1)
     path = F.regexp_extract(low, r"^[a-z]+://[^/]+(/[^?]*)", 1)
-    return (
+    per_path = (
         d.select(
             host.alias("host"),
             path.alias("path"),
             low.contains("utm_").cast("int").alias("tracked"),
             "n_chars",
         )
-        .groupBy("host")
+        .groupBy("host", "path")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("tracked").alias("n_tracked"),
-            F.countDistinct("path").alias("n_paths"),
             F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    return (
+        per_path.groupBy("host")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tracked").alias("n_tracked"),
+            F.count(F.lit(1)).alias("n_paths"),
+            F.sum("sum_chars").alias("sum_chars"),
         )
         .orderBy("host")
     )
 
 
+#: DuckDB twin of ``_synthetic_url_col`` (raw mixed-case form) — ONE
+#: definition shared by every oracle touching the URL fixture (mirrors the
+#: _PII_TEXT_SQL pattern), so the fixtures cannot drift between oracles.
+_SYNTHETIC_URL_SQL = """
+      'HTTPS://WWW.' || source || '.Example.com:443/docs/'
+        || (doc_id % 40)
+        || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=rss'
+                WHEN doc_id % 3 = 1 THEN '/' ELSE '' END
+"""
+
+
 def docs_domain_stats_oracle() -> str:
-    return r"""
+    # strpos, not LIKE '%utm_%': LIKE's '_' is a single-char wildcard, so it
+    # would also match 'utmX' (e.g. a host containing 'autumn').
+    return f"""
     WITH d AS (
-      SELECT doc_id, n_chars,
-        lower('HTTPS://WWW.' || source || '.Example.com:443/docs/'
-          || (doc_id % 40)
-          || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=rss'
-                  WHEN doc_id % 3 = 1 THEN '/' ELSE '' END) AS url
+      SELECT doc_id, n_chars, lower({_SYNTHETIC_URL_SQL}) AS url
       FROM documents
     )
     SELECT regexp_extract(url, '^[a-z]+://([^/:]+)', 1) AS host,
            count(*) AS n_docs,
-           sum(CASE WHEN url LIKE '%utm_%' THEN 1 ELSE 0 END)::BIGINT
+           sum(CASE WHEN strpos(url, 'utm_') > 0 THEN 1 ELSE 0 END)::BIGINT
              AS n_tracked,
            count(DISTINCT regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1))::BIGINT
              AS n_paths,

@@ -68,6 +68,27 @@ def gate_batch(
     )
 
 
+def _start_gate(
+    stream_df: DataFrame,
+    rules: dict[str, str],
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Shared gate wiring: any source stream -> epoch-idempotent
+    clean/quarantine split via gate_batch. One definition so the events and
+    documents gates can never diverge on trigger/checkpoint behavior."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda b, e: gate_batch(b, e, rules, clean_path, quarantine_path)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_expectations_stream(
     spark: SparkSession,
     events_dir: str,
@@ -80,15 +101,9 @@ def start_expectations_stream(
     from komodo_data_spark.streaming.windows import events_stream
 
     rules = EVENTS_RULES if rules is None else rules
-    return (
-        events_stream(spark, events_dir, max_files_per_trigger)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch(
-            lambda b, e: gate_batch(b, e, rules, clean_path, quarantine_path)
-        )
-        .trigger(availableNow=True)
-        .start()
+    return _start_gate(
+        events_stream(spark, events_dir, max_files_per_trigger),
+        rules, clean_path, quarantine_path, checkpoint,
     )
 
 
@@ -131,15 +146,9 @@ def start_docs_expectations_stream(
     same epoch-idempotent clean/quarantine split as the events gate."""
     schema = spark.read.parquet(docs_dir).schema
     rules = docs_rules() if rules is None else rules
-    return (
+    return _start_gate(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(docs_dir)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch(
-            lambda b, e: gate_batch(b, e, rules, clean_path, quarantine_path)
-        )
-        .trigger(availableNow=True)
-        .start()
+        .parquet(docs_dir),
+        rules, clean_path, quarantine_path, checkpoint,
     )
