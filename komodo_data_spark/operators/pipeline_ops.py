@@ -868,6 +868,10 @@ def registry():
         "text_pii_scan": (text_pii_scan, text_pii_scan_oracle()),
         "text_pii_redact": (text_pii_redact, text_pii_redact_oracle()),
         "docs_domain_stats": (docs_domain_stats, docs_domain_stats_oracle()),
+        "docs_temperature_mix": (
+            docs_temperature_mix,
+            docs_temperature_mix_oracle(),
+        ),
         "url_canonical_dedup": (
             url_canonical_dedup,
             url_canonical_dedup_oracle(),
@@ -1685,4 +1689,71 @@ def docs_domain_stats_oracle() -> str:
              AS n_paths,
            sum(n_chars)::BIGINT AS sum_chars
     FROM d GROUP BY 1 ORDER BY 1
+    """
+
+
+# --------------------------------------------------------------------------
+# temperature-scaled source mixing (alpha-sampling)
+# --------------------------------------------------------------------------
+
+TEMP_ALPHA = 0.3  # the published multilingual-LM default (p_i^alpha)
+TEMP_BUDGET_TOKENS = 50_000  # target mixture size the weights allocate
+
+
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights: raw token share
+    ``p_i = n_i / N`` flattened to ``q_i ∝ p_i^alpha`` (alpha < 1 boosts
+    low-resource sources, the standard multilingual/source-mixing scheme
+    from the public mT5 / XLM-R recipes), plus each source's token
+    allocation under a fixed mixture budget. Complements the hard
+    per-source budget caps of ``docs_token_budget_mix``: that op answers
+    "which documents fit", this one answers "what should the sampling
+    distribution BE".
+
+    Scale: one corpus aggregate (groupBy source, map-side combined) — the
+    token counting never leaves the scan stage; the temperature math runs
+    on the |sources|-row collapsed frame where the unpartitioned windows
+    are single-task and free.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens()).alias("n")
+    )
+    per_src = d.groupBy("source").agg(F.sum("n").alias("n_tokens"))
+    w = Window.partitionBy()
+    p = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    scaled = per_src.select(
+        "source", "n_tokens", p.alias("p_raw"), F.pow(p, TEMP_ALPHA).alias("s")
+    )
+    q = F.col("s") / F.sum("s").over(w)
+    return (
+        scaled.select(
+            "source",
+            "n_tokens",
+            "p_raw",
+            q.alias("q_temp"),
+            (q / F.col("p_raw")).alias("boost"),
+            (q * TEMP_BUDGET_TOKENS).alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def docs_temperature_mix_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH per_src AS (
+      SELECT source, sum(len({t}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT source, n_tokens,
+             n_tokens::DOUBLE / sum(n_tokens) OVER () AS p_raw
+      FROM per_src
+    ),
+    s AS (SELECT *, pow(p_raw, {TEMP_ALPHA}) AS s FROM p)
+    SELECT source, n_tokens, p_raw,
+           s / sum(s) OVER () AS q_temp,
+           (s / sum(s) OVER ()) / p_raw AS boost,
+           (s / sum(s) OVER ()) * {TEMP_BUDGET_TOKENS} AS alloc_tokens
+    FROM s ORDER BY source
     """

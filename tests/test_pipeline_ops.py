@@ -406,3 +406,27 @@ def test_domain_stats_fixture_agrees_with_url_dedup(spark):
         for r in P.url_canonical_dedup(spark, SF).collect()
     }
     assert hosts == canon_hosts
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """alpha < 1 must compress the sampling distribution. Provable
+    invariants (boost = p^(alpha-1)/sum(p^alpha) is strictly decreasing in
+    p, and by Jensen boost(uniform) >= 1): both p and q sum to 1; boost is
+    monotone decreasing in p; sources below uniform share are boosted > 1;
+    the largest source is downweighted < 1 (it can't be >= 1 unless all
+    shares are equal, since sum(p*boost) = 1)."""
+    rows = P.docs_temperature_mix(spark, SF).collect()
+    assert abs(sum(r["p_raw"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["q_temp"] for r in rows) - 1.0) < 1e-9
+    by_p = sorted(rows, key=lambda r: r["p_raw"])
+    for lo, hi in zip(by_p, by_p[1:]):
+        if hi["p_raw"] > lo["p_raw"] + 1e-12:
+            assert hi["boost"] < lo["boost"]
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        if r["p_raw"] < uniform:
+            assert r["boost"] > 1.0, r
+    if by_p[-1]["p_raw"] - by_p[0]["p_raw"] > 1e-9:  # not all equal
+        assert by_p[-1]["boost"] < 1.0
+    # allocation exhausts the budget
+    assert abs(sum(r["alloc_tokens"] for r in rows) - P.TEMP_BUDGET_TOKENS) < 1e-6
