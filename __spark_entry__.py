@@ -225,8 +225,8 @@ _PRIORITY: tuple[str, ...] = (
     "split_leakage_pairs",
     "text_pii_scan",
     "term_redaction",
-    "docs_surrogate_keys",
-    "incremental_new_docs",
+    "docs_temperature_mix",
+    "text_quality_rule_flags",
     # --- rotated in: text analysis / retrieval ---
     "text_quality_classifier",
     "text_bigram_logprob",
@@ -251,7 +251,7 @@ _PRIORITY: tuple[str, ...] = (
     "q8_market_share",
     "q13_customer_order_histogram",
     "q15_top_supplier",
-    "q18_large_volume_customers",
+    "dedup_minhash_recall",
     "q21_sole_late_supplier",
     # --- rotated in: relational / window / graph / join strategies ---
     "customers_fuzzy_name_pairs",
