@@ -49,6 +49,9 @@ WARMUP_QUERIES = (
     # higher-order transform/filter weight expressions: ~2s one-time
     # codegen (measured 7.7 cold / 4.5 codegen-warm at sf0.1)
     "text_tfidf_cosine_pairs",
+    # composes BOTH heavy detector pipelines (exact + LSH) plus its own
+    # join codegen on top
+    "dedup_minhash_recall",
 )
 
 #: Iterative queries whose ROUND COUNT grows with scale: a sf0.001 warm-up
