@@ -45,3 +45,78 @@ def test_normalize_events_identical_across_physical_ts_types(spark, tmp_path):
     assert list(pda["ts"]) == NANOS
     assert list(pda["ts_ms"]) == [t // 1_000_000 for t in NANOS]
     assert pda["ts_ts"].dt.floor("ms").iloc[0] == pd.Timestamp(NANOS[0] // 1_000_000, unit="ms")
+
+
+# --------------------------------------------------------------------------
+# training-shard export sink
+# --------------------------------------------------------------------------
+
+
+def test_export_shards_deterministic_manifest_and_verify(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.sources.export import (
+        export_training_shards,
+        read_manifest,
+        verify_export,
+    )
+    from komodo_data_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "text", F.col("n_chars").alias("n_tokens")
+    )
+    out = str(tmp_path / "shards")
+    m1 = export_training_shards(d, out, n_shards=4, token_col="n_tokens")
+    assert m1["total_rows"] == d.count()
+    assert m1["total_tokens"] == d.agg(F.sum("n_tokens")).collect()[0][0]
+    assert set(m1["shards"]) <= {"0", "1", "2", "3"}
+    # loader-side audit passes on a fresh read
+    v = verify_export(spark, out)
+    assert v["ok"], v["mismatches"]
+    # re-export of identical input: identical manifest (deterministic,
+    # idempotent overwrite — no duplicated rows)
+    m2 = export_training_shards(d, out, n_shards=4, token_col="n_tokens")
+    assert m2 == m1
+    assert read_manifest(out) == m1
+    back = spark.read.parquet(out)
+    assert back.count() == m1["total_rows"]
+    # hash-assignment stability: each doc's shard is a pure function of its
+    # key — exporting a SUBSET assigns the same shards
+    sub_out = str(tmp_path / "shards_sub")
+    sub = d.filter(F.col("doc_id") % 3 == 0)
+    export_training_shards(sub, sub_out, n_shards=4, token_col="n_tokens")
+    full_map = {
+        r["doc_id"]: r["shard"]
+        for r in spark.read.parquet(out).select("doc_id", "shard").collect()
+    }
+    for r in spark.read.parquet(sub_out).select("doc_id", "shard").collect():
+        assert full_map[r["doc_id"]] == r["shard"]
+
+
+def test_export_verify_catches_tampering(spark, tmp_path):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.sources.export import (
+        export_training_shards,
+        verify_export,
+    )
+    from komodo_data_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    export_training_shards(d, out, n_shards=2)
+    assert verify_export(spark, out)["ok"]
+    # drop one shard's files -> row-count AND fingerprint mismatches
+    victim = glob.glob(os.path.join(out, "shard=0", "*.parquet"))
+    assert victim
+    for f in victim:
+        os.remove(f)
+    v = verify_export(spark, out)
+    assert not v["ok"]
+    assert any("shard 0" in m for m in v["mismatches"])
+    assert any("fingerprint" in m for m in v["mismatches"])
