@@ -9,16 +9,23 @@ export contract here is what that consumer needs:
   retries, input reordering, and incremental appends (a re-export after
   adding documents moves NO existing row between shards). Round-robin or
   ``rand()`` would reshuffle everything on every run.
-- **Idempotent writes**: shards are parquet partitions written with dynamic
-  partition overwrite — re-exporting the same input overwrites in place
-  rather than duplicating.
+- **Idempotent writes**: the export is always the COMPLETE shard set, so
+  the write is a full overwrite of the target path. (Dynamic partition
+  overwrite would be wrong here: it only replaces partitions present in
+  the new data, so shrinking ``n_shards`` or an input that empties a shard
+  would leave stale shard directories serving duplicate rows.)
 - **Audited manifest**: ``_manifest.json`` records per-shard row/token
   counts plus an order-free content fingerprint (bit_xor of per-row
-  xxhash64), computed from the exact frame that was written (the frame is
+  hashes), computed from the exact frame that was written (the frame is
   localCheckpointed first, so a nondeterministic upstream cannot make the
   manifest disagree with the data — the sources/backfill.py lesson). A
-  loader verifies completeness against the manifest before training; a
+  loader runs ``verify_export`` against the manifest before training; a
   re-export of identical input yields an identical manifest.
+
+The per-row hash feeds every column through a delimited ``concat_ws`` with
+an explicit NULL sentinel before hashing — multi-arg ``xxhash64`` skips
+NULL arguments entirely, so it would fingerprint ``('x', NULL)`` and
+``(NULL, 'x')`` identically and miss value-position corruption.
 
 Scale: one hash projection + one partitioned write + one combinable
 aggregate over the checkpointed frame. The manifest JSON is written with
@@ -33,8 +40,30 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 MANIFEST_NAME = "_manifest.json"
+
+#: Field separator / NULL sentinel for the row fingerprint. Control chars
+#: that cannot appear in the fixture data; collisions would need a data
+#: column to contain them adjacent to a crafted value, acceptable for an
+#: integrity audit (this is not an adversarial MAC).
+_FP_SEP = "\x1f"
+_FP_NULL = "\x00∅"
+
+
+def _row_fp(cols: list[str]) -> F.Column:
+    """Order-free-aggregatable per-row fingerprint over ``cols`` (in the
+    given order), NULL-position-sensitive."""
+    return F.xxhash64(
+        F.concat_ws(
+            _FP_SEP,
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(_FP_NULL))
+                for c in cols
+            ],
+        )
+    )
 
 
 def export_training_shards(
@@ -50,32 +79,39 @@ def export_training_shards(
     ``token_col`` (if given) must be a numeric column; its per-shard sums
     land in the manifest so the training side can budget without a scan.
     """
+    if "shard" in df.columns:
+        raise ValueError(
+            "input frame already has a 'shard' column; rename it — the "
+            "export would silently clobber it with the derived assignment"
+        )
     sharded = df.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
     ).localCheckpoint(eager=True)
-    (
-        sharded.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard")
-        .parquet(path)
-    )
-    agg_cols = [
-        F.count(F.lit(1)).alias("rows"),
-        # order-free content fingerprint: xor of per-row hashes over every
-        # exported column (shard is derived, so hash the original columns)
-        F.expr(
-            "bit_xor(xxhash64("
-            + ", ".join(f"`{c}`" for c in df.columns)
-            + "))"
-        ).alias("fp"),
-    ]
-    if token_col is not None:
-        agg_cols.append(F.sum(token_col).alias("tokens"))
-    per_shard = sharded.groupBy("shard").agg(*agg_cols).collect()
+    try:
+        # full overwrite, NOT dynamic partition overwrite — see module doc
+        sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+        agg_cols = [
+            F.count(F.lit(1)).alias("rows"),
+            F.expr("bit_xor(fp_)").alias("fp"),
+        ]
+        if token_col is not None:
+            agg_cols.append(F.sum(token_col).alias("tokens"))
+        per_shard = (
+            sharded.withColumn("fp_", _row_fp(df.columns))
+            .groupBy("shard")
+            .agg(*agg_cols)
+            .collect()
+        )
+    finally:
+        sharded.unpersist()
     shards = {
         int(r["shard"]): {
             "rows": int(r["rows"]),
-            **({"tokens": int(r["tokens"])} if token_col is not None else {}),
+            **(
+                {"tokens": int(r["tokens"] or 0)}
+                if token_col is not None
+                else {}
+            ),
         }
         for r in per_shard
     }
@@ -89,9 +125,7 @@ def export_training_shards(
             else {}
         ),
         "fingerprint": format(
-            # combine per-shard fingerprints order-free as well
-            _xor_all(int(r["fp"]) for r in per_shard) & (2**64 - 1),
-            "016x",
+            _xor_all(int(r["fp"]) for r in per_shard) & (2**64 - 1), "016x"
         ),
         "shards": {str(k): v for k, v in sorted(shards.items())},
     }
@@ -118,27 +152,34 @@ def read_manifest(path: str) -> dict:
 def verify_export(spark, path: str) -> dict:
     """Re-audit an export against its manifest (what a loader runs before
     training): recount rows per shard and recompute the fingerprint from
-    the shard files themselves. Returns ``{"ok": bool, "mismatches": [...]}``.
+    the shard files themselves. Checks BOTH directions — manifest shards
+    missing data AND on-disk shards absent from the manifest (stale
+    partitions / duplicated task output), so detection never rests on the
+    XOR fingerprint alone (which even-multiplicity duplication cancels).
+    Returns ``{"ok": bool, "mismatches": [...]}``.
     """
     manifest = read_manifest(path)
-    df = spark.read.parquet(path)
-    data_cols = [c for c in df.columns if c != "shard"]
-    rows = {
-        int(r["shard"]): int(r["rows"])
-        for r in df.groupBy("shard").agg(F.count(F.lit(1)).alias("rows")).collect()
-    }
-    fp_rows = (
-        df.agg(
-            F.expr(
-                "bit_xor(xxhash64("
-                + ", ".join(f"`{c}`" for c in data_cols)
-                + "))"
-            ).alias("fp")
-        ).collect()
-    )
-    # bit_xor over zero rows is NULL -> same 0 fingerprint the export
-    # writes for an empty frame
-    fp = format(int(fp_rows[0]["fp"] or 0) & (2**64 - 1), "016x")
+    try:
+        df = spark.read.parquet(path)
+        data_cols = [c for c in df.columns if c != "shard"]
+        rows = {
+            int(r["shard"]): int(r["rows"])
+            for r in df.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        }
+        fp_row = (
+            df.withColumn("fp_", _row_fp(data_cols))
+            .agg(F.expr("bit_xor(fp_)").alias("fp"))
+            .collect()[0]
+        )
+        # bit_xor over zero rows is NULL -> the 0 fingerprint an empty
+        # export writes
+        fp = format(int(fp_row["fp"] or 0) & (2**64 - 1), "016x")
+    except AnalysisException:
+        # a 0-row export writes no parquet files at all; that IS the empty
+        # dataset the manifest describes
+        rows, fp = {}, format(0, "016x")
     mismatches = []
     for shard, meta in manifest["shards"].items():
         if rows.get(int(shard), 0) != meta["rows"]:
@@ -146,6 +187,10 @@ def verify_export(spark, path: str) -> dict:
                 f"shard {shard}: manifest {meta['rows']} rows, "
                 f"data {rows.get(int(shard), 0)}"
             )
+    for shard in sorted(set(rows) - {int(s) for s in manifest["shards"]}):
+        mismatches.append(
+            f"shard {shard}: {rows[shard]} rows on disk, absent from manifest"
+        )
     if fp != manifest["fingerprint"]:
         mismatches.append(
             f"fingerprint: manifest {manifest['fingerprint']}, data {fp}"

@@ -120,3 +120,63 @@ def test_export_verify_catches_tampering(spark, tmp_path):
     assert not v["ok"]
     assert any("shard 0" in m for m in v["mismatches"])
     assert any("fingerprint" in m for m in v["mismatches"])
+
+
+def test_export_reshard_removes_stale_partitions_and_flags_extras(spark, tmp_path):
+    """Shrinking n_shards must not leave stale shard dirs serving duplicate
+    rows (full overwrite, not dynamic); an on-disk shard absent from the
+    manifest is flagged even though XOR-cancellation could hide it."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.sources.export import (
+        export_training_shards,
+        verify_export,
+    )
+    from komodo_data_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    export_training_shards(d, out, n_shards=8)
+    m = export_training_shards(d, out, n_shards=2)  # re-export, fewer shards
+    on_disk = {p for p in os.listdir(out) if p.startswith("shard=")}
+    assert on_disk == {"shard=0", "shard=1"}  # no stale shard=2..7 dirs
+    assert spark.read.parquet(out).count() == m["total_rows"]  # no dup rows
+    assert verify_export(spark, out)["ok"]
+    # duplicate a whole shard dir under a name the manifest doesn't know:
+    # the global XOR cancels (even multiplicity), but the shard check flags it
+    shutil.copytree(os.path.join(out, "shard=0"), os.path.join(out, "shard=5"))
+    v = verify_export(spark, out)
+    assert not v["ok"]
+    assert any("absent from manifest" in msg for msg in v["mismatches"])
+    # a pre-existing 'shard' column is refused, not clobbered
+    try:
+        export_training_shards(
+            d.withColumn("shard", F.lit(1)), str(tmp_path / "x"), n_shards=2
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_export_empty_frame_roundtrips(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.sources.export import (
+        export_training_shards,
+        verify_export,
+    )
+    from komodo_data_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 0
+    )
+    out = str(tmp_path / "empty")
+    m = export_training_shards(d, out, n_shards=4)
+    assert m["total_rows"] == 0 and m["shards"] == {}
+    v = verify_export(spark, out)
+    assert v["ok"], v["mismatches"]
