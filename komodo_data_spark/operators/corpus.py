@@ -142,17 +142,13 @@ def registry():
 CONTAM_MAX = 0.25  # max tolerated benchmark-shingle overlap fraction
 
 
-def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole training-data preparation pipeline as ONE composed plan:
-    quality gate -> benchmark decontamination -> exact-dedup keep-first ->
-    deterministic split assignment, summarized per (split, lang).
-
-    Stage order is the 100 TB order: the zero-shuffle quality gate runs
-    first in the scan pass; decontamination joins survivors' shingles
-    against the broadcast benchmark set; dedup shuffles only what remains
-    (window over content_fp); the split label is a pure hash projection;
-    the final rollup is tiny. One pipeline, four reused operator bodies,
-    no driver-side loop anywhere — Catalyst fuses the map stages.
+def corpus_prepare_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level form of ``corpus_prepare``: every surviving document with
+    its (lang, n_tokens, quality_score, split) — the frame a training run
+    actually consumes (feed it to ``sources.export.export_training_shards``
+    for the sharded last mile; see the end-to-end test in
+    tests/test_tables.py). ``corpus_prepare`` is its per-(split, lang)
+    rollup and stays the oracle-paired registry entry.
     """
     from komodo_data_spark.functions.text_features import shingles
     from komodo_data_spark.sources.tables import load_spread
@@ -217,8 +213,25 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(_bucket_col() < _VAL_END, "val")
         .otherwise("test")
     )
+    return kept.select(
+        "doc_id", "lang", "n_tokens", "quality_score", split.alias("split")
+    )
+
+
+def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data preparation pipeline as ONE composed plan:
+    quality gate -> benchmark decontamination -> exact-dedup keep-first ->
+    deterministic split assignment, summarized per (split, lang).
+
+    Stage order is the 100 TB order: the zero-shuffle quality gate runs
+    first in the scan pass; decontamination joins survivors' shingles
+    against the broadcast benchmark set; dedup shuffles only what remains
+    (window over content_fp); the split label is a pure hash projection;
+    the final rollup is tiny. One pipeline, four reused operator bodies,
+    no driver-side loop anywhere — Catalyst fuses the map stages.
+    """
     return (
-        kept.select("doc_id", "lang", "n_tokens", "quality_score", split.alias("split"))
+        corpus_prepare_docs(spark, sf_dir)
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -180,3 +180,44 @@ def test_export_empty_frame_roundtrips(spark, tmp_path):
     assert m["total_rows"] == 0 and m["shards"] == {}
     v = verify_export(spark, out)
     assert v["ok"], v["mismatches"]
+
+
+def test_end_to_end_prepare_pack_export(spark, tmp_path):
+    """The full last mile in one chain: corpus_prepare's surviving docs ->
+    per-split sharded export with manifest -> loader-side verification.
+    Totals must agree with the registry rollup (same plan, doc-level)."""
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.corpus import (
+        corpus_prepare,
+        corpus_prepare_docs,
+    )
+    from komodo_data_spark.sources.export import (
+        export_training_shards,
+        verify_export,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = corpus_prepare_docs(spark, sf).cache()
+    rollup = {
+        (r["split"], r["lang"]): (r["n_docs"], r["total_tokens"])
+        for r in corpus_prepare(spark, sf).collect()
+    }
+    total_docs = sum(n for n, _ in rollup.values())
+    total_tokens = sum(t for _, t in rollup.values())
+    manifests = {}
+    for split in ("train", "val", "test"):
+        out = str(tmp_path / split)
+        manifests[split] = export_training_shards(
+            docs.filter(F.col("split") == split).drop("split"),
+            out,
+            n_shards=4,
+            token_col="n_tokens",
+        )
+        v = verify_export(spark, out)
+        assert v["ok"], (split, v["mismatches"])
+    assert sum(m["total_rows"] for m in manifests.values()) == total_docs
+    assert sum(m["total_tokens"] for m in manifests.values()) == total_tokens
+    # train split dominates (80/10/10 hash split upstream)
+    assert manifests["train"]["total_rows"] > manifests["val"]["total_rows"]
+    docs.unpersist()
