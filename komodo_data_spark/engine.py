@@ -164,3 +164,38 @@ class KomodoEngine:
         return aggregation_file_download(
             self.spark, requests, data, out_dir, **kw
         )
+
+    # -- training-data last mile ------------------------------------------
+    def export_corpus(
+        self,
+        path: str,
+        n_shards: int = 8,
+        splits: tuple[str, ...] = ("train", "val", "test"),
+    ) -> dict[str, dict]:
+        """Run the full preparation pipeline (quality gate -> decontamination
+        -> dedup -> split assignment) and export each split as hash-assigned
+        training shards with an audited manifest under ``path/<split>``.
+        Returns {split: manifest}. The loader side re-audits with
+        ``sources.export.verify_export`` before training."""
+        if self.sf_dir is None:
+            raise ValueError("register_tables(sf_dir) first")
+        import os
+
+        from pyspark.sql import functions as F
+
+        from komodo_data_spark.operators.corpus import corpus_prepare_docs
+        from komodo_data_spark.sources.export import export_training_shards
+
+        docs = corpus_prepare_docs(self.spark, self.sf_dir).cache()
+        try:
+            return {
+                split: export_training_shards(
+                    docs.filter(F.col("split") == split).drop("split"),
+                    os.path.join(path, split),
+                    n_shards=n_shards,
+                    token_col="n_tokens",
+                )
+                for split in splits
+            }
+        finally:
+            docs.unpersist()

@@ -591,3 +591,17 @@ def test_embedding_lsh_hot_bucket_splits_but_result_unchanged(
         if sims[i, j] >= dedup.COSINE_THRESHOLD
     }
     assert uncapped == exp
+
+
+def test_engine_export_corpus_last_mile(spark, sf_dir, tmp_path):
+    from komodo_data_spark.engine import KomodoEngine
+    from komodo_data_spark.sources.export import verify_export
+
+    eng = KomodoEngine(spark, sf_dir)
+    out = str(tmp_path / "corpus_out")
+    manifests = eng.export_corpus(out, n_shards=2)
+    assert set(manifests) == {"train", "val", "test"}
+    assert all(m["total_rows"] > 0 for m in manifests.values())
+    for split in manifests:
+        v = verify_export(spark, f"{out}/{split}")
+        assert v["ok"], (split, v["mismatches"])
