@@ -221,3 +221,15 @@ def test_end_to_end_prepare_pack_export(spark, tmp_path):
     # train split dominates (80/10/10 hash split upstream)
     assert manifests["train"]["total_rows"] > manifests["val"]["total_rows"]
     docs.unpersist()
+
+
+def test_export_fingerprint_is_null_position_sensitive(spark):
+    """Multi-arg xxhash64 skips NULLs, hashing ('x', NULL) == (NULL, 'x');
+    the sentineled-concat row fingerprint must NOT have that blind spot."""
+    from komodo_data_spark.sources.export import _row_fp
+
+    df = spark.createDataFrame(
+        [("x", None), (None, "x")], "a string, b string"
+    )
+    fps = [r["fp"] for r in df.select(_row_fp(["a", "b"]).alias("fp")).collect()]
+    assert fps[0] != fps[1]
