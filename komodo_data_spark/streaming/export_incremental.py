@@ -1,0 +1,141 @@
+"""Incremental training-shard export: continuous corpus building.
+
+The batch sink (``sources/export.py``) rewrites the full shard set each
+run — right for a finished corpus, wasteful for a crawl that lands a few
+files per hour. This stream appends each micro-batch under
+``shard=<k>/epoch_id=<e>`` partitions instead:
+
+- shard assignment is the SAME pure hash as the batch sink
+  (``pmod(xxhash64(key), n)``), so a document lands in the same shard
+  whichever path wrote it;
+- each epoch writes only its own ``(shard, epoch_id)`` partitions with
+  dynamic overwrite, so an at-least-once replay of a batch overwrites its
+  own partitions rather than duplicating (the band/block-store pattern);
+- consumers either read the epoch-partitioned layout directly or run
+  ``compact_export``, which folds every epoch through the BATCH sink —
+  producing the audited ``_manifest.json`` + ``verify_export`` contract —
+  and swaps it in with a crash-recoverable rename dance.
+
+Compaction FINALIZES an export: it drops the epoch dimension, so run it
+with the stream stopped (availableNow drain, like the other store
+compactions) and point any continued streaming at a fresh incremental
+path — appending new epoch partitions under a compacted layout would mix
+two partition schemes in one directory.
+
+Scale: per batch one hash projection + one partitioned append; compaction
+is one full read + the batch sink. Local-filesystem renames as elsewhere;
+on an object store swap for the Hadoop FileSystem rename/delete.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from komodo_data_spark.sources.export import MANIFEST_NAME
+
+_TMP_SUFFIX = ".compact_tmp"
+_OLD_SUFFIX = ".compact_old"
+
+
+def export_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+) -> None:
+    """Write one micro-batch's rows into their hash shards under this
+    epoch's partitions. Replay-idempotent: the same epoch overwrites
+    exactly its own partitions."""
+    (
+        batch_df.withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+        )
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard", "epoch_id")
+        .parquet(path)
+    )
+
+
+def start_incremental_export(
+    spark: SparkSession,
+    docs_dir: str,
+    export_path: str,
+    checkpoint: str,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    schema = spark.read.parquet(docs_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda b, e: export_batch(b, e, export_path, n_shards, key_col)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_export(
+    spark: SparkSession,
+    path: str,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    token_col: str | None = None,
+) -> dict:
+    """Fold an epoch-partitioned incremental export into the batch sink's
+    audited form (single shard set + ``_manifest.json``) and swap it into
+    place. Returns the manifest.
+
+    Swap protocol (each step idempotent, so a crashed compaction is
+    recovered by the next run — ``_recover_swap`` handles the windows):
+    write everything to ``path.compact_tmp`` → rename ``path`` to
+    ``path.compact_old`` → rename tmp to ``path`` → delete old.
+    """
+    from komodo_data_spark.sources.export import export_training_shards
+
+    _recover_swap(path)  # after this: path exists, no leftover old dir
+    df = spark.read.parquet(path).drop("shard", "epoch_id")
+    tmp, old = path + _TMP_SUFFIX, path + _OLD_SUFFIX
+    shutil.rmtree(tmp, ignore_errors=True)
+    manifest = export_training_shards(
+        df, tmp, n_shards=n_shards, key_col=key_col, token_col=token_col
+    )
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return manifest
+
+
+def _recover_swap(path: str) -> None:
+    """Finish or roll back a compaction that crashed mid-swap."""
+    tmp, old = path + _TMP_SUFFIX, path + _OLD_SUFFIX
+    if not os.path.exists(path):
+        if os.path.isdir(tmp) and os.path.exists(
+            os.path.join(tmp, MANIFEST_NAME)
+        ):
+            # crashed between the two renames with a COMPLETE tmp: finish
+            os.replace(tmp, path)
+        elif os.path.isdir(old):
+            # incomplete tmp: roll back to the pre-compaction store
+            os.replace(old, path)
+    # a tmp without manifest is an incomplete write; a leftover old after
+    # path exists is a crashed final delete — both safe to drop
+    if os.path.isdir(tmp) and not os.path.exists(
+        os.path.join(tmp, MANIFEST_NAME)
+    ):
+        shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(path) and os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)

@@ -1295,3 +1295,120 @@ def test_docs_pii_gate_quarantines_exactly_the_scanner_hits(spark, tmp_path):
     q2.awaitTermination()
     assert spark.read.parquet(clean_p).count() == 3
     assert spark.read.parquet(quar_p).count() == 3
+
+
+def _stage_doc_files(spark, tmp_path, n_files=3):
+    import os
+
+    import pandas as pd
+
+    docs_dir = str(tmp_path / "docs_arrivals")
+    os.makedirs(docs_dir)
+    next_id = 1
+    for i in range(n_files):
+        n = 4 + i
+        pd.DataFrame(
+            {
+                "doc_id": range(next_id, next_id + n),
+                "text": [f"doc number {j} body words" for j in range(n)],
+                "n_tokens": [10 + j for j in range(n)],
+            }
+        ).to_parquet(os.path.join(docs_dir, f"arrival{i}.parquet"))
+        next_id += n
+    return docs_dir, next_id - 1
+
+
+def test_incremental_export_matches_batch_sink_after_compaction(
+    spark, tmp_path
+):
+    """Stream arrivals into epoch-partitioned shards, then compact: the
+    result must be EXACTLY what the batch sink produces over the same
+    input — same manifest, verify-clean — and shard assignment agrees
+    between the two paths for every document."""
+    from komodo_data_spark.sources.export import (
+        export_training_shards,
+        read_manifest,
+        verify_export,
+    )
+    from komodo_data_spark.streaming.export_incremental import (
+        compact_export,
+        start_incremental_export,
+    )
+
+    docs_dir, total = _stage_doc_files(spark, tmp_path)
+    exp = str(tmp_path / "export_inc")
+    ck = str(tmp_path / "ckpt_exp_inc")
+    q = start_incremental_export(spark, docs_dir, exp, ck, n_shards=4)
+    q.awaitTermination()
+
+    inc = spark.read.parquet(exp)
+    assert inc.count() == total
+    assert inc.select("epoch_id").distinct().count() == 3  # one per arrival
+
+    # replay with the same checkpoint: epoch-idempotent, nothing added
+    q2 = start_incremental_export(spark, docs_dir, exp, ck, n_shards=4)
+    q2.awaitTermination()
+    assert spark.read.parquet(exp).count() == total
+
+    # batch reference over the same input
+    batch_out = str(tmp_path / "export_batch")
+    m_batch = export_training_shards(
+        spark.read.parquet(docs_dir),
+        batch_out,
+        n_shards=4,
+        token_col="n_tokens",
+    )
+    m_inc = compact_export(
+        spark, exp, n_shards=4, token_col="n_tokens"
+    )
+    assert m_inc == m_batch  # identical manifest incl. fingerprint
+    assert read_manifest(exp) == m_batch
+    v = verify_export(spark, exp)
+    assert v["ok"], v["mismatches"]
+    # per-doc shard assignment identical across the two write paths
+    a = {
+        r["doc_id"]: r["shard"]
+        for r in spark.read.parquet(exp).select("doc_id", "shard").collect()
+    }
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in spark.read.parquet(batch_out)
+        .select("doc_id", "shard")
+        .collect()
+    }
+    assert a == b
+
+
+def test_incremental_export_compaction_swap_recovers_from_crash(
+    spark, tmp_path
+):
+    """A compaction that crashed between the two renames (complete tmp,
+    path missing) is finished by the next run; an incomplete tmp rolls
+    back to the pre-compaction store."""
+    import os
+    import shutil
+
+    from komodo_data_spark.streaming.export_incremental import (
+        _TMP_SUFFIX,
+        compact_export,
+        start_incremental_export,
+    )
+
+    docs_dir, total = _stage_doc_files(spark, tmp_path)
+    exp = str(tmp_path / "export_inc")
+    ck = str(tmp_path / "ckpt")
+    start_incremental_export(spark, docs_dir, exp, ck, n_shards=2).awaitTermination()
+
+    # simulate the crash window: a COMPLETE tmp (with manifest), path gone
+    m1 = compact_export(spark, exp, n_shards=2, token_col="n_tokens")
+    shutil.move(exp, exp + _TMP_SUFFIX)
+    assert not os.path.exists(exp)
+    m2 = compact_export(spark, exp, n_shards=2, token_col="n_tokens")
+    assert m2 == m1
+    assert spark.read.parquet(exp).count() == total
+
+    # incomplete tmp (no manifest) + intact path: tmp is discarded
+    os.makedirs(exp + _TMP_SUFFIX)
+    m3 = compact_export(spark, exp, n_shards=2, token_col="n_tokens")
+    assert m3 == m1
+    assert not os.path.exists(exp + _TMP_SUFFIX)
