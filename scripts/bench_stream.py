@@ -208,6 +208,21 @@ def main(argv: list[str] | None = None) -> int:
     batches6 = progress_rows(q6)
     report["docs_pii_gate"] = {"batches": batches6, **flat_check(batches6)}
 
+    # --- stream 7: incremental shard export (reuses docs stage) ------------
+    from komodo_data_spark.streaming.export_incremental import (
+        start_incremental_export,
+    )
+
+    q7 = start_incremental_export(
+        spark, docs_src,
+        os.path.join(work, "export_inc"),
+        os.path.join(work, "ckpt_export"),
+        n_shards=8,
+    )
+    q7.awaitTermination()
+    batches7 = progress_rows(q7)
+    report["incremental_export"] = {"batches": batches7, **flat_check(batches7)}
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",
