@@ -22,6 +22,13 @@ compactions) and point any continued streaming at a fresh incremental
 path — appending new epoch partitions under a compacted layout would mix
 two partition schemes in one directory.
 
+Replay idempotence holds WITHIN one checkpoint lineage: a restart with a
+fresh checkpoint re-processes arrivals under new epoch ids while the old
+epoch partitions remain on disk. ``compact_export`` therefore refuses to
+fold a store whose key repeats across epochs (or resolves each key to
+its newest epoch with ``on_duplicate_keys="keep_latest_epoch"``), so
+duplicates can never be laundered into a verify-clean manifest.
+
 Scale: per batch one hash projection + one partitioned append; compaction
 is one full read + the batch sink. Local-filesystem renames as elsewhere;
 on an object store swap for the Hadoop FileSystem rename/delete.
@@ -52,6 +59,13 @@ def export_batch(
     """Write one micro-batch's rows into their hash shards under this
     epoch's partitions. Replay-idempotent: the same epoch overwrites
     exactly its own partitions."""
+    for reserved in ("shard", "epoch_id"):
+        if reserved in batch_df.columns:
+            raise ValueError(
+                f"input batch already has a {reserved!r} column; rename it "
+                "— the export would silently clobber it (same contract as "
+                "the batch sink)"
+            )
     (
         batch_df.withColumn(
             "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
@@ -94,20 +108,63 @@ def compact_export(
     n_shards: int = 8,
     key_col: str = "doc_id",
     token_col: str | None = None,
-) -> dict:
+    on_duplicate_keys: str = "error",
+) -> dict | None:
     """Fold an epoch-partitioned incremental export into the batch sink's
     audited form (single shard set + ``_manifest.json``) and swap it into
-    place. Returns the manifest.
+    place. Returns the manifest, or None when the export never accumulated
+    a row (missing path / zero-partition dir from empty-batch writes —
+    the same nothing-to-fold shape ``stores.compact_distinct_store``
+    no-ops on).
+
+    ``on_duplicate_keys`` guards against stale epochs: a restart with a
+    FRESH checkpoint re-processes arrivals under new epoch ids while the
+    old epoch partitions remain on disk — replay idempotence only holds
+    within one checkpoint lineage. ``"error"`` (default) refuses to fold a
+    store whose ``key_col`` repeats across epochs; ``"keep_latest_epoch"``
+    resolves each key to its highest-epoch row (the re-crawl semantics)
+    before folding.
 
     Swap protocol (each step idempotent, so a crashed compaction is
     recovered by the next run — ``_recover_swap`` handles the windows):
     write everything to ``path.compact_tmp`` → rename ``path`` to
     ``path.compact_old`` → rename tmp to ``path`` → delete old.
     """
+    from pyspark.errors import AnalysisException
+
     from komodo_data_spark.sources.export import export_training_shards
 
+    if on_duplicate_keys not in ("error", "keep_latest_epoch"):
+        raise ValueError(f"unknown on_duplicate_keys={on_duplicate_keys!r}")
     _recover_swap(path)  # after this: path exists, no leftover old dir
-    df = spark.read.parquet(path).drop("shard", "epoch_id")
+    try:
+        raw = spark.read.parquet(path)
+    except AnalysisException as exc:
+        if exc.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return None
+        raise
+    if "epoch_id" in raw.columns:
+        counts = raw.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(key_col).alias("nk"),
+        ).collect()[0]
+        if counts["n"] != counts["nk"]:
+            if on_duplicate_keys == "error":
+                raise ValueError(
+                    f"{counts['n'] - counts['nk']} duplicate {key_col} rows "
+                    "across epochs (stale partitions from a fresh-checkpoint "
+                    "restart?); pass on_duplicate_keys='keep_latest_epoch' "
+                    "to resolve each key to its newest row"
+                )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(key_col).orderBy(F.desc("epoch_id"))
+            raw = (
+                raw.withColumn("rn_", F.row_number().over(w))
+                .filter(F.col("rn_") == 1)
+                .drop("rn_")
+            )
+    df = raw.drop("shard", "epoch_id")
     tmp, old = path + _TMP_SUFFIX, path + _OLD_SUFFIX
     shutil.rmtree(tmp, ignore_errors=True)
     manifest = export_training_shards(

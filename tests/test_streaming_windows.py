@@ -1412,3 +1412,54 @@ def test_incremental_export_compaction_swap_recovers_from_crash(
     m3 = compact_export(spark, exp, n_shards=2, token_col="n_tokens")
     assert m3 == m1
     assert not os.path.exists(exp + _TMP_SUFFIX)
+
+
+def test_incremental_export_guards(spark, tmp_path):
+    """Review-finding guards: reserved columns are refused (not clobbered);
+    compacting a never-populated export no-ops to None; duplicate keys
+    across epochs (fresh-checkpoint restart) are refused by default and
+    resolved newest-wins on request."""
+    import pandas as pd
+
+    from komodo_data_spark.streaming.export_incremental import (
+        compact_export,
+        export_batch,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"], "shard": [9, 9]})
+    )
+    try:
+        export_batch(df, 0, str(tmp_path / "x"), n_shards=2)
+        raise AssertionError("expected ValueError for reserved column")
+    except ValueError:
+        pass
+
+    assert compact_export(spark, str(tmp_path / "never_written")) is None
+
+    # same doc under two epochs with different text = stale-epoch state
+    exp = str(tmp_path / "dup_store")
+    clean = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["old1", "old2"]})
+    )
+    export_batch(clean, 0, exp, n_shards=2)
+    export_batch(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["new1"]})),
+        1,
+        exp,
+        n_shards=2,
+    )
+    try:
+        compact_export(spark, exp, n_shards=2)
+        raise AssertionError("expected ValueError for duplicate keys")
+    except ValueError as exc:
+        assert "duplicate" in str(exc)
+    m = compact_export(
+        spark, exp, n_shards=2, on_duplicate_keys="keep_latest_epoch"
+    )
+    assert m["total_rows"] == 2
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(exp).select("doc_id", "text").collect()
+    }
+    assert rows == {1: "new1", 2: "old2"}  # newest epoch wins for doc 1
