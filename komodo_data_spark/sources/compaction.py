@@ -37,12 +37,15 @@ def compact_data_table(
 ) -> int:
     """Rewrite ``table_path`` (parquet, partitioned by session_id) with
     size-targeted files. Returns the number of output files written."""
+    from komodo_data_spark.sources.publish import (
+        prepare_staging,
+        publish_staged,
+    )
+
+    staging = prepare_staging(table_path)  # heal crashes BEFORE reading
     df = spark.read.parquet(table_path)
     n_rows = df.count()
     n_files = max(1, -(-_dir_bytes(table_path) // target_file_bytes))
-
-    staging = table_path.rstrip("/") + ".__compacting__"
-    backup = table_path.rstrip("/") + ".__precompact__"
     (
         df.repartition(n_files, "session_id")
         .write.mode("overwrite")
@@ -56,9 +59,7 @@ def compact_data_table(
         raise RuntimeError(
             f"compaction row-count mismatch: {compacted_rows} != {n_rows}"
         )
-    os.rename(table_path, backup)
-    os.rename(staging, table_path)
-    shutil.rmtree(backup)
+    publish_staged(table_path)
     return sum(
         1
         for root, _d, files in os.walk(table_path)

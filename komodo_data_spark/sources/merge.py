@@ -23,7 +23,6 @@ safety ordering (never mutate in place, audit before publish) is the same.
 
 from __future__ import annotations
 
-import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,16 +36,21 @@ def merge_snapshot(
 ) -> dict:
     """MERGE ``updates`` into the parquet table at ``target_path`` by
     ``key``: matching rows are replaced, new rows inserted. Returns audit
-    counts. The rewrite is write-audit-publish; a crash leaves the
-    original table intact."""
+    counts. The rewrite is write-audit-publish via the shared
+    crash-recoverable swap (sources/publish.py); a crash leaves the
+    original table intact or is healed forward by the next run."""
+    from komodo_data_spark.sources.publish import (
+        prepare_staging,
+        publish_staged,
+    )
+
+    staging = prepare_staging(target_path)  # heal crashes BEFORE reading
     target = spark.read.parquet(target_path)
     n_target = target.count()
     n_updates = updates.count()
     kept = target.join(updates.select(key), key, "left_anti")
     merged = kept.unionByName(updates)
 
-    staging = target_path.rstrip("/") + ".__merging__"
-    backup = target_path.rstrip("/") + ".__premerge__"
     merged.write.mode("overwrite").parquet(staging)
 
     n_kept = kept.count()
@@ -56,10 +60,7 @@ def merge_snapshot(
         raise RuntimeError(
             f"merge row-count mismatch: {n_merged} != {n_kept} + {n_updates}"
         )
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    os.rename(target_path, backup)
-    os.rename(staging, target_path)
+    publish_staged(target_path, keep_backup=True)
     return {
         "target_rows_before": n_target,
         "updates": n_updates,

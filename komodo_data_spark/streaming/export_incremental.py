@@ -36,17 +36,14 @@ on an object store swap for the Hadoop FileSystem rename/delete.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from komodo_data_spark.sources.export import MANIFEST_NAME
-
-_TMP_SUFFIX = ".compact_tmp"
-_OLD_SUFFIX = ".compact_old"
+from komodo_data_spark.sources.publish import (
+    prepare_staging,
+    publish_staged,
+)
 
 
 def export_batch(
@@ -125,10 +122,9 @@ def compact_export(
     resolves each key to its highest-epoch row (the re-crawl semantics)
     before folding.
 
-    Swap protocol (each step idempotent, so a crashed compaction is
-    recovered by the next run — ``_recover_swap`` handles the windows):
-    write everything to ``path.compact_tmp`` → rename ``path`` to
-    ``path.compact_old`` → rename tmp to ``path`` → delete old.
+    The directory swap rides the shared write→audit→publish protocol
+    (``sources/publish.py``): a crashed compaction is healed — forward or
+    back — by ``prepare_staging`` on the next run.
     """
     from pyspark.errors import AnalysisException
 
@@ -136,7 +132,7 @@ def compact_export(
 
     if on_duplicate_keys not in ("error", "keep_latest_epoch"):
         raise ValueError(f"unknown on_duplicate_keys={on_duplicate_keys!r}")
-    _recover_swap(path)  # after this: path exists, no leftover old dir
+    staging = prepare_staging(path)  # heals prior crashes; path live after
     try:
         raw = spark.read.parquet(path)
     except AnalysisException as exc:
@@ -165,34 +161,8 @@ def compact_export(
                 .drop("rn_")
             )
     df = raw.drop("shard", "epoch_id")
-    tmp, old = path + _TMP_SUFFIX, path + _OLD_SUFFIX
-    shutil.rmtree(tmp, ignore_errors=True)
     manifest = export_training_shards(
-        df, tmp, n_shards=n_shards, key_col=key_col, token_col=token_col
+        df, staging, n_shards=n_shards, key_col=key_col, token_col=token_col
     )
-    os.replace(path, old)
-    os.replace(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    publish_staged(path)
     return manifest
-
-
-def _recover_swap(path: str) -> None:
-    """Finish or roll back a compaction that crashed mid-swap."""
-    tmp, old = path + _TMP_SUFFIX, path + _OLD_SUFFIX
-    if not os.path.exists(path):
-        if os.path.isdir(tmp) and os.path.exists(
-            os.path.join(tmp, MANIFEST_NAME)
-        ):
-            # crashed between the two renames with a COMPLETE tmp: finish
-            os.replace(tmp, path)
-        elif os.path.isdir(old):
-            # incomplete tmp: roll back to the pre-compaction store
-            os.replace(old, path)
-    # a tmp without manifest is an incomplete write; a leftover old after
-    # path exists is a crashed final delete — both safe to drop
-    if os.path.isdir(tmp) and not os.path.exists(
-        os.path.join(tmp, MANIFEST_NAME)
-    ):
-        shutil.rmtree(tmp, ignore_errors=True)
-    if os.path.exists(path) and os.path.isdir(old):
-        shutil.rmtree(old, ignore_errors=True)

@@ -1382,14 +1382,18 @@ def test_incremental_export_matches_batch_sink_after_compaction(
 def test_incremental_export_compaction_swap_recovers_from_crash(
     spark, tmp_path
 ):
-    """A compaction that crashed between the two renames (complete tmp,
-    path missing) is finished by the next run; an incomplete tmp rolls
-    back to the pre-compaction store."""
+    """Crash windows of the shared publish protocol: a READY staging with
+    the live path gone rolls FORWARD; an un-ready staging beside an intact
+    path is discarded; a stranded backup with the path gone rolls BACK."""
     import os
     import shutil
 
+    from komodo_data_spark.sources.publish import (
+        READY_MARKER,
+        backup_path,
+        staging_path,
+    )
     from komodo_data_spark.streaming.export_incremental import (
-        _TMP_SUFFIX,
         compact_export,
         start_incremental_export,
     )
@@ -1399,19 +1403,28 @@ def test_incremental_export_compaction_swap_recovers_from_crash(
     ck = str(tmp_path / "ckpt")
     start_incremental_export(spark, docs_dir, exp, ck, n_shards=2).awaitTermination()
 
-    # simulate the crash window: a COMPLETE tmp (with manifest), path gone
+    # crash window: COMPLETE (ready-marked) staging, live path gone
     m1 = compact_export(spark, exp, n_shards=2, token_col="n_tokens")
-    shutil.move(exp, exp + _TMP_SUFFIX)
+    shutil.move(exp, staging_path(exp))
+    open(os.path.join(staging_path(exp), READY_MARKER), "w").close()
     assert not os.path.exists(exp)
     m2 = compact_export(spark, exp, n_shards=2, token_col="n_tokens")
     assert m2 == m1
     assert spark.read.parquet(exp).count() == total
 
-    # incomplete tmp (no manifest) + intact path: tmp is discarded
-    os.makedirs(exp + _TMP_SUFFIX)
+    # un-ready staging beside an intact path: discarded
+    os.makedirs(staging_path(exp))
     m3 = compact_export(spark, exp, n_shards=2, token_col="n_tokens")
     assert m3 == m1
-    assert not os.path.exists(exp + _TMP_SUFFIX)
+    assert not os.path.exists(staging_path(exp))
+
+    # stranded backup with the path gone (crash before staging was ready):
+    # rolls back to the pre-publish directory
+    shutil.move(exp, backup_path(exp))
+    m4 = compact_export(spark, exp, n_shards=2, token_col="n_tokens")
+    assert m4 == m1
+    assert spark.read.parquet(exp).count() == total
+    assert not os.path.exists(backup_path(exp))
 
 
 def test_incremental_export_guards(spark, tmp_path):
