@@ -1719,6 +1719,13 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.size(tokens()).alias("n")
     )
     per_src = d.groupBy("source").agg(F.sum("n").alias("n_tokens"))
+    return temperature_weights(per_src)
+
+
+def temperature_weights(per_src: DataFrame) -> DataFrame:
+    """Temperature math over a (source, n_tokens) frame — ONE definition
+    shared by the batch operator and the incremental counter-store reader
+    (streaming/mix_incremental.py), so the two paths cannot drift."""
     w = Window.partitionBy()
     p = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
     scaled = per_src.select(

@@ -181,10 +181,31 @@ def compact_store(spark: SparkSession, sketch_path: str) -> int:
     local filesystem API (this rig); on s3://-style stores swap the
     rmtree/rename for Hadoop FileSystem delete/rename, same contract.
     """
+    return compact_fold_store(
+        sketch_path,
+        spark,
+        lambda store: store.agg(
+            F.expr(f"approx_top_k_combine(sk, {MAX_ITEMS_TRACKED})").alias(
+                "sk"
+            )
+        ),
+    )
+
+
+def compact_fold_store(store_path: str, spark: SparkSession, fold) -> int:
+    """The marker-protocol fold, fold-function generic: ``fold(rows)``
+    receives every base+epoch row (minus nothing — epoch_id included) and
+    must return the new O(1) base frame WITHOUT epoch_id. Used by the
+    sketch store (approx_top_k_combine), and by any sum-/count-mergeable
+    counter store (groupBy + sum) — the protocol (stage to the scratch
+    epoch, atomic marker, prune-and-swap via ``_recover_compaction``) is
+    identical and NOT safe to reimplement per store: a fold without the
+    marker double-counts on crash for any non-DISTINCT merge.
+    """
     import json
 
-    _recover_compaction(sketch_path)
-    store = spark.read.parquet(sketch_path)
+    _recover_compaction(store_path)
+    store = spark.read.parquet(store_path)
     epochs = [
         r["epoch_id"]
         for r in store.select("epoch_id").distinct().collect()
@@ -192,25 +213,21 @@ def compact_store(spark: SparkSession, sketch_path: str) -> int:
     ]
     if not epochs:
         return 0
-    base = (
-        store.agg(
-            F.expr(f"approx_top_k_combine(sk, {MAX_ITEMS_TRACKED})").alias("sk")
-        ).withColumn("epoch_id", F.lit(_TMP_EPOCH))
-    )
-    # materialize BEFORE overwriting: the combine must not lazily re-read
+    base = fold(store).withColumn("epoch_id", F.lit(_TMP_EPOCH))
+    # materialize BEFORE overwriting: the fold must not lazily re-read
     # partitions mid-swap
     base = base.localCheckpoint(eager=True)
     (
         base.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch_id")
-        .parquet(sketch_path)
+        .parquet(store_path)
     )
     # marker install is ATOMIC (tmp write + rename): a crash mid-write can
     # never leave a half-written marker that wedges recovery
-    marker = os.path.join(sketch_path, _INFLIGHT_MARKER)
+    marker = os.path.join(store_path, _INFLIGHT_MARKER)
     with open(marker + ".tmp", "w") as fh:
         json.dump({"epochs": [int(e) for e in epochs]}, fh)
     os.rename(marker + ".tmp", marker)
-    _recover_compaction(sketch_path)  # finalize: prune + swap + drop marker
+    _recover_compaction(store_path)  # finalize: prune + swap + drop marker
     return len(epochs)

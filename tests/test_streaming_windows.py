@@ -1476,3 +1476,69 @@ def test_incremental_export_guards(spark, tmp_path):
         for r in spark.read.parquet(exp).select("doc_id", "text").collect()
     }
     assert rows == {1: "new1", 2: "old2"}  # newest epoch wins for doc 1
+
+
+def test_incremental_mix_weights_match_batch(spark, sf_dir, tmp_path):
+    """Stream the documents table through the counter store: the weights
+    read from the store equal the batch docs_temperature_mix over the same
+    corpus; replay adds nothing; compaction folds epochs to the O(1) base
+    without changing any weight."""
+    import os
+
+    from komodo_data_spark.operators.pipeline_ops import docs_temperature_mix
+    from komodo_data_spark.streaming.mix_incremental import (
+        compact_mix_store,
+        read_mix_weights,
+        start_incremental_mix,
+    )
+
+    # stage the documents table as 3 arrival files
+    docs_dir = str(tmp_path / "docs_arrivals")
+    os.makedirs(docs_dir)
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"stage{i}"))
+        import glob
+        import shutil
+
+        (src_file,) = glob.glob(str(tmp_path / f"stage{i}" / "*.parquet"))
+        shutil.move(src_file, os.path.join(docs_dir, f"arrival{i}.parquet"))
+
+    store = str(tmp_path / "mix_store")
+    ck = str(tmp_path / "ckpt_mix")
+    start_incremental_mix(spark, docs_dir, store, ck).awaitTermination()
+
+    def as_map(df):
+        return {
+            r["source"]: (r["n_tokens"], r["p_raw"], r["q_temp"])
+            for r in df.collect()
+        }
+
+    batch = as_map(docs_temperature_mix(spark, sf_dir))
+    inc = as_map(read_mix_weights(spark, store))
+    assert set(batch) == set(inc)
+    for s in batch:
+        assert batch[s][0] == inc[s][0]  # exact token counts
+        assert abs(batch[s][1] - inc[s][1]) < 1e-12
+        assert abs(batch[s][2] - inc[s][2]) < 1e-12
+
+    # replay: same checkpoint, nothing re-counted
+    start_incremental_mix(spark, docs_dir, store, ck).awaitTermination()
+    assert as_map(read_mix_weights(spark, store)) == inc
+
+    # compaction: epochs fold to the base, weights unchanged
+    folded = compact_mix_store(spark, store)
+    assert folded == 3
+    assert (
+        spark.read.parquet(store).select("epoch_id").distinct().collect()[0][
+            "epoch_id"
+        ]
+        == -1
+    )
+    assert as_map(read_mix_weights(spark, store)) == inc
