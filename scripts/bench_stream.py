@@ -117,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
     # --- stream 1: incremental MinHash near-dup detection -----------------
     docs_src = os.path.join(work, "docs_arrivals")
     stage_arrival_files(
-        load_table(spark, args.sf_dir, "documents").select("doc_id", "text"),
+        load_table(spark, args.sf_dir, "documents").select("doc_id", "text", "source"),
         "doc_id", args.batches, docs_src,
     )
     q = start_incremental_dedup(
@@ -222,6 +222,20 @@ def main(argv: list[str] | None = None) -> int:
     q7.awaitTermination()
     batches7 = progress_rows(q7)
     report["incremental_export"] = {"batches": batches7, **flat_check(batches7)}
+
+    # --- stream 8: source-mix counter store (reuses docs stage) ------------
+    from komodo_data_spark.streaming.mix_incremental import (
+        start_incremental_mix,
+    )
+
+    q8 = start_incremental_mix(
+        spark, docs_src,
+        os.path.join(work, "mix_store"),
+        os.path.join(work, "ckpt_mix"),
+    )
+    q8.awaitTermination()
+    batches8 = progress_rows(q8)
+    report["mix_counter_store"] = {"batches": batches8, **flat_check(batches8)}
 
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
