@@ -1715,11 +1715,20 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the |sources|-row collapsed frame where the unpartitioned windows
     are single-task and free.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "source", F.size(tokens()).alias("n")
+    return temperature_weights(
+        per_source_token_counts(load_table(spark, sf_dir, "documents"))
     )
-    per_src = d.groupBy("source").agg(F.sum("n").alias("n_tokens"))
-    return temperature_weights(per_src)
+
+
+def per_source_token_counts(docs: DataFrame) -> DataFrame:
+    """(source, n_tokens) sums — the OTHER half of the mix computation,
+    shared by the batch operator and the incremental counter store's
+    per-batch fold so the tokenization/aggregation cannot drift either."""
+    return (
+        docs.select("source", F.size(tokens()).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
 
 
 def temperature_weights(per_src: DataFrame) -> DataFrame:

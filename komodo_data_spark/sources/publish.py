@@ -30,6 +30,7 @@ import shutil
 
 STAGING_SUFFIX = ".__staging__"
 BACKUP_SUFFIX = ".__backup__"
+ROLLBACK_SUFFIX = ".__rollback__"
 READY_MARKER = "_publish_ready"
 
 
@@ -39,6 +40,13 @@ def staging_path(path: str) -> str:
 
 def backup_path(path: str) -> str:
     return path.rstrip("/") + BACKUP_SUFFIX
+
+
+def rollback_path(path: str) -> str:
+    """Where ``publish_staged(keep_backup=True)`` parks the displaced
+    directory. Deliberately NOT one of the recovery suffixes: recovery
+    must never reclaim an intentionally kept rollback copy."""
+    return path.rstrip("/") + ROLLBACK_SUFFIX
 
 
 def prepare_staging(path: str) -> str:
@@ -55,8 +63,11 @@ def publish_staged(path: str, keep_backup: bool = False) -> None:
     must have finished (and audited) its write to ``staging_path(path)``.
 
     ``keep_backup=True`` leaves the displaced directory at
-    ``backup_path(path)`` for manual rollback (the MERGE contract); it is
-    reclaimed by the next ``prepare_staging`` on the same path.
+    ``rollback_path(path)`` for manual rollback (the MERGE contract). The
+    rollback suffix is outside the recovery protocol on purpose: a crash
+    healed forward by ``recover_publish`` must never delete the kept copy
+    (it WOULD delete a ``backup_path`` leftover). Only the next
+    ``publish_staged(keep_backup=True)`` on the same path replaces it.
     """
     staging, backup = staging_path(path), backup_path(path)
     if not os.path.isdir(staging):
@@ -65,9 +76,14 @@ def publish_staged(path: str, keep_backup: bool = False) -> None:
     # if and only if this marker exists
     with open(os.path.join(staging, READY_MARKER), "w") as fh:
         fh.write("")
-    shutil.rmtree(backup, ignore_errors=True)
+    if keep_backup:
+        displaced = rollback_path(path)
+        shutil.rmtree(displaced, ignore_errors=True)
+    else:
+        displaced = backup
+        shutil.rmtree(backup, ignore_errors=True)
     if os.path.exists(path):
-        os.rename(path, backup)
+        os.rename(path, displaced)
     os.rename(staging, path)
     os.remove(os.path.join(path, READY_MARKER))
     if not keep_backup:

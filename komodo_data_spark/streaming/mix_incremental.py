@@ -14,6 +14,13 @@ Why incremental: re-deriving mixture weights from 100 TB for every batch
 of new arrivals re-tokenizes the corpus; this store keeps O(|sources|)
 rows per epoch and folds to O(|sources|) total, making "what should the
 sampling distribution be NOW" a constant-time read.
+
+Replay idempotence holds WITHIN one checkpoint lineage (an epoch
+overwrites its own partition). A sum store carries no key that could
+expose a fresh-checkpoint restart, so unlike ``compact_export`` nothing
+can detect it after the fact: restarting with a NEW checkpoint must
+target a NEW store path (or an emptied one), never a store that already
+holds folded history.
 """
 
 from __future__ import annotations
@@ -22,17 +29,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from komodo_data_spark.functions.text_features import tokens
-from komodo_data_spark.streaming.sketches import compact_fold_store
+from komodo_data_spark.streaming.sketches import (
+    _TMP_EPOCH,
+    _recover_compaction,
+    compact_fold_store,
+)
 
 
 def counts_batch(batch_df: DataFrame, epoch_id: int, store_path: str) -> None:
     """Fold one micro-batch into its epoch partition of the counter store.
-    Replay-idempotent: an epoch overwrites exactly its own partition."""
+    Replay-idempotent: an epoch overwrites exactly its own partition.
+    The aggregation is the batch operator's own helper — both halves of
+    the math (counting AND weighting) are shared, so the two paths cannot
+    drift."""
+    from komodo_data_spark.operators.pipeline_ops import (
+        per_source_token_counts,
+    )
+
     (
-        batch_df.select("source", F.size(tokens()).alias("n"))
-        .groupBy("source")
-        .agg(F.sum("n").alias("n_tokens"))
+        per_source_token_counts(batch_df)
         .withColumn("epoch_id", F.lit(int(epoch_id)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -64,10 +79,24 @@ def start_incremental_mix(
 def read_mix_weights(spark: SparkSession, store_path: str) -> DataFrame:
     """Current temperature-sampling weights from the counter store: fold
     base + epochs per source, then the shared batch math."""
+    from pyspark.errors import AnalysisException
+
     from komodo_data_spark.operators.pipeline_ops import temperature_weights
 
+    # a crashed compaction's scratch partition holds a full copy of every
+    # count — heal it first, and belt-and-braces exclude it from the fold
+    _recover_compaction(store_path)
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException as exc:
+        if exc.getCondition() not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+        # never-populated store: empty weights frame, same schema
+        return temperature_weights(
+            spark.createDataFrame([], "source string, n_tokens bigint")
+        )
     per_src = (
-        spark.read.parquet(store_path)
+        store.filter(F.col("epoch_id") != _TMP_EPOCH)
         .groupBy("source")
         .agg(F.sum("n_tokens").alias("n_tokens"))
     )

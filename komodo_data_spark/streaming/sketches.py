@@ -72,7 +72,12 @@ def heavy_hitters_from_store(
     Hadoop-visible filesystem (s3://, hdfs://, ...), where ``os.path``
     would wrongly report absence. A missing store surfaces as Spark's own
     scheme-aware PATH_NOT_FOUND from the read itself."""
-    store = spark.read.parquet(sketch_path)
+    # a compaction that crashed between staging and marker install leaves
+    # the scratch epoch_id=-2 partition holding a full copy of every count;
+    # reads must never combine it (the re-run discards and refolds it)
+    store = spark.read.parquet(sketch_path).filter(
+        F.col("epoch_id") != _TMP_EPOCH
+    )
     # approx_top_k_combine over ZERO rows crashes (scala.MatchError) — seed
     # with a valid empty sketch so an empty store means "no hitters yet"
     seed = (
@@ -204,8 +209,17 @@ def compact_fold_store(store_path: str, spark: SparkSession, fold) -> int:
     """
     import json
 
+    from pyspark.errors import AnalysisException
+
     _recover_compaction(store_path)
-    store = spark.read.parquet(store_path)
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException as exc:
+        # a store that never accumulated a fact (missing path, or only
+        # zero-partition empty-frame writes) has nothing to fold
+        if exc.getCondition() not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+        return 0
     epochs = [
         r["epoch_id"]
         for r in store.select("epoch_id").distinct().collect()

@@ -197,9 +197,9 @@ def test_merge_snapshot_upserts(spark, tmp_path):
     }
     assert got == {(1, "one v1"), (2, "two v2"), (3, "three v1"), (9, "nine v1")}
     # backup of the pre-merge snapshot remains for rollback
-    from komodo_data_spark.sources.publish import backup_path
+    from komodo_data_spark.sources.publish import rollback_path
 
-    assert spark.read.parquet(backup_path(path)).count() == 3
+    assert spark.read.parquet(rollback_path(path)).count() == 3
 
 
 def test_corrupt_capture_fails_gracefully(spark, tmp_path):

@@ -84,13 +84,21 @@ def test_recover_drops_leftovers_beside_live_dir(tmp_path):
     assert not os.path.exists(os.path.join(live, READY_MARKER))
 
 
-def test_keep_backup_preserved_until_next_prepare(tmp_path):
+def test_keep_backup_survives_recovery_and_next_publish_replaces_it(tmp_path):
+    from komodo_data_spark.sources.publish import rollback_path
+
     live = str(tmp_path / "t")
     _mkdir_with(live, "data", "v1")
     staging = prepare_staging(live)
     _mkdir_with(staging, "data", "v2")
     publish_staged(live, keep_backup=True)
-    assert _content(backup_path(live), "data") == "v1"  # rollback copy
-    # the next cycle reclaims it
+    assert _content(rollback_path(live), "data") == "v1"  # rollback copy
+    # recovery (run by the next prepare) must NOT reclaim the kept copy
     prepare_staging(live)
-    assert not os.path.exists(backup_path(live))
+    assert _content(rollback_path(live), "data") == "v1"
+    # only the next keep_backup publish replaces it
+    staging = prepare_staging(live)
+    _mkdir_with(staging, "data", "v3")
+    publish_staged(live, keep_backup=True)
+    assert _content(rollback_path(live), "data") == "v2"
+    assert _content(live, "data") == "v3"

@@ -1542,3 +1542,51 @@ def test_incremental_mix_weights_match_batch(spark, sf_dir, tmp_path):
         == -1
     )
     assert as_map(read_mix_weights(spark, store)) == inc
+
+
+def test_mix_store_read_survives_crashed_compaction_scratch(spark, tmp_path):
+    """A compaction that crashed after staging the scratch epoch (-2) but
+    before the marker install must not double-count reads: the reader
+    heals the store and the weights stay identical. An empty/missing
+    store reads as an empty weights frame and compacts to 0."""
+    import pandas as pd
+
+    from komodo_data_spark.streaming.mix_incremental import (
+        compact_mix_store,
+        counts_batch,
+        read_mix_weights,
+    )
+    from komodo_data_spark.streaming.sketches import _TMP_EPOCH
+
+    store = str(tmp_path / "mix_store")
+    for e, rows in enumerate(([("a", "x y z")], [("a", "p q"), ("b", "m n")])):
+        counts_batch(
+            spark.createDataFrame(
+                pd.DataFrame(rows, columns=["source", "text"])
+            ),
+            e,
+            store,
+        )
+    before = {
+        r["source"]: r["n_tokens"] for r in read_mix_weights(spark, store).collect()
+    }
+    assert before == {"a": 5, "b": 2}
+    # simulate the crash: full copy of the store staged under epoch_id=-2
+    (
+        spark.read.parquet(store)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("n_tokens"))
+        .withColumn("epoch_id", F.lit(_TMP_EPOCH))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(store)
+    )
+    after = {
+        r["source"]: r["n_tokens"] for r in read_mix_weights(spark, store).collect()
+    }
+    assert after == before  # no double count
+    # missing store: empty frame + compaction no-op
+    empty = read_mix_weights(spark, str(tmp_path / "never"))
+    assert empty.count() == 0
+    assert compact_mix_store(spark, str(tmp_path / "never")) == 0
