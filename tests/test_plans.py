@@ -182,3 +182,33 @@ def test_quality_classifier_single_shuffle(spark):
     plan = plan_of(text_analysis.text_quality_classifier(spark, SF))
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_domain_stats_is_two_combinable_aggs_no_expand(spark):
+    """The exact distinct path count must plan as two explicit hash
+    aggregates (host,path -> host), never a countDistinct Expand rewrite
+    whose first shuffle would be per-page at crawl scale."""
+    from komodo_data_spark.operators import pipeline_ops
+
+    plan = plan_of(pipeline_ops.docs_domain_stats(spark, SF))
+    assert "Expand" not in plan
+    assert plan.count("Exchange") >= 2  # the two agg shuffles + output sort
+
+
+def test_rule_flags_has_no_distinct_rewrite_or_python(spark):
+    from komodo_data_spark.operators import text_analysis as TA
+
+    plan = plan_of(TA.text_quality_rule_flags(spark, SF))
+    assert "Expand" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pii_redact_is_single_codegen_projection(spark):
+    """Redaction must stay one whole-stage-codegen map pass: no joins, no
+    aggregates before the deterministic output sort."""
+    from komodo_data_spark.operators import pipeline_ops
+
+    plan = plan_of(pipeline_ops.text_pii_redact(spark, SF))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "EvalPython" not in plan

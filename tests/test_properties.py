@@ -505,3 +505,77 @@ def test_pii_patterns_match_python_and_redaction_is_idempotent(spark, text):
     expect = _py_pii_redact(text)
     assert row["r"] == expect
     assert _py_pii_redact(expect) == expect  # idempotent
+
+
+# --------------------------------------------------------------------------
+# Gopher rule-flag statistics vs a pure-Python reference
+# --------------------------------------------------------------------------
+
+from collections import Counter
+
+from komodo_data_spark.operators import text_analysis as TA
+
+
+def _py_rule_flags(text: str) -> dict:
+    toks = py_tokens(text)
+    counts = Counter(toks)
+    n = sum(counts.values())
+    mean_len = sum(len(t) * c for t, c in counts.items()) / n
+    n_stop = sum(1 for t in counts if t in TF.QUALITY_STOPWORDS)
+    alpha = sum(c for t, c in counts.items() if any(ch.isalpha() for ch in t)) / n
+    top_share = max(counts.values()) / n
+    return {
+        "n_words": n,
+        "word_count_ok": TA.GOPHER_MIN_WORDS <= n <= TA.GOPHER_MAX_WORDS,
+        "mean_word_len_ok": TA.GOPHER_MIN_MEAN_LEN
+        <= mean_len
+        <= TA.GOPHER_MAX_MEAN_LEN,
+        "stopword_ok": n_stop >= TA.GOPHER_MIN_STOP_DISTINCT,
+        "alpha_ok": alpha >= TA.GOPHER_MIN_ALPHA_RATIO,
+        "repetition_ok": top_share <= TA.GOPHER_MAX_TOP_SHARE,
+    }
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(token, st.sampled_from(TF.QUALITY_STOPWORDS + ["42", "x"])),
+            min_size=1,
+            max_size=40,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quality_rule_flags_match_python(spark, tmp_path_factory, texts):
+    import os
+
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("rf")
+    pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(os.path.join(str(d), "documents.parquet"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in TA.text_quality_rule_flags(spark, str(d)).collect()
+    }
+    for i, text in enumerate(texts, start=1):
+        expect = _py_rule_flags(text)
+        row = got[i]
+        for k, v in expect.items():
+            assert row[k] == v, (k, text, row, expect)
+        assert row["keep"] == all(
+            expect[f] for f in expect if f.endswith("_ok")
+        )
