@@ -1352,10 +1352,62 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path. The three counts are scalar aggregates combined by
     broadcast cross join (1×1 frames).
     """
-    # Both frames are consumed twice (their scalar count + the semi-join);
-    # cache them so neither detector pipeline executes twice.
-    truth = dedup_ngram_pairs(spark, sf_dir).select("doc_i", "doc_j").cache()
-    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_i", "doc_j").cache()
+    # Fused form of the two detectors: both consume the SAME cached
+    # postings frame (one tokenize+shingle pass instead of two), and both
+    # verify with _verify_jaccard at the same threshold, so the outputs
+    # are identical to running dedup_ngram_pairs / dedup_minhash_lsh
+    # separately (which is exactly what the composed oracle does).
+    # Each pair frame is then consumed twice (scalar count + semi-join),
+    # so both are cached too.
+    posts = _doc_postings(spark, sf_dir).cache()
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # ground truth in the dedup_ngram_pairs shape: ONE postings self-join
+    # whose pair-aggregate yields the common counts directly (never a
+    # candidate distinct followed by re-joining the postings — that shape
+    # re-multiplies every pair by its shingles and measured 2.5x slower)
+    truth = (
+        posts.alias("a")
+        .join(posts.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("doc_i"), F.col("n_sh").alias("n_i")
+                )
+            ),
+            "doc_i",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j")
+                )
+            ),
+            "doc_j",
+        )
+        .filter(
+            F.col("common").cast("double")
+            / (F.col("n_i") + F.col("n_j") - F.col("common"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_i", "doc_j")
+        .cache()
+    )
+    bands = bands_of(posts)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    lsh = _verify_jaccard(posts, cand).select("doc_i", "doc_j").cache()
     hit = truth.join(lsh, ["doc_i", "doc_j"], "left_semi")
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
