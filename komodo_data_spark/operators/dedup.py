@@ -1373,19 +1373,18 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
         )
         .agg(F.count(F.lit(1)).alias("common"))
+        # no explicit broadcast: sizes is one row per DOCUMENT, which only
+        # fits a broadcast at the sampled eval scale — AQE picks broadcast
+        # when it fits and degrades to a shuffle join when it doesn't
         .join(
-            F.broadcast(
-                sizes.select(
-                    F.col("doc_id").alias("doc_i"), F.col("n_sh").alias("n_i")
-                )
+            sizes.select(
+                F.col("doc_id").alias("doc_i"), F.col("n_sh").alias("n_i")
             ),
             "doc_i",
         )
         .join(
-            F.broadcast(
-                sizes.select(
-                    F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j")
-                )
+            sizes.select(
+                F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j")
             ),
             "doc_j",
         )
