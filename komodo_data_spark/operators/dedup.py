@@ -183,8 +183,9 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs with 3-token-shingle Jaccard ≥ 0.7.
 
     Plan: explode shingles → self-equi-join on the shingle → count common →
-    Jaccard from |A|+|B|-common. The shingle-set sizes are a tiny per-doc
-    frame (one row per doc), broadcast to both sides of the pair join.
+    Jaccard from |A|+|B|-common. The shingle-set sizes ride the exploded
+    rows (constant within a pair group, read back with first()), so no
+    separate sizes join exists at all.
     Quadratic in shingle-bucket occupancy — see module docstring; the LSH
     variant below is the scale path.
 
