@@ -632,6 +632,10 @@ def registry():
             text_quality_rule_flags,
             text_quality_rule_flags_oracle(),
         ),
+        "text_nb_quality_classifier": (
+            text_nb_quality_classifier,
+            text_nb_quality_classifier_oracle(),
+        ),
         "text_quality_classifier": (
             text_quality_classifier,
             text_quality_classifier_oracle(),
@@ -1363,4 +1367,198 @@ def text_quality_rule_flags_oracle() -> str:
            ({keep}) AS keep,
            {reason} AS drop_reason
     FROM flags ORDER BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# trained quality classifier: multinomial Naive Bayes on weak rule labels
+# --------------------------------------------------------------------------
+#
+# The modern pipeline shape (cf. the public fastText-filter recipes):
+# hand-written rules produce WEAK labels, a simple lexical model is trained
+# on them, and the model — not the rules — filters the corpus, because it
+# generalizes to documents the rules score ambiguously. Multinomial NB is
+# the closed-form member of that family: training is exact counting, so
+# both training and inference are expressible as aggregates and the DuckDB
+# oracle can verify the whole train-then-apply round trip (a gradient
+# model couldn't be).
+
+NB_VOCAB_SIZE = 2000  # top-df terms kept in the model
+
+
+def text_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-apply in one plan: weak labels from the Gopher rule bank
+    (``text_quality_rule_flags``' keep — the SAME function, so labels
+    cannot drift), a ``NB_VOCAB_SIZE``-term multinomial NB fit by exact
+    counting, then per-source application stats (predicted-keep counts and
+    agreement with the weak labels).
+
+    Scale design: training is two vocab-bounded aggregates (df ranking +
+    per-(term, label) counts) whose outputs are model-sized, never
+    corpus-sized; the fitted log-likelihood-ratio table (<= ``NB_VOCAB_SIZE``
+    rows) broadcasts to the scoring join, so inference is one pass over the
+    per-(doc, term) counts frame with a broadcast hash join — no hot-term
+    shuffle (stopwords are exactly the terms a per-term shuffle would skew
+    on). The final rollup is |sources| rows.
+    """
+    from komodo_data_spark.sources.tables import load_spread
+
+    labels = text_quality_rule_flags(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("label")
+    )
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("toks")
+    )
+    tf = (
+        exploded(d, F.col("toks"), "term", "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    ).cache()
+    # vocabulary: top terms by document frequency, deterministic tie-break
+    from pyspark.sql import Window
+
+    df_rank = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.desc("df"), F.asc("term"))
+            ),
+        )
+        .filter(F.col("rk") <= NB_VOCAB_SIZE)
+        .select("term")
+    )
+    ltf = tf.join(F.broadcast(df_rank), "term").join(labels, "doc_id")
+    class_tok = ltf.groupBy("label").agg(F.sum("tf").alias("class_tokens"))
+    class_doc = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("class_docs")
+    )
+    term_counts = (
+        ltf.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("label") == 1, F.col("tf")).otherwise(0)).alias(
+                "c_keep"
+            ),
+            F.sum(F.when(F.col("label") == 0, F.col("tf")).otherwise(0)).alias(
+                "c_drop"
+            ),
+        )
+    )
+    # scalar training constants (4 numbers) via broadcast cross join
+    consts = (
+        class_tok.groupBy()
+        .pivot("label", [0, 1])
+        .agg(F.first("class_tokens"))
+        .select(
+            F.coalesce(F.col("`0`"), F.lit(0)).alias("t_drop"),
+            F.coalesce(F.col("`1`"), F.lit(0)).alias("t_keep"),
+        )
+        .crossJoin(
+            class_doc.groupBy()
+            .pivot("label", [0, 1])
+            .agg(F.first("class_docs"))
+            .select(
+                F.coalesce(F.col("`0`"), F.lit(0)).alias("n_drop"),
+                F.coalesce(F.col("`1`"), F.lit(0)).alias("n_keep"),
+            )
+        )
+    )
+    v = float(NB_VOCAB_SIZE)
+    llr_tbl = term_counts.crossJoin(F.broadcast(consts)).select(
+        "term",
+        (
+            F.log((F.col("c_keep") + 1.0) / (F.col("t_keep") + v))
+            - F.log((F.col("c_drop") + 1.0) / (F.col("t_drop") + v))
+        ).alias("llr"),
+    )
+    prior = F.log((F.col("n_keep") + 1.0) / (F.col("n_drop") + 1.0))
+    scored = (
+        tf.join(F.broadcast(llr_tbl), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("llr")).alias("ll_sum"))
+        .join(labels, "doc_id", "right")  # docs with zero vocab terms score prior-only
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "label",
+            (F.coalesce(F.col("ll_sum"), F.lit(0.0)) + prior > 0).cast(
+                "int"
+            ).alias("pred"),
+        )
+    )
+    src = load_spread(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        scored.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pred").alias("n_pred_keep"),
+            F.sum("label").alias("n_label_keep"),
+            F.sum(
+                (F.col("pred") == F.col("label")).cast("int")
+            ).alias("n_agree"),
+        )
+        .orderBy("source")
+    )
+
+
+def text_nb_quality_classifier_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH flags AS ({text_quality_rule_flags_oracle()}),
+    labels AS (
+      SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS label FROM flags
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest({t}) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term,
+               row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+        FROM tf GROUP BY term
+      ) WHERE rk <= {NB_VOCAB_SIZE}
+    ),
+    ltf AS (
+      SELECT tf.*, l.label FROM tf
+      JOIN vocab USING (term) JOIN labels l USING (doc_id)
+    ),
+    consts AS (
+      SELECT
+        (SELECT coalesce(sum(tf), 0) FROM ltf WHERE label = 1) AS t_keep,
+        (SELECT coalesce(sum(tf), 0) FROM ltf WHERE label = 0) AS t_drop,
+        (SELECT count(*) FROM labels WHERE label = 1) AS n_keep,
+        (SELECT count(*) FROM labels WHERE label = 0) AS n_drop
+    ),
+    llr AS (
+      SELECT term,
+        ln((coalesce(sum(CASE WHEN label = 1 THEN tf END), 0) + 1.0)
+           / ((SELECT t_keep FROM consts) + {NB_VOCAB_SIZE}.0))
+        - ln((coalesce(sum(CASE WHEN label = 0 THEN tf END), 0) + 1.0)
+           / ((SELECT t_drop FROM consts) + {NB_VOCAB_SIZE}.0)) AS llr
+      FROM ltf GROUP BY term
+    ),
+    scored AS (
+      SELECT l.doc_id, l.label,
+        CASE WHEN coalesce(s.ll_sum, 0.0)
+              + ln(((SELECT n_keep FROM consts) + 1.0)
+                 / ((SELECT n_drop FROM consts) + 1.0)) > 0
+             THEN 1 ELSE 0 END AS pred
+      FROM labels l
+      LEFT JOIN (
+        SELECT doc_id, sum(tf * llr) AS ll_sum
+        FROM tf JOIN llr USING (term) GROUP BY doc_id
+      ) s USING (doc_id)
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           sum(sc.pred)::BIGINT AS n_pred_keep,
+           sum(sc.label)::BIGINT AS n_label_keep,
+           sum(CASE WHEN sc.pred = sc.label THEN 1 ELSE 0 END)::BIGINT
+             AS n_agree
+    FROM scored sc JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
     """

@@ -190,3 +190,28 @@ def test_quality_rule_flags_verdicts_and_first_fail_reason(spark, tmp_path):
             r["alpha_ok"], r["repetition_ok"],
         ]
         assert r["keep"] == all(flags)
+
+
+def test_nb_classifier_learns_the_weak_labels(spark, tmp_path):
+    """On a corpus whose weak labels ARE lexically separable (dropped docs
+    speak a distinct spam vocabulary), the trained NB must reproduce the
+    labels better than always answering the majority class. (On the
+    uniform word-soup fixture the labels depend only on length, which a
+    token-multinomial cannot express — agreement == base rate there is
+    the honest outcome, so that is deliberately NOT asserted.)"""
+    stop_pad = "the a and of to in is on for with"
+    good = [
+        stop_pad + " " + " ".join(f"topic{i}w{j}" for j in range(15))
+        for i in range(12)
+    ]
+    bad = ["buy spam click now win prize money fast"] * 8  # short -> drop label
+    sf = _write_docs(tmp_path, good + bad)
+    rows = T.text_nb_quality_classifier(spark, sf).collect()
+    n = sum(r["n_docs"] for r in rows)
+    keep = sum(r["n_label_keep"] for r in rows)
+    agree = sum(r["n_agree"] for r in rows)
+    assert n == 20 and keep == 12  # both classes present as designed
+    base = max(keep, n - keep) / n
+    assert agree / n > base, (agree / n, base)
+    for r in rows:
+        assert 0 <= r["n_pred_keep"] <= r["n_docs"]
