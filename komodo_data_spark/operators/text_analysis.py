@@ -1274,17 +1274,30 @@ def text_quality_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to catch. Both shuffles key on high-cardinality doc_id: no
     skew, full map-side combine.
     """
+    return _rule_flags_from_counts(_doc_term_counts(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+def _doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc_id, term) occurrence counts — the shared base frame of the
+    rule-flag audit AND the trained NB classifier (which caches it so the
+    corpus is tokenized once for labels, vocabulary, and scoring)."""
     from komodo_data_spark.sources.tables import load_spread
 
-    stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
     d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", tokens().alias("toks")
     )
-    counts = (
+    return (
         exploded(d, F.col("toks"), "term", "doc_id")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def _rule_flags_from_counts(counts: DataFrame) -> DataFrame:
+    """Rule verdicts from the per-term count frame (unordered)."""
+    stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
     is_stop = F.expr(f"term IN ({stop})")
     is_alpha = F.col("term").rlike("[a-zA-Z]")
     stats = counts.groupBy("doc_id").agg(
@@ -1323,9 +1336,7 @@ def text_quality_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason = F.lit(None).cast("string")
     for flag, name in reversed(_RULE_ORDER):
         reason = F.when(~F.col(flag), F.lit(name)).otherwise(reason)
-    return flags.select(
-        "*", keep.alias("keep"), reason.alias("drop_reason")
-    ).orderBy("doc_id")
+    return flags.select("*", keep.alias("keep"), reason.alias("drop_reason"))
 
 
 def text_quality_rule_flags_oracle() -> str:
@@ -1403,30 +1414,24 @@ def text_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from komodo_data_spark.sources.tables import load_spread
 
-    labels = text_quality_rule_flags(spark, sf_dir).select(
-        "doc_id", F.col("keep").cast("int").alias("label")
+    # ONE tokenize+explode+shuffle pass feeds labels, vocabulary, training
+    # counts, and scoring alike
+    counts = _doc_term_counts(spark, sf_dir).cache()
+    labels = (
+        _rule_flags_from_counts(counts)
+        .select("doc_id", F.col("keep").cast("int").alias("label"))
+        .cache()  # tiny per-doc frame, consumed by three branches
     )
-    d = load_spread(spark, sf_dir, "documents").select(
-        "doc_id", tokens().alias("toks")
-    )
-    tf = (
-        exploded(d, F.col("toks"), "term", "doc_id")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    ).cache()
-    # vocabulary: top terms by document frequency, deterministic tie-break
-    from pyspark.sql import Window
-
+    tf = counts.withColumnRenamed("c", "tf")
+    # vocabulary: top terms by document frequency, deterministic tie-break.
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition heaps)
+    # — a row_number over an unpartitioned window would sort the whole
+    # corpus vocabulary in one task.
     df_rank = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy().orderBy(F.desc("df"), F.asc("term"))
-            ),
-        )
-        .filter(F.col("rk") <= NB_VOCAB_SIZE)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(NB_VOCAB_SIZE)
         .select("term")
     )
     ltf = tf.join(F.broadcast(df_rank), "term").join(labels, "doc_id")

@@ -32,10 +32,15 @@ def main() -> int:
     witnessed: set[str] = set()
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rows = json.load(open(path))
+        # a green oracle row has rows_match=True/err=None; the 3 rows-only
+        # sketch queries are recorded as rows_match=None/err='no_oracle' —
+        # that IS their strongest possible driver witness, so count it
+        # (matching gen_registry_block.py) or they'd pin window slots forever
         witnessed |= {
             q
             for q, r in rows.items()
-            if r.get("rows_match") and not r.get("err")
+            if r.get("rows_match") is not False
+            and r.get("err") in (None, "no_oracle")
         }
     projected = witnessed | set(window)
     waiting = [n for n in names if n not in projected]
