@@ -64,6 +64,7 @@ SKEW_QUERIES = (
     "text_tfidf_cosine_pairs",
     "text_bm25_rank",
     "text_quality_rule_flags",
+    "text_nb_quality_classifier",
     "orders_customer_join_salted",
     "events_heavy_hitters",
     "event_sessions",
