@@ -193,16 +193,14 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 # The driver records correctness rows for the FIRST 50 registry entries in
 # registration order. The window ROTATES per round so every registry query
 # accumulates a driver-green CORRECTNESS row over time (round-3 verdict
-# ask): each family keeps ONE stable known-green anchor, and the remaining
-# 41 slots hold queries the round-3 window never witnessed — including the
-# surfaces added this round (BM25 rank, TF-IDF cosine pairs, repeated-block
-# dedup, PII scan, PSI drift, split-leakage audit, fuzzy-name join,
-# contracted components, cross-media frame dedup). Union of r3+r4
-# driver-green names: 91 distinct. Queries outside the window keep their
-# oracle pairing and are verified by the judge's full scripts/check.py
-# re-run.
+# ask). Round-5 window (round-4 verdict ask #1): 8 family anchors (each
+# driver-green in r3/r4) + the 42 queries `scripts/rotation_status.py`
+# listed as never driver-witnessed after r4. With this window green,
+# cumulative driver-witnessed coverage reaches 162/162. Queries outside
+# the window keep their oracle pairing and are verified by the judge's
+# full scripts/check.py re-run.
 _PRIORITY: tuple[str, ...] = (
-    # --- family anchors (driver-green in round 3, kept in-window) ---
+    # --- family anchors (driver-green in r3/r4, kept in-window) ---
     "user_energy_events",   # reference analytics (epoch math + JSON traps)
     "dedup_minhash_lsh",    # dedup
     "knn_brute_force",      # similarity
@@ -211,56 +209,49 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_clean",         # corpus composition
     "cdc_apply_changes",    # pipeline ops
     "q1_pricing_summary",   # relational core
-    "udtf_sentences",       # UDF/UDTF surface (§2.11)
-    # --- rotated in: dedup family ---
-    "dedup_embedding_lsh",
-    "dedup_substring_scrub",
-    "dedup_source_overlap",
-    "dedup_clusters_star",
-    "dedup_clusters_best_keeper",
-    "dedup_repeated_blocks",
-    "benchmark_contamination",
-    # --- rotated in: pipeline ops ---
-    "docs_token_budget_mix_twostage",
-    "split_leakage_pairs",
-    "text_pii_scan",
-    "term_redaction",
-    "docs_temperature_mix",
-    "text_quality_rule_flags",
-    # --- rotated in: text analysis / retrieval ---
-    "text_quality_classifier",
-    "text_bigram_logprob",
-    "source_unigram_divergence",
-    "text_bm25_rank",
-    "text_tfidf_cosine_pairs",
-    # --- rotated in: similarity search ---
-    "knn_quantized_recall",
-    "knn_lsh_recall",
-    "kmeans_clusters",
-    "embeddings_vector_stats",
-    # --- rotated in: multimodal ---
-    "media_metadata_arrow",
-    "media_frame_dedup",
-    "media_decoded_features",
-    # --- rotated in: events analytics ---
-    "copresence_pairs",
-    "events_transition_matrix",
-    "funnel_conversion",
-    "retention_cohorts",
-    # --- rotated in: TPC-H pack ---
-    "q8_market_share",
-    "q13_customer_order_histogram",
-    "q15_top_supplier",
-    "dedup_minhash_recall",
-    "q21_sole_late_supplier",
-    # --- rotated in: relational / window / graph / join strategies ---
-    "customers_fuzzy_name_pairs",
-    "asof_nearest_click",
-    "orders_status_cube",
-    "events_pivot_daily",
-    "events_value_psi_drift",
-    "graph_components",
-    "orders_customer_join_salted",
+    # --- rotated in: the 42 never-driver-witnessed (rotation_status r4) ---
+    "events_interarrival_stats",
+    "events_type_correlations",
+    "q18_large_volume_customers",
+    "q19_banded_revenue",
+    "q20_dominant_suppliers",
+    "q22_dormant_customers",
+    "events_moving_agg",
+    "events_range_sum",
+    "events_unpivot_counts",
+    "docs_per_source_sample_k",
+    "stratified_sample",
+    "docs_weighted_sample",
+    "docs_token_budget_mix",
+    "dedup_keep_latest",
+    "dedup_keep_latest_maxby",
+    "incremental_new_docs",
+    "text_pii_redact",
+    "docs_domain_stats",
+    "docs_surrogate_keys",
+    "customers_pseudonymized",
+    "events_key_skew_profile",
+    "event_value_percentiles",
+    "event_value_percentiles_approx",
+    "session_overlap_pairs",
+    "dedup_ngram_pairs",
+    "text_nb_quality_classifier",
+    "boilerplate_ngrams",
+    "text_rolling_fingerprints",
+    "boilerplate_ngrams_cm",
+    "knn_ivf",
+    "knn_lsh_multiprobe",
+    "media_resize",
+    "orders_expectations",
+    "orders_group_fingerprint",
+    "graph_triangles",
+    "graph_reachability",
+    "nation_top2_customers_lateral",
+    "customers_no_f_orders_notin",
+    "events_heavy_hitters_merged",
+    "orders_stats_pack",
+    "events_sliding_rollup",
+    "events_local_daily_rollup",
 )
 
 
