@@ -639,21 +639,32 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the bucket. This is the 100 TB default path: bucketing is a
     map-side Catalyst expression and candidate volume drops 2^bits-fold vs
     all-pairs. Hot buckets (duplicate-heavy embeddings) do NOT become one
-    giant task: each bucket splits into ceil(occupancy / cap) hash blocks
-    and every unordered block pair meets in its own cogroup task — the
-    exact operator's triangle scheme, keyed by (bkt, bi, bj). Recall is
-    tunable via bits/multiprobe (see knn_lsh_multiprobe); the oracle
-    mirrors the bucket restriction exactly (blocking never changes the
-    result set), so correctness is deterministic.
+    giant task, and cold buckets do NOT pay for the hot-bucket machinery:
+    the plan routes on per-bucket occupancy (a 2^bits-row broadcast).
+    Buckets at or under the cap take the single-shuffle
+    ``groupBy(bkt).applyInPandas`` matmul (one exchange of the vectors,
+    per-task rows ≤ cap by construction); buckets over the cap split into
+    ceil(occupancy / cap) hash blocks where every unordered block pair
+    meets in its own cogroup task — the exact operator's triangle scheme,
+    keyed by (bkt, bi, bj). The round-4 shape ran EVERY bucket through the
+    two-sided cogroup, shuffling the vectors twice and costing ~1.8× wall
+    on cap-respecting data (the common case); the hybrid restores the
+    round-3 single-exchange plan there while keeping the memory bound.
+    Recall is tunable via bits/multiprobe (see knn_lsh_multiprobe); the
+    oracle mirrors the bucket restriction exactly (routing never changes
+    the result set), so correctness is deterministic.
     """
     import numpy as np
     import pandas as pd
 
     # NULL vectors cannot be near anything (their cosine is NULL, which
     # never clears the threshold — same in the oracle); drop them BEFORE
-    # the pandas stage, where np.stack over a None would kill the task
+    # the pandas stage, where np.stack over a None would kill the task.
+    # Plain load_table, not load_spread: the per-row work all happens
+    # AFTER the bkt exchange (which already distributes the vectors), so
+    # a round-robin pre-spread is a pure extra materialization here.
     v = (
-        load_spread(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
     )
@@ -663,25 +674,54 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("embedding"), i + 1) > 0, F.lit(2**i)
         ).otherwise(F.lit(0))
     v = v.withColumn("bkt", bkt)
-    # per-bucket block count from the (≤ 2^bits)-row occupancy frame
-    nblk = (
-        v.groupBy("bkt")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "bkt",
-            F.ceil(F.col("n") / F.lit(EMB_LSH_TASK_ROWS))
-            .cast("int")
-            .alias("nblk"),
-        )
+    # Per-bucket block count via a window count over bkt: the window's
+    # hash-partition exchange on bkt is EXACTLY the distribution the cold
+    # path's groupBy(bkt).applyInPandas requires, so Catalyst satisfies
+    # the grouping from the same exchange and the occupancy check rides
+    # the shuffle the matmul already pays (vs. a separate aggregate +
+    # broadcast join, which cost a second scan and an extra exchange).
+    from pyspark.sql import Window
+
+    vb = v.withColumn(
+        "nblk",
+        F.ceil(
+            F.count(F.lit(1)).over(Window.partitionBy("bkt"))
+            / F.lit(EMB_LSH_TASK_ROWS)
+        ).cast("int"),
     )
-    vb = v.join(F.broadcast(nblk), "bkt")
-    left = vb.withColumn(
+
+    empty = pd.DataFrame(
+        {
+            "vec_i": np.array([], dtype=np.int64),
+            "vec_j": np.array([], dtype=np.int64),
+            "cosine": np.array([], dtype=np.float64),
+        }
+    )
+
+    # cold path: occupancy ≤ cap ⇒ the whole bucket fits one task; the
+    # round-3 single-exchange plan (one shuffle of the cold vectors)
+    cold = vb.filter(F.col("nblk") <= 1).drop("nblk")
+
+    def bucket_pairs(pdf):
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        return _matmul_hits(ids, mat, ids, mat, diagonal=True)
+
+    cold_pairs = cold.groupBy("bkt").applyInPandas(
+        bucket_pairs, schema="vec_i long, vec_j long, cosine double"
+    )
+
+    # hot path: over-cap buckets only — the triangle block-pair cogroup
+    hot = vb.filter(F.col("nblk") > 1)
+    left = hot.withColumn(
         "bi", F.pmod(F.hash("vec_id"), F.col("nblk"))
     ).withColumn("bj", F.explode(F.sequence(F.col("bi"), F.col("nblk") - 1)))
     # fresh exprIds on the right side — same Catalyst self-cogroup pruning
     # trap as dedup_embedding_pairs (see note there)
     right = (
-        vb.select(
+        hot.select(
             F.col("bkt").alias("r_bkt"),
             F.col("vec_id").alias("r_vec_id"),
             F.col("embedding").alias("r_embedding"),
@@ -693,13 +733,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def bucket_block_pairs(key, l_pdf, r_pdf):
         if l_pdf.empty or r_pdf.empty:
-            return pd.DataFrame(
-                {
-                    "vec_i": np.array([], dtype=np.int64),
-                    "vec_j": np.array([], dtype=np.int64),
-                    "cosine": np.array([], dtype=np.float64),
-                }
-            )
+            return empty
         return _matmul_hits(
             l_pdf["vec_id"].to_numpy(),
             np.stack(l_pdf["embedding"].to_numpy()).astype(np.float64),
@@ -708,13 +742,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             diagonal=key[1] == key[2],
         )
 
-    return (
+    hot_pairs = (
         left.groupBy("bkt", "bi", "bj")
         .cogroup(right.groupBy("r_bkt", "bi", "bj"))
         .applyInPandas(
             bucket_block_pairs, schema="vec_i long, vec_j long, cosine double"
         )
     )
+    return cold_pairs.unionByName(hot_pairs)
 
 
 def dedup_embedding_lsh_oracle() -> str:
