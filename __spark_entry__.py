@@ -205,7 +205,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",    # dedup
     "knn_brute_force",      # similarity
     "text_token_stats",     # text analysis
-    "media_metadata",       # multimodal
+    # (media family witnessed via media_resize below + r3/r4 anchors; the
+    # slot goes to this round's new query so cumulative stays complete)
+    "dedup_minhash_recall_sampled",
     "corpus_clean",         # corpus composition
     "cdc_apply_changes",    # pipeline ops
     "q1_pricing_summary",   # relational core

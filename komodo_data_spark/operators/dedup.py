@@ -999,6 +999,10 @@ def registry():
             dedup_minhash_recall,
             dedup_minhash_recall_oracle(),
         ),
+        "dedup_minhash_recall_sampled": (
+            dedup_minhash_recall_sampled,
+            dedup_minhash_recall_sampled_oracle(),
+        ),
         "dedup_simhash": (dedup_simhash, dedup_simhash_oracle()),
         "dedup_embedding_pairs": (
             dedup_embedding_pairs,
@@ -1383,11 +1387,44 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     collided in any band).
 
     Scale: ground truth is inherently quadratic — production runs this
-    eval on a sampled slice (plug ``sample_hash_split``'s bucket predicate
-    into the loader), never the full corpus; the LSH side is the linear
-    production path. The three counts are scalar aggregates combined by
-    broadcast cross join (1×1 frames).
+    eval on a sampled slice (``dedup_minhash_recall_sampled``, the
+    executable form of that mode), never the full corpus; the LSH side is
+    the linear production path. The three counts are scalar aggregates
+    combined by broadcast cross join (1×1 frames).
     """
+    return _minhash_recall_from(_doc_postings(spark, sf_dir))
+
+
+#: Hash-bucket slice for the sampled recall eval: buckets 0..49 of the
+#: 100-bucket doc_id hash shared with sample_hash_split (~50% of docs,
+#: ~25% of pairs — both endpoints must survive the gate). A production
+#: run at 100 TB would use a smaller slice (the truth self-join costs
+#: O((slice·n)²/shingle-buckets)); 50 keeps enough planted near-dup pairs
+#: at the sf0.01 correctness scale to measure a meaningful recall.
+RECALL_SAMPLE_BUCKETS = 50
+
+
+def dedup_minhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_minhash_recall`` restricted to a deterministic hash-bucket
+    slice of the corpus — the PRODUCTION mode of the recall eval. The
+    quadratic exact-Jaccard ground truth runs only on the slice, so eval
+    cost is bounded by the slice size while the measured banding loss
+    tracks the full-corpus figure (pinned within tolerance by
+    ``tests/test_extensions.py``); the gate is ``sample_hash_split``'s
+    bucket predicate (md5(doc_id) % 100), so the slice is stable across
+    engines, retries, and data growth, and the oracle applies the
+    IDENTICAL restriction via the shared SQL twin of the bucket."""
+    from komodo_data_spark.operators.pipeline_ops import _bucket_col
+
+    # The gate is on doc_id only, so it commutes with shingling: Catalyst
+    # pushes it below the explode to the scan side of the postings frame.
+    posts = _doc_postings(spark, sf_dir).filter(
+        _bucket_col() < RECALL_SAMPLE_BUCKETS
+    )
+    return _minhash_recall_from(posts)
+
+
+def _minhash_recall_from(posts: DataFrame) -> DataFrame:
     # Fused form of the two detectors: both consume the SAME cached
     # postings frame (one tokenize+shingle pass instead of two), and both
     # verify with _verify_jaccard at the same threshold, so the outputs
@@ -1395,7 +1432,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separately (which is exactly what the composed oracle does).
     # Each pair frame is then consumed twice (scalar count + semi-join),
     # so both are cached too.
-    posts = _doc_postings(spark, sf_dir).cache()
+    posts = posts.cache()
     sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # ground truth in the dedup_ngram_pairs shape: ONE postings self-join
     # whose pair-aggregate yields the common counts directly (never a
@@ -1462,9 +1499,10 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_recall_oracle() -> str:
-    return f"""
-    WITH truth AS ({dedup_ngram_pairs_oracle()}),
+def _recall_oracle_ctes() -> str:
+    """Shared CTE chain + projection of the two recall oracles (full and
+    sampled); callers prepend ``WITH `` or ``WITH documents AS (...), ``."""
+    return f"""truth AS ({dedup_ngram_pairs_oracle()}),
     lsh AS ({dedup_minhash_lsh_oracle()}),
     hit AS (
       SELECT t.doc_i, t.doc_j FROM truth t
@@ -1480,3 +1518,21 @@ def dedup_minhash_recall_oracle() -> str:
                      / (SELECT count(*) FROM truth)
                 ELSE NULL END AS recall
     """
+
+
+def dedup_minhash_recall_oracle() -> str:
+    return "\n    WITH " + _recall_oracle_ctes()
+
+
+def dedup_minhash_recall_sampled_oracle() -> str:
+    from komodo_data_spark.operators.pipeline_ops import _sql_bucket
+
+    # A CTE named `documents` shadows the driver-registered view for every
+    # downstream CTE, applying the identical hash-bucket gate the Spark
+    # side uses; the inner reference is schema-qualified (main.documents)
+    # because an unqualified self-name would read as a circular CTE.
+    return (
+        "\n    WITH documents AS (SELECT * FROM main.documents WHERE "
+        f"{_sql_bucket()} < {RECALL_SAMPLE_BUCKETS}),\n    "
+        + _recall_oracle_ctes()
+    )

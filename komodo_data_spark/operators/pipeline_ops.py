@@ -63,12 +63,19 @@ def _split_col() -> F.Column:
     )
 
 
-def _sql_split_case() -> str:
-    """DuckDB twin of _split_col, shared by both oracles."""
-    bucket = (
+def _sql_bucket() -> str:
+    """DuckDB twin of _bucket_col — THE hash-bucket definition in SQL.
+    Shared by the split oracles here and by the sampled-eval oracle in
+    ``dedup`` so a Spark-side gate and its oracle can never disagree."""
+    return (
         "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)"
         " % 100"
     )
+
+
+def _sql_split_case() -> str:
+    """DuckDB twin of _split_col, shared by both oracles."""
+    bucket = _sql_bucket()
     return f"""CASE
              WHEN {bucket} < {_TRAIN_END} THEN 'train'
              WHEN {bucket} < {_VAL_END} THEN 'val'

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
-EXPECTED_REGISTRY_COUNT = 162
+EXPECTED_REGISTRY_COUNT = 163
 
 
 def canon(df: pd.DataFrame) -> list[tuple]:
@@ -49,6 +49,16 @@ def main() -> int:
     # must fail loudly if the query count ever shrinks.
     assert len(qs) >= EXPECTED_REGISTRY_COUNT, (
         f"registry shrank: {len(qs)} < {EXPECTED_REGISTRY_COUNT}"
+    )
+    # SURVEY §8.3 is generated from this registry; fail if it drifted so a
+    # registry edit can never ship without the regenerated index.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import gen_registry_block as grb
+
+    survey = open(os.path.join(os.getcwd(), "SURVEY.md")).read()
+    assert grb.registry_table() in survey, (
+        "SURVEY.md §8.3 registry table is stale — "
+        "run scripts/gen_registry_block.py in the same commit"
     )
 
     con = duckdb.connect()

@@ -38,6 +38,21 @@ def test_shingles_short_doc_empty_not_descending(spark):
     assert out[1]["sh"] == ["a b c", "b c d"]
 
 
+def test_sampled_recall_tracks_full_recall(spark):
+    """The executable sampled-eval mode (hash-bucket slice) must measure a
+    recall that tracks the full-corpus figure within tolerance at sf0.01 —
+    the slice bounds the quadratic ground-truth cost without changing the
+    banding-loss conclusion."""
+    sf = "/root/testdata/sf0.01"
+    full = dedup.dedup_minhash_recall(spark, sf).collect()[0]
+    samp = dedup.dedup_minhash_recall_sampled(spark, sf).collect()[0]
+    # the gate genuinely restricts: fewer pairs, but enough to measure
+    assert 0 < samp["n_true_pairs"] < full["n_true_pairs"]
+    assert samp["n_lsh_pairs"] <= samp["n_true_pairs"]  # LSH ⊆ truth
+    assert full["recall"] is not None and samp["recall"] is not None
+    assert abs(samp["recall"] - full["recall"]) <= 0.15
+
+
 def test_minhash_matches_python(spark):
     df = spark.createDataFrame([("x y z w",)], "text string")
     got = df.select(
