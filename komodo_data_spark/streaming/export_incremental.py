@@ -140,14 +140,29 @@ def compact_export(
             return None
         raise
     if "epoch_id" in raw.columns:
+        # count(key_col) skips NULLs, so the duplicate test compares
+        # non-null rows to distinct non-null keys — a NULL-keyed row must
+        # not read as "duplicate" (review finding: it tripped the error on
+        # a clean store, and keep_latest_epoch would then collapse ALL
+        # NULL-keyed rows into one). NULL keys themselves are refused
+        # outright: the export is keyed, and neither keeper policy has a
+        # defensible meaning for an unkeyed row.
         counts = raw.agg(
             F.count(F.lit(1)).alias("n"),
+            F.count(key_col).alias("n_keyed"),
             F.countDistinct(key_col).alias("nk"),
         ).collect()[0]
-        if counts["n"] != counts["nk"]:
+        if counts["n"] != counts["n_keyed"]:
+            raise ValueError(
+                f"{counts['n'] - counts['n_keyed']} rows with NULL "
+                f"{key_col} in the incremental export; a keyed export "
+                "cannot dedup or shard them — clean the source (they were "
+                "written by an upstream bug)"
+            )
+        if counts["n_keyed"] != counts["nk"]:
             if on_duplicate_keys == "error":
                 raise ValueError(
-                    f"{counts['n'] - counts['nk']} duplicate {key_col} rows "
+                    f"{counts['n_keyed'] - counts['nk']} duplicate {key_col} rows "
                     "across epochs (stale partitions from a fresh-checkpoint "
                     "restart?); pass on_duplicate_keys='keep_latest_epoch' "
                     "to resolve each key to its newest row"

@@ -1477,6 +1477,39 @@ def test_incremental_export_guards(spark, tmp_path):
     }
     assert rows == {1: "new1", 2: "old2"}  # newest epoch wins for doc 1
 
+    # NULL keys: must be refused with their own error, never read as
+    # "duplicates" (countDistinct skips NULLs) and never collapsed to one
+    # row by keep_latest_epoch (review finding)
+    exp2 = str(tmp_path / "null_key_store")
+    export_batch(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": pd.array([1, None], dtype="Int64"),
+                          "text": ["a", "orphan"]})
+        ),
+        0,
+        exp2,
+        n_shards=2,
+    )
+    for mode in ("error", "keep_latest_epoch"):
+        try:
+            compact_export(spark, exp2, n_shards=2, on_duplicate_keys=mode)
+            raise AssertionError("expected ValueError for NULL keys")
+        except ValueError as exc:
+            assert "NULL" in str(exc) and "duplicate" not in str(exc)
+
+    # ...and a clean store containing NO NULLs and NO duplicates must not
+    # trip either guard (the old countDistinct comparison flagged it)
+    exp3 = str(tmp_path / "clean_store")
+    export_batch(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]})
+        ),
+        0,
+        exp3,
+        n_shards=2,
+    )
+    assert compact_export(spark, exp3, n_shards=2)["total_rows"] == 2
+
 
 def test_incremental_mix_weights_match_batch(spark, sf_dir, tmp_path):
     """Stream the documents table through the counter store: the weights
