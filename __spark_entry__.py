@@ -204,11 +204,11 @@ _PRIORITY: tuple[str, ...] = (
     "user_energy_events",   # reference analytics (epoch math + JSON traps)
     "dedup_minhash_lsh",    # dedup
     "knn_brute_force",      # similarity
-    "text_token_stats",     # text analysis
+    "source_ngram_diversity",  # text analysis (new this round)
     # (media family witnessed via media_resize below + r3/r4 anchors; the
     # slot goes to this round's new query so cumulative stays complete)
     "dedup_minhash_recall_sampled",
-    "corpus_clean",         # corpus composition
+    "benchmark_contamination_semantic",  # pipeline ops (new this round)
     "cdc_apply_changes",    # pipeline ops
     "q1_pricing_summary",   # relational core
     # --- rotated in: the 42 never-driver-witnessed (rotation_status r4) ---

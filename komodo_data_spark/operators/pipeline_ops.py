@@ -850,6 +850,10 @@ def registry():
             docs_token_budget_mix_twostage,
             docs_token_budget_mix_oracle(),  # admitted-set exact scale path
         ),
+        "benchmark_contamination_semantic": (
+            benchmark_contamination_semantic,
+            benchmark_contamination_semantic_oracle(),
+        ),
         "doc_chunks": (doc_chunks, doc_chunks_oracle()),
         "term_redaction": (term_redaction, term_redaction_oracle()),
         "dedup_clusters": (dedup_clusters, dedup_clusters_oracle()),
@@ -1067,6 +1071,112 @@ def benchmark_contamination_oracle() -> str:
         THEN coalesce(h.n_contaminated, 0)::DOUBLE / c.n_shingles
         ELSE 0.0::DOUBLE END AS contamination_frac
     FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+    """
+
+
+def benchmark_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: a training vector is
+    contaminated when its max cosine against ANY benchmark vector clears
+    the near-dup threshold — the semantic complement of the 4-gram
+    ``benchmark_contamination`` above, catching the paraphrased /
+    re-worded eval leakage that n-gram overlap misses (cf. the public
+    discussion of paraphrase contamination around open eval suites).
+    Benchmark membership reuses the same deterministic stand-in
+    (``vec_id % 47 == 0``); production swaps in the real eval-set
+    embedding table.
+
+    Scale design: the benchmark set is tiny vs the corpus (thousands of
+    eval items vs billions of training vectors), so it collapses to ONE
+    row of (vector, norm) structs that is crossJoin-broadcast to every
+    corpus row; the similarity loop runs as JVM higher-order lambdas
+    inside whole-stage codegen — zero Python, zero corpus shuffle, the
+    map-only shape every 100 TB cleaning pass wants. If the benchmark
+    ever outgrows per-row lambdas, the swap is the shared BLAS
+    mapInPandas kernel (``dedup._matmul_hits``) over the same broadcast.
+    """
+    from komodo_data_spark.operators.dedup import COSINE_THRESHOLD
+
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("e", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    bench = v.filter(F.col("vec_id") % _BENCH_MOD == 0).agg(
+        F.collect_list(
+            F.struct(F.col("e").alias("be"), F.col("nrm").alias("bn"))
+        ).alias("bs")
+    )
+    corpus = v.filter(F.col("vec_id") % _BENCH_MOD != 0)
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _sim(s):
+        # zero-norm vectors cannot be "near" anything: NULL via nullif,
+        # skipped by array_max (mirrors the oracle's NULLIF)
+        return _dot(F.col("e"), s["be"]) / F.nullif(
+            F.col("nrm") * s["bn"], F.lit(0.0)
+        )
+
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id",
+            F.array_max(F.transform("bs", _sim)).alias("max_benchmark_cosine"),
+        )
+        .withColumn(
+            "contaminated",
+            F.coalesce(
+                F.col("max_benchmark_cosine") >= F.lit(COSINE_THRESHOLD),
+                F.lit(False),
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def benchmark_contamination_semantic_oracle() -> str:
+    from komodo_data_spark.operators.dedup import COSINE_THRESHOLD
+
+    dot = (
+        "list_sum(list_transform(range(1, len(c.e)+1), i -> c.e[i] * b.e[i]))"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+               AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    bench AS (SELECT * FROM v WHERE vec_id % {_BENCH_MOD} = 0),
+    corpus AS (SELECT * FROM v WHERE vec_id % {_BENCH_MOD} <> 0),
+    sims AS (
+      SELECT c.vec_id,
+             max({dot} / NULLIF(c.nrm * b.nrm, 0)) AS mx
+      FROM corpus c CROSS JOIN bench b
+      GROUP BY c.vec_id
+    )
+    SELECT c.vec_id, s.mx AS max_benchmark_cosine,
+           coalesce(s.mx >= {COSINE_THRESHOLD}, FALSE) AS contaminated
+    FROM corpus c LEFT JOIN sims s USING (vec_id)
+    ORDER BY c.vec_id
     """
 
 

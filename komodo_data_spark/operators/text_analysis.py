@@ -619,9 +619,84 @@ def text_bigram_logprob_oracle() -> str:
     """
 
 
+def source_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity: distinct vs total 3-token shingles and
+    their type-token ratio — the corpus-health signal that drops when a
+    source is template-generated, scraper-duplicated, or model-generated
+    (degenerate sources repeat shingles, so diversity collapses while raw
+    token counts look fine). Complements the per-document
+    ``text_repetition_signals`` with the per-SOURCE roll-up a mixing
+    decision actually consumes.
+
+    Scale design: total counts collapse map-side. The distinct count uses
+    the two-stage shape (groupBy(source, shingle) → groupBy(source)), so
+    the first shuffle is keyed by the high-cardinality (source, shingle)
+    pair — never by the handful of hot source values — and the second
+    aggregates a few rows per source per partition; the same skew-proof
+    pattern as ``events_distinct_users_two_stage``.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", shingles(tokens(), 3).alias("sh")
+    )
+    ex = exploded(d, F.col("sh"), "g", "source")
+    distinct = (
+        ex.groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("n_g"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_shingles"),
+            F.sum("n_g").alias("total_shingles"),
+        )
+    )
+    docs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        docs.join(distinct, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("total_shingles", F.lit(0)).alias("total_shingles"),
+            F.coalesce("distinct_shingles", F.lit(0)).alias(
+                "distinct_shingles"
+            ),
+            F.when(
+                F.coalesce("total_shingles", F.lit(0)) > 0,
+                F.col("distinct_shingles").cast("double")
+                / F.col("total_shingles"),
+            ).alias("diversity"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_ngram_diversity_oracle() -> str:
+    sh = sql_shingles(sql_tokens(), 3)
+    return f"""
+    WITH d AS (SELECT doc_id, source, {sh} AS sh FROM documents),
+    ex AS (SELECT source, g FROM d, unnest(d.sh) AS u(g)),
+    agg AS (
+      SELECT source, COUNT(DISTINCT g) AS distinct_shingles,
+             COUNT(*) AS total_shingles
+      FROM ex GROUP BY source
+    )
+    SELECT docs.source, docs.n_docs,
+           coalesce(agg.total_shingles, 0) AS total_shingles,
+           coalesce(agg.distinct_shingles, 0) AS distinct_shingles,
+           CASE WHEN coalesce(agg.total_shingles, 0) > 0
+                THEN agg.distinct_shingles::DOUBLE / agg.total_shingles
+                ELSE NULL END AS diversity
+    FROM (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source) docs
+    LEFT JOIN agg USING (source)
+    ORDER BY docs.source
+    """
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
+        "source_ngram_diversity": (
+            source_ngram_diversity,
+            source_ngram_diversity_oracle(),
+        ),
         "text_repetition_signals": (
             text_repetition_signals,
             text_repetition_signals_oracle(),

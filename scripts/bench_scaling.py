@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Scaling-exponent bench: every registry query timed at sf0.01 AND sf0.1,
+with the per-query time ratio as a superlinearity gate (round-4 verdict
+ask #4). A flat sf0.1 wall-clock can hide an O(n²) operator whose constant
+is still small at bench scale; the 10× data step makes the exponent
+visible — a linear operator's ratio is bounded by ~10× (and in practice
+far lower, since per-query fixed overhead of 0.1-0.7 s dominates many
+sub-second queries at BOTH scales), while a quadratic one trends toward
+100×.
+
+Gate: flag ratio > RATIO_GATE (20) where the sf0.01 time exceeds
+T01_FLOOR (0.15 s — below that the numerator of the ratio is scheduler
+noise, not data work). Writes BENCH_SCALING.json; exits non-zero if any
+query is flagged, so the artifact doubles as a CI gate.
+
+Method notes: both scales run in ONE Spark session (local[32]), sf0.01
+first, after bench.py's footer/worker/codegen warm-ups — so one-time JIT
+is mostly absorbed before any timed run and the sf0.1 pass is
+codegen-warm (which can only shrink ratios of innocent queries, never
+mask a superlinear one, because the masked work is data-proportional).
+
+Usage: python scripts/bench_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_LARGE = "/root/testdata/sf0.1"
+RATIO_GATE = 20.0
+T01_FLOOR = 0.15
+
+
+def main() -> int:
+    from komodo_data_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="komodo-bench-scaling",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import bench
+    import __spark_entry__ as e
+
+    qs = e.queries()
+
+    from komodo_data_spark.sources.tables import TABLE_NAMES, load_table
+
+    for sf_dir in (SF_SMALL, SF_LARGE):
+        for name in TABLE_NAMES:
+            load_table(spark, sf_dir, name).count()
+    spark.range(0, int(cpus)).mapInPandas(lambda it: it, schema="id long").count()
+    warm_dir = bench.WARMUP_SF_DIR
+    for name in bench.WARMUP_QUERIES:
+        if name in qs:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception:
+                pass
+            spark.catalog.clearCache()
+
+    def timed(sf_dir: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+                out[name] = round(time.perf_counter() - t0, 4)
+            except Exception as exc:
+                print(f"bench_scaling: {name} failed at {sf_dir}: {exc}",
+                      file=sys.stderr)
+                out[name] = -1.0
+            spark.catalog.clearCache()
+        return out
+
+    t_small = timed(SF_SMALL)
+    t_large = timed(SF_LARGE)
+
+    queries = {}
+    flagged = []
+    for name in qs:
+        ts, tl = t_small[name], t_large[name]
+        ratio = round(tl / ts, 2) if ts > 0 and tl >= 0 else None
+        queries[name] = {"t_sf0.01": ts, "t_sf0.1": tl, "ratio": ratio}
+        if ratio is not None and ratio > RATIO_GATE and ts > T01_FLOOR:
+            flagged.append(name)
+
+    top = sorted(
+        ((n, q["ratio"]) for n, q in queries.items() if q["ratio"]),
+        key=lambda kv: -kv[1],
+    )[:10]
+    result = {
+        "metric": "per_query_time_ratio_sf0.1_over_sf0.01",
+        "ratio_gate": RATIO_GATE,
+        "t01_floor_sec": T01_FLOOR,
+        "n_queries": len(queries),
+        "n_flagged": len(flagged),
+        "flagged": sorted(flagged),
+        "top_ratios": dict(top),
+        "queries": queries,
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_SCALING.json"), "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: result[k] for k in
+                      ("n_queries", "n_flagged", "flagged", "top_ratios")}))
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -620,3 +620,80 @@ def test_engine_export_corpus_last_mile(spark, sf_dir, tmp_path):
     for split in manifests:
         v = verify_export(spark, f"{out}/{split}")
         assert v["ok"], (split, v["mismatches"])
+
+
+def test_benchmark_contamination_semantic_threshold(spark, tmp_path):
+    """Planted geometry: a corpus vector parallel to a benchmark vector is
+    contaminated, an orthogonal one is not, and a zero vector (norm 0 →
+    NULL similarity) is cleanly not-contaminated rather than NaN."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from komodo_data_spark.operators.pipeline_ops import (
+        benchmark_contamination_semantic,
+    )
+
+    d = 4
+    rows = {
+        0: [1.0, 0.0, 0.0, 0.0],   # benchmark member (0 % 47 == 0)
+        1: [2.0, 0.0, 0.0, 0.0],   # parallel -> cosine 1.0
+        2: [0.0, 1.0, 0.0, 0.0],   # orthogonal -> cosine 0.0
+        3: [0.0, 0.0, 0.0, 0.0],   # zero norm -> NULL sim, not contaminated
+    }
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.array(list(rows), dtype=np.int64),
+            "embedding": [np.array(v, dtype=np.float32) for v in rows.values()],
+            "label": [0] * len(rows),
+        }
+    )
+    sf = str(tmp_path / "semsf")
+    os.makedirs(sf)
+    pdf.to_parquet(os.path.join(sf, "embeddings.parquet"))
+    got = {
+        r["vec_id"]: (r["max_benchmark_cosine"], r["contaminated"])
+        for r in benchmark_contamination_semantic(spark, sf).collect()
+    }
+    assert set(got) == {1, 2, 3}  # benchmark member excluded from corpus
+    assert got[1][0] == 1.0 and got[1][1] is True
+    assert got[2][0] == 0.0 and got[2][1] is False
+    assert got[3][0] is None and got[3][1] is False
+
+
+def test_source_ngram_diversity_detects_degenerate_source(spark, tmp_path):
+    """A template-duplicated source must score a strictly lower type-token
+    ratio than a varied one of the same size."""
+    import os
+
+    import pandas as pd
+
+    from komodo_data_spark.operators.text_analysis import source_ngram_diversity
+
+    docs = []
+    for i in range(4):
+        docs.append((i * 10 + 1, "alpha beta gamma delta epsilon", "en", "dup", 30))
+    varied = [
+        "one two three four five",
+        "six seven eight nine ten",
+        "eleven twelve thirteen fourteen fifteen",
+        "sixteen seventeen eighteen nineteen twenty",
+    ]
+    for i, t in enumerate(varied):
+        docs.append((i * 10 + 2, t, "en", "div", len(t)))
+    pdf = pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = str(tmp_path / "divsf")
+    os.makedirs(sf)
+    pdf.to_parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        r["source"]: r for r in source_ngram_diversity(spark, sf).collect()
+    }
+    assert got["dup"]["n_docs"] == got["div"]["n_docs"] == 4
+    # 5 tokens -> 3 shingles per doc, both sources total 12
+    assert got["dup"]["total_shingles"] == got["div"]["total_shingles"] == 12
+    assert got["dup"]["distinct_shingles"] == 3      # same doc repeated
+    assert got["div"]["distinct_shingles"] == 12     # all distinct
+    assert got["dup"]["diversity"] < got["div"]["diversity"] == 1.0

@@ -100,6 +100,41 @@ REQUESTS = [
 ]
 
 
+def test_export_csv_reference_byte_parity(spark, tmp_path):
+    """Golden-bytes pin of the CSV sink against the reference's pandas
+    ``to_csv`` output (process.py:100-107). The literal below is exactly
+    what pandas 1.1.4 (the reference's pinned version, Dockerfile stack)
+    produces on Linux for these values — its formatting contract is
+    unchanged in current pandas: floats via ``str()`` shortest-repr
+    (``0.536178417303133`` stays 15 digits, ``1e-07`` stays scientific),
+    NaN/None → empty field, QUOTE_MINIMAL with doubled inner quotes for
+    JSON strings, ``\\n`` terminator, trailing newline. A change to the
+    export path (e.g. Spark's native csv writer, a float_format option)
+    that silently altered any of these would break drop-in parity for
+    consumers of the reference's files."""
+    from komodo_data_spark.streaming.dispatch import export_csv
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.536178417303133, '{"a": 1, "b": "x"}'),  # golden energy value
+            (2, 1e-07, "null"),  # scientific repr + the literal "null" text
+            (3, None, None),  # NULL double and NULL string
+            (4, 16797.0, "plain"),  # integral float keeps the ".0"
+        ],
+        "request_id long, value double, message string",
+    )
+    path = export_csv(df, str(tmp_path), "golden", filename="golden.csv")
+    golden = (
+        b"request_id,value,message\n"
+        b'1,0.536178417303133,"{""a"": 1, ""b"": ""x""}"\n'
+        b"2,1e-07,null\n"
+        b"3,,\n"
+        b"4,16797.0,plain\n"
+    )
+    with open(path, "rb") as fh:
+        assert fh.read() == golden
+
+
 def test_dispatcher(spark, data_df, tmp_path):
     reqs = spark.createDataFrame(
         [
