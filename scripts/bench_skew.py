@@ -65,6 +65,10 @@ SKEW_QUERIES = (
     "text_bm25_rank",
     "text_quality_rule_flags",
     "text_nb_quality_classifier",
+    # two-stage distinct keyed by (source, shingle): the boilerplate-hot
+    # variant concentrates shingle mass, exactly the skew the map-side
+    # combinable first stage claims to absorb
+    "source_ngram_diversity",
     "orders_customer_join_salted",
     "events_heavy_hitters",
     "event_sessions",

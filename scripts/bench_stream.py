@@ -237,6 +237,27 @@ def main(argv: list[str] | None = None) -> int:
     batches8 = progress_rows(q8)
     report["mix_counter_store"] = {"batches": batches8, **flat_check(batches8)}
 
+    # --- stream 9: incremental ANN index over staged embeddings ------------
+    from komodo_data_spark.streaming.ann_incremental import (
+        start_incremental_ann_index,
+    )
+
+    emb_src = os.path.join(work, "emb_arrivals")
+    stage_arrival_files(
+        load_table(spark, args.sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        ),
+        "vec_id", args.batches, emb_src,
+    )
+    q9 = start_incremental_ann_index(
+        spark, emb_src,
+        os.path.join(work, "ann_store"),
+        os.path.join(work, "ckpt_ann"),
+    )
+    q9.awaitTermination()
+    batches9 = progress_rows(q9)
+    report["ann_index"] = {"batches": batches9, **flat_check(batches9)}
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",

@@ -1623,3 +1623,66 @@ def test_mix_store_read_survives_crashed_compaction_scratch(spark, tmp_path):
     empty = read_mix_weights(spark, str(tmp_path / "never"))
     assert empty.count() == 0
     assert compact_mix_store(spark, str(tmp_path / "never")) == 0
+
+
+def test_incremental_ann_index_matches_batch_knn(spark, sf_dir, tmp_path):
+    """Streaming ANN index: vectors arrive file by file; top-k served from
+    the store alone equals the batch knn_lsh_signbits over the full corpus
+    — arrival order must not change any neighbor. A second drain over the
+    same checkpoint adds nothing (epoch-idempotent partitions), and the
+    DISTINCT fold compaction provably changes no probe result."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.similarity import knn_lsh_signbits
+    from komodo_data_spark.sources.tables import load_table
+    from komodo_data_spark.streaming.ann_incremental import (
+        compact_ann_store,
+        knn_from_store,
+        start_incremental_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = tmp_path / "emb_arrivals"
+    src.mkdir()
+    for i in range(3):
+        emb.filter(F.pmod("vec_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            str(src / f"arrival_{i}.parquet_dir")
+        )
+    for i, part in enumerate(
+        sorted(_glob.glob(str(src / "*" / "part-*.parquet")))
+    ):
+        shutil.copy(part, str(src / f"file_{i}.parquet"))
+    for d in _glob.glob(str(src / "*.parquet_dir")):
+        shutil.rmtree(d)
+
+    store = str(tmp_path / "ann_store")
+    ck = str(tmp_path / "ckpt_ann")
+    start_incremental_ann_index(spark, str(src), store, ck).awaitTermination()
+
+    def topk():
+        return sorted(
+            (r["query_id"], r["rnk"], r["neighbor_id"], round(r["cosine"], 9))
+            for r in knn_from_store(spark, store).collect()
+        )
+
+    got = topk()
+    exp = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], round(r["cosine"], 9))
+        for r in knn_lsh_signbits(spark, sf_dir).collect()
+    )
+    assert got == exp and got
+
+    # replay drain: same checkpoint, nothing new to process
+    start_incremental_ann_index(spark, str(src), store, ck).awaitTermination()
+    assert topk() == exp
+
+    # compaction folds epochs without changing any probe result
+    n_folded = compact_ann_store(spark, store)
+    assert n_folded >= 3
+    assert topk() == exp
+
+    # empty store contract
+    assert knn_from_store(spark, str(tmp_path / "never")) is None
