@@ -203,7 +203,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- family anchors (driver-green in r3/r4) + round-5 additions ---
     "user_energy_events",   # reference analytics (epoch math + JSON traps)
     "dedup_minhash_lsh",    # dedup
-    "knn_brute_force",      # similarity
+    "knn_ivf_recall",       # similarity (new this round)
     "source_ngram_diversity",  # text analysis (new this round)
     # (media family witnessed via media_resize below + r3/r4 anchors; the
     # slot goes to this round's new query so cumulative stays complete)

@@ -197,6 +197,7 @@ def registry():
         "knn_lsh_multiprobe": (knn_lsh_multiprobe, knn_lsh_multiprobe_oracle()),
         "knn_ivf_multiprobe": (knn_ivf_multiprobe, knn_ivf_multiprobe_oracle()),
         "knn_lsh_recall": (knn_lsh_recall, knn_lsh_recall_oracle()),
+        "knn_ivf_recall": (knn_ivf_recall, knn_ivf_recall_oracle()),
         "knn_quantized_recall": (
             knn_quantized_recall,
             knn_quantized_recall_oracle(),
@@ -483,19 +484,18 @@ def knn_ivf_multiprobe_oracle() -> str:
 # --------------------------------------------------------------------------
 
 
-def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@K of sign-bit LSH against the exact brute-force top-K — the
-    evaluation loop every ANN deployment runs before trusting an index.
+def _recall_vs_bruteforce(bf: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall@K rollup shared by every ANN recall eval.
 
     Plan shape: both inputs end as K rows per query; the semi-join on
     (query_id, neighbor_id) and the per-query rollup shuffle only
     O(queries × K) rows regardless of corpus size — the expensive part is
     the underlying searches, not the evaluation.
     """
-    bf = knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
-    lsh = knn_lsh_signbits(spark, sf_dir).select("query_id", "neighbor_id")
+    bf = bf.select("query_id", "neighbor_id")
+    approx = approx.select("query_id", "neighbor_id")
     hits = (
-        bf.join(lsh, ["query_id", "neighbor_id"], "left_semi")
+        bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
@@ -513,18 +513,20 @@ def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def knn_lsh_recall_oracle() -> str:
+def _recall_oracle(approx_sql: str) -> str:
+    """DuckDB twin of _recall_vs_bruteforce over a given approximate-search
+    subquery — shared so every recall oracle measures identically."""
     return f"""
     WITH bf AS (
       SELECT query_id, neighbor_id FROM ({knn_brute_force_oracle()}) b
     ),
-    lsh AS (
-      SELECT query_id, neighbor_id FROM ({knn_lsh_signbits_oracle()}) l
+    ap AS (
+      SELECT query_id, neighbor_id FROM ({approx_sql}) l
     ),
     hits AS (
       SELECT bf.query_id, count(*) AS n_hit
-      FROM bf SEMI JOIN lsh
-        ON lsh.query_id = bf.query_id AND lsh.neighbor_id = bf.neighbor_id
+      FROM bf SEMI JOIN ap
+        ON ap.query_id = bf.query_id AND ap.neighbor_id = bf.neighbor_id
       GROUP BY bf.query_id
     ),
     truth AS (SELECT query_id, count(*) AS k FROM bf GROUP BY query_id)
@@ -533,6 +535,34 @@ def knn_lsh_recall_oracle() -> str:
     FROM truth t LEFT JOIN hits h ON h.query_id = t.query_id
     ORDER BY t.query_id
     """
+
+
+def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of sign-bit LSH against the exact brute-force top-K — the
+    evaluation loop every ANN deployment runs before trusting an index."""
+    return _recall_vs_bruteforce(
+        knn_brute_force(spark, sf_dir), knn_lsh_signbits(spark, sf_dir)
+    )
+
+
+def knn_lsh_recall_oracle() -> str:
+    return _recall_oracle(knn_lsh_signbits_oracle())
+
+
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of single-probe IVF against the exact brute-force top-K —
+    completes the eval ladder: every approximate search path (sign-bit
+    LSH, IVF cells, int8 quantization) ships with a measured-recall twin.
+    The single-probe figure is the one the multiprobe dial improves; read
+    both this and ``knn_ivf_multiprobe`` to price the recall/latency
+    trade."""
+    return _recall_vs_bruteforce(
+        knn_brute_force(spark, sf_dir), knn_ivf(spark, sf_dir)
+    )
+
+
+def knn_ivf_recall_oracle() -> str:
+    return _recall_oracle(knn_ivf_oracle())
 
 
 # --------------------------------------------------------------------------
