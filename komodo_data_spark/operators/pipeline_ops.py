@@ -825,6 +825,87 @@ def token_packing_oracle() -> str:
     """
 
 
+#: Candidate context lengths priced by token_packing_stats. Small enough
+#: to explode map-side (3 rows per doc), large enough to bracket the real
+#: decision space at the testdata's token scale.
+PACK_CANDIDATE_LENS = (64, 256, 1024)
+
+
+def token_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding/truncation economics per candidate context length — the
+    numbers a training pipeline reads before fixing max_seq_len. For each
+    candidate L, every document is priced under BOTH standard policies:
+    pad-to-boundary (doc split into ceil(n/L) sequences, the last one
+    padded: waste = ceil(n/L)·L − n) and truncate-at-L (tokens beyond L
+    dropped: loss = max(0, n − L)). Output per L: sequence count, padding
+    fraction of the padded token volume, truncation fraction of the raw
+    token volume, and the share of docs that overflow one sequence.
+
+    Scale design: pure map work — one tokenize pass, a 3-element explode
+    of the candidate list, then ONE map-side-combinable aggregate keyed by
+    the |candidates|-row seq_len; no join, no window, no skew (the hot key
+    IS the aggregate key, absorbed by partial aggregation).
+    """
+    # NULL-text docs carry no tokens to pack; dropping them keeps the
+    # Spark size() (-1 on null arrays with ANSI off) and the DuckDB len()
+    # (NULL) from diverging on degenerate data
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.size(tokens()).alias("n"))
+    )
+    lens = F.array(*[F.lit(x) for x in PACK_CANDIDATE_LENS])
+    per = d.select("n", F.explode(lens).alias("seq_len")).select(
+        "seq_len",
+        "n",
+        F.ceil(F.col("n") / F.col("seq_len")).cast("long").alias("n_seqs"),
+        F.greatest(F.col("n") - F.col("seq_len"), F.lit(0)).alias("trunc"),
+    )
+    return (
+        per.groupBy("seq_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.sum("n_seqs").alias("total_seqs"),
+            (
+                F.sum(F.col("n_seqs") * F.col("seq_len") - F.col("n"))
+                .cast("double")
+                / F.sum(F.col("n_seqs") * F.col("seq_len"))
+            ).alias("pad_frac"),
+            (F.sum("trunc").cast("double") / F.sum("n")).alias("trunc_frac"),
+            (
+                F.sum(F.when(F.col("n") > F.col("seq_len"), 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("overflow_doc_frac"),
+        )
+        .orderBy("seq_len")
+    )
+
+
+def token_packing_stats_oracle() -> str:
+    t = sql_tokens()
+    lens = ", ".join(str(x) for x in PACK_CANDIDATE_LENS)
+    return f"""
+    WITH d AS (SELECT len({t}) AS n FROM documents WHERE text IS NOT NULL),
+    per AS (
+      SELECT seq_len, n,
+             CAST(CEIL(n::DOUBLE / seq_len) AS BIGINT) AS n_seqs,
+             GREATEST(n - seq_len, 0) AS trunc
+      FROM d, unnest([{lens}]) AS u(seq_len)
+    )
+    SELECT seq_len, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_seqs) AS BIGINT) AS total_seqs,
+           SUM(n_seqs * seq_len - n)::DOUBLE / SUM(n_seqs * seq_len)
+             AS pad_frac,
+           SUM(trunc)::DOUBLE / SUM(n) AS trunc_frac,
+           SUM(CASE WHEN n > seq_len THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)
+             AS overflow_doc_frac
+    FROM per GROUP BY seq_len ORDER BY seq_len
+    """
+
+
 def registry():
     """name -> (query fn, oracle SQL) for the driver contract."""
     return {
@@ -863,6 +944,10 @@ def registry():
             dedup_clusters_best_keeper_oracle(),
         ),
         "token_packing": (token_packing, token_packing_oracle()),
+        "token_packing_stats": (
+            token_packing_stats,
+            token_packing_stats_oracle(),
+        ),
         "dedup_keep_latest": (dedup_keep_latest, dedup_keep_latest_oracle()),
         "dedup_keep_latest_maxby": (
             dedup_keep_latest_maxby,
