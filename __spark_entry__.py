@@ -193,8 +193,9 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 # The driver records correctness rows for the FIRST 50 registry entries in
 # registration order. The window ROTATES per round so every registry query
 # accumulates a driver-green CORRECTNESS row over time (round-3 verdict
-# ask). Round-5 window (round-4 verdict ask #1): 2 family anchors (each
-# driver-green in r3/r4) + this round's 6 new queries + the 42 queries
+# ask). Round-5 window (round-4 verdict ask #1): the reference-analytics
+# anchor (driver-green in r3/r4) + this round's 7 new queries + the 42
+# queries
 # `scripts/rotation_status.py` listed as never driver-witnessed after r4.
 # With this window green, cumulative driver-witnessed coverage reaches
 # 166/166. Queries outside the window keep their oracle pairing and are
@@ -210,7 +211,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_recall_sampled",
     "benchmark_contamination_semantic",  # pipeline ops (new this round)
     "dedup_embedding_recall",  # dedup eval (new this round)
-    "q1_pricing_summary",   # relational core
+    "docs_split_by_cluster",  # pipeline ops (new this round)
     # --- rotated in: the 42 never-driver-witnessed (rotation_status r4) ---
     "events_interarrival_stats",
     "events_type_correlations",

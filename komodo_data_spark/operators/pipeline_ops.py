@@ -42,40 +42,42 @@ _TRAIN_END = 80  # bucket < 80  -> train
 _VAL_END = 90  # 80..89       -> val; 90..99 -> test
 
 
-def _bucket_col() -> F.Column:
+def _bucket_col(key: F.Column | None = None) -> F.Column:
     # first 8 md5 hex digits -> int -> % 100. Portable: DuckDB twin is
-    # CAST('0x' || substr(md5(...),1,8) AS UBIGINT) % 100.
+    # CAST('0x' || substr(md5(...),1,8) AS UBIGINT) % 100. ``key``
+    # defaults to doc_id; split-by-cluster hashes the cluster unit instead.
+    key = F.col("doc_id") if key is None else key
     return (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
         .cast("long")
         % 100
     )
 
 
-def _split_col() -> F.Column:
+def _split_col(key: F.Column | None = None) -> F.Column:
     """train/val/test assignment — THE split definition; shared by the
-    splitter (sample_hash_split) and the leakage audit so they can never
-    check different splits."""
+    splitter (sample_hash_split), the leakage audit, and the
+    split-by-cluster fix so they can never check different splits."""
     return (
-        F.when(_bucket_col() < _TRAIN_END, "train")
-        .when(_bucket_col() < _VAL_END, "val")
+        F.when(_bucket_col(key) < _TRAIN_END, "train")
+        .when(_bucket_col(key) < _VAL_END, "val")
         .otherwise("test")
     )
 
 
-def _sql_bucket() -> str:
+def _sql_bucket(key: str = "doc_id") -> str:
     """DuckDB twin of _bucket_col — THE hash-bucket definition in SQL.
     Shared by the split oracles here and by the sampled-eval oracle in
     ``dedup`` so a Spark-side gate and its oracle can never disagree."""
     return (
-        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)"
+        f"CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8) AS UBIGINT)"
         " % 100"
     )
 
 
-def _sql_split_case() -> str:
-    """DuckDB twin of _split_col, shared by both oracles."""
-    bucket = _sql_bucket()
+def _sql_split_case(key: str = "doc_id") -> str:
+    """DuckDB twin of _split_col, shared by the oracles."""
+    bucket = _sql_bucket(key)
     return f"""CASE
              WHEN {bucket} < {_TRAIN_END} THEN 'train'
              WHEN {bucket} < {_VAL_END} THEN 'val'
@@ -157,6 +159,106 @@ def split_leakage_pairs_oracle() -> str:
             JOIN sp sj ON sj.doc_id = mh.doc_j
     WHERE si.split <> sj.split
     ORDER BY doc_i, doc_j
+    """
+
+
+def docs_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: the fix ``split_leakage_pairs``'
+    docstring prescribes. Every near-dup CLUSTER is assigned wholly to one
+    split by hashing its cluster label (singleton docs hash their own
+    doc_id), so no near-dup pair can straddle the train/eval boundary.
+    One row per split — doc count, unit (cluster-or-singleton) count —
+    plus the global leaked-pair count re-measured with the same probe as
+    the audit, which is 0 BY CONSTRUCTION and verified, not assumed.
+
+    Scale design: pairs are computed ONCE (cached) and feed both the
+    O(log n) large-star/small-star component labeling (`_cc_star`, the
+    chain-safe scale path) and the leakage probe; the labels frame covers
+    only docs that appear in some pair (≪ corpus), joined to the doc list
+    with AQE free to broadcast it; split assignment is then map-side hash
+    math. The leakage probe joins the pair list twice against the
+    doc→split projection — two broadcast-sized probes at any scale.
+    """
+    from komodo_data_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_i", "doc_j").cache()
+    edges = pairs.union(
+        pairs.select(F.col("doc_j").alias("doc_i"), F.col("doc_i").alias("doc_j"))
+    ).select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst"))
+    labels, _rounds = _cc_star(edges)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = (
+        d.join(labels.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("unit"),
+        )
+        .withColumn("split", _split_col(F.col("unit")))
+        .cache()
+    )
+    leaks = (
+        pairs.join(
+            assigned.select(
+                F.col("doc_id").alias("doc_i"), F.col("split").alias("split_i")
+            ),
+            "doc_i",
+        )
+        .join(
+            assigned.select(
+                F.col("doc_id").alias("doc_j"), F.col("split").alias("split_j")
+            ),
+            "doc_j",
+        )
+        .filter(F.col("split_i") != F.col("split_j"))
+        .agg(F.count(F.lit(1)).alias("leaked_pairs"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("unit").alias("n_units"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .orderBy("split")
+    )
+
+
+def docs_split_by_cluster_oracle() -> str:
+    from komodo_data_spark.operators.dedup import dedup_minhash_lsh_oracle
+
+    return f"""
+    WITH RECURSIVE
+    mh AS ({dedup_minhash_lsh_oracle()}),
+    pairs AS (SELECT doc_i, doc_j FROM mh),
+    edges AS (
+      SELECT doc_i AS src, doc_j AS dst FROM pairs
+      UNION ALL
+      SELECT doc_j, doc_i FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    lab AS (SELECT node AS doc_id, MIN(label) AS label FROM walk GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS unit,
+             {_sql_split_case("coalesce(lab.label, d.doc_id)")} AS split
+      FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id
+    ),
+    leaks AS (
+      SELECT COUNT(*) AS leaked_pairs
+      FROM pairs p
+      JOIN assigned ai ON ai.doc_id = p.doc_i
+      JOIN assigned aj ON aj.doc_id = p.doc_j
+      WHERE ai.split <> aj.split
+    )
+    SELECT a.split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT a.unit) AS n_units,
+           (SELECT leaked_pairs FROM leaks) AS leaked_pairs
+    FROM assigned a
+    GROUP BY a.split ORDER BY a.split
     """
 
 
@@ -913,6 +1015,10 @@ def registry():
         "split_leakage_pairs": (
             split_leakage_pairs,
             split_leakage_pairs_oracle(),
+        ),
+        "docs_split_by_cluster": (
+            docs_split_by_cluster,
+            docs_split_by_cluster_oracle(),
         ),
         "docs_per_source_sample_k": (
             docs_per_source_sample_k,

@@ -430,3 +430,25 @@ def test_temperature_mix_flattens_toward_uniform(spark):
         assert by_p[-1]["boost"] < 1.0
     # allocation exhausts the budget
     assert abs(sum(r["alloc_tokens"] for r in rows) - P.TEMP_BUDGET_TOKENS) < 1e-6
+
+
+def test_split_by_cluster_eliminates_leakage(spark, sf_dir):
+    """The doc-hash split leaks near-dup pairs across the train/eval
+    boundary (that is what split_leakage_pairs exists to catch); the
+    cluster-keyed split must keep every near-dup pair in one split while
+    still covering all documents exactly once."""
+    from komodo_data_spark.operators.pipeline_ops import (
+        docs_split_by_cluster,
+        split_leakage_pairs,
+    )
+    from komodo_data_spark.sources.tables import load_table
+
+    rows = docs_split_by_cluster(spark, sf_dir).collect()
+    assert all(r["leaked_pairs"] == 0 for r in rows)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # clusters exist (n_units < n_docs somewhere), so the zero above is a
+    # real constraint, not vacuous
+    assert sum(r["n_units"] for r in rows) < n_docs
+    # and the plain doc-hash split genuinely leaks on the same corpus
+    assert split_leakage_pairs(spark, sf_dir).count() > 0
