@@ -579,3 +579,49 @@ def test_quality_rule_flags_match_python(spark, tmp_path_factory, texts):
         assert row["keep"] == all(
             expect[f] for f in expect if f.endswith("_ok")
         )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_cc_star_matches_union_find(spark, edge_list):
+    """The O(log n) large-star/small-star component labeling (backing
+    dedup_clusters_star, graph_components, and docs_split_by_cluster)
+    must agree with a plain union-find on arbitrary small graphs —
+    including shapes label propagation converges slowly on (paths,
+    stars, disjoint mixes)."""
+    from komodo_data_spark.operators.pipeline_ops import _cc_star
+
+    undirected = [(a, b) for a, b in edge_list if a != b]
+    sym = undirected + [(b, a) for a, b in undirected]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    labels, _rounds = _cc_star(edges)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in undirected:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for n in {v for e in undirected for v in e}:
+        comp.setdefault(find(n), []).append(n)
+    exp = {n: min(members) for members in comp.values() for n in members}
+    assert got == exp
