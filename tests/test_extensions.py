@@ -697,3 +697,55 @@ def test_source_ngram_diversity_detects_degenerate_source(spark, tmp_path):
     assert got["dup"]["distinct_shingles"] == 3      # same doc repeated
     assert got["div"]["distinct_shingles"] == 12     # all distinct
     assert got["dup"]["diversity"] < got["div"]["diversity"] == 1.0
+
+
+def test_compression_ratio_matches_python_zlib(spark, sf_dir):
+    """text_compression_ratio is rows-only at the driver gate (zlib has no
+    SQL twin); its exact twin is THIS pin against CPython's zlib on the
+    same corpus plus planted degenerate docs — bit-deterministic for a
+    fixed level, so equality is exact, not approximate."""
+    import os
+    import tempfile
+    import zlib
+
+    import pandas as pd
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    planted = [
+        (990001, "spam " * 400),        # degenerate repetition -> tiny ratio
+        (990002, None),                  # NULL text -> NULL ratio, keep False
+        (990003, ""),                    # empty -> NULL ratio, keep False
+        (990004, "a"),                   # sub-header-size doc: ratio > 1 ok
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r["doc_id"] for r in corpus] + [p[0] for p in planted],
+            "text": [r["text"] for r in corpus] + [p[1] for p in planted],
+            "lang": "en",
+            "source": "s",
+            "n_chars": 0,
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf.to_parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r["doc_id"]: r
+            for r in text_analysis.text_compression_ratio(spark, tmp).collect()
+        }
+    assert len(got) == len(pdf)
+    for did, t in zip(pdf["doc_id"], pdf["text"]):
+        raw = t.encode("utf-8") if t is not None else b""
+        r = got[did]
+        assert r["n_bytes"] == len(raw)
+        assert r["zlib_bytes"] == len(zlib.compress(raw, 6))
+        if len(raw) == 0:
+            assert r["compression_ratio"] is None and r["keep"] is False
+        else:
+            assert r["compression_ratio"] == len(zlib.compress(raw, 6)) / len(raw)
+    # the planted spam doc is caught, plain corpus text is kept
+    assert got[990001]["keep"] is False
+    assert got[990001]["compression_ratio"] < 0.1
+    kept = sum(1 for r in got.values() if r["keep"])
+    assert kept > 0.5 * len(got)
