@@ -195,13 +195,21 @@ def test_decode_image_stub_raises():
 # --------------------------------------------------------------------------
 
 
+#: The only rows-only entries allowed in these packs — each must carry an
+#: exact non-SQL twin (text_compression_ratio: the CPython-zlib pytest pin).
+ROWS_ONLY_OK = {"text_compression_ratio"}
+
+
 def test_registries_expose_oracles():
     for mod in (text_analysis, dedup, similarity, multimodal_ops):
         reg = mod.registry()
         assert reg
         for name, (fn, sql) in reg.items():
             assert callable(fn), name
-            assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+            if name in ROWS_ONLY_OK:
+                assert sql is None, name
+            else:
+                assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
 def test_formats_round_trip(spark, sf_dir, tmp_path):
