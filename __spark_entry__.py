@@ -197,7 +197,9 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 # queries + the 42 queries
 # `scripts/rotation_status.py` listed as never driver-witnessed after r4.
 # With this window green, cumulative driver-witnessed coverage reaches
-# 166/166. Queries outside the window keep their oracle pairing and are
+# 170/170 (every prior family anchor was already witnessed in r3/r4, so
+# rotating them out loses nothing cumulative). Queries outside the window
+# keep their oracle pairing and are
 # verified by the judge's full scripts/check.py re-run.
 _PRIORITY: tuple[str, ...] = (
     # --- family anchors (driver-green in r3/r4) + round-5 additions ---

@@ -182,10 +182,12 @@ def docs_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from komodo_data_spark.operators.dedup import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_i", "doc_j").cache()
-    edges = pairs.union(
-        pairs.select(F.col("doc_j").alias("doc_i"), F.col("doc_i").alias("doc_j"))
-    ).select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst"))
-    labels, _rounds = _cc_star(edges)
+    # one-directional pairs, like the sibling _cc_star callers: the star
+    # rounds symmetrize internally, so pre-flipping would only double the
+    # rows into the first distinct/shuffle
+    labels, _rounds = _cc_star(
+        pairs.select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst"))
+    )
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     assigned = (
         d.join(labels.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left")

@@ -93,9 +93,17 @@ def publish_staged(path: str, keep_backup: bool = False) -> None:
         raise FileNotFoundError(f"no staging dir at {staging}")
     # mark complete BEFORE the destructive steps: recovery rolls forward
     # if and only if this marker exists; the content records the
-    # keep-backup intent so a recovery finishes the SAME publish
-    with open(os.path.join(staging, READY_MARKER), "w") as fh:
+    # keep-backup intent so a recovery finishes the SAME publish. The
+    # marker appears ATOMICALLY (write a dot-file, fsync, rename into
+    # place): a crash mid-write must never leave an empty marker whose
+    # blank intent would read as drop-backup and delete a keep_backup
+    # publish's rollback copy during recovery.
+    tmp_marker = os.path.join(staging, "." + READY_MARKER + ".tmp")
+    with open(tmp_marker, "w") as fh:
         fh.write("keep" if keep_backup else "drop")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp_marker, os.path.join(staging, READY_MARKER))
     _finish_swap(path, staging, backup, keep_backup)
 
 

@@ -91,7 +91,12 @@ def main() -> int:
         ts, tl = t_small[name], t_large[name]
         ratio = round(tl / ts, 2) if ts > 0 and tl >= 0 else None
         queries[name] = {"t_sf0.01": ts, "t_sf0.1": tl, "ratio": ratio}
-        if ratio is not None and ratio > RATIO_GATE and ts > T01_FLOOR:
+        if ts < 0 or tl < 0:
+            # a query that errors at either scale (an OOM only at sf0.1 is
+            # the exact superlinear signature this gate exists to catch)
+            # must FLAG, not silently fall out of the ratio math
+            flagged.append(name)
+        elif ratio is not None and ratio > RATIO_GATE and ts > T01_FLOOR:
             flagged.append(name)
 
     top = sorted(

@@ -55,7 +55,8 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import gen_registry_block as grb
 
-    survey = open(os.path.join(os.getcwd(), "SURVEY.md")).read()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    survey = open(os.path.join(repo, "SURVEY.md")).read()
     assert grb.registry_table() in survey, (
         "SURVEY.md §8.3 registry table is stale — "
         "run scripts/gen_registry_block.py in the same commit"
