@@ -123,6 +123,12 @@ def _finish_swap(
         os.rename(path, displaced)
     os.rename(staging, path)
     os.remove(os.path.join(path, READY_MARKER))
+    # a crash between the tmp-marker write and its rename leaves the
+    # dot-file behind; it is invisible to Spark but should not ride into
+    # the published directory forever
+    stale_tmp = os.path.join(path, "." + READY_MARKER + ".tmp")
+    if os.path.exists(stale_tmp):
+        os.remove(stale_tmp)
     if not keep_backup:
         shutil.rmtree(backup, ignore_errors=True)
 
