@@ -386,11 +386,18 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: map-only over the scan with column pruning (doc_id, text);
     cost is zlib at ~100 MB/s/core — the same order as tokenization, and
     embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return compression_frame(d).orderBy("doc_id")
+
+
+def compression_frame(d: DataFrame) -> DataFrame:
+    """The zlib scoring kernel over a (doc_id, text) frame — THE shared
+    definition: the batch operator above and the streaming ingestion gate
+    (``streaming/compression_gate.py``) both call this, so they can never
+    disagree on a document's ratio or keep verdict."""
     from collections.abc import Iterator
 
     import pandas as pd
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def ratios(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
@@ -428,7 +435,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, n_bytes long, zlib_bytes long, "
             "compression_ratio double, keep boolean"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:

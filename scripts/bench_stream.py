@@ -258,6 +258,22 @@ def main(argv: list[str] | None = None) -> int:
     batches9 = progress_rows(q9)
     report["ann_index"] = {"batches": batches9, **flat_check(batches9)}
 
+    # --- stream 10: zlib compression gate (reuses docs stage) --------------
+    from komodo_data_spark.streaming.compression_gate import (
+        start_docs_compression_gate,
+    )
+
+    q10 = start_docs_compression_gate(
+        spark, docs_src,
+        os.path.join(work, "zgate_clean"),
+        os.path.join(work, "zgate_quarantine"),
+        os.path.join(work, "ckpt_zgate"),
+        max_files_per_trigger=1,
+    )
+    q10.awaitTermination()
+    batches10 = progress_rows(q10)
+    report["compression_gate"] = {"batches": batches10, **flat_check(batches10)}
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",

@@ -1686,3 +1686,76 @@ def test_incremental_ann_index_matches_batch_knn(spark, sf_dir, tmp_path):
 
     # empty store contract
     assert knn_from_store(spark, str(tmp_path / "never")) is None
+
+
+def test_docs_compression_gate_matches_batch_scorer(spark, sf_dir, tmp_path):
+    """The streaming zlib gate must keep/quarantine exactly the documents
+    the batch scorer's keep band keeps/drops (one shared kernel), across
+    file-by-file arrival; a replay drain over the same checkpoint adds
+    nothing."""
+    import glob as _glob
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.text_analysis import (
+        text_compression_ratio,
+    )
+    from komodo_data_spark.streaming.compression_gate import (
+        start_docs_compression_gate,
+    )
+
+    # corpus + a planted degenerate doc so the quarantine side is nonempty
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").unionByName(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [990001],
+                    "text": ["spam " * 400],
+                    "lang": ["en"],
+                    "source": ["s"],
+                    "n_chars": [2000],
+                }
+            )
+        )
+    )
+    src = tmp_path / "docs_gate_arrivals"
+    src.mkdir()
+    staged = str(tmp_path / "staged_docs")
+    # load_table expects {dir}/documents.parquet
+    docs.coalesce(1).write.parquet(staged + "/documents.parquet")
+    for i in range(3):
+        docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            str(src / f"arrival_{i}.parquet_dir")
+        )
+    for i, part in enumerate(
+        sorted(_glob.glob(str(src / "*" / "part-*.parquet")))
+    ):
+        shutil.copy(part, str(src / f"file_{i}.parquet"))
+    for d in _glob.glob(str(src / "*.parquet_dir")):
+        shutil.rmtree(d)
+
+    clean = str(tmp_path / "gate_clean")
+    quar = str(tmp_path / "gate_quarantine")
+    ck = str(tmp_path / "ckpt_zgate")
+    start_docs_compression_gate(
+        spark, str(src), clean, quar, ck, max_files_per_trigger=1
+    ).awaitTermination()
+
+    batch = {
+        r["doc_id"]: r["keep"]
+        for r in text_compression_ratio(spark, staged).collect()
+    }
+    got_clean = {r["doc_id"] for r in spark.read.parquet(clean).collect()}
+    got_quar = {r["doc_id"] for r in spark.read.parquet(quar).collect()}
+    assert got_clean == {d for d, k in batch.items() if k}
+    assert got_quar == {d for d, k in batch.items() if not k}
+    assert 990001 in got_quar and got_clean
+
+    # replay drain: epoch-idempotent partitions, nothing duplicated
+    start_docs_compression_gate(
+        spark, str(src), clean, quar, ck, max_files_per_trigger=1
+    ).awaitTermination()
+    assert spark.read.parquet(clean).count() == len(got_clean)
+    assert spark.read.parquet(quar).count() == len(got_quar)
