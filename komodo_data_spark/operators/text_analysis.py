@@ -390,42 +390,47 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_frame(d).orderBy("doc_id")
 
 
+def zlib_score_lists(texts):
+    """The zlib scoring MATH on a list of texts, as plain lists — THE
+    shared definition: ``compression_frame`` (batch) and the streaming
+    gate's pass-through kernel (``streaming/compression_gate.py``) both
+    call this, so they can never disagree on a document's ratio or keep
+    verdict. Returns (n_bytes, zlib_bytes, ratio, keep); ratio is None
+    for empty/NULL text and keep is False there."""
+    import zlib
+
+    raw = [t.encode("utf-8") if t is not None else b"" for t in texts]
+    n_bytes = [len(b) for b in raw]
+    n_zlib = [len(zlib.compress(b, 6)) for b in raw]
+    ratio = [(z / n) if n > 0 else None for n, z in zip(n_bytes, n_zlib)]
+    keep = [
+        r is not None and COMPRESSION_KEEP_MIN <= r <= COMPRESSION_KEEP_MAX
+        for r in ratio
+    ]
+    return n_bytes, n_zlib, ratio, keep
+
+
 def compression_frame(d: DataFrame) -> DataFrame:
-    """The zlib scoring kernel over a (doc_id, text) frame — THE shared
-    definition: the batch operator above and the streaming ingestion gate
-    (``streaming/compression_gate.py``) both call this, so they can never
-    disagree on a document's ratio or keep verdict."""
+    """The zlib scoring kernel over a (doc_id, text) frame (one Arrow
+    mapInPandas stage around :func:`zlib_score_lists`)."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     def ratios(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
-
         for pdf in batches:
             # plain lists, not index-carrying Series: a pandas batch's
             # index must never leak into column alignment here
-            raw = [
-                t.encode("utf-8") if t is not None else b""
-                for t in pdf["text"].tolist()
-            ]
-            n_bytes = [len(b) for b in raw]
-            n_zlib = [len(zlib.compress(b, 6)) for b in raw]
-            ratio = [
-                (z / n) if n > 0 else None
-                for n, z in zip(n_bytes, n_zlib)
-            ]
+            n_bytes, n_zlib, ratio, keep = zlib_score_lists(
+                pdf["text"].tolist()
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
                     "n_bytes": pd.array(n_bytes, dtype="int64"),
                     "zlib_bytes": pd.array(n_zlib, dtype="int64"),
                     "compression_ratio": pd.array(ratio, dtype="float64"),
-                    "keep": [
-                        r is not None
-                        and COMPRESSION_KEEP_MIN <= r <= COMPRESSION_KEEP_MAX
-                        for r in ratio
-                    ],
+                    "keep": keep,
                 }
             )
 

@@ -614,9 +614,11 @@ def test_incremental_minhash_candidates_match_batch(spark, sf_dir, tmp_path):
     src = tmp_path / "docs_arrivals"
     src.mkdir()
     for i in range(3):
-        docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
-            str(src / f"arrival_{i}.parquet_dir")
-        )
+        # coalesce the NULL doc_id into bucket 0 — pmod(NULL) matches no
+        # filter and would silently drop the row from the arrivals
+        docs.filter(
+            F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0)) == i
+        ).coalesce(1).write.parquet(str(src / f"arrival_{i}.parquet_dir"))
     import glob as _glob
     import shutil
 
@@ -1706,19 +1708,22 @@ def test_docs_compression_gate_matches_batch_scorer(spark, sf_dir, tmp_path):
         start_docs_compression_gate,
     )
 
-    # corpus + a planted degenerate doc so the quarantine side is nonempty
+    # corpus + planted rows covering the gate's full contract: a
+    # degenerate doc (quarantine nonempty), the SAME doc_id delivered
+    # twice (a re-crawl batch — each row must pass through exactly once,
+    # never be join-multiplied), and a NULL doc_id row (must be split,
+    # never dropped)
+    planted = spark.createDataFrame(
+        [
+            (990001, "spam " * 400, "en", "s", 2000),
+            (990005, "a normal enough document about spark", "en", "s", 36),
+            (990005, "a normal enough document about spark", "en", "s", 36),
+            (None, "orphan row with no key but real text here", "en", "s", 41),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").unionByName(
-        spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "doc_id": [990001],
-                    "text": ["spam " * 400],
-                    "lang": ["en"],
-                    "source": ["s"],
-                    "n_chars": [2000],
-                }
-            )
-        )
+        planted
     )
     src = tmp_path / "docs_gate_arrivals"
     src.mkdir()
@@ -1726,9 +1731,11 @@ def test_docs_compression_gate_matches_batch_scorer(spark, sf_dir, tmp_path):
     # load_table expects {dir}/documents.parquet
     docs.coalesce(1).write.parquet(staged + "/documents.parquet")
     for i in range(3):
-        docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
-            str(src / f"arrival_{i}.parquet_dir")
-        )
+        # coalesce the NULL doc_id into bucket 0 — pmod(NULL) matches no
+        # filter and would silently drop the row from the arrivals
+        docs.filter(
+            F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0)) == i
+        ).coalesce(1).write.parquet(str(src / f"arrival_{i}.parquet_dir"))
     for i, part in enumerate(
         sorted(_glob.glob(str(src / "*" / "part-*.parquet")))
     ):
@@ -1743,19 +1750,28 @@ def test_docs_compression_gate_matches_batch_scorer(spark, sf_dir, tmp_path):
         spark, str(src), clean, quar, ck, max_files_per_trigger=1
     ).awaitTermination()
 
-    batch = {
-        r["doc_id"]: r["keep"]
+    from collections import Counter
+
+    batch = Counter(
+        (r["doc_id"], r["keep"])
         for r in text_compression_ratio(spark, staged).collect()
-    }
-    got_clean = {r["doc_id"] for r in spark.read.parquet(clean).collect()}
-    got_quar = {r["doc_id"] for r in spark.read.parquet(quar).collect()}
-    assert got_clean == {d for d, k in batch.items() if k}
-    assert got_quar == {d for d, k in batch.items() if not k}
-    assert 990001 in got_quar and got_clean
+    )
+    got_clean = Counter(
+        r["doc_id"] for r in spark.read.parquet(clean).collect()
+    )
+    got_quar = Counter(r["doc_id"] for r in spark.read.parquet(quar).collect())
+    assert got_clean == Counter(d for (d, k), n in batch.items() if k for _ in range(n))
+    assert got_quar == Counter(d for (d, k), n in batch.items() if not k for _ in range(n))
+    assert got_quar[990001] == 1 and got_clean
+    # duplicate rows pass through exactly once each (not join-multiplied
+    # to x4) and the NULL-keyed row is split, not dropped — whichever side
+    # of the band the batch scorer puts them on
+    assert got_clean[990005] + got_quar[990005] == 2
+    assert got_clean[None] + got_quar[None] == 1
 
     # replay drain: epoch-idempotent partitions, nothing duplicated
     start_docs_compression_gate(
         spark, str(src), clean, quar, ck, max_files_per_trigger=1
     ).awaitTermination()
-    assert spark.read.parquet(clean).count() == len(got_clean)
-    assert spark.read.parquet(quar).count() == len(got_quar)
+    assert spark.read.parquet(clean).count() == sum(got_clean.values())
+    assert spark.read.parquet(quar).count() == sum(got_quar.values())
