@@ -1775,3 +1775,80 @@ def test_docs_compression_gate_matches_batch_scorer(spark, sf_dir, tmp_path):
     ).awaitTermination()
     assert spark.read.parquet(clean).count() == sum(got_clean.values())
     assert spark.read.parquet(quar).count() == sum(got_quar.values())
+
+
+def test_compact_distinct_store_crash_fuzz_every_prune(spark, tmp_path):
+    """Kill compact_distinct_store before EVERY epoch-prune rmtree (for
+    all N): the store's distinct fact set must be unchanged after the
+    crash (the base was written before any prune, so facts are at worst
+    duplicated across base + unpruned epochs), and a plain re-fold must
+    converge to the single -1 base with the identical fact set."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.streaming import stores as S
+
+    def build(n: int) -> str:
+        store = str(tmp_path / f"dfuzz_{n}")
+        for e in range(3):
+            (
+                spark.range(e * 4, e * 4 + 6)  # overlapping ranges: real dups
+                .select(
+                    F.col("id").alias("k"),
+                    (F.col("id") % 5).alias("v"),
+                    F.lit(e).cast("long").alias("epoch_id"),
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(store)
+            )
+        return store
+
+    def facts(store: str):
+        return sorted(
+            (r["k"], r["v"])
+            for r in spark.read.parquet(store)
+            .select("k", "v")
+            .distinct()
+            .collect()
+        )
+
+    class _Crash:
+        def __init__(self, at):
+            self.at, self.calls = at, 0
+
+        def rmtree(self, *a, **k):
+            if self.calls >= self.at:
+                raise RuntimeError("injected crash")
+            self.calls += 1
+            import shutil as real
+
+            return real.rmtree(*a, **k)
+
+        def __getattr__(self, name):
+            import shutil as real
+
+            return getattr(real, name)
+
+    baseline = facts(build(99))
+    for n in range(3):  # 3 epochs -> 3 prune rmtrees
+        store = build(n)
+        crash = _Crash(n)
+        orig = S.shutil
+        S.shutil = crash
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                S.compact_distinct_store(spark, store, ["k", "v"])
+        finally:
+            S.shutil = orig
+        assert facts(store) == baseline  # no fact lost or invented
+        refolded = S.compact_distinct_store(spark, store, ["k", "v"])
+        assert refolded >= 0
+        assert facts(store) == baseline
+        parts = [
+            d for d in os.listdir(store) if d.startswith("epoch_id=")
+        ]
+        assert parts == ["epoch_id=-1"]  # fully folded after retry
