@@ -23,6 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 FORMATS = ("parquet", "orc", "csv", "json")
+# avro is deliberately absent: Spark ships it as an EXTERNAL module
+# (spark-avro jar), which is not on this container's classpath — probing
+# `.format("avro")` raises AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE / "Failed
+# to find data source". The gated test in tests/test_extensions.py
+# documents the environment boundary and activates the path automatically
+# wherever the jar is deployed.
 
 
 def schema_of(df: DataFrame) -> str:

@@ -212,6 +212,22 @@ def test_registries_expose_oracles():
                 assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
+def test_avro_round_trip_if_available(spark, sf_dir, tmp_path):
+    """Environment-gated: spark-avro is an external module not on this
+    container's classpath; where it IS deployed, the same single-file
+    round-trip contract must hold."""
+    from komodo_data_spark.operators.relational import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, sf_dir)
+    path = str(tmp_path / "rt_avro")
+    try:
+        df.coalesce(1).write.format("avro").save(path)
+    except Exception as exc:
+        pytest.skip(f"spark-avro module not deployed: {str(exc)[:80]}")
+    back = spark.read.format("avro").load(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
 def test_formats_round_trip(spark, sf_dir, tmp_path):
     from komodo_data_spark.operators.relational import q1_pricing_summary
     from komodo_data_spark.sources.formats import (
