@@ -144,10 +144,15 @@ def recover_publish(path: str) -> None:
         # complete, audited staging: FINISH the swap — even when the
         # crash hit before the live path was displaced (path still
         # present). Discarding it here would roll back a committed
-        # publish. Empty marker content (pre-intent versions) reads as
-        # the drop-backup default, matching their only publish mode.
+        # publish. Empty marker content comes from a pre-intent marker
+        # version whose publishes could ALSO be keep_backup — default
+        # such markers to KEEP: parking the displaced copy at
+        # rollback_path is always safe (a stray rollback dir is cheaper
+        # than a deleted one; the next keep_backup publish replaces it),
+        # while defaulting to drop would delete a keep_backup publish's
+        # rollback copy.
         with open(marker) as fh:
-            keep_backup = fh.read().strip() == "keep"
+            keep_backup = fh.read().strip() != "drop"
         _finish_swap(path, staging, backup, keep_backup)
     elif not os.path.exists(path) and os.path.isdir(backup):
         # incomplete staging: roll back to the pre-publish directory

@@ -10,8 +10,12 @@ sub-second queries at BOTH scales), while a quadratic one trends toward
 
 Gate: flag ratio > RATIO_GATE (20) where the sf0.01 time exceeds
 T01_FLOOR (0.15 s — below that the numerator of the ratio is scheduler
-noise, not data work). Writes BENCH_SCALING.json; exits non-zero if any
-query is flagged, so the artifact doubles as a CI gate.
+noise, not data work) — OR, independent of the floor, where the ratio
+exceeds the gate AND the large-scale time exceeds T_ABS_CEILING (5 s):
+a quadratic operator with a tiny constant (0.1 s → 30 s is ratio 300)
+must not hide behind the noise floor (review finding). Writes
+BENCH_SCALING.json; exits non-zero if any query is flagged, so the
+artifact doubles as a CI gate.
 
 Method notes: both scales run in ONE Spark session (local[32]), sf0.01
 first, after bench.py's footer/worker/codegen warm-ups — so one-time JIT
@@ -35,6 +39,7 @@ SF_SMALL = "/root/testdata/sf0.01"
 SF_LARGE = "/root/testdata/sf0.1"
 RATIO_GATE = 20.0
 T01_FLOOR = 0.15
+T_ABS_CEILING = 5.0
 
 
 def main() -> int:
@@ -96,7 +101,12 @@ def main() -> int:
             # the exact superlinear signature this gate exists to catch)
             # must FLAG, not silently fall out of the ratio math
             flagged.append(name)
-        elif ratio is not None and ratio > RATIO_GATE and ts > T01_FLOOR:
+        elif ratio is not None and ratio > RATIO_GATE and (
+            ts > T01_FLOOR or tl > T_ABS_CEILING
+        ):
+            # the absolute ceiling catches a quadratic op with a small
+            # constant (0.1 s → 30 s, ratio 300) that the noise floor
+            # would otherwise wave through (review finding)
             flagged.append(name)
 
     top = sorted(
@@ -107,6 +117,7 @@ def main() -> int:
         "metric": "per_query_time_ratio_sf0.1_over_sf0.01",
         "ratio_gate": RATIO_GATE,
         "t01_floor_sec": T01_FLOOR,
+        "t_abs_ceiling_sec": T_ABS_CEILING,
         "n_queries": len(queries),
         "n_flagged": len(flagged),
         "flagged": sorted(flagged),

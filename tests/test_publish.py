@@ -118,6 +118,24 @@ def test_recover_finishes_keep_backup_publish_beside_live(tmp_path):
     assert not os.path.exists(backup_path(live))
 
 
+def test_recover_empty_marker_defaults_to_keep(tmp_path):
+    # pre-intent marker versions wrote an EMPTY marker for both publish
+    # modes; recovery must default to keep — parking the displaced live
+    # copy at rollback_path is always safe, while defaulting to drop
+    # would delete a keep_backup publish's rollback copy (review finding)
+    from komodo_data_spark.sources.publish import rollback_path
+
+    live = str(tmp_path / "t")
+    _mkdir_with(live, "data", "v1")
+    _mkdir_with(staging_path(live), "data", "v2")
+    open(os.path.join(staging_path(live), READY_MARKER), "w").close()
+    recover_publish(live)
+    assert _content(live, "data") == "v2"
+    assert _content(rollback_path(live), "data") == "v1"
+    assert not os.path.exists(staging_path(live))
+    assert not os.path.exists(backup_path(live))
+
+
 def test_recover_heals_legacy_protocol_leftovers(tmp_path):
     # pre-unification crashes (.__merging__/.__premerge__ and
     # .__compacting__/.__precompact__) had no READY marker: restore the

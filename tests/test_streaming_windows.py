@@ -1500,7 +1500,10 @@ def test_incremental_export_guards(spark, tmp_path):
             assert "NULL" in str(exc) and "duplicate" not in str(exc)
 
     # ...and a clean store containing NO NULLs and NO duplicates must not
-    # trip either guard (the old countDistinct comparison flagged it)
+    # trip either guard. The old n != countDistinct comparison misread
+    # NULL-KEYED rows as duplicates (the exp2 case above — countDistinct
+    # skips NULLs); it was fine on this clean store, which is kept as a
+    # guard against over-correcting the fix.
     exp3 = str(tmp_path / "clean_store")
     export_batch(
         spark.createDataFrame(
