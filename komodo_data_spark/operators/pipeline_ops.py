@@ -1182,6 +1182,85 @@ _CONTAM_N = 4  # shingle width for contamination matching
 _BENCH_MOD = 47  # doc_id % 47 == 0 -> "benchmark" member (deterministic stand-in)
 
 
+def benchmark_shingles(bench_docs: DataFrame) -> DataFrame:
+    """Distinct ``_CONTAM_N``-token shingles of a benchmark document set —
+    the ONE definition of what a "benchmark shingle" is, shared by the
+    batch scanner (:func:`benchmark_contamination`) and the streaming
+    ingestion gate (``streaming/decontamination_gate.py``), so the two
+    can never disagree about the match key."""
+    from komodo_data_spark.functions.text_features import shingles
+    from komodo_data_spark.plans import exploded
+
+    return (
+        exploded(
+            bench_docs.select(shingles(tokens(), _CONTAM_N).alias("sh")),
+            F.col("sh"),
+            "s",
+        )
+        .select("s")
+        .distinct()
+    )
+
+
+def contamination_annotate(
+    df: DataFrame, bench_sh: DataFrame, row_key: str | None = None
+) -> DataFrame:
+    """Annotate EVERY row of ``df`` (any schema with a ``text`` column)
+    with ``n_shingles`` / ``n_contaminated`` / ``contamination_frac``
+    against a (broadcast) benchmark-shingle frame with column ``s`` — the
+    shared scoring kernel of the batch scanner and the streaming gate.
+
+    Pass-through contract: one output row per input row, all input
+    columns preserved. The hit counts come back through a unique row
+    key: ``row_key`` when the caller GUARANTEES that column unique and
+    non-null (the batch scanner's doc_id), else a synthetic id — never a
+    blind doc_id re-join, which would multiply duplicate doc_ids within
+    a batch and silently drop NULL-keyed rows (the compression-gate
+    review finding applies here too).
+
+    The synthetic-id path localCheckpoints ``df`` first:
+    ``monotonically_increasing_id`` is only stable across the
+    corpus/hits subtrees when the rows below it are materialized — above
+    a live round-robin exchange (``load_spread``) the two subtrees can
+    see different row orders and the hits would join back to the WRONG
+    rows (caught by the DuckDB oracle when this kernel was introduced).
+
+    Scale: benchmark sets are tiny next to the corpus, so ``bench_sh``
+    is broadcast and the corpus explode side never shuffles for the
+    probe; the only shuffles are the groupBy/join on the unique row key
+    (high-cardinality, skew-free by construction).
+    """
+    from komodo_data_spark.functions.text_features import shingles
+    from komodo_data_spark.plans import exploded
+
+    if row_key is None:
+        df = df.localCheckpoint(eager=True)
+        base = df.withColumn("__uid", F.monotonically_increasing_id())
+    else:
+        base = df.withColumn("__uid", F.col(row_key))
+    base = base.withColumn("__sh", shingles(tokens(), _CONTAM_N))
+    corpus = base.withColumn("n_shingles", F.size("__sh"))
+    hits = (
+        exploded(corpus.select("__uid", "__sh"), F.col("__sh"), "s", "__uid")
+        .join(F.broadcast(bench_sh.select("s")), "s")
+        .groupBy("__uid")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        corpus.drop("__sh")
+        .join(hits, "__uid", "left")
+        .drop("__uid")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .withColumn(
+            "contamination_frac",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_contaminated").cast("double") / F.col("n_shingles"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document contamination against a benchmark set: the fraction of a
     training document's distinct 4-token shingles that also appear in any
@@ -1195,46 +1274,17 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: benchmark sets are tiny relative to the corpus (a few
     thousand eval documents vs billions of training docs), so the distinct
     benchmark-shingle set is **broadcast** — the corpus side never
-    shuffles. Per-doc totals ride along with the exploded rows (size() is
-    computed before the explode), so the only shuffle is the final
-    groupBy(doc_id) count, keyed by a high-cardinality key with no skew.
+    shuffles for the probe. Scoring goes through the shared
+    :func:`contamination_annotate` kernel (ONE definition with the
+    streaming ingestion gate, ``streaming/decontamination_gate.py``).
     """
     from komodo_data_spark.sources.tables import load_spread
-    from komodo_data_spark.functions.text_features import shingles
-    from komodo_data_spark.plans import exploded
 
-    d = load_spread(spark, sf_dir, "documents").select(
-        "doc_id", shingles(tokens(), _CONTAM_N).alias("sh")
-    )
-    bench_sh = (
-        exploded(d.filter(F.col("doc_id") % _BENCH_MOD == 0), F.col("sh"), "s")
-        .select("s")
-        .distinct()
-    )
-    corpus = d.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
-        "doc_id", F.size("sh").alias("n_shingles"), F.col("sh")
-    )
-    hits = (
-        exploded(corpus, F.col("sh"), "s", "doc_id")
-        .join(F.broadcast(bench_sh), "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    return (
-        corpus.drop("sh")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            F.when(
-                F.col("n_shingles") > 0,
-                F.coalesce("n_contaminated", F.lit(0)).cast("double")
-                / F.col("n_shingles"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("contamination_frac"),
-        )
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_sh = benchmark_shingles(d.filter(F.col("doc_id") % _BENCH_MOD == 0))
+    corpus = d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return contamination_annotate(corpus, bench_sh, row_key="doc_id").select(
+        "doc_id", "n_shingles", "n_contaminated", "contamination_frac"
     )
 
 

@@ -219,6 +219,169 @@ def text_bpe_token_estimate_oracle() -> str:
     """
 
 
+#: Number of BPE merge rounds text_bpe_train_apply learns. Fixed unrolling
+#: keeps the plan finite (same trade as kmeans_clusters / graph_pagerank).
+BPE_MERGES = 8
+
+#: Symbol separator for the merge-apply string form. Outside every corpus
+#: alphabet this engine targets; words containing it are excluded from
+#: training/application on BOTH sides (documented contract).
+_BPE_SEP = "\x01"
+
+
+def _bpe_wrapped(word) -> "F.Column":
+    """The ``·a··b··c·`` string form of a word's symbol sequence: every
+    symbol wrapped in separators. On this form a BPE merge (a, b) is ONE
+    literal string replace of ``·a··b·`` → ``·ab·`` — left-to-right
+    non-overlapping replacement IS the greedy BPE apply order, and the
+    double separator makes a symbol-boundary false match impossible
+    (``·xa··b·`` does not contain ``·a··b·``). Identical semantics in
+    Spark ``replace`` and DuckDB ``replace``, so the oracle mirrors the
+    apply step exactly."""
+    sep = F.lit(_BPE_SEP)
+    return F.concat(sep, F.array_join(F.split(word, ""), _BPE_SEP * 2), sep)
+
+
+def _bpe_syms(w) -> "F.Column":
+    """Symbol array back out of the wrapped string form."""
+    return F.split(
+        F.expr(f"trim(BOTH char(1) FROM {w})"), _BPE_SEP * 2
+    )
+
+
+def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a real byte-pair encoder on the corpus and apply it: learn the
+    top ``BPE_MERGES`` merges by exact corpus-weighted pair counting
+    (Sennrich et al. 2016's algorithm, re-expressed declaratively), then
+    report each document's EXACT post-merge token count — the trained
+    upgrade of the regex proxy in ``text_bpe_token_estimate``, feeding
+    ``token_packing_stats`` with real tokenizer economics.
+
+    Scale design: classic BPE trains on the **weighted word vocabulary**,
+    not the corpus — one corpus-sized explode+groupBy builds
+    (word, count), and every training round after that is vocab-bounded
+    (web-scale vocabs are millions of rows vs billions of documents).
+    Each round is: adjacent-pair explode over the symbol arrays →
+    groupBy(pair) weighted count → top-1 (TakeOrdered, deterministic
+    tie-break) → broadcast the single merge row back and apply it with
+    one literal string replace (see ``_bpe_wrapped``). No driver-side
+    collect — the merge stays a 1-row DataFrame, so the whole fit is one
+    Catalyst plan the optimizer can see. Application to documents is a
+    broadcast join of the fitted (word → n_symbols) table onto the
+    exploded corpus tokens, then a per-doc sum.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", tokens().alias("toks"))
+    toks = exploded(d, F.col("toks"), "word", "doc_id").filter(
+        (F.length("word") > 0) & ~F.col("word").contains(_BPE_SEP)
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    cur = vocab.withColumn("w", _bpe_wrapped(F.col("word")))
+    sep = _BPE_SEP
+    for _ in range(BPE_MERGES):
+        syms = _bpe_syms("w")
+        n_pairs = F.size(syms) - 1
+        pairs = cur.select(
+            "cnt",
+            F.arrays_zip(
+                F.slice(syms, 1, F.greatest(n_pairs, F.lit(0))).alias("a"),
+                F.slice(syms, 2, F.greatest(n_pairs, F.lit(0))).alias("b"),
+            ).alias("ps"),
+        )
+        wt = (
+            exploded(pairs, F.col("ps"), "p", "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("wt"))
+        )
+        # sentinel keeps the fit total even if the vocabulary runs out of
+        # pairs before BPE_MERGES rounds (its 4-separator pattern can
+        # never match a wrapped string, so it applies as a no-op)
+        sentinel = spark.createDataFrame(
+            [("", "", -1)], "a string, b string, wt long"
+        )
+        merge = (
+            wt.unionByName(sentinel)
+            .orderBy(F.desc("wt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select("a", "b")
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(merge))
+            .withColumn(
+                "w",
+                F.replace(
+                    F.col("w"),
+                    F.concat(
+                        F.lit(sep), F.col("a"), F.lit(sep * 2), F.col("b"),
+                        F.lit(sep),
+                    ),
+                    F.concat(F.lit(sep), F.col("a"), F.col("b"), F.lit(sep)),
+                ),
+            )
+            .drop("a", "b")
+        )
+    fitted = cur.select("word", F.size(_bpe_syms("w")).alias("n_syms"))
+    return (
+        toks.join(F.broadcast(fitted), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def text_bpe_train_apply_oracle() -> str:
+    t = sql_tokens()
+    sep = "chr(1)"
+    sep2 = f"({sep}||{sep})"
+    rounds = []
+    for r in range(BPE_MERGES):
+        prev, cur = f"s{r}", f"s{r + 1}"
+        rounds.append(f"""
+    p{r} AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt) AS wt
+      FROM (SELECT cnt, string_split(trim(w, {sep}), {sep2}) AS syms
+            FROM {prev}),
+           unnest(range(1, len(syms))) AS u(i)
+      GROUP BY syms[i], syms[i+1]
+    ),
+    m{r} AS (
+      SELECT a, b FROM (
+        SELECT a, b, wt FROM p{r}
+        UNION ALL SELECT '', '', -1
+      ) ORDER BY wt DESC, a ASC, b ASC LIMIT 1
+    ),
+    {cur} AS (
+      SELECT word, cnt,
+             replace(w, {sep}||a||{sep2}||b||{sep}, {sep}||a||b||{sep}) AS w
+      FROM {prev}, m{r}
+    )""")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id, unnest({t}) AS word FROM documents)
+      WHERE length(word) > 0 AND position({sep} IN word) = 0
+    ),
+    v AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+    s0 AS (
+      SELECT word, cnt,
+             {sep} || array_to_string(string_split(word, ''), {sep2}) || {sep}
+               AS w
+      FROM v
+    ),{",".join(rounds)},
+    fitted AS (
+      SELECT word,
+             len(string_split(trim(w, {sep}), {sep2})) AS n_syms
+      FROM s{BPE_MERGES}
+    )
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(f.n_syms)::BIGINT AS n_bpe_tokens
+    FROM toks t JOIN fitted f USING (word)
+    GROUP BY t.doc_id
+    """
+
+
 # --------------------------------------------------------------------------
 # boilerplate shingle detection (heavy hitters by document frequency)
 # --------------------------------------------------------------------------
@@ -817,6 +980,14 @@ def registry():
         "text_bpe_token_estimate": (
             text_bpe_token_estimate,
             text_bpe_token_estimate_oracle(),
+        ),
+        "text_bpe_train_apply": (
+            text_bpe_train_apply,
+            text_bpe_train_apply_oracle(),
+        ),
+        "text_nb_calibration": (
+            text_nb_calibration,
+            text_nb_calibration_oracle(),
         ),
         "boilerplate_ngrams": (boilerplate_ngrams, boilerplate_ngrams_oracle()),
         "text_rolling_fingerprints": (
@@ -1557,22 +1728,11 @@ def text_quality_rule_flags_oracle() -> str:
 NB_VOCAB_SIZE = 2000  # top-df terms kept in the model
 
 
-def text_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-and-apply in one plan: weak labels from the Gopher rule bank
-    (``text_quality_rule_flags``' keep — the SAME function, so labels
-    cannot drift), a ``NB_VOCAB_SIZE``-term multinomial NB fit by exact
-    counting, then per-source application stats (predicted-keep counts and
-    agreement with the weak labels).
-
-    Scale design: training is two vocab-bounded aggregates (df ranking +
-    per-(term, label) counts) whose outputs are model-sized, never
-    corpus-sized; the fitted log-likelihood-ratio table (<= ``NB_VOCAB_SIZE``
-    rows) broadcasts to the scoring join, so inference is one pass over the
-    per-(doc, term) counts frame with a broadcast hash join — no hot-term
-    shuffle (stopwords are exactly the terms a per-term shuffle would skew
-    on). The final rollup is |sources| rows.
-    """
-    from komodo_data_spark.sources.tables import load_spread
+def _nb_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared NB fit + per-document scoring: weak label and the posterior
+    log-odds ``score`` (ll_sum + class prior) for every document — the one
+    model definition behind ``text_nb_quality_classifier`` (thresholds it
+    at 0) and ``text_nb_calibration`` (maps it through a sigmoid)."""
 
     # ONE tokenize+explode+shuffle pass feeds labels, vocabulary, training
     # counts, and scoring alike
@@ -1638,7 +1798,7 @@ def text_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("llr"),
     )
     prior = F.log((F.col("n_keep") + 1.0) / (F.col("n_drop") + 1.0))
-    scored = (
+    return (
         tf.join(F.broadcast(llr_tbl), "term")
         .groupBy("doc_id")
         .agg(F.sum(F.col("tf") * F.col("llr")).alias("ll_sum"))
@@ -1647,10 +1807,31 @@ def text_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "label",
-            (F.coalesce(F.col("ll_sum"), F.lit(0.0)) + prior > 0).cast(
-                "int"
-            ).alias("pred"),
+            (F.coalesce(F.col("ll_sum"), F.lit(0.0)) + prior).alias("score"),
         )
+    )
+
+
+def text_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-apply in one plan: weak labels from the Gopher rule bank
+    (``text_quality_rule_flags``' keep — the SAME function, so labels
+    cannot drift), a ``NB_VOCAB_SIZE``-term multinomial NB fit by exact
+    counting, then per-source application stats (predicted-keep counts and
+    agreement with the weak labels).
+
+    Scale design: training is two vocab-bounded aggregates (df ranking +
+    per-(term, label) counts) whose outputs are model-sized, never
+    corpus-sized; the fitted log-likelihood-ratio table (<= ``NB_VOCAB_SIZE``
+    rows) broadcasts to the scoring join, so inference is one pass over the
+    per-(doc, term) counts frame with a broadcast hash join — no hot-term
+    shuffle (stopwords are exactly the terms a per-term shuffle would skew
+    on). The final rollup is |sources| rows. Fit + scoring live in
+    ``_nb_doc_scores`` (shared with ``text_nb_calibration``).
+    """
+    from komodo_data_spark.sources.tables import load_spread
+
+    scored = _nb_doc_scores(spark, sf_dir).select(
+        "doc_id", "label", (F.col("score") > 0).cast("int").alias("pred")
     )
     src = load_spread(spark, sf_dir, "documents").select("doc_id", "source")
     return (
@@ -1668,7 +1849,10 @@ def text_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_nb_quality_classifier_oracle() -> str:
+def _nb_scores_cte() -> str:
+    """WITH-chain up to ``scores`` (doc_id, label, score) — the DuckDB twin
+    of ``_nb_doc_scores``, shared by the classifier and calibration
+    oracles."""
     t = sql_tokens()
     return f"""
     WITH flags AS ({text_quality_rule_flags_oracle()}),
@@ -1706,17 +1890,26 @@ def text_nb_quality_classifier_oracle() -> str:
            / ((SELECT t_drop FROM consts) + {NB_VOCAB_SIZE}.0)) AS llr
       FROM ltf GROUP BY term
     ),
-    scored AS (
+    scores AS (
       SELECT l.doc_id, l.label,
-        CASE WHEN coalesce(s.ll_sum, 0.0)
-              + ln(((SELECT n_keep FROM consts) + 1.0)
-                 / ((SELECT n_drop FROM consts) + 1.0)) > 0
-             THEN 1 ELSE 0 END AS pred
+        coalesce(s.ll_sum, 0.0)
+          + ln(((SELECT n_keep FROM consts) + 1.0)
+             / ((SELECT n_drop FROM consts) + 1.0)) AS score
       FROM labels l
       LEFT JOIN (
         SELECT doc_id, sum(tf * llr) AS ll_sum
         FROM tf JOIN llr USING (term) GROUP BY doc_id
       ) s USING (doc_id)
+    )"""
+
+
+def text_nb_quality_classifier_oracle() -> str:
+    return f"""
+    {_nb_scores_cte()},
+    scored AS (
+      SELECT doc_id, label,
+             CASE WHEN score > 0 THEN 1 ELSE 0 END AS pred
+      FROM scores
     )
     SELECT d.source,
            count(*) AS n_docs,
@@ -1726,4 +1919,74 @@ def text_nb_quality_classifier_oracle() -> str:
              AS n_agree
     FROM scored sc JOIN documents d USING (doc_id)
     GROUP BY d.source ORDER BY d.source
+    """
+
+
+#: Reliability-diagram bin count for text_nb_calibration.
+NB_CALIB_BINS = 10
+
+
+def text_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the NB quality classifier: reliability bins over the
+    predicted keep-probability (sigmoid of the posterior log-odds from
+    ``_nb_doc_scores`` — the SAME fit the classifier thresholds), each bin
+    reporting document count, mean predicted probability, empirical keep
+    rate (vs the weak labels), and its weighted ECE contribution
+    (``sum(ece_term)`` over the result IS the expected calibration
+    error). An uncalibrated scorer can rank perfectly and still be
+    useless for threshold selection — this is the artifact that says
+    whether ``p > 0.9`` means anything.
+
+    Scale: everything after the shared fit is a ``NB_CALIB_BINS``-row
+    aggregate; the normalizing total rides on an unpartitioned window
+    over those few rows, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score")))
+    binned = _nb_doc_scores(spark, sf_dir).select(
+        F.least(
+            F.floor(p * NB_CALIB_BINS).cast("int"), F.lit(NB_CALIB_BINS - 1)
+        ).alias("bin"),
+        p.alias("p"),
+        "label",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("p").alias("mean_pred"),
+        F.avg(F.col("label").cast("double")).alias("keep_rate"),
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return per_bin.select(
+        "bin",
+        "n_docs",
+        "mean_pred",
+        "keep_rate",
+        (
+            F.col("n_docs").cast("double")
+            / total
+            * F.abs(F.col("mean_pred") - F.col("keep_rate"))
+        ).alias("ece_term"),
+    ).orderBy("bin")
+
+
+def text_nb_calibration_oracle() -> str:
+    return f"""
+    {_nb_scores_cte()},
+    binned AS (
+      SELECT least(floor((1.0 / (1.0 + exp(-score))) * {NB_CALIB_BINS})::INT,
+                   {NB_CALIB_BINS - 1}) AS bin,
+             1.0 / (1.0 + exp(-score)) AS p,
+             label
+      FROM scores
+    ),
+    per_bin AS (
+      SELECT bin, count(*) AS n_docs, avg(p) AS mean_pred,
+             avg(label::DOUBLE) AS keep_rate
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, n_docs, mean_pred, keep_rate,
+           n_docs::DOUBLE / (SELECT sum(n_docs) FROM per_bin)
+             * abs(mean_pred - keep_rate) AS ece_term
+    FROM per_bin ORDER BY bin
     """

@@ -48,17 +48,31 @@ def get_spark(
     app_name: str = "komodo-data-spark",
     master: str | None = None,
     shuffle_partitions: int = 32,
+    driver_memory: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession configured for this engine.
 
     ``shuffle_partitions`` defaults to 32 to match the local[32] test rig; on
     a real cluster leave spark.sql.shuffle.partitions to AQE by passing a
     high initial value (AQE coalesces down, never up).
+
+    ``driver_memory`` sizes the single local-mode JVM (driver AND all
+    executor threads share one heap there — Spark's 1g default OOMs hash
+    aggregates already at the repo-generated sf1, ~6M lineitem rows).
+    Default from ``$SPARK_GRAFT_DRIVER_MEM``, else 12g on the 128 GiB
+    rig. Only effective for the session that launches the JVM; a
+    pre-existing session keeps its heap (getOrCreate semantics).
     """
+    import os
+
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config(
+        "spark.driver.memory",
+        driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+    )
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
     return configure(builder.getOrCreate())

@@ -23,6 +23,17 @@ is mostly absorbed before any timed run and the sf0.1 pass is
 codegen-warm (which can only shrink ratios of innocent queries, never
 mask a superlinear one, because the masked work is data-proportional).
 
+Second decade (round-5 verdict ask #1): when the repo-generated sf1
+extrapolation exists (``scripts/gen_sf1.py`` →
+``/root/testdata_local/sf1``), the shuffle-heavy set SF1_QUERIES (the
+BENCH_SKEW query set + the composed evals + the heaviest TPC-H joins)
+is ALSO timed there, adding ``t_sf1``/``ratio_sf1`` columns under the
+same 20× gate (floor on t_sf0.1, absolute ceiling T_SF1_CEILING=30 s) —
+so the superlinearity evidence spans sf0.01→sf0.1→sf1, two measured
+decades. The full-corpus recall evals stay out of this set by design:
+their quadratic TRUTH side is eval-only (the ``_sampled`` production
+twin is in).
+
 Usage: python scripts/bench_scaling.py
 """
 
@@ -40,6 +51,27 @@ SF_LARGE = "/root/testdata/sf0.1"
 RATIO_GATE = 20.0
 T01_FLOOR = 0.15
 T_ABS_CEILING = 5.0
+
+SF_XL = "/root/testdata_local/sf1"  # repo-generated (scripts/gen_sf1.py)
+T_SF1_CEILING = 30.0
+
+#: shuffle-heavy set for the second decade: the BENCH_SKEW queries +
+#: the composed evals (sampled/bounded production modes only) + the
+#: heaviest TPC-H joins and graph ops from BENCH_DETAIL.
+SF1_QUERIES = [
+    "copresence_pairs", "corpus_clean", "corpus_prepare",
+    "dedup_clusters", "dedup_clusters_star", "dedup_clusters_best_keeper",
+    "dedup_exact", "dedup_fuzzy_prefix", "dedup_minhash_lsh",
+    "dedup_minhash_recall_sampled", "dedup_embedding_recall",
+    "dedup_ngram_pairs_capped", "dedup_repeated_blocks", "dedup_simhash",
+    "dedup_source_overlap", "dedup_substring_spans", "dedup_semantic",
+    "docs_split_by_cluster", "event_sessions", "events_heavy_hitters",
+    "events_transition_matrix", "graph_components",
+    "orders_customer_join_salted", "q18_large_volume_customers",
+    "q21_sole_late_supplier", "source_ngram_diversity", "text_bm25_rank",
+    "text_nb_quality_classifier", "text_quality_rule_flags",
+    "text_tfidf_cosine_pairs", "text_tfidf_top_terms",
+]
 
 
 def main() -> int:
@@ -73,9 +105,10 @@ def main() -> int:
                 pass
             spark.catalog.clearCache()
 
-    def timed(sf_dir: str) -> dict[str, float]:
+    def timed(sf_dir: str, names=None) -> dict[str, float]:
         out: dict[str, float] = {}
-        for name, fn in qs.items():
+        for name in (names if names is not None else qs):
+            fn = qs[name]
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).count()
@@ -89,6 +122,10 @@ def main() -> int:
 
     t_small = timed(SF_SMALL)
     t_large = timed(SF_LARGE)
+
+    have_sf1 = os.path.isdir(SF_XL)
+    sf1_set = [n for n in SF1_QUERIES if n in qs]
+    t_xl = timed(SF_XL, sf1_set) if have_sf1 else {}
 
     queries = {}
     flagged = []
@@ -108,9 +145,26 @@ def main() -> int:
             # constant (0.1 s → 30 s, ratio 300) that the noise floor
             # would otherwise wave through (review finding)
             flagged.append(name)
+        if name in t_xl:
+            # second decade: sf0.1 → sf1 under the same gate
+            txl = t_xl[name]
+            ratio1 = round(txl / tl, 2) if tl > 0 and txl >= 0 else None
+            queries[name]["t_sf1"] = txl
+            queries[name]["ratio_sf1"] = ratio1
+            if txl < 0 and name not in flagged:
+                flagged.append(name)
+            elif ratio1 is not None and ratio1 > RATIO_GATE and (
+                tl > T01_FLOOR or txl > T_SF1_CEILING
+            ) and name not in flagged:
+                flagged.append(name)
 
     top = sorted(
         ((n, q["ratio"]) for n, q in queries.items() if q["ratio"]),
+        key=lambda kv: -kv[1],
+    )[:10]
+    top_sf1 = sorted(
+        ((n, q["ratio_sf1"]) for n, q in queries.items()
+         if q.get("ratio_sf1")),
         key=lambda kv: -kv[1],
     )[:10]
     result = {
@@ -118,6 +172,10 @@ def main() -> int:
         "ratio_gate": RATIO_GATE,
         "t01_floor_sec": T01_FLOOR,
         "t_abs_ceiling_sec": T_ABS_CEILING,
+        "sf1_dir": SF_XL if have_sf1 else None,
+        "sf1_ceiling_sec": T_SF1_CEILING,
+        "n_sf1_queries": len(t_xl),
+        "top_ratios_sf1": dict(top_sf1),
         "n_queries": len(queries),
         "n_flagged": len(flagged),
         "flagged": sorted(flagged),

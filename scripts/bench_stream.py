@@ -274,6 +274,32 @@ def main(argv: list[str] | None = None) -> int:
     batches10 = progress_rows(q10)
     report["compression_gate"] = {"batches": batches10, **flat_check(batches10)}
 
+    # --- stream 11: benchmark decontamination gate (reuses docs stage) -----
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.streaming.decontamination_gate import (
+        start_docs_decontamination_gate,
+        update_benchmark_store,
+    )
+
+    docs = load_table(spark, args.sf_dir, "documents")
+    store = os.path.join(work, "bench_store")
+    update_benchmark_store(
+        docs.filter(F.col("doc_id") % 47 == 0), store, version=1
+    )
+    q11 = start_docs_decontamination_gate(
+        spark, docs_src, store,
+        os.path.join(work, "decontam_clean"),
+        os.path.join(work, "decontam_quarantine"),
+        os.path.join(work, "ckpt_decontam"),
+        max_files_per_trigger=1,
+    )
+    q11.awaitTermination()
+    batches11 = progress_rows(q11)
+    report["decontamination_gate"] = {
+        "batches": batches11, **flat_check(batches11)
+    }
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",

@@ -1780,6 +1780,144 @@ def test_docs_compression_gate_matches_batch_scorer(spark, sf_dir, tmp_path):
     assert spark.read.parquet(quar).count() == sum(got_quar.values())
 
 
+def test_docs_decontamination_gate_matches_batch_scanner(spark, sf_dir, tmp_path):
+    """The streaming 4-gram decontamination gate must reach exactly the
+    batch scanner's verdicts (one shared kernel,
+    ``pipeline_ops.contamination_annotate``) across file-by-file arrival;
+    a benchmark-store update mid-stream screens only SUBSEQUENT batches;
+    a replay drain over the same checkpoint adds nothing."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.pipeline_ops import (
+        benchmark_contamination,
+    )
+    from komodo_data_spark.streaming.decontamination_gate import (
+        DEFAULT_MAX_CONTAM_FRAC,
+        start_docs_decontamination_gate,
+        update_benchmark_store,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench_docs = base.filter(F.col("doc_id") % 47 == 0)
+    leak_text = bench_docs.orderBy("doc_id").first()["text"]
+    # planted rows covering the gate's full contract: an eval-set leak
+    # (quarantine nonempty; 990001 % 47 != 0 so the batch scanner treats
+    # it as corpus), the SAME doc_id delivered twice (must pass through
+    # exactly once each, never join-multiplied), and a NULL doc_id row
+    # (must be split, never dropped)
+    planted = spark.createDataFrame(
+        [
+            (990001, leak_text, "en", "s", len(leak_text)),
+            (990005, "a normal enough document about spark", "en", "s", 36),
+            (990005, "a normal enough document about spark", "en", "s", 36),
+            (None, "orphan row with no key but real text here", "en", "s", 41),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = base.filter(F.col("doc_id") % 47 != 0).unionByName(planted)
+
+    # batch scanner's view: one documents table holding bench + corpus
+    # (it derives the benchmark membership by the % 47 stand-in itself);
+    # it drops NULL-keyed rows by that membership filter, so the NULL row
+    # is pinned on the gate side only
+    staged = str(tmp_path / "staged_docs")
+    base.unionByName(planted.filter(F.col("doc_id").isNotNull())).coalesce(
+        1
+    ).write.parquet(staged + "/documents.parquet")
+
+    src = tmp_path / "docs_decontam_arrivals"
+    src.mkdir()
+    for i in range(3):
+        corpus.filter(
+            F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0)) == i
+        ).coalesce(1).write.parquet(str(src / f"arrival_{i}.parquet_dir"))
+    for i, part in enumerate(
+        sorted(_glob.glob(str(src / "*" / "part-*.parquet")))
+    ):
+        shutil.copy(part, str(src / f"file_{i}.parquet"))
+    for d in _glob.glob(str(src / "*.parquet_dir")):
+        shutil.rmtree(d)
+
+    store = str(tmp_path / "bench_store")
+    update_benchmark_store(bench_docs, store, version=1)
+
+    clean = str(tmp_path / "decontam_clean")
+    quar = str(tmp_path / "decontam_quarantine")
+    ck = str(tmp_path / "ckpt_decontam")
+    start_docs_decontamination_gate(
+        spark, str(src), store, clean, quar, ck, max_files_per_trigger=1
+    ).awaitTermination()
+
+    # stream == batch: same keep verdict AND same contamination_frac for
+    # every unique non-NULL corpus doc (990005 is excluded from the frac
+    # map below because the batch scanner keys hits by doc_id — its two
+    # rows share one aggregate — while the gate scores each row; both
+    # sides agree on the verdict either way, pinned by the counters)
+    batch = {
+        r["doc_id"]: (
+            r["contamination_frac"] <= DEFAULT_MAX_CONTAM_FRAC,
+            r["contamination_frac"],
+        )
+        for r in benchmark_contamination(spark, staged).collect()
+    }
+    got_clean = spark.read.parquet(clean).collect()
+    got_quar = spark.read.parquet(quar).collect()
+    for rows, expect_keep in ((got_clean, True), (got_quar, False)):
+        for r in rows:
+            if r["doc_id"] is None or r["doc_id"] == 990005:
+                continue
+            keep, frac = batch[r["doc_id"]]
+            assert keep is expect_keep, r["doc_id"]
+            assert abs(r["contamination_frac"] - frac) < 1e-12, r["doc_id"]
+    from collections import Counter
+
+    clean_ids = Counter(r["doc_id"] for r in got_clean)
+    quar_ids = Counter(r["doc_id"] for r in got_quar)
+    assert set(clean_ids) | set(quar_ids) == set(batch) | {None, 990005}
+    assert quar_ids[990001] == 1  # the planted eval leak is quarantined
+    assert clean_ids[990005] + quar_ids[990005] == 2  # dup passes twice
+    assert clean_ids[None] + quar_ids[None] == 1  # NULL split, not dropped
+
+    # benchmark-store update mid-stream: a NEW benchmark version screens
+    # only batches that arrive after it — prior epochs stay as published
+    new_bench_text = "a freshly released benchmark question about windows"
+    update_benchmark_store(
+        spark.createDataFrame([(new_bench_text,)], "text string"),
+        store,
+        version=2,
+    )
+    late = spark.createDataFrame(
+        [
+            (990100, new_bench_text, "en", "s", len(new_bench_text)),
+            (990101, "late but perfectly clean document text", "en", "s", 38),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    late.coalesce(1).write.parquet(str(src / "arrival_late.parquet_dir"))
+    part = _glob.glob(str(src / "arrival_late.parquet_dir" / "part-*.parquet"))[0]
+    shutil.copy(part, str(src / "file_3.parquet"))
+    shutil.rmtree(str(src / "arrival_late.parquet_dir"))
+    start_docs_decontamination_gate(
+        spark, str(src), store, clean, quar, ck, max_files_per_trigger=1
+    ).awaitTermination()
+    clean_ids2 = Counter(r["doc_id"] for r in spark.read.parquet(clean).collect())
+    quar_ids2 = Counter(r["doc_id"] for r in spark.read.parquet(quar).collect())
+    assert quar_ids2[990100] == 1 and clean_ids2[990101] == 1
+    # prior epochs untouched: only the two late rows were added
+    assert sum(clean_ids2.values()) == sum(clean_ids.values()) + 1
+    assert sum(quar_ids2.values()) == sum(quar_ids.values()) + 1
+
+    # replay drain: epoch-idempotent partitions, nothing duplicated
+    start_docs_decontamination_gate(
+        spark, str(src), store, clean, quar, ck, max_files_per_trigger=1
+    ).awaitTermination()
+    assert spark.read.parquet(clean).count() == sum(clean_ids2.values())
+    assert spark.read.parquet(quar).count() == sum(quar_ids2.values())
+
+
 def test_compact_distinct_store_crash_fuzz_every_prune(spark, tmp_path):
     """Kill compact_distinct_store before EVERY epoch-prune rmtree (for
     all N): the store's distinct fact set must be unchanged after the
