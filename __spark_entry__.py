@@ -200,6 +200,7 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 _PRIORITY: tuple[str, ...] = (
     # --- (a)+(b): changed since last witness, or new this round ---
     "text_bpe_train_apply",  # NEW r6: trained BPE with exact token counts
+    "text_bpe_merges",  # NEW r6: the learned merge table itself
     "text_nb_calibration",  # NEW r6: reliability bins / ECE over the NB fit
     "benchmark_contamination",  # r6 refactor: shared gate kernel
     "text_nb_quality_classifier",  # r6 refactor: shared _nb_doc_scores
@@ -249,7 +250,6 @@ _PRIORITY: tuple[str, ...] = (
     "knn_quantized_recall",
     "text_bm25_rank",
     "text_tfidf_cosine_pairs",
-    "text_language_id",
 )
 
 

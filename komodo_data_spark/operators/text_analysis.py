@@ -249,27 +249,10 @@ def _bpe_syms(w) -> "F.Column":
     )
 
 
-def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a real byte-pair encoder on the corpus and apply it: learn the
-    top ``BPE_MERGES`` merges by exact corpus-weighted pair counting
-    (Sennrich et al. 2016's algorithm, re-expressed declaratively), then
-    report each document's EXACT post-merge token count — the trained
-    upgrade of the regex proxy in ``text_bpe_token_estimate``, feeding
-    ``token_packing_stats`` with real tokenizer economics.
-
-    Scale design: classic BPE trains on the **weighted word vocabulary**,
-    not the corpus — one corpus-sized explode+groupBy builds
-    (word, count), and every training round after that is vocab-bounded
-    (web-scale vocabs are millions of rows vs billions of documents).
-    Each round is: adjacent-pair explode over the symbol arrays →
-    groupBy(pair) weighted count → top-1 (TakeOrdered, deterministic
-    tie-break) → broadcast the single merge row back and apply it with
-    one literal string replace (see ``_bpe_wrapped``). No driver-side
-    collect — the merge stays a 1-row DataFrame, so the whole fit is one
-    Catalyst plan the optimizer can see. Application to documents is a
-    broadcast join of the fitted (word → n_symbols) table onto the
-    exploded corpus tokens, then a per-doc sum.
-    """
+def _bpe_fit(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer: returns (corpus tokens, fitted vocabulary with
+    final wrapped symbol strings, learned merge table (rank, a, b)). See
+    ``text_bpe_train_apply`` for the algorithm and scale notes."""
     d = _docs(spark, sf_dir).select("doc_id", tokens().alias("toks"))
     toks = exploded(d, F.col("toks"), "word", "doc_id").filter(
         (F.length("word") > 0) & ~F.col("word").contains(_BPE_SEP)
@@ -277,7 +260,8 @@ def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     cur = vocab.withColumn("w", _bpe_wrapped(F.col("word")))
     sep = _BPE_SEP
-    for _ in range(BPE_MERGES):
+    merge_rounds = []
+    for r in range(BPE_MERGES):
         syms = _bpe_syms("w")
         n_pairs = F.size(syms) - 1
         pairs = cur.select(
@@ -304,6 +288,7 @@ def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select("a", "b")
         )
+        merge_rounds.append(merge.withColumn("rank", F.lit(r)))
         cur = (
             cur.crossJoin(F.broadcast(merge))
             .withColumn(
@@ -319,6 +304,34 @@ def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .drop("a", "b")
         )
+    merges = merge_rounds[0]
+    for m in merge_rounds[1:]:
+        merges = merges.unionByName(m)
+    return toks, cur, merges
+
+
+def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a real byte-pair encoder on the corpus and apply it: learn the
+    top ``BPE_MERGES`` merges by exact corpus-weighted pair counting
+    (Sennrich et al. 2016's algorithm, re-expressed declaratively), then
+    report each document's EXACT post-merge token count — the trained
+    upgrade of the regex proxy in ``text_bpe_token_estimate``, feeding
+    ``token_packing_stats`` with real tokenizer economics.
+
+    Scale design: classic BPE trains on the **weighted word vocabulary**,
+    not the corpus — one corpus-sized explode+groupBy builds
+    (word, count), and every training round after that is vocab-bounded
+    (web-scale vocabs are millions of rows vs billions of documents).
+    Each round is: adjacent-pair explode over the symbol arrays →
+    groupBy(pair) weighted count → top-1 (TakeOrdered, deterministic
+    tie-break) → broadcast the single merge row back and apply it with
+    one literal string replace (see ``_bpe_wrapped``). No driver-side
+    collect — the merge stays a 1-row DataFrame, so the whole fit is one
+    Catalyst plan the optimizer can see. Application to documents is a
+    broadcast join of the fitted (word → n_symbols) table onto the
+    exploded corpus tokens, then a per-doc sum.
+    """
+    toks, cur, _merges = _bpe_fit(spark, sf_dir)
     fitted = cur.select("word", F.size(_bpe_syms("w")).alias("n_syms"))
     return (
         toks.join(F.broadcast(fitted), "word")
@@ -328,6 +341,31 @@ def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_syms").alias("n_bpe_tokens"),
         )
     )
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table itself — (rank, a, b) in training order, the
+    inspectable artifact of ``text_bpe_train_apply``'s fit (what ships to
+    the tokenizer at inference time). Sentinel no-op rounds (vocabulary
+    exhausted before ``BPE_MERGES`` merges) are excluded."""
+    _toks, _cur, merges = _bpe_fit(spark, sf_dir)
+    return merges.filter(
+        (F.col("a") != "") | (F.col("b") != "")
+    ).select("rank", "a", "b").orderBy("rank")
+
+
+def text_bpe_merges_oracle() -> str:
+    body = "\n      UNION ALL ".join(
+        f"SELECT {r} AS rank, a, b FROM m{r}" for r in range(BPE_MERGES)
+    )
+    prefix = text_bpe_train_apply_oracle().split(",\n    fitted AS")[0]
+    return f"""
+    {prefix}
+    SELECT rank, a, b FROM (
+      {body}
+    ) WHERE NOT (a = '' AND b = '')
+    ORDER BY rank
+    """
 
 
 def text_bpe_train_apply_oracle() -> str:
@@ -984,6 +1022,10 @@ def registry():
         "text_bpe_train_apply": (
             text_bpe_train_apply,
             text_bpe_train_apply_oracle(),
+        ),
+        "text_bpe_merges": (
+            text_bpe_merges,
+            text_bpe_merges_oracle(),
         ),
         "text_nb_calibration": (
             text_nb_calibration,
