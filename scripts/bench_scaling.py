@@ -55,6 +55,21 @@ T_ABS_CEILING = 5.0
 SF_XL = "/root/testdata_local/sf1"  # repo-generated (scripts/gen_sf1.py)
 T_SF1_CEILING = 30.0
 
+#: Queries whose OUTPUT row count is quadratic in the data BY DATA
+#: DENSITY, not by algorithm: the synthetic corpus draws documents from
+#: a ~31-word vocabulary, so the number of TRUE near-duplicate pairs
+#: grows ~n² — measured dedup_simhash pairs 5,462 / 601,231 / 64,618,212
+#: at sf0.01/0.1/1 (a near-constant ~4.3e-4 pairs per doc²; the
+#: sf0.01→sf0.1 step on the DRIVER's own data is already 110×). A
+#: detector that must EMIT a quadratic edge list cannot run in linear
+#: time, so the time-ratio gate does not apply; the query is still timed
+#: and recorded, and its value correctness is hash-pinned at
+#: sf0.01/sf0.1 with count-parity evidence at sf1 (BASELINE.md).
+OUTPUT_QUADRATIC_BY_DATA = {
+    "dedup_simhash": "emits the true near-dup pair list; pair density is"
+    " quadratic in this corpus (31-word vocabulary)",
+}
+
 #: shuffle-heavy set for the second decade: the BENCH_SKEW queries +
 #: the composed evals (sampled/bounded production modes only) + the
 #: heaviest TPC-H joins and graph ops from BENCH_DETAIL.
@@ -151,11 +166,13 @@ def main() -> int:
             ratio1 = round(txl / tl, 2) if tl > 0 and txl >= 0 else None
             queries[name]["t_sf1"] = txl
             queries[name]["ratio_sf1"] = ratio1
+            if name in OUTPUT_QUADRATIC_BY_DATA:
+                queries[name]["gate_exempt"] = OUTPUT_QUADRATIC_BY_DATA[name]
             if txl < 0 and name not in flagged:
                 flagged.append(name)
             elif ratio1 is not None and ratio1 > RATIO_GATE and (
                 tl > T01_FLOOR or txl > T_SF1_CEILING
-            ) and name not in flagged:
+            ) and name not in flagged and name not in OUTPUT_QUADRATIC_BY_DATA:
                 flagged.append(name)
 
     top = sorted(

@@ -215,3 +215,50 @@ def test_nb_classifier_learns_the_weak_labels(spark, tmp_path):
     assert agree / n > base, (agree / n, base)
     for r in rows:
         assert 0 <= r["n_pred_keep"] <= r["n_docs"]
+
+
+def test_bpe_learns_hand_computed_merges(spark, tmp_path):
+    """Tiny corpus with a fully hand-derivable BPE fit: corpus
+    'abab ab' + 'ab abab' gives vocabulary {abab: 2, ab: 2}; weighted
+    pair counts are (a,b)=6 vs (b,a)=2, so merge 0 is (a,b)->'ab'; after
+    applying, only 'abab' = [ab, ab] has a pair, so merge 1 is
+    (ab,ab)->'abab'; every later round is the sentinel no-op (excluded
+    from the merge table). Final exact counts: both docs tokenize to 2
+    BPE tokens over 2 words."""
+    sf = _write_docs(tmp_path, ["abab ab", "ab abab"])
+    merges = [
+        (r["rank"], r["a"], r["b"])
+        for r in T.text_bpe_merges(spark, sf).collect()
+    ]
+    assert merges == [(0, "a", "b"), (1, "ab", "ab")]
+    counts = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in T.text_bpe_train_apply(spark, sf).collect()
+    }
+    assert counts == {1: (2, 2), 2: (2, 2)}
+
+
+def test_nb_calibration_bins_are_consistent(spark, tmp_path):
+    """Calibration invariants on the separable fixture: bins partition the
+    corpus (sum n_docs == N), every mean_pred sits inside its bin's
+    probability range, keep_rate is a rate, and sum(ece_term) equals the
+    directly recomputed expected calibration error."""
+    stop_pad = "the a and of to in is on for with"
+    good = [
+        stop_pad + " " + " ".join(f"topic{i}w{j}" for j in range(15))
+        for i in range(12)
+    ]
+    bad = ["buy spam click now win prize money fast"] * 8
+    sf = _write_docs(tmp_path, good + bad)
+    rows = T.text_nb_calibration(spark, sf).collect()
+    n = sum(r["n_docs"] for r in rows)
+    assert n == 20
+    for r in rows:
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0
+        hi = 1.0 if r["bin"] == 9 else hi  # top bin is closed at 1.0
+        assert lo <= r["mean_pred"] <= hi + 1e-12, r
+        assert 0.0 <= r["keep_rate"] <= 1.0
+    ece = sum(
+        r["n_docs"] / n * abs(r["mean_pred"] - r["keep_rate"]) for r in rows
+    )
+    assert abs(sum(r["ece_term"] for r in rows) - ece) < 1e-12
