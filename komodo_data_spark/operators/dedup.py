@@ -1101,60 +1101,148 @@ def registry():
 
 FUZZY_PREFIX_TOKENS = 5  # the "title": first 5 tokens
 FUZZY_MAX_DIST = 3
+_FUZZY_NSEG = FUZZY_MAX_DIST + 1  # PassJoin partitions
 
 
 def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy duplicate pairs by edit distance over the document "title"
-    (first 5 tokens): pairs whose titles are within levenshtein ≤ 3 —
+    (first 5 tokens): ALL pairs whose titles are within levenshtein <= 3 —
     the record-linkage modality (typo'd titles, OCR noise) that token-set
-    methods (Jaccard/MinHash) miss entirely.
+    methods (Jaccard/MinHash) miss entirely. Exact semantics: the PassJoin
+    candidate scheme below is COMPLETE for the threshold, unlike a
+    heuristic blocking key.
 
-    Scale design: never all-pairs. Candidates are BLOCKED on
-    (length bucket, first character) — two strings within distance d can
-    differ in length by at most d, so comparing only blocks with matching
-    coarse keys keeps recall while bounding each block's pair count; the
-    equi-join on the block key is a plain hash join and levenshtein runs
-    codegen-side as the residual predicate. Skewed blocks fall to AQE
-    skew-join splitting; tighter blocking (more key chars) trades recall
-    for cost, exactly like LSH band width.
+    Scale design — PassJoin partitioning (Li, Deng & Feng, ICDE 2011):
+    the previous (length-bucket, first-char) blocking key had BOUNDED
+    cardinality, so at 10x the corpus each block grew 10x and the
+    within-block pair count 100x — caught by the sf0.1→sf1 decade of
+    BENCH_SCALING (1.3 s → 98 s) and replaced. Now the shorter title of a
+    candidate pair is partitioned into k+1 = 4 segments; by pigeonhole,
+    ed <= k implies the longer title contains at least one segment
+    VERBATIM, within ±k of its source position. So the seg side emits 4
+    (len, seg_idx, substring) keys per row, the probe side emits <=
+    4*4*(2k+1) = 112 position-shifted window keys per row, and candidates
+    are an equi-join on a high-entropy key whose multiplicity tracks true
+    near-dup density instead of corpus size. Survivors are verified with
+    the THRESHOLDED 3-arg levenshtein (banded DP, early exit, -1 above
+    the bound).
     """
-    d = load_table(spark, sf_dir, "documents").select(
+    k, nseg = FUZZY_MAX_DIST, _FUZZY_NSEG
+    # load_spread: the window-explode and the segment join below are the
+    # heavy stages; a single-row-group scan would run them on one task
+    d = load_spread(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat_ws(
             " ", F.slice(tokens(), 1, FUZZY_PREFIX_TOKENS)
         ).alias("title"),
     )
-    # block key: (floor(len/4), first char) — distance ≤ 3 implies length
-    # difference ≤ 3, so same-bucket OR adjacent-bucket; emit both bucket
-    # memberships per row (explode) so matching pairs share ≥ 1 exact key.
-    base = F.floor(F.length("title") / 4)
-    blocked = d.select(
-        "doc_id",
-        "title",
-        F.explode(F.array(base, base + 1)).alias("lb"),
-        F.substring("title", 1, 1).alias("fc"),
-    )
-    # Residual evaluation order matters: the exact length-difference filter
-    # is O(1) and kills most blocked pairs before any DP runs, and the
-    # 3-arg levenshtein is the THRESHOLDED variant (banded DP, early exit,
-    # returns -1 above the bound; exact distance at or below it) — measured
-    # ~4× faster than the unbounded form over the same blocks.
-    return (
-        blocked.alias("a")
-        .join(blocked.alias("b"), ["lb", "fc"])
-        .filter(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.abs(F.length("a.title") - F.length("b.title"))
-                <= FUZZY_MAX_DIST
+    m = F.length("title")
+
+    def seg_layout(l, i: int):
+        # length-l layout: the first (nseg - l%nseg) segments have
+        # floor(l/nseg) chars, the rest one more
+        b, r = F.floor(l / nseg).cast("int"), (l % nseg).cast("int")
+        seglen = b + F.when(F.lit(i) >= F.lit(nseg) - r, 1).otherwise(0)
+        start = F.lit(i) * b + F.greatest(
+            F.lit(0), F.lit(i) - (F.lit(nseg) - r)
+        )
+        return start, seglen
+
+    # seg side: the 4 partition segments of each title (as the SHORTER of
+    # a candidate pair), keyed by (title length, segment index, segment)
+    seg_structs = []
+    for i in range(nseg):
+        start, seglen = seg_layout(m, i)
+        seg_structs.append(
+            F.struct(
+                m.alias("l"),
+                F.lit(i).alias("i"),
+                start.alias("q"),
+                seglen.alias("n"),
             )
         )
+    seg = (
+        d.select(
+            "doc_id", "title", F.explode(F.array(*seg_structs)).alias("kk")
+        )
         .select(
-            F.col("a.doc_id").alias("doc_i"),
-            F.col("b.doc_id").alias("doc_j"),
-            F.levenshtein("a.title", "b.title", FUZZY_MAX_DIST).alias(
-                "edit_dist"
-            ),
+            "doc_id",
+            "title",
+            "kk.l",
+            "kk.i",
+            F.expr("substring(title, kk.q + 1, kk.n)").alias("s"),
+        )
+    )
+
+    # probe side: for each candidate shorter-length l = len(t) - loff and
+    # each segment index, every window of that segment's length within
+    # ±k of its source position (the pigeonhole landing zone). Built as a
+    # 16-struct explode (l, i, start, n) followed by a sequence explode
+    # for the ±k shift — one flat 112-struct array blows janino's 64 KB
+    # generated-method limit and drops the whole stage to interpreted
+    # evaluation (measured: the fallback was barely faster than the
+    # quadratic blocking it replaces).
+    probe_structs = []
+    for loff in range(0, k + 1):
+        for i in range(nseg):
+            l = m - loff
+            start, seglen = seg_layout(l, i)
+            probe_structs.append(
+                F.struct(
+                    l.alias("l"),
+                    F.lit(i).alias("i"),
+                    start.alias("q0"),
+                    seglen.alias("n"),
+                )
+            )
+    probe = (
+        d.select(
+            "doc_id", "title", F.explode(F.array(*probe_structs)).alias("kk")
+        )
+        .select(
+            "doc_id",
+            "title",
+            "kk",
+            F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("delta"),
+        )
+        .select(
+            "doc_id",
+            "title",
+            F.col("kk.l").alias("l"),
+            F.col("kk.i").alias("i"),
+            (F.col("kk.q0") + F.col("delta")).alias("q"),
+            F.col("kk.n").alias("n"),
+        )
+        .filter(
+            (F.col("l") >= 0)
+            & (F.col("q") >= 0)
+            & (F.col("q") + F.col("n") <= F.length("title"))
+        )
+        .select(
+            "doc_id",
+            "title",
+            "l",
+            "i",
+            F.expr("substring(title, q + 1, n)").alias("s"),
+        )
+    )
+    # verify FIRST, deduplicate AFTER: a candidate pair surfaces once per
+    # shared segment key, but the thresholded levenshtein (banded DP,
+    # early exit, -1 above the bound) costs tens of ns on a ~30-char
+    # title — far cheaper than shuffling the raw candidate stream through
+    # a distinct. Running it as the join residual keeps the whole
+    # candidate pass in one stage, and the distinct then shuffles only
+    # TRUE pairs (output-sized, not candidate-sized).
+    return (
+        seg.alias("a")
+        .join(probe.alias("b"), ["l", "i", "s"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_i"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_j"),
+            F.levenshtein(
+                F.col("a.title"), F.col("b.title"), FUZZY_MAX_DIST
+            ).alias("edit_dist"),
         )
         .filter(F.col("edit_dist") >= 0)
         .distinct()
@@ -1162,22 +1250,23 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_fuzzy_prefix_oracle() -> str:
+    """Semantic oracle: because the PassJoin candidates are COMPLETE for
+    the threshold, the oracle is the DEFINITION — a length-banded
+    levenshtein join (ed <= k forces |len diff| <= k) — not a mirror of
+    the candidate scheme. Either side diverging from "all pairs within
+    edit distance 3" breaks the hash match."""
     t = sql_tokens()
     return f"""
     WITH d AS (
       SELECT doc_id,
         array_to_string(({t})[1:{FUZZY_PREFIX_TOKENS}], ' ') AS title
       FROM documents
-    ),
-    blocked AS (
-      SELECT doc_id, title, unnest([length(title) // 4, length(title) // 4 + 1]) AS lb,
-             substr(title, 1, 1) AS fc
-      FROM d
     )
     SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
            levenshtein(a.title, b.title) AS edit_dist
-    FROM blocked a JOIN blocked b
-      ON a.lb = b.lb AND a.fc = b.fc AND a.doc_id < b.doc_id
+    FROM d a JOIN d b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.title) - length(b.title)) <= {FUZZY_MAX_DIST}
     WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_DIST}
     """
 
