@@ -86,6 +86,11 @@ SF1_QUERIES = [
     "q21_sole_late_supplier", "source_ngram_diversity", "text_bm25_rank",
     "text_nb_quality_classifier", "text_quality_rule_flags",
     "text_tfidf_cosine_pairs", "text_tfidf_top_terms",
+    # round-6 additions + the embeddings family (sub-linear 4× data step
+    # per the driver's own embeddings scaling — ratios read accordingly)
+    "text_bpe_train_apply", "text_nb_calibration", "benchmark_contamination",
+    "benchmark_contamination_semantic", "knn_ivf", "knn_lsh_multiprobe",
+    "dedup_embedding_lsh", "kmeans_clusters",
 ]
 
 
