@@ -164,6 +164,7 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
         pipeline_ops,
         profiling,
         reshape,
+        retrieval,
         sessions,
         similarity,
         stats_ops,
@@ -175,8 +176,8 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 
     for pack in (
         tpch_extended, window_ops, reshape, pipeline_ops, corpus, sessions,
-        dedup, text_analysis, similarity, multimodal_ops, profiling,
-        graph_ops, join_strategies, stats_ops, timeseries,
+        dedup, text_analysis, similarity, retrieval, multimodal_ops,
+        profiling, graph_ops, join_strategies, stats_ops, timeseries,
     ):
         reg.update(pack.registry())
     reg["udtf_sentences"] = (udtfs.udtf_sentences, udtfs.udtf_sentences_oracle())
@@ -202,6 +203,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_train_apply",  # NEW r6: trained BPE with exact token counts
     "text_bpe_merges",  # NEW r6: the learned merge table itself
     "text_nb_calibration",  # NEW r6: reliability bins / ECE over the NB fit
+    "retrieval_hybrid_rrf",  # NEW r6: BM25 + dense reciprocal-rank fusion
+    "retrieval_label_metrics",  # NEW r6: NDCG/MRR/precision of the ANN ladder
     "benchmark_contamination",  # r6 refactor: shared gate kernel
     "text_nb_quality_classifier",  # r6 refactor: shared _nb_doc_scores
     "dedup_embedding_lsh",  # r5 occupancy-routing change, witnessed r4

@@ -262,3 +262,115 @@ def test_nb_calibration_bins_are_consistent(spark, tmp_path):
         r["n_docs"] / n * abs(r["mean_pred"] - r["keep_rate"]) for r in rows
     )
     assert abs(sum(r["ece_term"] for r in rows) - ece) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# hybrid RRF fusion + label-based retrieval metrics
+# --------------------------------------------------------------------------
+
+
+def _write_embeddings(sf: str, vecs: list[list[float]], labels: list[int]):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tb = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tb, os.path.join(sf, "embeddings.parquet"))
+
+
+def test_rrf_hand_computed_fusion(spark, tmp_path):
+    """Two docs rank lexically (1 above 2), three embeddings rank densely
+    (2, 1, 3). Fused scores must be exactly 1/(60+r_lex) + 1/(60+r_dense),
+    the 1<->2 tie must break by doc_id, and the dense-only doc 3 must
+    still appear with a NULL lex_rank."""
+    from komodo_data_spark.operators import retrieval as R
+
+    texts = [
+        "pad",  # doc_id 0 in embeddings but no doc 0 exists; ids start at 1
+        "spark spark merge vector slow",  # doc 1: every query term, highest
+        "spark merge extra words here now",  # doc 2: two query terms
+        "nothing relevant at all",  # doc 3: no query terms
+    ]
+    sf = _write_docs(tmp_path, texts[1:])
+    # vec 0 = query; dense order by cosine: vec 2 > vec 1 > vec 3
+    _write_embeddings(
+        sf,
+        [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.8, 0.2, 0.0, 0.0],
+            [0.95, 0.05, 0.0, 0.0],
+            [0.1, 0.9, 0.0, 0.0],
+        ],
+        [0, 0, 0, 1],
+    )
+    rows = {r["doc_id"]: r for r in R.retrieval_hybrid_rrf(spark, sf).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1]["lex_rank"], rows[1]["dense_rank"]) == (1, 2)
+    assert (rows[2]["lex_rank"], rows[2]["dense_rank"]) == (2, 1)
+    assert (rows[3]["lex_rank"], rows[3]["dense_rank"]) == (None, 3)
+    assert abs(rows[1]["rrf_score"] - (1 / 61 + 1 / 62)) < 1e-12
+    assert abs(rows[2]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-12
+    assert abs(rows[3]["rrf_score"] - 1 / 63) < 1e-12
+    # identical scores for docs 1 and 2: ordering ties broken by doc_id
+    ordered = [
+        r["doc_id"]
+        for r in R.retrieval_hybrid_rrf(spark, sf)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert ordered == [1, 2, 3]
+
+
+def test_label_metrics_hand_computed(spark, tmp_path):
+    """Six vectors in two cosine-separable label groups. For query 0
+    (label 1, true neighbors 1 and 2 ranked first): hits=2, mrr=1,
+    precision@5 = 2/5, and NDCG@5 = 1 because the two relevant docs fill
+    the first two slots and IDCG also has exactly two slots (n_relevant=2
+    < k). The IVF row for query 0 must be the all-zero left-join path:
+    with <= N_CELLS vectors every vector is its own singleton cell, so
+    the cell search retrieves nothing."""
+    import math
+
+    from komodo_data_spark.operators import retrieval as R
+
+    sf = _write_docs(tmp_path, ["x"])  # documents table present but unused
+    _write_embeddings(
+        sf,
+        [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.9, 0.1, 0.0, 0.0],
+            [0.8, 0.2, 0.0, 0.0],
+            [0.0, 1.0, 0.0, 0.0],
+            [0.1, 0.9, 0.0, 0.0],
+            [0.2, 0.8, 0.0, 0.0],
+        ],
+        [1, 1, 1, 2, 2, 2],
+    )
+    rows = {
+        (r["method"], r["query_id"]): r
+        for r in R.retrieval_label_metrics(spark, sf).collect()
+    }
+    b0 = rows[("brute", 0)]
+    assert (b0["n_relevant"], b0["n_retrieved"], b0["hits"]) == (2, 5, 2)
+    assert abs(b0["precision_at_k"] - 2 / 5) < 1e-12
+    assert abs(b0["mrr"] - 1.0) < 1e-12
+    assert abs(b0["ndcg_at_k"] - 1.0) < 1e-12
+    # worst query of group 2: vec 3 ([0,1,..]) still sees 4,5 first (cos
+    # 0.9.. vs cross-group <= 0.2), so its metrics mirror b0
+    b3 = rows[("brute", 3)]
+    assert (b3["hits"], b3["mrr"], b3["ndcg_at_k"]) == (2, 1.0, 1.0)
+    i0 = rows[("ivf", 0)]
+    assert (i0["n_retrieved"], i0["hits"], i0["mrr"]) == (0, 0, 0.0)
+    assert i0["ndcg_at_k"] == 0.0 and i0["precision_at_k"] == 0.0
+    # dcg sanity on a mixed ranking: query 1 retrieves 0,2 (rel) then the
+    # group-2 vectors; dcg = 1/log2(2) + 1/log2(3), idcg identical
+    b1 = rows[("brute", 1)]
+    want = (1 / math.log2(2) + 1 / math.log2(3)) / (
+        1 / math.log2(2) + 1 / math.log2(3)
+    )
+    assert abs(b1["ndcg_at_k"] - want) < 1e-12
