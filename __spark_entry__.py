@@ -205,6 +205,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_nb_calibration",  # NEW r6: reliability bins / ECE over the NB fit
     "retrieval_hybrid_rrf",  # NEW r6: BM25 + dense reciprocal-rank fusion
     "retrieval_label_metrics",  # NEW r6: NDCG/MRR/precision of the ANN ladder
+    "docs_curriculum_order",  # NEW r6: two-stage curriculum rank schedule
     "benchmark_contamination",  # r6 refactor: shared gate kernel
     "text_nb_quality_classifier",  # r6 refactor: shared _nb_doc_scores
     "dedup_embedding_lsh",  # r5 occupancy-routing change, witnessed r4

@@ -552,6 +552,116 @@ def docs_token_budget_mix_twostage(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
+# curriculum ordering (easy -> hard training schedule)
+# --------------------------------------------------------------------------
+
+#: Fixed difficulty cutoffs (mean word length in chars) separating the four
+#: curriculum phases — configuration constants like MIX_TOKEN_BUDGETS, set
+#: near the corpus quartiles so every phase is populated. Fixed cutoffs
+#: (not NTILE) keep phase assignment MAP-SIDE: a quantile-derived phase
+#: would need a global CDF pass, and a doc's phase would churn whenever the
+#: corpus grows — fixed cutoffs are stable under appends, like the hash
+#: split.
+CURRICULUM_CUTS = (4.4, 4.5, 4.65)
+
+
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum schedule: every document gets a global
+    training rank — easy phases first (phase = fixed difficulty cutoffs on
+    mean word length), documents within a phase in a deterministic
+    md5-shuffled order (so each phase is content-shuffled, not
+    source-clustered, and the order is stable under retries / layout
+    changes / appends of later-ranked docs).
+
+    Scale design: the naive form is one GLOBAL ordered window
+    (row_number over phase, h) — a single-partition sort at 100 TB. This
+    runs the docs_surrogate_keys / twostage-budget technique instead:
+    docs bucket by the first 2 hex chars of their shuffle hash; stage 1
+    counts per (phase, bucket) — map-side combinable aggregate; stage 2
+    computes bucket rank offsets with a window over the <= 4*256-row
+    bucket frame (tiny); stage 3 ranks within each (phase, bucket) — a
+    PARTITIONED window, ~1/1024th of the corpus per partition. Exact
+    because (phase, bucket) lexicographic order refines (phase, h)
+    order (bucket is a prefix of h). Oracle = the naive global window.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = tokens()
+    difficulty = (
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / F.size(toks)
+    )
+    c1, c2, c3 = CURRICULUM_CUTS
+    phase = (
+        F.when(F.col("difficulty") <= c1, F.lit(1))
+        .when(F.col("difficulty") <= c2, F.lit(2))
+        .when(F.col("difficulty") <= c3, F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    sized = (
+        d.select("doc_id", difficulty.alias("difficulty"))
+        .withColumn("phase", phase)
+        .withColumn(
+            "h",
+            F.md5(F.concat(F.lit("curriculum|"), F.col("doc_id").cast("string"))),
+        )
+        .withColumn("bucket", F.substring("h", 1, 2))
+    )
+    bstats = sized.groupBy("phase", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wb = Window.orderBy("phase", "bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bstats = bstats.withColumn(
+        "offset", F.coalesce(F.sum("n").over(wb), F.lit(0))
+    )
+    wd = Window.partitionBy("phase", "bucket").orderBy("h", "doc_id")
+    return (
+        sized.join(F.broadcast(bstats), ["phase", "bucket"])
+        .select(
+            "doc_id",
+            "phase",
+            "difficulty",
+            (F.col("offset") + F.row_number().over(wd)).alias(
+                "curriculum_rank"
+            ),
+        )
+    )
+
+
+def docs_curriculum_order_oracle() -> str:
+    t = sql_tokens()
+    c1, c2, c3 = CURRICULUM_CUTS
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {t} AS toks FROM documents WHERE text IS NOT NULL
+    ),
+    sc AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / len(toks) AS difficulty
+      FROM d
+    ),
+    ph AS (
+      SELECT doc_id, difficulty,
+             CASE WHEN difficulty <= {c1} THEN 1
+                  WHEN difficulty <= {c2} THEN 2
+                  WHEN difficulty <= {c3} THEN 3
+                  ELSE 4 END AS phase,
+             md5('curriculum|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM sc
+    )
+    SELECT doc_id, phase, difficulty,
+           row_number() OVER (ORDER BY phase, h, doc_id) AS curriculum_rank
+    FROM ph
+    """
+
+
+# --------------------------------------------------------------------------
 # overlapping document chunking
 # --------------------------------------------------------------------------
 
@@ -1038,6 +1148,10 @@ def registry():
         "docs_token_budget_mix_twostage": (
             docs_token_budget_mix_twostage,
             docs_token_budget_mix_oracle(),  # admitted-set exact scale path
+        ),
+        "docs_curriculum_order": (
+            docs_curriculum_order,
+            docs_curriculum_order_oracle(),
         ),
         "benchmark_contamination_semantic": (
             benchmark_contamination_semantic,

@@ -452,3 +452,50 @@ def test_split_by_cluster_eliminates_leakage(spark, sf_dir):
     assert sum(r["n_units"] for r in rows) < n_docs
     # and the plain doc-hash split genuinely leaks on the same corpus
     assert split_leakage_pairs(spark, sf_dir).count() > 0
+
+
+def test_curriculum_order_is_dense_phase_ordered_and_md5_shuffled(spark):
+    """The two-stage rank must equal the naive global order: ranks are a
+    dense 1..N permutation, phases are non-decreasing along the rank, and
+    within a phase the order is exactly (md5('curriculum|'||doc_id),
+    doc_id) — recomputed in Python."""
+    import hashlib
+
+    rows = P.docs_curriculum_order(spark, SF).orderBy("curriculum_rank").collect()
+    n = len(rows)
+    assert n > 0
+    assert [r["curriculum_rank"] for r in rows] == list(range(1, n + 1))
+    phases = [r["phase"] for r in rows]
+    assert phases == sorted(phases)  # easy phases first
+    assert set(phases) == {1, 2, 3, 4}  # cutoffs populate every phase
+
+    def key(r):
+        h = hashlib.md5(f"curriculum|{r['doc_id']}".encode()).hexdigest()
+        return (r["phase"], h, r["doc_id"])
+
+    assert [r["doc_id"] for r in rows] == [
+        r["doc_id"] for r in sorted(rows, key=key)
+    ]
+    # phase assignment matches the fixed cutoffs
+    c1, c2, c3 = P.CURRICULUM_CUTS
+    for r in rows:
+        d = r["difficulty"]
+        want = 1 if d <= c1 else 2 if d <= c2 else 3 if d <= c3 else 4
+        assert r["phase"] == want
+
+
+def test_curriculum_order_has_no_global_window(spark, sf_dir):
+    """The corpus-sized window must be partitioned by (phase, bucket); the
+    only single-partition exchange allowed is the <=1024-row bucket-offset
+    frame. Guard: the executed plan's SinglePartition exchanges must all
+    sit above an aggregate (the bucket stats), never above the documents
+    scan directly."""
+    plan = (
+        P.docs_curriculum_order(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    for frag in plan.split("Exchange SinglePartition")[1:]:
+        assert "HashAggregate" in frag[:2000] or "partial_count" in frag[:2000]
