@@ -149,6 +149,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             ea.events_distinct_sketch_union,
             None,  # sketch estimate: rows-only; exact twin pins semantics in tests
         ),
+        "events_disorder_stats": (
+            ea.events_disorder_stats,
+            ea.events_disorder_stats_oracle(),
+        ),
     }
 
     # Import failures must raise, not shrink the registry: a silently-dropped
@@ -206,6 +210,9 @@ _PRIORITY: tuple[str, ...] = (
     "retrieval_hybrid_rrf",  # NEW r6: BM25 + dense reciprocal-rank fusion
     "retrieval_label_metrics",  # NEW r6: NDCG/MRR/precision of the ANN ladder
     "docs_curriculum_order",  # NEW r6: two-stage curriculum rank schedule
+    "events_session_transcripts",  # NEW r6: order-preserving SFT transcripts
+    "events_disorder_stats",  # NEW r6: watermark-tuning lateness audit
+    "embeddings_centroid_similarity",  # NEW r6: class-separation audit
     "benchmark_contamination",  # r6 refactor: shared gate kernel
     "text_nb_quality_classifier",  # r6 refactor: shared _nb_doc_scores
     "dedup_embedding_lsh",  # r5 occupancy-routing change, witnessed r4

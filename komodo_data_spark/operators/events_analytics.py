@@ -1078,3 +1078,66 @@ def events_type_correlations_oracle() -> str:
     WHERE a.event_type < b.event_type
     GROUP BY type_a, type_b
     """
+
+
+# --------------------------------------------------------------------------
+# event-time disorder audit (watermark tuning)
+# --------------------------------------------------------------------------
+
+
+def events_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type out-of-orderness audit: how far behind the per-user
+    event-time high-water mark does each event arrive? ``event_id`` is the
+    ingestion sequence (monotone assignment order), so
+    ``lateness_ms = running_max(ts_ms) over arrival order - ts_ms`` is
+    exactly the quantity a streaming watermark must cover — the
+    ``withWatermark`` delays used by streaming/windows.py should come FROM
+    this distribution (p95/max per type), the same way the 30-min session
+    gap comes from events_interarrival_stats, not folklore.
+
+    Scale: one per-user running-max window (hash-partition on user_id +
+    local sort — co-partitioned with every other per-user sequence op),
+    then a |types|-group aggregate with exact percentiles over bounded
+    buffers; swap in approx_percentile past ~1e8 rows per type.
+    """
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.select(
+        "event_type",
+        (F.max("ts_ms").over(w) - F.col("ts_ms")).alias("lateness_ms"),
+    )
+    is_late = (F.col("lateness_ms") > 0).cast("int")
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(is_late).cast("long").alias("n_late"),
+        F.avg(is_late.cast("double")).alias("late_frac"),
+        F.expr("percentile(lateness_ms, 0.5)").alias("median_late_ms"),
+        F.expr("percentile(lateness_ms, 0.95)").alias("p95_late_ms"),
+        F.max("lateness_ms").alias("max_late_ms"),
+    )
+
+
+def events_disorder_stats_oracle() -> str:
+    return """
+    WITH l AS (
+      SELECT event_type,
+             max(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - epoch_ms(ts) AS lateness_ms
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN lateness_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           avg(CASE WHEN lateness_ms > 0 THEN 1.0E0 ELSE 0.0E0 END)
+             AS late_frac,
+           quantile_cont(lateness_ms, 0.5) AS median_late_ms,
+           quantile_cont(lateness_ms, 0.95) AS p95_late_ms,
+           max(lateness_ms) AS max_late_ms
+    FROM l GROUP BY event_type
+    """

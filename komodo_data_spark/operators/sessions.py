@@ -140,6 +140,80 @@ def session_overlap_pairs_oracle() -> str:
     """
 
 
+def events_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-session transcript assembly — the SFT-data shape: each
+    session becomes one training example whose "turns" are its events in
+    event-time order (``type_a>type_b>...``), with turn / distinct-type
+    counts and duration for curriculum and packing decisions downstream.
+
+    The op the rest of the registry lacked: an ORDER-PRESERVING collect.
+    ``collect_list`` alone is non-deterministic under parallel merge, so
+    each turn is collected as a (ts_ms, event_id, event_type) struct and
+    ``array_sort`` imposes the total order inside the aggregate — the
+    struct's field order IS the sort key, and (ts_ms, event_id) is unique,
+    so the transcript is deterministic under any partitioning / retry.
+
+    Scale: the sessionizing window hash-partitions on user_id (one
+    exchange, local sort); the groupBy key (user_id, session_seq) is a
+    superset of that clustering, so Catalyst reuses the exchange — ONE
+    shuffle total. Per-group state is bounded by session length (gap-
+    bounded by construction), never by corpus size.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts_ms", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    s = ev.withColumn(
+        "is_break",
+        (
+            F.col("ts_ms") - F.lag("ts_ms", 1).over(w) > SESSION_GAP_MS
+        ).cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.sum(F.coalesce(F.col("is_break"), F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    turns = F.array_sort(F.collect_list(F.struct("ts_ms", "event_id", "event_type")))
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts_ms").alias("start_ms"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+        F.array_join(
+            F.transform(turns, lambda t: t["event_type"]), ">"
+        ).alias("transcript"),
+    )
+
+
+def events_session_transcripts_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events
+    ), b AS (
+      SELECT user_id, ts_ms, event_id, event_type,
+        CASE WHEN ts_ms - lag(ts_ms) OVER (
+               PARTITION BY user_id ORDER BY ts_ms, event_id)
+                  > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS is_break
+      FROM e
+    ), s AS (
+      SELECT user_id, ts_ms, event_id, event_type,
+        CAST(SUM(is_break) OVER (
+          PARTITION BY user_id ORDER BY ts_ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_seq
+      FROM b
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_turns,
+           count(DISTINCT event_type) AS n_types,
+           min(ts_ms) AS start_ms,
+           max(ts_ms) - min(ts_ms) AS duration_ms,
+           string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS transcript
+    FROM s GROUP BY user_id, session_seq
+    """
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
@@ -147,5 +221,9 @@ def registry():
         "session_overlap_pairs": (
             session_overlap_pairs,
             session_overlap_pairs_oracle(),
+        ),
+        "events_session_transcripts": (
+            events_session_transcripts,
+            events_session_transcripts_oracle(),
         ),
     }

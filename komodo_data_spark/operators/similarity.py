@@ -208,6 +208,10 @@ def registry():
             embeddings_vector_stats,
             embeddings_vector_stats_oracle(),
         ),
+        "embeddings_centroid_similarity": (
+            embeddings_centroid_similarity,
+            embeddings_centroid_similarity_oracle(),
+        ),
     }
 
 
@@ -893,4 +897,94 @@ def knn_quantized_recall_oracle() -> str:
            coalesce(h.n_hit, 0)::DOUBLE / t.k AS recall
     FROM truth t LEFT JOIN hits h ON h.query_id = t.query_id
     ORDER BY t.query_id
+    """
+
+
+# --------------------------------------------------------------------------
+# per-label centroid geometry (class-separation audit)
+# --------------------------------------------------------------------------
+
+
+def embeddings_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding CENTROIDS — the
+    class-separation audit run before trusting label-conditioned sampling
+    or the leakage-free cluster split: labels whose centroids sit at
+    cosine ≈ 1 are not distinguishable classes, and SemDeDup-style pruning
+    inside them behaves like pruning one class.
+
+    Scale shape: the only corpus-proportional work is one posexplode to
+    (label, pos, val) long form feeding a map-side-combinable avg — n·d
+    rows in, |labels|·d out. Everything after runs on that summary:
+    norms are a |labels|-row aggregate, and the pairwise dot is an
+    equi-join on the dimension index (broadcast — |labels|·d rows), never
+    a corpus join. Output is |labels|² / 2 rows regardless of n.
+    """
+    v = load_table(spark, sf_dir, "embeddings")
+    counts = v.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    long = v.select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "val"),
+    )
+    cent = long.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = cent.select(F.col("label").alias("label_a"), "pos", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "pos", F.col("c").alias("cb"))
+    dots = (
+        a.join(F.broadcast(b), "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nrm_b"))
+    ca_n = counts.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    cb_n = counts.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .join(F.broadcast(ca_n), "label_a")
+        .join(F.broadcast(cb_n), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            (F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+                "centroid_cosine"
+            ),
+        )
+    )
+
+
+def embeddings_centroid_similarity_oracle() -> str:
+    return """
+    WITH ev AS (
+      SELECT label, t.i - 1 AS pos, embedding[t.i]::DOUBLE AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+      SELECT label, pos, avg(val) AS c FROM ev GROUP BY label, pos
+    ),
+    norms AS (
+      SELECT label, sqrt(sum(c * c)) AS nrm FROM cent GROUP BY label
+    ),
+    counts AS (
+      SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    ),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b, ca.n AS n_a, cb.n AS n_b,
+           d.dot / (na.nrm * nb.nrm) AS centroid_cosine
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    JOIN counts ca ON ca.label = d.label_a
+    JOIN counts cb ON cb.label = d.label_b
     """

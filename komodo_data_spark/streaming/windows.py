@@ -117,6 +117,41 @@ def session_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def transcript_rollup(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators/sessions.events_session_transcripts: the
+    per-user session_window aggregate ALSO assembles the ordered transcript
+    — each session emits its events in (ts_ms, event_id) order as
+    ``type_a>type_b>...`` the moment the watermark closes the session.
+
+    Order preservation under micro-batching: collect_list's merge order
+    across batches is arbitrary, so turns are collected as (ts_ms,
+    event_id, event_type) structs and array_sort imposes the total order
+    inside the final aggregate — same rule as the batch op, so stream ==
+    batch byte-for-byte (pinned in tests). State per key is the session's
+    turn structs — bounded by session length (gap-bounded), expired by the
+    watermark, never corpus-bound.
+    """
+    src = events.withWatermark("ts_ts", WATERMARK) if events.isStreaming else events
+    turns = F.array_sort(
+        F.collect_list(F.struct("ts_ms", "event_id", "event_type"))
+    )
+    return (
+        src.groupBy(F.session_window("ts_ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(turns, lambda t: t["event_type"]), ">"
+            ).alias("transcript"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("session_window.start").alias("start_ms"),
+            "n_turns",
+            "transcript",
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, checkpoint: str
 ) -> DataFrame:

@@ -34,6 +34,12 @@ decades. The full-corpus recall evals stay out of this set by design:
 their quadratic TRUTH side is eval-only (the ``_sampled`` production
 twin is in).
 
+Third decade (round 6): when the sf10 extrapolation exists
+(``scripts/gen_sf10.py`` → ``/root/testdata_local/sf10``), the same set
+minus SF10_EXCLUDE is timed there too (``t_sf10``/``ratio_sf10`` over
+t_sf1, ceiling T_SF10_CEILING=120 s) — three measured decades, 1000×
+lineitem rows end to end (60k → 61M).
+
 Usage: python scripts/bench_scaling.py
 """
 
@@ -54,6 +60,9 @@ T_ABS_CEILING = 5.0
 
 SF_XL = "/root/testdata_local/sf1"  # repo-generated (scripts/gen_sf1.py)
 T_SF1_CEILING = 30.0
+
+SF_XXL = "/root/testdata_local/sf10"  # repo-generated (scripts/gen_sf10.py)
+T_SF10_CEILING = 120.0
 
 #: Queries whose OUTPUT row count is quadratic in the data BY DATA
 #: DENSITY, not by algorithm: the synthetic corpus draws documents from
@@ -91,7 +100,16 @@ SF1_QUERIES = [
     "text_bpe_train_apply", "text_nb_calibration", "benchmark_contamination",
     "benchmark_contamination_semantic", "knn_ivf", "knn_lsh_multiprobe",
     "dedup_embedding_lsh", "kmeans_clusters",
+    # round-6 retrieval additions
+    "retrieval_hybrid_rrf", "retrieval_label_metrics",
 ]
+
+#: Third decade (sf1 -> sf10): the same set MINUS queries whose OUTPUT
+#: is quadratic by data density — dedup_simhash would have to emit ~6.4e9
+#: true pairs at sf10 (64.6M at sf1, x~100/decade), which is an output-
+#: size property of this 31-word-vocabulary corpus, not an engine cost
+#: worth a 10-minute bench slot. Everything else runs under the gate.
+SF10_EXCLUDE = {"dedup_simhash"}
 
 
 def main() -> int:
@@ -147,6 +165,10 @@ def main() -> int:
     sf1_set = [n for n in SF1_QUERIES if n in qs]
     t_xl = timed(SF_XL, sf1_set) if have_sf1 else {}
 
+    have_sf10 = os.path.isdir(SF_XXL)
+    sf10_set = [n for n in sf1_set if n not in SF10_EXCLUDE]
+    t_xxl = timed(SF_XXL, sf10_set) if have_sf10 else {}
+
     queries = {}
     flagged = []
     for name in qs:
@@ -179,6 +201,19 @@ def main() -> int:
                 tl > T01_FLOOR or txl > T_SF1_CEILING
             ) and name not in flagged and name not in OUTPUT_QUADRATIC_BY_DATA:
                 flagged.append(name)
+        if name in t_xxl:
+            # third decade: sf1 -> sf10 under the same gate
+            txxl = t_xxl[name]
+            txl = t_xl.get(name, -1.0)
+            ratio10 = round(txxl / txl, 2) if txl > 0 and txxl >= 0 else None
+            queries[name]["t_sf10"] = txxl
+            queries[name]["ratio_sf10"] = ratio10
+            if txxl < 0 and name not in flagged:
+                flagged.append(name)
+            elif ratio10 is not None and ratio10 > RATIO_GATE and (
+                txl > T01_FLOOR or txxl > T_SF10_CEILING
+            ) and name not in flagged and name not in OUTPUT_QUADRATIC_BY_DATA:
+                flagged.append(name)
 
     top = sorted(
         ((n, q["ratio"]) for n, q in queries.items() if q["ratio"]),
@@ -187,6 +222,11 @@ def main() -> int:
     top_sf1 = sorted(
         ((n, q["ratio_sf1"]) for n, q in queries.items()
          if q.get("ratio_sf1")),
+        key=lambda kv: -kv[1],
+    )[:10]
+    top_sf10 = sorted(
+        ((n, q["ratio_sf10"]) for n, q in queries.items()
+         if q.get("ratio_sf10")),
         key=lambda kv: -kv[1],
     )[:10]
     result = {
@@ -198,6 +238,10 @@ def main() -> int:
         "sf1_ceiling_sec": T_SF1_CEILING,
         "n_sf1_queries": len(t_xl),
         "top_ratios_sf1": dict(top_sf1),
+        "sf10_dir": SF_XXL if have_sf10 else None,
+        "sf10_ceiling_sec": T_SF10_CEILING,
+        "n_sf10_queries": len(t_xxl),
+        "top_ratios_sf10": dict(top_sf10),
         "n_queries": len(queries),
         "n_flagged": len(flagged),
         "flagged": sorted(flagged),

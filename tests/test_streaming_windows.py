@@ -68,6 +68,29 @@ def test_stream_session_rollup_matches_batch_islands(
     )
 
 
+def test_stream_transcript_rollup_matches_batch(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """Order-preserving transcript assembly, streamed: the session_window
+    aggregate emits the same (user, session-start, n_turns, transcript)
+    rows as the batch gap-and-island op — collect order across micro-batch
+    merges cannot leak into the transcript because array_sort imposes the
+    (ts_ms, event_id) total order inside the aggregate."""
+    from komodo_data_spark.operators.sessions import events_session_transcripts
+
+    stream = W.events_stream(spark, events_dir)
+    got = W.run_to_memory(
+        W.transcript_rollup(stream), "transcripts_mem", str(tmp_path / "ckpt_tr")
+    )
+    exp = events_session_transcripts(spark, sf_dir).select(
+        "user_id", "start_ms", "n_turns", "transcript"
+    )
+    keys = ["user_id", "start_ms"]
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got, keys), _sorted_pdf(exp, keys), check_dtype=False
+    )
+
+
 def test_batch_and_stream_transform_share_plan(spark, sf_dir):
     """The same transformation applied to the batch frame gives the same
     result — transformations are sink-agnostic."""
