@@ -153,6 +153,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             ea.events_disorder_stats,
             ea.events_disorder_stats_oracle(),
         ),
+        "events_audience_overlap": (
+            ea.events_audience_overlap,
+            ea.events_audience_overlap_oracle(),
+        ),
     }
 
     # Import failures must raise, not shrink the registry: a silently-dropped
@@ -213,6 +217,11 @@ _PRIORITY: tuple[str, ...] = (
     "events_session_transcripts",  # NEW r6: order-preserving SFT transcripts
     "events_disorder_stats",  # NEW r6: watermark-tuning lateness audit
     "embeddings_centroid_similarity",  # NEW r6: class-separation audit
+    "customers_k_anonymity",  # NEW r6: QI-class privacy risk audit
+    "embeddings_dim_covariance",  # NEW r6: anisotropy audit, outer-product agg
+    "events_audience_overlap",  # NEW r6: type-pair user-set Jaccard
+    "graph_kcore",  # NEW r6: fixed-round k-core peeling
+    "dedup_containment_pairs",  # NEW r6: asymmetric subsumption detector
     "benchmark_contamination",  # r6 refactor: shared gate kernel
     "text_nb_quality_classifier",  # r6 refactor: shared _nb_doc_scores
     "dedup_embedding_lsh",  # r5 occupancy-routing change, witnessed r4

@@ -1053,6 +1053,10 @@ def registry():
             dedup_ngram_pairs_capped,
             dedup_ngram_pairs_capped_oracle(),
         ),
+        "dedup_containment_pairs": (
+            dedup_containment_pairs,
+            dedup_containment_pairs_oracle(),
+        ),
         "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_oracle()),
         "dedup_minhash_recall": (
             dedup_minhash_recall,
@@ -1688,3 +1692,97 @@ def dedup_minhash_recall_sampled_oracle() -> str:
         f"{_sql_bucket()} < {RECALL_SAMPLE_BUCKETS}),\n    "
         + _recall_oracle_ctes()
     )
+
+
+# --------------------------------------------------------------------------
+# asymmetric containment (subsumed-document detection)
+# --------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.85
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (Broder's resemblance companion
+    measure): C(i in j) = |S_i ∩ S_j| / |S_i| — the detector for documents
+    SUBSUMED by another (a quoted article inside a longer page, a chapter
+    inside the full book). Symmetric Jaccard structurally misses these:
+    a 100-shingle doc fully contained in a 10000-shingle doc has Jaccard
+    ~0.01 but containment 1.0, so a Jaccard-threshold dedup keeps both
+    copies of the text. Emits both directions plus the pair when
+    max(C(i in j), C(j in i)) >= CONTAINMENT_THRESHOLD; the keep policy
+    downstream drops the contained (smaller) side.
+
+    Scale: same df-capped candidate generation as dedup_ngram_pairs_capped
+    (bucket cost <= NGRAM_DF_CAP² per rare shingle, boilerplate shingles
+    never join); verification reuses the flat-postings common-count join —
+    containment needs no new shuffle shape, only a different normalizer
+    (|S_i| instead of the union).
+    """
+    e = _doc_postings(spark, sf_dir).cache()
+    rare = (
+        e.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .select("g")
+    )
+    rare_e = e.join(rare, "g", "left_semi")
+    cand = (
+        rare_e.alias("a")
+        .join(rare_e.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        e.select(F.col("doc_id").alias("doc_i"), "g")
+        .join(cand, "doc_i")
+        .join(e.select(F.col("doc_id").alias("doc_j"), "g"), ["doc_j", "g"])
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_i"), F.col("n_sh").alias("n_i")),
+            "doc_i",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_j"), F.col("n_sh").alias("n_j")),
+            "doc_j",
+        )
+        .select(
+            "doc_i",
+            "doc_j",
+            (F.col("common") / F.col("n_i")).alias("cont_i_in_j"),
+            (F.col("common") / F.col("n_j")).alias("cont_j_in_i"),
+        )
+        .filter(
+            F.greatest("cont_i_in_j", "cont_j_in_i") >= CONTAINMENT_THRESHOLD
+        )
+    )
+
+
+def dedup_containment_pairs_oracle() -> str:
+    return f"""
+    WITH s AS ({_sql_doc_shingles()}),
+    nonempty AS (SELECT * FROM s WHERE len(sh) > 0),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM nonempty),
+    rare AS (SELECT g FROM e GROUP BY g HAVING count(*) <= {NGRAM_DF_CAP}),
+    re AS (SELECT e.* FROM e SEMI JOIN rare ON e.g = rare.g),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+      FROM re a JOIN re b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+    SELECT doc_i, doc_j,
+      len(list_intersect(si.sh, sj.sh))::DOUBLE / len(si.sh) AS cont_i_in_j,
+      len(list_intersect(si.sh, sj.sh))::DOUBLE / len(sj.sh) AS cont_j_in_i
+    FROM cand
+    JOIN nonempty si ON si.doc_id = doc_i
+    JOIN nonempty sj ON sj.doc_id = doc_j
+    WHERE greatest(
+        len(list_intersect(si.sh, sj.sh))::DOUBLE / len(si.sh),
+        len(list_intersect(si.sh, sj.sh))::DOUBLE / len(sj.sh)
+      ) >= {CONTAINMENT_THRESHOLD}
+    """

@@ -1141,3 +1141,83 @@ def events_disorder_stats_oracle() -> str:
            max(lateness_ms) AS max_late_ms
     FROM l GROUP BY event_type
     """
+
+
+# --------------------------------------------------------------------------
+# audience overlap between event types
+# --------------------------------------------------------------------------
+
+
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap for every event-type pair: how many users are
+    active in BOTH types, and the Jaccard of the two user sets — the
+    "do buyers also browse?" matrix behind segmentation and the exact
+    ground truth an HLL-sketch intersection would approximate.
+
+    Shape chosen for scale: NO self-join of the (type, user) long form —
+    on a skewed corpus the hot user_id would square. Instead ONE shuffle
+    builds the per-user distinct type set (collect_set, bounded by
+    |types|, map-side combined), each user expands to their unordered
+    type pairs with a nested higher-order transform (<= |types|²/2 structs
+    per user, codegen), and a |types|²-key aggregate counts co-active
+    users. Per-type totals reuse the same per-user sets; the final joins
+    broadcast |types|-row frames. A pair appears iff at least one user
+    has both types — identical emptiness rule in the oracle join.
+    """
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    pairs = per_user.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(types, (a, i) ->
+                  transform(slice(types, i + 2, size(types) - i - 1),
+                    b -> struct(a AS type_a, b AS type_b))))
+                """
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    totals = per_user.select(
+        F.explode("types").alias("event_type")
+    ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ta = totals.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def events_audience_overlap_oracle() -> str:
+    return """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    tot AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, na.n AS n_a, nb.n AS n_b, i.n_both,
+           i.n_both::DOUBLE / (na.n + nb.n - i.n_both) AS jaccard
+    FROM inter i
+    JOIN tot na ON na.event_type = i.type_a
+    JOIN tot nb ON nb.event_type = i.type_b
+    """

@@ -290,6 +290,80 @@ def graph_components_oracle() -> str:
     """
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=KCORE_K, KCORE_ROUNDS fixed rounds): repeatedly
+    drop nodes whose degree in the SURVIVING subgraph is below k — the
+    density filter that separates a cohesive community from chains and
+    pendants, which triangle counts alone miss (a long path has triangles
+    = 0 but so does a star; only peeling tells them apart). Completes the
+    graph depth set: components (membership), pagerank (centrality),
+    triangles (local density), k-core (global density).
+
+    Round r: degree over e_{r-1} -> keep nodes with deg >= k -> e_r keeps
+    edges with both endpoints surviving. Output: the round-R survivors
+    with the qualifying degree d_R (their degree in e_{R-1}).
+
+    Scale: each round is one symmetric-edge aggregate (map-side combined)
+    plus two left_semi joins on the shrinking keep set — the same
+    verifiable-fixed-unroll pattern as graph_pagerank, one shuffle per
+    round on the edge key. localCheckpoint per round truncates the
+    O(rounds)-deep lineage exactly like the CC star loop; production runs
+    peel to a fixpoint (the per-round frame is strictly shrinking, so the
+    loop is safely restartable from any checkpoint).
+    """
+    e = _user_edges(spark, sf_dir)
+    keep = None
+    for _ in range(KCORE_ROUNDS):
+        sym = e.select(F.col("u").alias("n"), F.col("v").alias("m")).union(
+            e.select(F.col("v").alias("n"), F.col("u").alias("m"))
+        )
+        deg = sym.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K)
+        e = (
+            e.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return keep.select(F.col("n").alias("user_id"), "deg").orderBy("user_id")
+
+
+def graph_kcore_oracle() -> str:
+    k, edges = KCORE_K, _sql_user_edges()
+    return f"""
+    WITH e0 AS ({edges}),
+    d1 AS (
+      SELECT a, count(*) AS deg FROM (
+        SELECT u AS a FROM e0 UNION ALL SELECT v FROM e0
+      ) GROUP BY a
+    ),
+    k1 AS (SELECT a FROM d1 WHERE deg >= {k}),
+    e1 AS (
+      SELECT u, v FROM e0
+      WHERE u IN (SELECT a FROM k1) AND v IN (SELECT a FROM k1)
+    ),
+    d2 AS (
+      SELECT a, count(*) AS deg FROM (
+        SELECT u AS a FROM e1 UNION ALL SELECT v FROM e1
+      ) GROUP BY a
+    ),
+    k2 AS (SELECT a FROM d2 WHERE deg >= {k}),
+    e2 AS (
+      SELECT u, v FROM e1
+      WHERE u IN (SELECT a FROM k2) AND v IN (SELECT a FROM k2)
+    ),
+    d3 AS (
+      SELECT a, count(*) AS deg FROM (
+        SELECT u AS a FROM e2 UNION ALL SELECT v FROM e2
+      ) GROUP BY a
+    )
+    SELECT a AS user_id, deg FROM d3 WHERE deg >= {k} ORDER BY user_id
+    """
+
+
 def registry():
     """Driver-contract entries: name -> (query fn, oracle SQL)."""
     return {
@@ -297,4 +371,5 @@ def registry():
         "graph_pagerank": (graph_pagerank, graph_pagerank_oracle()),
         "graph_reachability": (graph_reachability, graph_reachability_oracle()),
         "graph_components": (graph_components, graph_components_oracle()),
+        "graph_kcore": (graph_kcore, graph_kcore_oracle()),
     }

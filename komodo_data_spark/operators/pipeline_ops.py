@@ -1203,6 +1203,10 @@ def registry():
             customers_pseudonymized,
             customers_pseudonymized_oracle(),
         ),
+        "customers_k_anonymity": (
+            customers_k_anonymity,
+            customers_k_anonymity_oracle(),
+        ),
         "events_key_skew_profile": (
             events_key_skew_profile,
             events_key_skew_profile_oracle(),
@@ -2246,4 +2250,50 @@ def docs_temperature_mix_oracle() -> str:
            (s / sum(s) OVER ()) / p_raw AS boost,
            (s / sum(s) OVER ()) * {TEMP_BUDGET_TOKENS} AS alloc_tokens
     FROM s ORDER BY source
+    """
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (privacy risk before export)
+# --------------------------------------------------------------------------
+
+K_ANON = 5  #: groups smaller than this are re-identification risks
+
+
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation, market
+    segment, account-balance band): the privacy check that runs AFTER
+    pseudonymization (customers_pseudonymized) and BEFORE export — hashing
+    the name does nothing if the remaining attributes single someone out.
+    Each QI equivalence class reports its size, the per-record
+    re-identification probability (1/size), and whether it falls below the
+    K_ANON floor; the export gate suppresses or generalizes flagged groups.
+
+    Scale: one map-side-combinable hash aggregate over the QI tuple; output
+    is bounded by the QI domain (|nations| x |segments| x |bands|), never by
+    row count. The balance band IS the generalization step — auditing raw
+    balances would make every row its own class.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    )
+    return qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        (F.lit(1.0) / F.count(F.lit(1))).alias("reident_prob"),
+        (F.count(F.lit(1)) < K_ANON).alias("below_k"),
+    )
+
+
+def customers_k_anonymity_oracle() -> str:
+    return f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           count(*) AS class_size,
+           1.0E0 / count(*) AS reident_prob,
+           count(*) < {K_ANON} AS below_k
+    FROM customer
+    GROUP BY 1, 2, 3
     """

@@ -212,6 +212,10 @@ def registry():
             embeddings_centroid_similarity,
             embeddings_centroid_similarity_oracle(),
         ),
+        "embeddings_dim_covariance": (
+            embeddings_dim_covariance,
+            embeddings_dim_covariance_oracle(),
+        ),
     }
 
 
@@ -987,4 +991,83 @@ def embeddings_centroid_similarity_oracle() -> str:
     JOIN norms nb ON nb.label = d.label_b
     JOIN counts ca ON ca.label = d.label_a
     JOIN counts cb ON cb.label = d.label_b
+    """
+
+
+# --------------------------------------------------------------------------
+# embedding-space anisotropy audit (dimension covariance / correlation)
+# --------------------------------------------------------------------------
+
+
+def embeddings_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension-pair covariance and Pearson correlation of the
+    embedding space — the anisotropy audit run before trusting cosine-based
+    dedup or the sign-bit LSH family: heavily correlated dimensions mean
+    the effective dimensionality is lower than d, axis-aligned hyperplanes
+    (knn_lsh_signbits) cut the space unevenly, and cosine thresholds tuned
+    on an isotropic assumption drift.
+
+    Zero-UDF outer-product aggregate: each row expands to its upper-
+    triangle products (i <= j) with ONE nested higher-order transform —
+    d(d+1)/2 structs per row, all codegen — then one map-side-combinable
+    aggregate per (i, j) yields E[xy], E[x], E[y]; cov = E[xy]-E[x]E[y].
+    No self-join of the long form (which would shuffle n*d rows twice);
+    the only shuffle carries partial sums keyed by the d²/2 pair ids.
+    Correlation normalizes through a broadcast of the d-row diagonal.
+    Output is d(d+1)/2 rows regardless of corpus size; at 100 TB the
+    explode volume is n*d²/2 map-side rows that never hit the exchange
+    unaggregated.
+    """
+    v = load_table(spark, sf_dir, "embeddings")
+    prods = v.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(embedding, (x, i) ->
+                  transform(slice(embedding, i + 1, size(embedding) - i),
+                    (y, k) -> struct(
+                      i AS di, i + k AS dj,
+                      CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS xy,
+                      CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y))))
+                """
+            )
+        ).alias("p")
+    ).select("p.*")
+    cov = prods.groupBy("di", "dj").agg(
+        (F.avg("xy") - F.avg("x") * F.avg("y")).alias("cov")
+    )
+    diag = cov.filter(F.col("di") == F.col("dj"))
+    var_i = diag.select(F.col("di").alias("_i"), F.col("cov").alias("var_i"))
+    var_j = diag.select(F.col("dj").alias("_j"), F.col("cov").alias("var_j"))
+    return (
+        cov.join(F.broadcast(var_i), cov.di == var_i._i)
+        .join(F.broadcast(var_j), cov.dj == var_j._j)
+        .select(
+            "di",
+            "dj",
+            "cov",
+            (F.col("cov") / F.sqrt(F.col("var_i") * F.col("var_j"))).alias(
+                "corr"
+            ),
+        )
+    )
+
+
+def embeddings_dim_covariance_oracle() -> str:
+    return """
+    WITH ev AS (
+      SELECT vec_id, t.i - 1 AS d, embedding[t.i]::DOUBLE AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cv AS (
+      SELECT a.d AS di, b.d AS dj,
+             avg(a.val * b.val) - avg(a.val) * avg(b.val) AS cov
+      FROM ev a JOIN ev b ON a.vec_id = b.vec_id AND b.d >= a.d
+      GROUP BY 1, 2
+    )
+    SELECT c.di, c.dj, c.cov,
+           c.cov / sqrt(vi.cov * vj.cov) AS corr
+    FROM cv c
+    JOIN cv vi ON vi.di = c.di AND vi.dj = c.di
+    JOIN cv vj ON vj.di = c.dj AND vj.dj = c.dj
     """

@@ -102,6 +102,12 @@ SF1_QUERIES = [
     "dedup_embedding_lsh", "kmeans_clusters",
     # round-6 retrieval additions
     "retrieval_hybrid_rrf", "retrieval_label_metrics",
+    # round-6 depth additions: per-user sequence ops over events, the
+    # asymmetric-containment shingle join, copresence-graph peeling, and
+    # the embeddings outer-product aggregate
+    "events_session_transcripts", "events_disorder_stats",
+    "events_audience_overlap", "dedup_containment_pairs", "graph_kcore",
+    "embeddings_dim_covariance", "embeddings_centroid_similarity",
 ]
 
 #: Third decade (sf1 -> sf10): the same set MINUS queries whose OUTPUT

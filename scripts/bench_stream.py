@@ -52,6 +52,30 @@ def stage_arrival_files(df, col: str, n: int, dest: str) -> None:
         shutil.rmtree(part_dir)
 
 
+def stage_arrival_files_ordered(df, ts_col: str, n: int, dest: str) -> None:
+    """Split a frame into n single-file arrivals by CONTIGUOUS time range
+    (exact quantile boundaries on ``ts_col``), so the stream sees event time
+    roughly in order — the arrival shape watermarked session aggregation is
+    designed for (hash-split arrivals would mark most data late)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(dest, exist_ok=True)
+    cuts = df.approxQuantile(ts_col, [i / n for i in range(1, n)], 0.0)
+    bounds = [float("-inf"), *cuts, float("inf")]
+    for i in range(n):
+        lo, hi = bounds[i], bounds[i + 1]
+        part = df.filter(F.col(ts_col) > F.lit(lo)) if lo != float("-inf") else df
+        if hi != float("inf"):
+            part = part.filter(F.col(ts_col) <= F.lit(hi))
+        part_dir = os.path.join(dest, f"_stage_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        f = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        shutil.move(f, os.path.join(dest, f"file_{i:03d}.parquet"))
+        shutil.rmtree(part_dir)
+
+
 def progress_rows(query) -> list[dict]:
     rows = []
     for p in query.recentProgress:
@@ -299,6 +323,24 @@ def main(argv: list[str] | None = None) -> int:
     report["decontamination_gate"] = {
         "batches": batches11, **flat_check(batches11)
     }
+
+    # --- stream 12: session-window transcript assembly (stateful agg) ------
+    from komodo_data_spark.streaming import windows as W
+
+    ev_time_src = os.path.join(work, "events_time_arrivals")
+    stage_arrival_files_ordered(ev, "event_id", args.batches, ev_time_src)
+    tr = W.transcript_rollup(W.events_stream(spark, ev_time_src, 1))
+    q12 = (
+        tr.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", os.path.join(work, "transcripts_out"))
+        .option("checkpointLocation", os.path.join(work, "ckpt_transcripts"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q12.awaitTermination()
+    batches12 = progress_rows(q12)
+    report["transcript_rollup"] = {"batches": batches12, **flat_check(batches12)}
 
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
