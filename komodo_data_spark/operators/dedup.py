@@ -1405,25 +1405,37 @@ def scrub_blocks(blocked: DataFrame, dup: DataFrame) -> DataFrame:
     """Reassemble each doc keeping only blocks that are NOT scrubbed by
     ``dup`` (rows (blk, keeper): an occurrence survives iff its block has
     no dup entry or its packed (doc_id, pos) key equals the keeper; a
-    keeper of -1 scrubs every occurrence). The dup set folds to a one-row
-    map<blk, keeper> crossJoin-broadcast to the doc rows, so reassembly is
-    row-local — zero exchange on the document side."""
-    dup_map = dup.agg(
-        F.map_from_entries(F.collect_list(F.struct("blk", "keeper"))).alias(
-            "dup"
-        )
+    keeper of -1 scrubs every occurrence).
+
+    Scale note (third-decade catch, BENCH_SCALING sf1→sf10): the original
+    form folded dup to a one-row map<blk, keeper> and probed it per block
+    with element_at — but Spark map lookup is a LINEAR scan, so total cost
+    was |dup| × |blocks| (both grow with the corpus → quadratic by data;
+    measured 10.3 s → 220 s over a 10× step). Now the per-block probe is a
+    broadcast HASH join on the NARROW occurrence rows, and only the
+    per-doc list of removed positions — sized by the doc's own duplicated
+    spans, not the corpus — returns to the doc row for a row-local filter.
+    The wide text column still never shuffles; if the removal lists ever
+    outgrew a broadcast (corpus-scale mirroring), the same frame joins by
+    shuffle on doc_id with identical semantics."""
+    removed = (
+        block_occurrences(blocked)
+        .join(F.broadcast(dup), "blk")
+        .filter(F.col("doc_id") * POS_BASE + F.col("pos") != F.col("keeper"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("removed_pos"))
     )
     return (
-        blocked.crossJoin(F.broadcast(dup_map))
+        blocked.join(F.broadcast(removed), "doc_id", "left")
         .withColumn(
             "kept",
-            F.filter(
-                "blocks",
-                lambda b: F.element_at(F.col("dup"), b["blk"]).isNull()
-                | (
-                    F.col("doc_id") * POS_BASE + b["pos"]
-                    == F.element_at(F.col("dup"), b["blk"])
-                ),
+            F.when(F.col("removed_pos").isNull(), F.col("blocks")).otherwise(
+                F.filter(
+                    "blocks",
+                    lambda b: ~F.array_contains(
+                        F.col("removed_pos"), b["pos"]
+                    ),
+                )
             ),
         )
         .select(
@@ -1551,13 +1563,26 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_recall_from(_doc_postings(spark, sf_dir))
 
 
-#: Hash-bucket slice for the sampled recall eval: buckets 0..49 of the
-#: 100-bucket doc_id hash shared with sample_hash_split (~50% of docs,
-#: ~25% of pairs — both endpoints must survive the gate). A production
-#: run at 100 TB would use a smaller slice (the truth self-join costs
-#: O((slice·n)²/shingle-buckets)); 50 keeps enough planted near-dup pairs
-#: at the sf0.01 correctness scale to measure a meaningful recall.
-RECALL_SAMPLE_BUCKETS = 50
+#: Sampled recall eval's slice budget in DOCUMENTS (not a fraction): the
+#: doc_id hash gate shared with sample_hash_split admits ~this many docs
+#: at any corpus size (see _recall_sample_buckets). 2500 keeps the
+#: correctness scales meaningful — at sf0.01 (500 docs) the gate opens to
+#: the full corpus, at sf0.1 it reproduces the old 50-bucket slice — and
+#: caps the eval's quadratic truth at a constant past sf0.1.
+RECALL_SAMPLE_TARGET_DOCS = 2500
+
+
+def _recall_sample_buckets(n_docs: int) -> int:
+    """Bucket count (of the md5 % 100 gate) sizing the recall eval's slice
+    to ~RECALL_SAMPLE_TARGET_DOCS documents REGARDLESS of corpus size:
+    floor(target·100 / n), clamped to [1, 100]. A fixed bucket count was
+    the third-decade catch (BENCH_SCALING sf1→sf10): 50 buckets is a
+    fixed FRACTION, so the slice grew linearly and its all-pairs truth
+    quadratically (5.8 s → 403 s over a 10× step). With a fixed DOC
+    budget the eval is O(target²) at any corpus size; the % 100
+    granularity floors the slice at 1% — production at >100× the target
+    uses a finer modulus, same arithmetic."""
+    return max(1, min(100, RECALL_SAMPLE_TARGET_DOCS * 100 // max(n_docs, 1)))
 
 
 def dedup_minhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1567,15 +1592,18 @@ def dedup_minhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is bounded by the slice size while the measured banding loss
     tracks the full-corpus figure (pinned within tolerance by
     ``tests/test_extensions.py``); the gate is ``sample_hash_split``'s
-    bucket predicate (md5(doc_id) % 100), so the slice is stable across
-    engines, retries, and data growth, and the oracle applies the
-    IDENTICAL restriction via the shared SQL twin of the bucket."""
+    bucket predicate (md5(doc_id) % 100) with the bucket count sized by
+    :func:`_recall_sample_buckets` from one column-pruned count, so the
+    slice doc budget — and the eval's quadratic term — stays constant as
+    the corpus grows, stable across engines and retries; the oracle
+    applies the IDENTICAL gate (same integer arithmetic in SQL)."""
     from komodo_data_spark.operators.pipeline_ops import _bucket_col
 
+    n_docs = load_table(spark, sf_dir, "documents").count()
     # The gate is on doc_id only, so it commutes with shingling: Catalyst
     # pushes it below the explode to the scan side of the postings frame.
     posts = _doc_postings(spark, sf_dir).filter(
-        _bucket_col() < RECALL_SAMPLE_BUCKETS
+        _bucket_col() < _recall_sample_buckets(n_docs)
     )
     return _minhash_recall_from(posts)
 
@@ -1686,10 +1714,16 @@ def dedup_minhash_recall_sampled_oracle() -> str:
     # A CTE named `documents` shadows the driver-registered view for every
     # downstream CTE, applying the identical hash-bucket gate the Spark
     # side uses; the inner reference is schema-qualified (main.documents)
-    # because an unqualified self-name would read as a circular CTE.
+    # because an unqualified self-name would read as a circular CTE. The
+    # bucket count is the same integer arithmetic as _recall_sample_buckets
+    # (floor via //, clamp to [1, 100]) over the same count.
+    buckets = (
+        f"greatest(1, least(100, {RECALL_SAMPLE_TARGET_DOCS} * 100 // "
+        "greatest((SELECT count(*) FROM main.documents), 1)))"
+    )
     return (
         "\n    WITH documents AS (SELECT * FROM main.documents WHERE "
-        f"{_sql_bucket()} < {RECALL_SAMPLE_BUCKETS}),\n    "
+        f"{_sql_bucket()} < {buckets}),\n    "
         + _recall_oracle_ctes()
     )
 

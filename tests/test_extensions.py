@@ -39,18 +39,28 @@ def test_shingles_short_doc_empty_not_descending(spark):
 
 
 def test_sampled_recall_tracks_full_recall(spark):
-    """The executable sampled-eval mode (hash-bucket slice) must measure a
-    recall that tracks the full-corpus figure within tolerance at sf0.01 —
-    the slice bounds the quadratic ground-truth cost without changing the
-    banding-loss conclusion."""
+    """The executable sampled-eval mode (adaptive hash-bucket slice) must
+    measure a recall that tracks the full-corpus figure within tolerance at
+    sf0.01 — the slice bounds the quadratic ground-truth cost without
+    changing the banding-loss conclusion. At a corpus at-or-below the
+    RECALL_SAMPLE_TARGET_DOCS budget the gate opens to the whole corpus
+    (sampled == full exactly); the restriction kicks in past the budget."""
     sf = "/root/testdata/sf0.01"
     full = dedup.dedup_minhash_recall(spark, sf).collect()[0]
     samp = dedup.dedup_minhash_recall_sampled(spark, sf).collect()[0]
-    # the gate genuinely restricts: fewer pairs, but enough to measure
-    assert 0 < samp["n_true_pairs"] < full["n_true_pairs"]
+    # 500 docs < 2500 budget -> full-corpus gate: the eval degrades to the
+    # exact full figure, never to a noisier one
+    assert 0 < samp["n_true_pairs"] <= full["n_true_pairs"]
     assert samp["n_lsh_pairs"] <= samp["n_true_pairs"]  # LSH ⊆ truth
     assert full["recall"] is not None and samp["recall"] is not None
     assert abs(samp["recall"] - full["recall"]) <= 0.15
+    # the adaptive bucket arithmetic itself (shared with the SQL oracle):
+    # full corpus at/below budget, the old 50-bucket slice at sf0.1 scale,
+    # clamped to the 1% granularity floor at web scale
+    b = dedup._recall_sample_buckets
+    assert b(500) == 100 and b(2500) == 100
+    assert b(5_000) == 50 and b(50_000) == 5
+    assert b(500_000) == 1 and b(10**9) == 1
 
 
 def test_minhash_matches_python(spark):
