@@ -222,6 +222,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_audience_overlap",  # NEW r6: type-pair user-set Jaccard
     "graph_kcore",  # NEW r6: fixed-round k-core peeling
     "dedup_containment_pairs",  # NEW r6: asymmetric subsumption detector
+    "dedup_minhash_recall_sampled",  # r6 change: adaptive slice budget
     "benchmark_contamination",  # r6 refactor: shared gate kernel
     "text_nb_quality_classifier",  # r6 refactor: shared _nb_doc_scores
     "dedup_embedding_lsh",  # r5 occupancy-routing change, witnessed r4
