@@ -2259,6 +2259,22 @@ def docs_temperature_mix_oracle() -> str:
 
 K_ANON = 5  #: groups smaller than this are re-identification risks
 
+#: The quasi-identifier tuple. ONE definition shared by the batch audit
+#: below and the streaming release gate (streaming/k_anonymity_gate.py) —
+#: the shared-kernel rule every gate/scanner pair in this repo follows
+#: (PII, compression, decontamination): the two sides cannot disagree
+#: about a record's equivalence class by construction.
+QI_COLS = ("c_nationkey", "c_mktsegment", "bal_band")
+
+
+def qi_classes(customers: DataFrame) -> DataFrame:
+    """Project customer rows to their quasi-identifier class columns
+    (generalizing the balance to a 1000-unit band — raw balances would
+    make every row its own class). Pure map-side projection."""
+    return customers.withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    )
+
 
 def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over the quasi-identifier tuple (nation, market
@@ -2275,12 +2291,8 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     balances would make every row its own class.
     """
     c = load_table(spark, sf_dir, "customer")
-    qi = c.select(
-        "c_nationkey",
-        "c_mktsegment",
-        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
-    )
-    return qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+    qi = qi_classes(c).select(*QI_COLS)
+    return qi.groupBy(*QI_COLS).agg(
         F.count(F.lit(1)).alias("class_size"),
         (F.lit(1.0) / F.count(F.lit(1))).alias("reident_prob"),
         (F.count(F.lit(1)) < K_ANON).alias("below_k"),

@@ -342,6 +342,28 @@ def main(argv: list[str] | None = None) -> int:
     batches12 = progress_rows(q12)
     report["transcript_rollup"] = {"batches": batches12, **flat_check(batches12)}
 
+    # --- stream 13: k-anonymity release gate over customer arrivals -------
+    from komodo_data_spark.streaming.k_anonymity_gate import (
+        start_k_anonymity_gate,
+    )
+
+    cust_src = os.path.join(work, "customer_arrivals")
+    stage_arrival_files(
+        load_table(spark, args.sf_dir, "customer"),
+        "c_custkey", args.batches, cust_src,
+    )
+    q13 = start_k_anonymity_gate(
+        spark, cust_src,
+        os.path.join(work, "kanon_store"),
+        os.path.join(work, "kanon_released"),
+        os.path.join(work, "kanon_held"),
+        os.path.join(work, "ckpt_kanon"),
+        max_files_per_trigger=1,
+    )
+    q13.awaitTermination()
+    batches13 = progress_rows(q13)
+    report["k_anonymity_gate"] = {"batches": batches13, **flat_check(batches13)}
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",

@@ -2016,3 +2016,97 @@ def test_compact_distinct_store_crash_fuzz_every_prune(spark, tmp_path):
             d for d in os.listdir(store) if d.startswith("epoch_id=")
         ]
         assert parts == ["epoch_id=-1"]  # fully folded after retry
+
+
+def test_k_anonymity_gate_hold_and_release(spark, tmp_path):
+    """The streaming k-anonymity release gate: a record is released iff its
+    QI class's ACCUMULATED count has reached k at its ingestion epoch
+    (hold-and-release — k-anonymity is a corpus property, classes only
+    grow); earlier held records are promoted by the batch companion once
+    their class crosses k; a replayed epoch (at-least-once redelivery)
+    overwrites its own store/output partitions and changes nothing."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from komodo_data_spark.operators.pipeline_ops import QI_COLS
+    from komodo_data_spark.streaming.k_anonymity_gate import (
+        accumulated_class_counts,
+        k_anonymity_gate_batch,
+        promote_held,
+        start_k_anonymity_gate,
+    )
+
+    def cust(rows):
+        return pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "c_name": pa.array([f"C#{r[0]}" for r in rows], pa.string()),
+                "c_nationkey": pa.array([r[1] for r in rows], pa.int32()),
+                "c_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+                "c_mktsegment": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+
+    # class A = (1, AUTO, band 1), class B = (2, BLDG, band 0); k = 3
+    A, B = (1, "AUTO", 1500.0), (2, "BLDG", 10.0)
+    arrivals = [
+        [(1, *A), (2, *A), (3, *B)],  # epoch 0: A=2 held, B=1 held
+        [(4, *A)],  # epoch 1: A crosses 3 -> this row released
+        [(5, *A), (6, *B)],  # epoch 2: A=4 released, B=2 held
+    ]
+    src = tmp_path / "kanon_arrivals"
+    src.mkdir()
+    for i, rows in enumerate(arrivals):
+        p = str(src / f"file_{i}.parquet")
+        pq.write_table(cust(rows), p)
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    store = str(tmp_path / "kanon_store")
+    rel = str(tmp_path / "kanon_released")
+    held = str(tmp_path / "kanon_held")
+    start_k_anonymity_gate(
+        spark, str(src), store, rel, held,
+        str(tmp_path / "ckpt_kanon"), k=3, max_files_per_trigger=1,
+    ).awaitTermination()
+
+    released = {
+        (r["c_custkey"], r["epoch_id"])
+        for r in spark.read.parquet(rel).collect()
+    }
+    held_rows = {
+        (r["c_custkey"], r["epoch_id"])
+        for r in spark.read.parquet(held).collect()
+    }
+    assert released == {(4, 1), (5, 2)}
+    assert held_rows == {(1, 0), (2, 0), (3, 0), (6, 2)}
+
+    # accumulated store == the batch audit's class sizes
+    acc = {
+        tuple(r[c] for c in QI_COLS): r["acc_n"]
+        for r in accumulated_class_counts(spark, store).collect()
+    }
+    assert acc == {(1, "AUTO", 1): 4, (2, "BLDG", 0): 2}
+
+    # batch companion: A's held rows promote (class at 4 >= 3), B's don't
+    promoted = {r["c_custkey"] for r in promote_held(spark, store, held, k=3).collect()}
+    assert promoted == {1, 2}
+
+    # at-least-once replay of epoch 1: byte-identical state, no recount
+    replay = spark.createDataFrame(
+        [(4, "C#4", 1, 1500.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    k_anonymity_gate_batch(replay, 1, store, rel, held, k=3)
+    acc2 = {
+        tuple(r[c] for c in QI_COLS): r["acc_n"]
+        for r in accumulated_class_counts(spark, store).collect()
+    }
+    assert acc2 == acc
+    released2 = {
+        (r["c_custkey"], r["epoch_id"])
+        for r in spark.read.parquet(rel).collect()
+    }
+    assert released2 == released
