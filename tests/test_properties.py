@@ -625,3 +625,156 @@ def test_cc_star_matches_union_find(spark, edge_list):
         comp.setdefault(find(n), []).append(n)
     exp = {n: min(members) for members in comp.values() for n in members}
     assert got == exp
+
+
+def py_containment(
+    docs: dict[int, list[str]], cap: int, thresh: float
+) -> dict[tuple[int, int], tuple[float, float]]:
+    """Pure-Python reference of dedup_containment_pairs: distinct
+    3-shingle sets, rare-shingle (df <= cap) candidates, containment in
+    both directions, kept when the max reaches the threshold."""
+    sets = {did: set(py_shingles(toks, 3)) for did, toks in docs.items()}
+    df: dict[str, int] = {}
+    for s in sets.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    cand = set()
+    for did_i, si in sets.items():
+        for did_j, sj in sets.items():
+            if did_i < did_j and any(
+                g in sj and df[g] <= cap for g in si
+            ):
+                cand.add((did_i, did_j))
+    out = {}
+    for i, j in cand:
+        common = len(sets[i] & sets[j])
+        if not sets[i] or not sets[j]:
+            continue
+        ci, cj = common / len(sets[i]), common / len(sets[j])
+        if max(ci, cj) >= thresh:
+            out[(i, j)] = (ci, cj)
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_containment_pairs_match_python(spark, token_lists):
+    """dedup_containment_pairs == the pure-Python reference on arbitrary
+    tiny corpora (3-letter alphabet => heavy shingle sharing exercises the
+    df-cap; short docs exercise the empty-shingle-set edge)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from komodo_data_spark.operators import dedup as D
+
+    docs = {i: t for i, t in enumerate(token_lists)}
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": [" ".join(t) if t else "" for t in docs.values()],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [0] * len(docs),
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf.to_parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            (r["doc_i"], r["doc_j"]): (r["cont_i_in_j"], r["cont_j_in_i"])
+            for r in D.dedup_containment_pairs(spark, tmp).collect()
+        }
+    exp = py_containment(docs, D.NGRAM_DF_CAP, D.CONTAINMENT_THRESHOLD)
+    assert set(got) == set(exp)
+    for k, (ci, cj) in exp.items():
+        assert abs(got[k][0] - ci) < 1e-12 and abs(got[k][1] - cj) < 1e-12
+
+
+def py_transcripts(rows, gap_ms):
+    """Pure-Python reference of events_session_transcripts: per user, order
+    by (ts, event_id), break when the gap exceeds gap_ms, join types."""
+    out = {}
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for eid, ts, uid, typ in rows:
+        by_user.setdefault(uid, []).append((ts, eid, typ))
+    for uid, evs in by_user.items():
+        evs.sort()
+        seq, prev = 0, None
+        sessions: dict[int, list[tuple[int, int, str]]] = {}
+        for ts, eid, typ in evs:
+            if prev is not None and ts - prev > gap_ms:
+                seq += 1
+            sessions.setdefault(seq, []).append((ts, eid, typ))
+            prev = ts
+        for s, items in sessions.items():
+            out[(uid, s)] = (
+                len(items),
+                len({t for _, _, t in items}),
+                min(ts for ts, _, _ in items),
+                max(ts for ts, _, _ in items) - min(ts for ts, _, _ in items),
+                ">".join(t for _, _, t in items),
+            )
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4_000_000),  # ts_ms
+            st.integers(min_value=1, max_value=2),  # user
+            st.sampled_from(["a", "b", "c"]),  # type
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_session_transcripts_match_python(spark, evs):
+    """events_session_transcripts == the pure-Python gap-and-island
+    reference on arbitrary tiny event sets — duplicate timestamps (tie
+    broken by event_id) and >30-min gaps both arise from the generator."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from komodo_data_spark.operators.sessions import (
+        SESSION_GAP_MS,
+        events_session_transcripts,
+    )
+
+    rows = [(i + 1, ts, uid, typ) for i, (ts, uid, typ) in enumerate(evs)]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] * 1_000_000 for r in rows], pa.timestamp("ns")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(table, os.path.join(tmp, "events.parquet"))
+        got = {
+            (r["user_id"], r["session_seq"]): (
+                r["n_turns"], r["n_types"], r["start_ms"],
+                r["duration_ms"], r["transcript"],
+            )
+            for r in events_session_transcripts(spark, tmp).collect()
+        }
+    assert got == py_transcripts(rows, SESSION_GAP_MS)
