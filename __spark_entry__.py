@@ -208,6 +208,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 # and are verified by the judge's full scripts/check.py re-run.
 _PRIORITY: tuple[str, ...] = (
     # --- (a)+(b): changed since last witness, or new this round ---
+    "knn_pq_adc",  # NEW r6: product-quantization ADC search (ANN ladder top)
+    "knn_pq_recall",  # NEW r6: recall eval pricing PQ's 256x compression
+    "docs_dsir_weights",  # NEW r6: DSIR hashed-unigram importance weights
+    "docs_dsir_resample",  # NEW r6: Gumbel-top-K importance resampling
     "text_bpe_train_apply",  # NEW r6: trained BPE with exact token counts
     "text_bpe_merges",  # NEW r6: the learned merge table itself
     "text_nb_calibration",  # NEW r6: reliability bins / ECE over the NB fit

@@ -1153,6 +1153,11 @@ def registry():
             docs_curriculum_order,
             docs_curriculum_order_oracle(),
         ),
+        "docs_dsir_weights": (docs_dsir_weights, docs_dsir_weights_oracle()),
+        "docs_dsir_resample": (
+            docs_dsir_resample,
+            docs_dsir_resample_oracle(),
+        ),
         "benchmark_contamination_semantic": (
             benchmark_contamination_semantic,
             benchmark_contamination_semantic_oracle(),
@@ -2308,4 +2313,177 @@ def customers_k_anonymity_oracle() -> str:
            count(*) < {K_ANON} AS below_k
     FROM customer
     GROUP BY 1, 2, 3
+    """
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed n-gram data selection)
+# --------------------------------------------------------------------------
+
+DSIR_TARGET_SOURCE = "src0"  # the "high-quality target domain" stand-in
+DSIR_BUCKETS = 256  # hashed-unigram feature buckets (2 md5 hex chars)
+DSIR_ALPHA = 0.5  # add-alpha smoothing for both bag-of-buckets models
+DSIR_SAMPLE_K = 100  # Gumbel-top-K sample size
+
+
+def _dsir_weights_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR scorer: hashed-unigram importance weights of every RAW
+    document (source != DSIR_TARGET_SOURCE) against the target domain.
+
+    DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling") fits two bag-of-hashed-n-gram models — target
+    p̂_t and raw p̂_r — and weights each raw doc by
+    log w = Σ_tokens (ln p̂_t[bucket] − ln p̂_r[bucket]), add-alpha
+    smoothed. Re-expressed Spark-first:
+
+    - bucketing is a pure projection (md5 prefix → 0..255), no Python;
+    - BOTH models are ONE map-side-combinable groupBy over the token
+      stream (the bucket table is ≤ DSIR_BUCKETS rows regardless of
+      corpus size), densified against a spine so absent buckets still get
+      their smoothing mass;
+    - scoring joins the token stream to the BROADCAST 256-row log-ratio
+      table and sums per doc — a (doc_id)-keyed partial aggregate; no
+      corpus-sized shuffle other than that rollup. Two passes over the
+      corpus total (fit, score), which is DSIR's own structure.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tb = d.select(
+        "doc_id",
+        "source",
+        F.explode(tokens()).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10)
+        .cast("long")
+        .alias("b"),
+    )
+    is_t = F.col("source") == DSIR_TARGET_SOURCE
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    cnt = (
+        spine.join(
+            tb.groupBy("b").agg(
+                F.sum(F.when(is_t, 1).otherwise(0)).alias("nt"),
+                F.sum(F.when(is_t, 0).otherwise(1)).alias("nr"),
+            ),
+            "b",
+            "left",
+        )
+        .fillna(0, ["nt", "nr"])
+    )
+    tot = cnt.agg(F.sum("nt").alias("tt"), F.sum("nr").alias("tr"))
+    a, nb = DSIR_ALPHA, DSIR_BUCKETS
+    llr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("nt") + a) / (F.col("tt") + a * nb))
+            - F.log((F.col("nr") + a) / (F.col("tr") + a * nb))
+        ).alias("llr"),
+    )
+    return (
+        tb.filter(~is_t)
+        .join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("llr").alias("log_weight"),
+        )
+    )
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight (hashed-unigram log-likelihood
+    ratio vs the target domain) — see _dsir_weights_frame for the method
+    and the scale shape. Positive log_weight = looks more like the target
+    than like the raw pool; this is the score DSIR resamples by and the
+    continuous sibling of source_unigram_divergence's per-source KL."""
+    return _dsir_weights_frame(spark, sf_dir)
+
+
+def _dsir_weights_oracle_body() -> str:
+    a, nb = DSIR_ALPHA, DSIR_BUCKETS
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, {sql_tokens("text")} AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tb AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(t.tok), 1, 2) AS UBIGINT) AS b
+      FROM d, unnest(d.toks) AS t(tok)
+    ),
+    cnt AS (
+      SELECT s.b, coalesce(c.nt, 0) AS nt, coalesce(c.nr, 0) AS nr
+      FROM (SELECT t.b FROM unnest(range(0, {nb})) AS t(b)) s
+      LEFT JOIN (
+        SELECT b,
+               sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS nt,
+               sum(CASE WHEN source <> '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS nr
+        FROM tb GROUP BY b
+      ) c ON c.b = s.b
+    ),
+    tot AS (SELECT sum(nt) AS tt, sum(nr) AS tr FROM cnt),
+    llr AS (
+      SELECT b, ln((nt + {a}) / (tt + {a} * {nb}))
+               - ln((nr + {a}) / (tr + {a} * {nb})) AS llr
+      FROM cnt, tot
+    )
+    SELECT tb.doc_id, count(*) AS n_toks, sum(l.llr) AS log_weight
+    FROM tb JOIN llr l ON l.b = tb.b
+    WHERE tb.source <> '{DSIR_TARGET_SOURCE}'
+    GROUP BY tb.doc_id
+    """
+
+
+def docs_dsir_weights_oracle() -> str:
+    return _dsir_weights_oracle_body()
+
+
+def docs_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's sampling step: Gumbel-top-K over the importance weights —
+    sampling-without-replacement ∝ w via key = log w − ln(−ln(u)), with
+    u a DETERMINISTIC md5-derived uniform per doc (same derandomization
+    trade as docs_weighted_sample: stable under retries and appends of
+    later docs, and engine-portable for the oracle).
+
+    Scale shape: the Gumbel key is a pure projection over the weights
+    frame; top-K is orderBy+limit, which Spark plans as
+    TakeOrderedAndProject — each task keeps its local top-K and the
+    driver merges |tasks|·K rows; no global sort shuffle at any corpus
+    size."""
+    w = _dsir_weights_frame(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir|"), F.col("doc_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(16**6))
+    g = (F.col("log_weight") - F.log(-F.log(u))).alias("gumbel_key")
+    return (
+        w.select("doc_id", "log_weight", g)
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(DSIR_SAMPLE_K)
+    )
+
+
+def docs_dsir_resample_oracle() -> str:
+    u = (
+        "(CAST('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 6)"
+        f" AS UBIGINT) + 0.5) / {float(16**6)}"
+    )
+    return f"""
+    WITH w AS ({_dsir_weights_oracle_body()})
+    SELECT doc_id, log_weight,
+           log_weight - ln(-ln({u})) AS gumbel_key
+    FROM w
+    ORDER BY gumbel_key DESC, doc_id ASC
+    LIMIT {DSIR_SAMPLE_K}
     """

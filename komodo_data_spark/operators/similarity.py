@@ -202,6 +202,8 @@ def registry():
             knn_quantized_recall,
             knn_quantized_recall_oracle(),
         ),
+        "knn_pq_adc": (knn_pq_adc, knn_pq_adc_oracle()),
+        "knn_pq_recall": (knn_pq_recall, knn_pq_recall_oracle()),
         "kmeans_clusters": (kmeans_clusters, kmeans_clusters_oracle()),
         "dedup_semantic": (dedup_semantic, dedup_semantic_oracle()),
         "embeddings_vector_stats": (
@@ -1071,3 +1073,213 @@ def embeddings_dim_covariance_oracle() -> str:
     JOIN cv vi ON vi.di = c.di AND vi.dj = c.di
     JOIN cv vj ON vj.di = c.dj AND vj.dj = c.dj
     """
+
+
+# --------------------------------------------------------------------------
+# product quantization (the compression rung above int8 on the ANN ladder)
+# --------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (embeddings are 64-d -> 4 x 16-d subvectors)
+PQ_SUBDIM = 16
+PQ_K = 4  # codebook centroids per subspace (codes fit in 2 bits here)
+PQ_ITERS = 2  # fixed Lloyd unroll per codebook (same trade as kmeans_clusters)
+
+
+def _pq_fit(spark: SparkSession, sf_dir: str):
+    """Shared PQ codebook fit: k-means in each of the PQ_M subspaces
+    (deterministic init = the first PQ_K vectors' subvectors, PQ_ITERS
+    fixed Lloyd iterations — the kmeans_clusters unroll, run over ALL
+    subspaces in ONE pipeline). Returns (codebooks(m, cid, ce),
+    codes(vec_id, m, cid, s)).
+
+    Scale design: subvectors are a map-side posexplode (n·M rows, no
+    shuffle); every Lloyd iteration is ONE broadcast join against the
+    M·K-row codebook + one (m, cid, pos)-keyed mean — the per-iteration
+    shuffle cost is independent of M because all subspaces ride the same
+    exchange, instead of M sequential fits each paying its own.
+    """
+    v = _vectors(spark, sf_dir).select("vec_id", "e")
+    sub = v.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "s"),
+    )
+    cents = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("s").alias("ce")
+    )
+
+    def assign(cents):
+        return (
+            sub.join(F.broadcast(cents), "m")
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(
+                    F.struct(
+                        _sqdist(F.col("s"), F.col("ce")).alias("d"),
+                        F.col("cid").alias("cid"),
+                    )
+                )["cid"].alias("cid"),
+                F.first("s").alias("s"),
+            )
+        )
+
+    for _ in range(PQ_ITERS):
+        assigned = assign(cents)
+        cents = (
+            assigned.select("m", "cid", F.posexplode("s").alias("pos", "val"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.avg("val").alias("mv"))
+            .groupBy("m", "cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm")
+            )
+            .select(
+                "m", "cid", F.transform("pm", lambda s: s["mv"]).alias("ce")
+            )
+        )
+    return cents, assign(cents)
+
+
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN search (Jégou et al. 2011, re-expressed
+    Spark-first): each corpus vector is stored as PQ_M codebook codes
+    (here 4 × 2 bits vs 64 × 64-bit floats — a 256× storage reduction);
+    queries stay exact floats and score against the RECONSTRUCTED
+    vectors, which is exactly asymmetric distance computation (ADC: the
+    per-subspace lookup-table sum equals the dot product against the
+    concatenated assigned centroids). Top-TOP_K per query by ADC cosine.
+
+    Scale design: encoding is the broadcast-codebook argmin (map-side;
+    the codebook is M·K rows no matter the corpus size); reconstruction
+    is a broadcast equi-join + per-vector reassembly, never a corpus
+    shuffle wider than the (vec_id)-keyed collect; scoring reuses the
+    brute-force broadcast-query shape but reads the 4-code representation
+    — at 100 TB the scan side is 256× smaller than the float corpus,
+    which is the entire point of PQ. Recall twin: knn_pq_recall.
+    """
+    cents, codes = _pq_fit(spark, sf_dir)
+    rec = (
+        codes.join(F.broadcast(cents), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "ce"))),
+                    lambda x: x["ce"],
+                )
+            ).alias("re")
+        )
+        .withColumn("rnrm", _nrm(F.col("re")))
+    )
+    q = (
+        _vectors(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    scored = rec.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos_pre(F.col("qe"), F.col("re"), F.col("qnrm"), F.col("rnrm")).alias(
+            "adc_cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_cosine", "rnk")
+    )
+
+
+def _pq_cte_prefix() -> str:
+    """DuckDB CTE chain fitting the same per-subspace Lloyd unroll
+    (PQ_ITERS == 2 is unrolled literally, like _kmeans_cte_prefix):
+    exposes ``v`` (float vectors) and ``rec`` (PQ-reconstructed vectors).
+    """
+    sqd = (
+        "list_sum(list_transform(range(1, len(s.s)+1),"
+        " i -> (s.s[i] - c.ce[i]) * (s.s[i] - c.ce[i])))"
+    )
+
+    def assign(subs: str, cents: str) -> str:
+        return f"""
+      SELECT s.vec_id, s.m, s.s,
+             min([{sqd}, c.cid::DOUBLE])[2]::BIGINT AS cid
+      FROM {subs} s JOIN {cents} c ON c.m = s.m
+      GROUP BY s.vec_id, s.m, s.s
+    """
+
+    def update(assigned: str) -> str:
+        return f"""
+      SELECT m, cid, list(mv ORDER BY pos) AS ce FROM (
+        SELECT a.m, a.cid, t.pos, avg(a.s[t.pos]) AS mv
+        FROM {assigned} a, unnest(range(1, len(a.s)+1)) AS t(pos)
+        GROUP BY a.m, a.cid, t.pos
+      ) GROUP BY m, cid
+    """
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sub AS (
+      SELECT v.vec_id, t.m,
+             array_slice(v.e, t.m * {PQ_SUBDIM} + 1,
+                         t.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS s
+      FROM v, unnest(range(0, {PQ_M})) AS t(m)
+    ),
+    pc0 AS (SELECT m, vec_id AS cid, s AS ce FROM sub WHERE vec_id < {PQ_K}),
+    pa1 AS ({assign("sub", "pc0")}),
+    pc1 AS ({update("pa1")}),
+    pa2 AS ({assign("sub", "pc1")}),
+    pc2 AS ({update("pa2")}),
+    paf AS ({assign("sub", "pc2")}),
+    rec AS (
+      SELECT a.vec_id, flatten(list(c.ce ORDER BY a.m)) AS e
+      FROM paf a JOIN pc2 c ON c.m = a.m AND c.cid = a.cid
+      GROUP BY a.vec_id
+    )"""
+
+
+def knn_pq_adc_oracle() -> str:
+    return f"""
+    {_pq_cte_prefix()},
+    q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, {_SQL_COS} AS adc_cosine
+      FROM q JOIN rec v ON v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC
+      ) AS rnk FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_cosine, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of PQ/ADC search against the exact float top-K — prices
+    the 256× compression the same way the int8 twin prices its 4×: every
+    representation rung on the ladder (sign-bit LSH, IVF cells, int8, PQ)
+    ships with a measured-recall eval."""
+    return _recall_vs_bruteforce(
+        knn_brute_force(spark, sf_dir), knn_pq_adc(spark, sf_dir)
+    )
+
+
+def knn_pq_recall_oracle() -> str:
+    return _recall_oracle(knn_pq_adc_oracle())
