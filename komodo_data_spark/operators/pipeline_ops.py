@@ -2326,6 +2326,92 @@ DSIR_ALPHA = 0.5  # add-alpha smoothing for both bag-of-buckets models
 DSIR_SAMPLE_K = 100  # Gumbel-top-K sample size
 
 
+def _dsir_bucket(tok: F.Column) -> F.Column:
+    """Hashed-unigram feature bucket (0..DSIR_BUCKETS-1) — THE bucket
+    definition, shared by the model fit, the batch scorer, and the
+    streaming ingestion gate (``streaming/dsir_gate.py``) so the three
+    can never hash a token differently."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 2), 16, 10).cast("long").alias("b")
+    )
+
+
+def dsir_fit_llr(docs: DataFrame) -> DataFrame:
+    """Fit the DSIR log-likelihood-ratio model from a corpus snapshot:
+    target (source == DSIR_TARGET_SOURCE) vs raw bag-of-hashed-unigram
+    models, add-alpha smoothed, returned as the (b, llr) table — ≤
+    DSIR_BUCKETS rows regardless of corpus size, so consumers always
+    broadcast it. ONE definition shared by the batch scorer and the
+    streaming gate's model-store publisher.
+
+    Both models ride ONE map-side-combinable groupBy over the token
+    stream; the counts are densified against a bucket spine so absent
+    buckets still get their smoothing mass."""
+    spark = docs.sparkSession
+    tb = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(tokens()).alias("tok")
+    ).select("source", _dsir_bucket(F.col("tok")))
+    is_t = F.col("source") == DSIR_TARGET_SOURCE
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    cnt = spine.join(
+        tb.groupBy("b").agg(
+            F.sum(F.when(is_t, 1).otherwise(0)).alias("nt"),
+            F.sum(F.when(is_t, 0).otherwise(1)).alias("nr"),
+        ),
+        "b",
+        "left",
+    ).fillna(0, ["nt", "nr"])
+    tot = cnt.agg(F.sum("nt").alias("tt"), F.sum("nr").alias("tr"))
+    a, nb = DSIR_ALPHA, DSIR_BUCKETS
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("nt") + a) / (F.col("tt") + a * nb))
+            - F.log((F.col("nr") + a) / (F.col("tr") + a * nb))
+        ).alias("llr"),
+    )
+
+
+def dsir_annotate(
+    df: DataFrame, llr: DataFrame, row_key: str | None = None
+) -> DataFrame:
+    """Annotate EVERY row of ``df`` (any schema with a ``text`` column)
+    with ``n_toks`` / ``log_weight`` against a (broadcast) DSIR model
+    frame with columns (b, llr) — the shared scoring kernel of the batch
+    weights op and the streaming ingestion gate.
+
+    Pass-through contract and row-key rules are identical to
+    :func:`contamination_annotate` (one output row per input row,
+    synthetic id localCheckpoints first — see that docstring for why).
+    NULL-text rows pass through with n_toks = 0 and log_weight = 0.0.
+
+    Scale: the model is ≤ DSIR_BUCKETS rows → broadcast; the corpus side
+    never shuffles for the probe. The only shuffles are the groupBy/join
+    on the unique row key (high-cardinality, skew-free)."""
+    if row_key is None:
+        df = df.localCheckpoint(eager=True)
+        base = df.withColumn("__uid", F.monotonically_increasing_id())
+    else:
+        base = df.withColumn("__uid", F.col(row_key))
+    scores = (
+        base.filter(F.col("text").isNotNull())
+        .select("__uid", F.explode(tokens()).alias("tok"))
+        .select("__uid", _dsir_bucket(F.col("tok")))
+        .join(F.broadcast(llr), "b")
+        .groupBy("__uid")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("llr").alias("log_weight"),
+        )
+    )
+    return (
+        base.join(scores, "__uid", "left")
+        .drop("__uid")
+        .withColumn("n_toks", F.coalesce("n_toks", F.lit(0)))
+        .withColumn("log_weight", F.coalesce("log_weight", F.lit(0.0)))
+    )
+
+
 def _dsir_weights_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared DSIR scorer: hashed-unigram importance weights of every RAW
     document (source != DSIR_TARGET_SOURCE) against the target domain.
@@ -2334,62 +2420,19 @@ def _dsir_weights_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Importance Resampling") fits two bag-of-hashed-n-gram models — target
     p̂_t and raw p̂_r — and weights each raw doc by
     log w = Σ_tokens (ln p̂_t[bucket] − ln p̂_r[bucket]), add-alpha
-    smoothed. Re-expressed Spark-first:
-
-    - bucketing is a pure projection (md5 prefix → 0..255), no Python;
-    - BOTH models are ONE map-side-combinable groupBy over the token
-      stream (the bucket table is ≤ DSIR_BUCKETS rows regardless of
-      corpus size), densified against a spine so absent buckets still get
-      their smoothing mass;
-    - scoring joins the token stream to the BROADCAST 256-row log-ratio
-      table and sums per doc — a (doc_id)-keyed partial aggregate; no
-      corpus-sized shuffle other than that rollup. Two passes over the
-      corpus total (fit, score), which is DSIR's own structure.
-    """
+    smoothed. Re-expressed Spark-first: the fit is
+    :func:`dsir_fit_llr` (one map-side-combinable groupBy; ≤ 256-row
+    model), scoring is the shared :func:`dsir_annotate` kernel
+    (broadcast model, (doc_id)-keyed rollup). Two passes over the corpus
+    total (fit, score), which is DSIR's own structure — and exactly the
+    frozen-model shape the streaming gate replays per micro-batch."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    tb = d.select(
-        "doc_id",
-        "source",
-        F.explode(tokens()).alias("tok"),
-    ).select(
-        "doc_id",
-        "source",
-        F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10)
-        .cast("long")
-        .alias("b"),
-    )
-    is_t = F.col("source") == DSIR_TARGET_SOURCE
-    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
-    cnt = (
-        spine.join(
-            tb.groupBy("b").agg(
-                F.sum(F.when(is_t, 1).otherwise(0)).alias("nt"),
-                F.sum(F.when(is_t, 0).otherwise(1)).alias("nr"),
-            ),
-            "b",
-            "left",
-        )
-        .fillna(0, ["nt", "nr"])
-    )
-    tot = cnt.agg(F.sum("nt").alias("tt"), F.sum("nr").alias("tr"))
-    a, nb = DSIR_ALPHA, DSIR_BUCKETS
-    llr = cnt.crossJoin(F.broadcast(tot)).select(
-        "b",
-        (
-            F.log((F.col("nt") + a) / (F.col("tt") + a * nb))
-            - F.log((F.col("nr") + a) / (F.col("tr") + a * nb))
-        ).alias("llr"),
-    )
-    return (
-        tb.filter(~is_t)
-        .join(F.broadcast(llr), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.sum("llr").alias("log_weight"),
-        )
+    llr = dsir_fit_llr(d)
+    raw = d.filter(F.col("source") != DSIR_TARGET_SOURCE)
+    return dsir_annotate(raw, llr, row_key="doc_id").select(
+        "doc_id", "n_toks", "log_weight"
     )
 
 

@@ -364,6 +364,25 @@ def main(argv: list[str] | None = None) -> int:
     batches13 = progress_rows(q13)
     report["k_anonymity_gate"] = {"batches": batches13, **flat_check(batches13)}
 
+    # --- stream 14: DSIR importance-weight gate (reuses docs stage) --------
+    from komodo_data_spark.streaming.dsir_gate import (
+        start_docs_dsir_gate,
+        update_dsir_model_store,
+    )
+
+    dsir_store = os.path.join(work, "dsir_model_store")
+    update_dsir_model_store(docs, dsir_store, version=1)
+    q14 = start_docs_dsir_gate(
+        spark, docs_src, dsir_store,
+        os.path.join(work, "dsir_keep"),
+        os.path.join(work, "dsir_diverted"),
+        os.path.join(work, "ckpt_dsir"),
+        max_files_per_trigger=1,
+    )
+    q14.awaitTermination()
+    batches14 = progress_rows(q14)
+    report["dsir_gate"] = {"batches": batches14, **flat_check(batches14)}
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",

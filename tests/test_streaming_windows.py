@@ -2110,3 +2110,121 @@ def test_k_anonymity_gate_hold_and_release(spark, tmp_path):
         for r in spark.read.parquet(rel).collect()
     }
     assert released2 == released
+
+
+def test_docs_dsir_gate_matches_batch_weights(spark, sf_dir, tmp_path):
+    """The streaming DSIR importance gate must reproduce the batch
+    scorer's weights exactly (one shared kernel: ``dsir_fit_llr`` +
+    ``dsir_annotate``) across file-by-file arrival; a model REFIT
+    mid-stream re-scores only SUBSEQUENT batches (latest-wins store,
+    unlike the union-of-versions benchmark store); a replay drain over
+    the same checkpoint adds nothing."""
+    import glob as _glob
+    import shutil
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.pipeline_ops import (
+        DSIR_TARGET_SOURCE,
+        docs_dsir_weights,
+    )
+    from komodo_data_spark.streaming.dsir_gate import (
+        start_docs_dsir_gate,
+        update_dsir_model_store,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = base.filter(F.col("source") != DSIR_TARGET_SOURCE)
+    # planted rows covering the pass-through contract: the SAME doc_id
+    # delivered twice (must pass through exactly once each, never
+    # join-multiplied) and a NULL doc_id row (split, never dropped)
+    planted = spark.createDataFrame(
+        [
+            (990005, "a normal enough document about spark", "en", "sX", 36),
+            (990005, "a normal enough document about spark", "en", "sX", 36),
+            (None, "orphan row with no key but real text here", "en", "sX", 41),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    arrivals = raw.unionByName(planted)
+
+    src = tmp_path / "docs_dsir_arrivals"
+    src.mkdir()
+    for i in range(3):
+        arrivals.filter(
+            F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0)) == i
+        ).coalesce(1).write.parquet(str(src / f"arrival_{i}.parquet_dir"))
+    for i, part in enumerate(
+        sorted(_glob.glob(str(src / "*" / "part-*.parquet")))
+    ):
+        shutil.copy(part, str(src / f"file_{i}.parquet"))
+    for d in _glob.glob(str(src / "*.parquet_dir")):
+        shutil.rmtree(d)
+
+    store = str(tmp_path / "dsir_model_store")
+    update_dsir_model_store(base, store, version=1)
+
+    keep = str(tmp_path / "dsir_keep")
+    div = str(tmp_path / "dsir_diverted")
+    ck = str(tmp_path / "ckpt_dsir")
+    start_docs_dsir_gate(
+        spark, str(src), store, keep, div, ck, max_files_per_trigger=1
+    ).awaitTermination()
+
+    # stream == batch: the gate's log_weight equals the batch scorer's
+    # for every unique corpus doc (same corpus snapshot behind the model)
+    batch = {
+        r["doc_id"]: (r["n_toks"], r["log_weight"])
+        for r in docs_dsir_weights(spark, sf_dir).collect()
+    }
+    got_keep = spark.read.parquet(keep).collect()
+    got_div = spark.read.parquet(div).collect()
+    seen = Counter()
+    for rows, expect_keep in ((got_keep, True), (got_div, False)):
+        for r in rows:
+            seen[r["doc_id"]] += 1
+            assert (r["log_weight"] >= 0.0) is expect_keep, r["doc_id"]
+            if r["doc_id"] is None or r["doc_id"] == 990005:
+                continue
+            n, lw = batch[r["doc_id"]]
+            assert r["n_toks"] == n, r["doc_id"]
+            assert abs(r["log_weight"] - lw) < 1e-9, r["doc_id"]
+    assert set(seen) == set(batch) | {None, 990005}
+    assert seen[990005] == 2  # dup passes through twice
+    assert seen[None] == 1  # NULL-keyed row split, not dropped
+
+    # model refit mid-stream: vocabulary unseen by model v1 scores as
+    # mildly target-like (smoothing mass ratio favors the smaller target
+    # total), but after a refit on a corpus where that vocabulary is
+    # heavily RAW, the same text is diverted — and only batches arriving
+    # AFTER the refit see the new model
+    odd_vocab = "zzzqq wwvvk kkjjr zzzqq wwvvk"
+    flood = spark.createDataFrame(
+        [(800000 + i, odd_vocab, "en", "sRaw", len(odd_vocab)) for i in range(50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    update_dsir_model_store(base.unionByName(flood), store, version=2)
+    late = spark.createDataFrame(
+        [(990100, odd_vocab, "en", "sX", len(odd_vocab))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    late.coalesce(1).write.parquet(str(src / "arrival_late.parquet_dir"))
+    part = _glob.glob(str(src / "arrival_late.parquet_dir" / "part-*.parquet"))[0]
+    shutil.copy(part, str(src / "file_3.parquet"))
+    shutil.rmtree(str(src / "arrival_late.parquet_dir"))
+    start_docs_dsir_gate(
+        spark, str(src), store, keep, div, ck, max_files_per_trigger=1
+    ).awaitTermination()
+    div2 = Counter(r["doc_id"] for r in spark.read.parquet(div).collect())
+    keep2 = Counter(r["doc_id"] for r in spark.read.parquet(keep).collect())
+    assert div2[990100] == 1  # odd vocab diverted under the refit model
+    # prior epochs keep their v1 verdicts: exactly one row was added
+    assert sum(keep2.values()) + sum(div2.values()) == sum(seen.values()) + 1
+
+    # replay drain: epoch-idempotent partitions, nothing duplicated
+    start_docs_dsir_gate(
+        spark, str(src), store, keep, div, ck, max_files_per_trigger=1
+    ).awaitTermination()
+    assert spark.read.parquet(keep).count() == sum(keep2.values())
+    assert spark.read.parquet(div).count() == sum(div2.values())
