@@ -2346,7 +2346,12 @@ def dsir_fit_llr(docs: DataFrame) -> DataFrame:
 
     Both models ride ONE map-side-combinable groupBy over the token
     stream; the counts are densified against a bucket spine so absent
-    buckets still get their smoothing mass."""
+    buckets still get their smoothing mass. The model totals come from a
+    window over the DSIR_BUCKETS-row count frame, NOT a separate
+    ``.agg()`` subtree — a second subtree would re-evaluate the whole
+    token aggregate and pay an extra full corpus pass at scale (caught
+    in the plan audit when this op was introduced); the window costs one
+    exchange of ≤ DSIR_BUCKETS rows regardless of corpus size."""
     spark = docs.sparkSession
     tb = docs.filter(F.col("text").isNotNull()).select(
         "source", F.explode(tokens()).alias("tok")
@@ -2361,13 +2366,13 @@ def dsir_fit_llr(docs: DataFrame) -> DataFrame:
         "b",
         "left",
     ).fillna(0, ["nt", "nr"])
-    tot = cnt.agg(F.sum("nt").alias("tt"), F.sum("nr").alias("tr"))
+    wall = Window.partitionBy()
     a, nb = DSIR_ALPHA, DSIR_BUCKETS
-    return cnt.crossJoin(F.broadcast(tot)).select(
+    return cnt.select(
         "b",
         (
-            F.log((F.col("nt") + a) / (F.col("tt") + a * nb))
-            - F.log((F.col("nr") + a) / (F.col("tr") + a * nb))
+            F.log((F.col("nt") + a) / (F.sum("nt").over(wall) + a * nb))
+            - F.log((F.col("nr") + a) / (F.sum("nr").over(wall) + a * nb))
         ).alias("llr"),
     )
 
@@ -2393,8 +2398,22 @@ def dsir_annotate(
         base = df.withColumn("__uid", F.monotonically_increasing_id())
     else:
         base = df.withColumn("__uid", F.col(row_key))
-    scores = (
-        base.filter(F.col("text").isNotNull())
+    return (
+        base.join(_dsir_scores(base, llr), "__uid", "left")
+        .drop("__uid")
+        .withColumn("n_toks", F.coalesce("n_toks", F.lit(0)))
+        .withColumn("log_weight", F.coalesce("log_weight", F.lit(0.0)))
+    )
+
+
+def _dsir_scores(keyed: DataFrame, llr: DataFrame) -> DataFrame:
+    """The scoring aggregate itself: (__uid, n_toks, log_weight) for every
+    non-NULL-text row of a ``__uid``-keyed frame — THE arithmetic both
+    :func:`dsir_annotate` (which joins it back for pass-through) and the
+    batch weights op (whose output IS this frame, so it skips the
+    join-back and one corpus scan) share."""
+    return (
+        keyed.filter(F.col("text").isNotNull())
         .select("__uid", F.explode(tokens()).alias("tok"))
         .select("__uid", _dsir_bucket(F.col("tok")))
         .join(F.broadcast(llr), "b")
@@ -2403,12 +2422,6 @@ def dsir_annotate(
             F.count(F.lit(1)).alias("n_toks"),
             F.sum("llr").alias("log_weight"),
         )
-    )
-    return (
-        base.join(scores, "__uid", "left")
-        .drop("__uid")
-        .withColumn("n_toks", F.coalesce("n_toks", F.lit(0)))
-        .withColumn("log_weight", F.coalesce("log_weight", F.lit(0.0)))
     )
 
 
@@ -2431,9 +2444,9 @@ def _dsir_weights_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     llr = dsir_fit_llr(d)
     raw = d.filter(F.col("source") != DSIR_TARGET_SOURCE)
-    return dsir_annotate(raw, llr, row_key="doc_id").select(
-        "doc_id", "n_toks", "log_weight"
-    )
+    return _dsir_scores(
+        raw.withColumn("__uid", F.col("doc_id")), llr
+    ).select(F.col("__uid").alias("doc_id"), "n_toks", "log_weight")
 
 
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

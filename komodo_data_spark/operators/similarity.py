@@ -1143,6 +1143,12 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
                 "m", "cid", F.transform("pm", lambda s: s["mv"]).alias("ce")
             )
         )
+    # the final codebook is consumed by TWO subtrees (the encoding assign
+    # and the reconstruction join): materialize the M·K-row frame so each
+    # consumer reuses it instead of re-running the whole Lloyd chain —
+    # without this the plan re-scans the corpus once per consumer per
+    # iteration (SURVEY §4 lesson (c), same hub rule as dedup_semantic)
+    cents = cents.localCheckpoint(eager=True)
     return cents, assign(cents)
 
 

@@ -70,6 +70,9 @@ AUDITED = [
     "embeddings_dim_covariance",  # upper-triangle explode, map-side combine
     "dedup_containment_pairs",  # df-capped candidates + postings common-count
     "graph_kcore",  # per-round shrinking semi-joins, checkpointed lineage
+    "knn_pq_adc",  # one Lloyd pipeline for all subspaces, broadcast codebook
+    "docs_dsir_weights",  # broadcast 256-bucket model, doc_id-keyed rollup
+    "docs_dsir_resample",  # Gumbel projection -> TakeOrderedAndProject
 ]
 
 #: Python stages expected by design (Arrow-batched pandas ops); anything
