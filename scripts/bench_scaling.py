@@ -114,6 +114,10 @@ SF1_QUERIES = [
     "events_session_transcripts", "events_disorder_stats",
     "events_audience_overlap", "dedup_containment_pairs", "graph_kcore",
     "embeddings_dim_covariance", "embeddings_centroid_similarity",
+    # round-6 late additions: the PQ rung of the ANN ladder and DSIR
+    # data selection (two corpus passes + TakeOrderedAndProject top-K)
+    "knn_pq_adc", "knn_pq_recall", "docs_dsir_weights",
+    "docs_dsir_resample",
 ]
 
 #: Third decade (sf1 -> sf10): the same set MINUS queries whose OUTPUT
