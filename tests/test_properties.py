@@ -778,3 +778,81 @@ def test_session_transcripts_match_python(spark, evs):
             for r in events_session_transcripts(spark, tmp).collect()
         }
     assert got == py_transcripts(rows, SESSION_GAP_MS)
+
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=3),
+            min_size=0,
+            max_size=6,
+        ).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_fuzzy_prefix_passjoin_is_complete(spark, tmp_path_factory, texts):
+    """PassJoin candidate generation (dedup_fuzzy_prefix) must be COMPLETE
+    for the edit-distance threshold: over a tiny two-letter alphabet
+    (maximal near-collision density, length diffs spanning the ±k band,
+    empty titles included) the surfaced pairs equal ALL unordered pairs
+    of titles within levenshtein <= FUZZY_MAX_DIST computed by a plain
+    full-DP reference — a missed pigeonhole window or an off-by-one in
+    the segment layout loses pairs silently otherwise."""
+    import os
+
+    import pandas as pd
+
+    from komodo_data_spark.operators.dedup import (
+        FUZZY_MAX_DIST,
+        FUZZY_PREFIX_TOKENS,
+        dedup_fuzzy_prefix,
+    )
+
+    d = tmp_path_factory.mktemp("fz")
+    pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(os.path.join(str(d), "documents.parquet"))
+
+    titles = {
+        i: " ".join(py_tokens(t)[:FUZZY_PREFIX_TOKENS])
+        for i, t in enumerate(texts, start=1)
+    }
+    expected = {}
+    ids = sorted(titles)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            ed = _py_lev(titles[ids[x]], titles[ids[y]])
+            if ed <= FUZZY_MAX_DIST:
+                expected[(ids[x], ids[y])] = ed
+
+    got = {
+        (r["doc_i"], r["doc_j"]): r["edit_dist"]
+        for r in dedup_fuzzy_prefix(spark, str(d)).collect()
+    }
+    assert got == expected
