@@ -208,6 +208,14 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 # and are verified by the judge's full scripts/check.py re-run.
 _PRIORITY: tuple[str, ...] = (
     # --- (a)+(b): changed since last witness, or new this round ---
+    "embeddings_hard_negatives",  # NEW r6: cross-label contrastive mining
+    "docs_quality_quantile_filter",  # NEW r6: per-source head keep
+    "docs_perplexity_buckets",  # NEW r6: CCNet head/middle/tail per lang
+    "events_rollup_merge",  # NEW r6: algebraic partial-aggregate merge
+    "graph_communities_lpa",  # NEW r6: synchronous label propagation
+    "embeddings_top_pc",  # NEW r6: power-iteration dominant component
+    "events_ks_test",  # NEW r6: two-stage exact KS, no global sort
+    "events_welch_ttest",  # NEW r6: one-pass A/B significance readout
     "knn_pq_adc",  # NEW r6: product-quantization ADC search (ANN ladder top)
     "knn_pq_recall",  # NEW r6: recall eval pricing PQ's 256x compression
     "docs_dsir_weights",  # NEW r6: DSIR hashed-unigram importance weights

@@ -19,7 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from komodo_data_spark.operators.events_analytics import (
@@ -372,4 +372,93 @@ def registry():
         "graph_reachability": (graph_reachability, graph_reachability_oracle()),
         "graph_components": (graph_components, graph_components_oracle()),
         "graph_kcore": (graph_kcore, graph_kcore_oracle()),
+        "graph_communities_lpa": (
+            graph_communities_lpa,
+            graph_communities_lpa_oracle(),
+        ),
     }
+
+
+LPA_ROUNDS = 3
+
+
+def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (LPA) over the copresence graph,
+    LPA_ROUNDS fixed rounds — the cheap community detector that groups
+    users into interaction circles without the full modularity machinery:
+    every node starts as its own label and each round adopts the MODE of
+    its neighbors' labels (ties -> smallest label, so the update is a
+    deterministic function of the round's input and the oracle can replay
+    it exactly). Fixed unrolling keeps the op SQL-expressible, same rule
+    as ``graph_pagerank``/``graph_kcore``.
+
+    Scale design: one shuffle join + one aggregate per round, all keyed by
+    node id — the same shape large-star/small-star uses in
+    ``dedup_clusters_star``. The mode is computed as max_by over
+    (count, -label) struct ordering, a partial-aggregatable single pass —
+    no per-node window, no sort. Labels frame is localCheckpointed each
+    round so the 3-round lineage stays flat (the ``kmeans_clusters``
+    precedent). Output: each surviving label's members with the community
+    size, ORDER-independent and stable under retries.
+    """
+    e = _user_edges(spark, sf_dir)
+    sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(LPA_ROUNDS):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "lbl")
+        cnt = nbr.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max_by(
+                    "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+                ).alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+    w = Window.partitionBy("lbl")
+    return labels.select(
+        F.col("node").alias("user_id"),
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1)).over(w).alias("community_size"),
+    )
+
+
+def graph_communities_lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds.append(
+            f"""
+    c{r} AS (
+      SELECT s.a AS node, {prev}.lbl, count(*) AS c
+      FROM sym s JOIN {prev} ON {prev}.node = s.b
+      GROUP BY 1, 2
+    ),
+    l{r} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (
+          PARTITION BY node ORDER BY c DESC, lbl ASC
+        ) AS rn FROM c{r}
+      ) WHERE rn = 1
+    )"""
+        )
+        prev = f"l{r}"
+    return f"""
+    WITH ue AS ({_sql_user_edges()}),
+    sym AS (
+      SELECT u AS a, v AS b FROM ue
+      UNION ALL
+      SELECT v, u FROM ue
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym),{','.join(rounds)}
+    SELECT node AS user_id, lbl AS community,
+           COUNT(*) OVER (PARTITION BY lbl) AS community_size
+    FROM {prev}
+    """

@@ -218,6 +218,14 @@ def registry():
             embeddings_dim_covariance,
             embeddings_dim_covariance_oracle(),
         ),
+        "embeddings_hard_negatives": (
+            embeddings_hard_negatives,
+            embeddings_hard_negatives_oracle(),
+        ),
+        "embeddings_top_pc": (
+            embeddings_top_pc,
+            embeddings_top_pc_oracle(),
+        ),
     }
 
 
@@ -1289,3 +1297,183 @@ def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def knn_pq_recall_oracle() -> str:
     return _recall_oracle(knn_pq_adc_oracle())
+
+
+# --------------------------------------------------------------------------
+# hard-negative mining (contrastive-training pair construction)
+# --------------------------------------------------------------------------
+
+
+def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most-similar vectors under a DIFFERENT label for each query
+    vector — hard-negative mining for contrastive/embedding training: the
+    negatives worth training on are the ones the current embedding space
+    already confuses with the anchor, and those are exactly the
+    highest-cosine cross-label neighbors. Same output shape as the ANN
+    ladder (query_id, neighbor_id, label pair, cosine, rnk) so mined pairs
+    feed the existing export path unchanged.
+
+    Scale design: identical plan skeleton to ``knn_brute_force`` — the
+    query set broadcasts against the scan side, cosine runs on
+    pre-hoisted norms (``_cos_pre``), and the per-query window reduces to
+    a map-side TakeOrdered before |Q|·K rows shuffle. The label predicate
+    is applied IN the join condition, so mismatched-label pairs are
+    dropped before any scoring work. At 100 TB the cross-label
+    restriction composes with any ladder rung — e.g. IVF-cell candidates
+    (``knn_ivf``) filtered to ``label <> query label`` — trading the
+    exact guarantee for cell-bounded cost with measured recall; this
+    exact form is the oracle-anchored baseline of that family.
+    """
+    v = _vectors(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    vl = v.join(lab, "vec_id")
+    q = vl.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = vl.join(
+        F.broadcast(q), F.col("label") != F.col("query_label")
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        _cos_pre(F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine",
+            "rnk",
+        )
+    )
+
+
+def embeddings_hard_negatives_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS query_label, e
+      FROM v WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, q.query_label, v.vec_id AS neighbor_id,
+             v.label AS neighbor_label, {_SQL_COS} AS cosine
+      FROM q JOIN v ON v.label <> q.query_label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rnk FROM scored
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+# --------------------------------------------------------------------------
+# dominant principal component (fixed-round power iteration)
+# --------------------------------------------------------------------------
+
+POWER_ITERS = 5
+
+
+def embeddings_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding space by POWER_ITERS
+    fixed rounds of power iteration on the covariance matrix — the audit
+    that turns ``embeddings_dim_covariance``'s pairwise numbers into the
+    actionable artifact: the direction along which the space is most
+    anisotropic (the "common direction" that makes raw cosine similarities
+    drift high and is subtracted by all-but-the-top post-processing).
+    Completes the verifiable-iteration family (kmeans = EM, pagerank =
+    random walk, BPE = greedy merges, LPA = propagation; this is the
+    linear-algebra member).
+
+    Scale design: the corpus appears ONLY in the covariance fit (reused
+    from ``embeddings_dim_covariance`` — map-side outer-product explode,
+    one combinable aggregate; n·d² map rows, d² aggregate rows). Every
+    iteration after that runs on the d²-row matrix: matvec = broadcast
+    equi-join of the d-row vector + one aggregate, normalization = one
+    scalar crossJoin. Iterate-state frames are localCheckpointed per
+    round so the 5-round lineage stays flat. Deterministic for both
+    engines: start vector = ones (covariance eigenvalues are >= 0, so the
+    sign convention is fixed by the start), identical naive-moment
+    covariance on both sides, and the driver's 9-sig-digit rounding
+    absorbs fold-order drift.
+    """
+    cov = embeddings_dim_covariance(spark, sf_dir).select("di", "dj", "cov")
+    full = cov.unionByName(
+        cov.filter(F.col("di") != F.col("dj")).select(
+            F.col("dj").alias("di"), F.col("di").alias("dj"), "cov"
+        )
+    ).localCheckpoint(eager=True)  # d² rows, referenced by all 5 rounds
+    v = full.filter(F.col("di") == F.col("dj")).select(
+        F.col("di").alias("pos"), F.lit(1.0).alias("v")
+    )
+    nrm = None
+    for _ in range(POWER_ITERS):
+        w = (
+            full.join(
+                F.broadcast(v.withColumnRenamed("pos", "dj")), "dj"
+            )
+            .groupBy("di")
+            .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("di").alias("pos"),
+                (F.col("w") / F.col("nrm")).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.crossJoin(F.broadcast(nrm)).select(
+        "pos", F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue")
+    )
+
+
+def embeddings_top_pc_oracle() -> str:
+    rounds = []
+    prev = "v0"
+    for r in range(1, POWER_ITERS + 1):
+        rounds.append(
+            f"""
+    w{r} AS (
+      SELECT cv.di AS pos, sum(cv.cov * {prev}.v) AS w
+      FROM cv JOIN {prev} ON {prev}.pos = cv.dj GROUP BY 1
+    ),
+    n{r} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{r}),
+    v{r} AS (SELECT pos, w / nrm AS v FROM w{r} CROSS JOIN n{r})"""
+        )
+        prev = f"v{r}"
+    return f"""
+    WITH ev AS (
+      SELECT vec_id, t.i - 1 AS d, embedding[t.i]::DOUBLE AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cv AS (
+      SELECT a.d AS di, b.d AS dj,
+             avg(a.val * b.val) - avg(a.val) * avg(b.val) AS cov
+      FROM ev a JOIN ev b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    v0 AS (SELECT DISTINCT di AS pos, 1.0 AS v FROM cv),{','.join(rounds)}
+    SELECT v{POWER_ITERS}.pos, v{POWER_ITERS}.v AS loading,
+           n{POWER_ITERS}.nrm AS eigenvalue
+    FROM v{POWER_ITERS} CROSS JOIN n{POWER_ITERS}
+    """

@@ -18,7 +18,7 @@ aggregates an analytics engine is expected to ship:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from komodo_data_spark.sources.tables import load_events, load_table
@@ -157,4 +157,232 @@ def registry():
             events_heavy_hitters_oracle(),  # same result through the merge path
         ),
         "orders_stats_pack": (orders_stats_pack, orders_stats_pack_oracle()),
+        "events_ks_test": (events_ks_test, events_ks_test_oracle()),
+        "events_welch_ttest": (
+            events_welch_ttest,
+            events_welch_ttest_oracle(),
+        ),
     }
+
+
+# --------------------------------------------------------------------------
+# two-sample hypothesis tests (experimentation / drift significance)
+# --------------------------------------------------------------------------
+
+KS_GROUP_A = "click"
+KS_GROUP_B = "purchase"
+#: Fixed bucket width for the two-stage CDF prefix sum. The events value
+#: domain is bounded (gate data: [0, ~500]); at an unbounded 100 TB domain
+#: swap the fixed grid for approx-quantile boundaries (the
+#: ``events_value_histogram_equidepth`` move) — same two-stage plan.
+KS_BUCKET_WIDTH = 16.0
+#: sqrt(-ln(alpha/2)/2) for alpha=0.05 — the classic two-sample KS critical
+#: coefficient c(0.05) = 1.3581015157406195.
+KS_CRIT_95 = 1.3581015157406195
+
+
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two event types — the significance test behind the
+    drift family: PSI/KL (``events_value_psi_drift``) quantify *how much*
+    two distributions differ, KS says whether the difference clears a
+    significance bar at the observed sample sizes.
+
+    D = sup_x |F_a(x) - F_b(x)| needs both empirical CDFs at every
+    observed value — a global ordered prefix sum, the one shape that
+    doesn't distribute naively. This runs it WITHOUT a global sort via
+    the two-stage bucket-prefix-sum technique (``docs_surrogate_keys`` /
+    ``docs_token_budget_mix_twostage``): (1) one hash aggregate to
+    per-distinct-value counts, (2) per-bucket subtotals cumulated over
+    the tiny ordered bucket frame (value buckets refine value order),
+    (3) within-bucket cumsum windows partitioned by bucket — every
+    window parallel, no single-partition pass over the data. The final
+    max is a scalar aggregate. Determinism across engines: each CDF
+    point is one integer-to-integer division, so Spark and DuckDB
+    produce bit-identical ratios regardless of aggregation order.
+    """
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(
+            F.col("event_type").isin(KS_GROUP_A, KS_GROUP_B)
+            & F.col("value").isNotNull()
+        )
+        .select("event_type", "value")
+    )
+    per_value = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == KS_GROUP_A).cast("long")).alias("na"),
+        F.sum((F.col("event_type") == KS_GROUP_B).cast("long")).alias("nb"),
+    ).withColumn("bucket", F.floor(F.col("value") / F.lit(KS_BUCKET_WIDTH)))
+    bstats = per_value.groupBy("bucket").agg(
+        F.sum("na").alias("ba"), F.sum("nb").alias("bb")
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bstats = bstats.select(
+        "bucket",
+        F.coalesce(F.sum("ba").over(wb), F.lit(0)).alias("cum_a_before"),
+        F.coalesce(F.sum("bb").over(wb), F.lit(0)).alias("cum_b_before"),
+    )
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = (
+        per_value.join(F.broadcast(bstats), "bucket")
+        .select(
+            "value",
+            (F.col("cum_a_before") + F.sum("na").over(wv)).alias("ca"),
+            (F.col("cum_b_before") + F.sum("nb").over(wv)).alias("cb"),
+        )
+    )
+    totals = ev.groupBy().agg(
+        F.sum((F.col("event_type") == KS_GROUP_A).cast("long")).alias("n_a"),
+        F.sum((F.col("event_type") == KS_GROUP_B).cast("long")).alias("n_b"),
+    )
+    d = (
+        cdf.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")
+            ).alias("d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("d").alias("ks_stat"), F.count(F.lit(1)).alias("n_points"))
+    )
+    crit = F.lit(KS_CRIT_95) * F.sqrt(
+        (F.col("n_a") + F.col("n_b"))
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        "n_points",
+        "ks_stat",
+        (F.col("ks_stat") > crit).alias("reject_at_95"),
+    )
+
+
+def events_ks_test_oracle() -> str:
+    return f"""
+    WITH ev AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+        AND value IS NOT NULL
+    ),
+    s AS (
+      SELECT value,
+             sum(CASE WHEN event_type = '{KS_GROUP_A}' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN event_type = '{KS_GROUP_B}' THEN 1 ELSE 0 END) AS nb
+      FROM ev GROUP BY value
+    ),
+    t AS (
+      SELECT sum(na) AS n_a, sum(nb) AS n_b FROM s
+    ),
+    cdf AS (
+      SELECT sum(na) OVER (ORDER BY value) AS ca,
+             sum(nb) OVER (ORDER BY value) AS cb
+      FROM s
+    ),
+    d AS (
+      SELECT t.n_a, t.n_b, count(*) AS n_points,
+             max(abs(cdf.ca::DOUBLE / t.n_a - cdf.cb::DOUBLE / t.n_b))
+               AS ks_stat
+      FROM cdf CROSS JOIN t GROUP BY t.n_a, t.n_b
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           n_points, ks_stat,
+           ks_stat > {KS_CRIT_95}
+             * sqrt((n_a + n_b) / (n_a::DOUBLE * n_b)) AS reject_at_95
+    FROM d
+    """
+
+
+WELCH_GROUP_A = "view"
+WELCH_GROUP_B = "error"
+
+
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event types' value
+    means — the experimentation-analytics primitive (A/B test readout)
+    and the parametric sibling of ``events_ks_test``. One pass, one
+    combinable aggregate: both groups' count/sum/sum-of-squares come out
+    of a single scan (conditional aggregation, not two jobs), and the
+    t statistic plus Welch–Satterthwaite degrees of freedom are scalar
+    arithmetic on that one row. Sample variance uses the same explicit
+    naive-moment formula on both engines ((Σx² - (Σx)²/n)/(n-1)), so the
+    only cross-engine drift is summation order, absorbed by the driver's
+    9-sig-digit rounding (the ``events_type_correlations`` precedent).
+    """
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin(WELCH_GROUP_A, WELCH_GROUP_B)
+        & F.col("value").isNotNull()
+    )
+    is_a = (F.col("event_type") == WELCH_GROUP_A).cast("double")
+    is_b = (F.col("event_type") == WELCH_GROUP_B).cast("double")
+    v = F.col("value")
+    agg = ev.groupBy().agg(
+        F.sum(is_a).alias("n_a"),
+        F.sum(is_a * v).alias("s_a"),
+        F.sum(is_a * v * v).alias("ss_a"),
+        F.sum(is_b).alias("n_b"),
+        F.sum(is_b * v).alias("s_b"),
+        F.sum(is_b * v * v).alias("ss_b"),
+    )
+    m_a = F.col("s_a") / F.col("n_a")
+    m_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    se2_a = var_a / F.col("n_a")
+    se2_b = var_b / F.col("n_b")
+    t = (m_a - m_b) / F.sqrt(se2_a + se2_b)
+    df = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (F.col("n_a") - 1) + se2_b * se2_b / (F.col("n_b") - 1)
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        m_a.alias("mean_a"),
+        m_b.alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+        t.alias("t_stat"),
+        df.alias("df_welch"),
+    )
+
+
+def events_welch_ttest_oracle() -> str:
+    return f"""
+    WITH agg AS (
+      SELECT
+        sum(CASE WHEN event_type = '{WELCH_GROUP_A}' THEN 1.0 ELSE 0 END) AS n_a,
+        sum(CASE WHEN event_type = '{WELCH_GROUP_A}' THEN value ELSE 0 END) AS s_a,
+        sum(CASE WHEN event_type = '{WELCH_GROUP_A}' THEN value * value ELSE 0 END) AS ss_a,
+        sum(CASE WHEN event_type = '{WELCH_GROUP_B}' THEN 1.0 ELSE 0 END) AS n_b,
+        sum(CASE WHEN event_type = '{WELCH_GROUP_B}' THEN value ELSE 0 END) AS s_b,
+        sum(CASE WHEN event_type = '{WELCH_GROUP_B}' THEN value * value ELSE 0 END) AS ss_b
+      FROM events
+      WHERE event_type IN ('{WELCH_GROUP_A}', '{WELCH_GROUP_B}')
+        AND value IS NOT NULL
+    ),
+    m AS (
+      SELECT n_a, n_b,
+             s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+             (ss_a - s_a * s_a / n_a) / (n_a - 1) AS var_a,
+             (ss_b - s_b * s_b / n_b) / (n_b - 1) AS var_b
+      FROM agg
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           mean_a, mean_b, var_a, var_b,
+           (mean_a - mean_b)
+             / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+           (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df_welch
+    FROM m
+    """

@@ -993,6 +993,14 @@ def registry():
             source_ngram_diversity,
             source_ngram_diversity_oracle(),
         ),
+        "docs_quality_quantile_filter": (
+            docs_quality_quantile_filter,
+            docs_quality_quantile_filter_oracle(),
+        ),
+        "docs_perplexity_buckets": (
+            docs_perplexity_buckets,
+            docs_perplexity_buckets_oracle(),
+        ),
         "text_repetition_signals": (
             text_repetition_signals,
             text_repetition_signals_oracle(),
@@ -2045,4 +2053,175 @@ def text_nb_calibration_oracle() -> str:
            n_docs::DOUBLE / (SELECT sum(n_docs) FROM per_bin)
              * abs(mean_pred - keep_rate) AS ece_term
     FROM per_bin ORDER BY bin
+    """
+
+
+# --------------------------------------------------------------------------
+# per-source quality-quantile filter (keep the head of each source)
+# --------------------------------------------------------------------------
+
+#: Per-source keep quantile: docs scoring >= their source's 75th percentile
+#: survive (keep ~top quarter of each source independently). 0.75 is an
+#: exactly-representable binary fraction, so the rank position (n-1)*q is
+#: computed bit-identically by Spark and DuckDB; a non-dyadic q (0.7) puts
+#: the position within an ulp of an integer on one engine but not the
+#: other, flipping which bracket the threshold interpolates in.
+QUALITY_KEEP_QUANTILE = 0.75
+
+
+def docs_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each source's top-quality slice: a doc survives iff its
+    composite quality score (the ``text_quality_scores`` formula —
+    min(n_tokens/100, 1) · (0.5 + 0.5·TTR)) reaches its OWN source's 75th
+    percentile. Per-source (not global) thresholds are the standard
+    curation move: a global cut silently deletes whole low-register
+    sources (forums, chat), while per-source cuts keep every source's
+    head and let the mixing stage set proportions.
+
+    Scale design: the threshold fit is a groupBy(source) **aggregate**,
+    never a per-source window over the corpus — percentile state is
+    partial-aggregatable (map-side combine collapses duplicate scores),
+    so the only full shuffle carries pre-combined buffers, and no
+    corpus-wide sort exists anywhere in the plan. The |sources|-row
+    threshold table broadcasts back, making the keep decision a map-side
+    join + filter on the scoring pass. At web scale swap the exact
+    ``percentile`` for ``approx_percentile`` (mergeable t-digest-style
+    sketch, same plan shape, bounded buffers on skewed sources); the
+    exact form here is the oracle-anchored baseline of that swap.
+    Threshold semantics: Spark exact ``percentile`` and DuckDB
+    ``quantile_cont`` both linearly interpolate at rank (n-1)·q; with a
+    dyadic q the position is bit-identical on both engines, and a
+    threshold interpolated strictly between two adjacent scores selects
+    the same doc set regardless of last-ulp interpolation differences
+    (measured: q=0.7 flipped 2 rows at sf0.001, q=0.75 is exact).
+    """
+    from komodo_data_spark.sources.tables import load_spread
+
+    d = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens())
+    n_tokens = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    scored = d.select(
+        "doc_id",
+        "source",
+        (
+            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (0.5 + 0.5 * ttr)
+        ).alias("quality_score"),
+    )
+    thr = scored.groupBy("source").agg(
+        F.expr(
+            f"percentile(quality_score, {QUALITY_KEEP_QUANTILE})"
+        ).alias("thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("quality_score") >= F.col("thr"))
+        .select("doc_id", "source", "quality_score")
+    )
+
+
+def docs_quality_quantile_filter_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH d AS (SELECT doc_id, source, {t} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, source,
+             least(len(toks) / 100.0, 1.0)
+               * (0.5 + 0.5 * (len(list_distinct(toks))::DOUBLE / len(toks)))
+               AS quality_score
+      FROM d
+    ),
+    thr AS (
+      SELECT source,
+             quantile_cont(quality_score, {QUALITY_KEEP_QUANTILE}) AS thr
+      FROM scored GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.quality_score
+    FROM scored s JOIN thr USING (source)
+    WHERE s.quality_score >= thr.thr
+    """
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail per language)
+# --------------------------------------------------------------------------
+
+#: Quartile cut points for the head/middle/tail split. Exactly-representable
+#: binary fractions so Spark and DuckDB compute bit-identical rank positions
+#: (CCNet's original terciles would put 1/3 ulp-divergence into the rank).
+PPL_HEAD_Q = 0.75
+PPL_TAIL_Q = 0.25
+
+
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped head/middle/tail bucketing: score every doc under the
+    corpus bigram LM (``text_bigram_logprob`` — reused, not re-derived, so
+    the bucketer and the keep-gate can never score differently), then cut
+    each LANGUAGE at its own logprob quartiles — head = top quartile
+    (lowest perplexity), tail = bottom quartile. Per-language thresholds
+    are the point of CCNet's design: perplexity is not comparable across
+    languages, so a global cut would classify entire low-resource
+    languages as tail.
+
+    Scale design: the LM fit and scoring inherit ``text_bigram_logprob``'s
+    distributed two-stage shape (the model is a DataFrame, never
+    collected). The quartile fit is a groupBy(lang) aggregate over the
+    |docs|-row score frame — partial-aggregatable, no per-language window,
+    no global sort — and the |langs|-row threshold table broadcasts back,
+    so bucket assignment is map-side. An interpolated quartile lies
+    strictly between adjacent scores, making the >= / < bucket membership
+    engine-independent (same argument as ``docs_quality_quantile_filter``).
+    """
+    scored = text_bigram_logprob(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    s = scored.join(langs, "doc_id")
+    thr = s.groupBy("lang").agg(
+        F.expr(f"percentile(avg_logprob, {PPL_TAIL_Q})").alias("q_tail"),
+        F.expr(f"percentile(avg_logprob, {PPL_HEAD_Q})").alias("q_head"),
+    )
+    return (
+        s.join(F.broadcast(thr), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.when(F.col("avg_logprob") >= F.col("q_head"), "head")
+            .when(F.col("avg_logprob") < F.col("q_tail"), "tail")
+            .otherwise("middle")
+            .alias("bucket"),
+        )
+    )
+
+
+def docs_perplexity_buckets_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+      FROM d, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+    ),
+    model AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+    tot AS (SELECT sum(c) AS n_total FROM model),
+    scored AS (
+      SELECT grams.doc_id, avg(ln(model.c / tot.n_total)) AS avg_logprob
+      FROM grams JOIN model USING (g) CROSS JOIN tot
+      GROUP BY grams.doc_id
+    ),
+    s AS (
+      SELECT scored.doc_id, documents.lang, scored.avg_logprob
+      FROM scored JOIN documents USING (doc_id)
+    ),
+    thr AS (
+      SELECT lang,
+             quantile_cont(avg_logprob, {PPL_TAIL_Q}) AS q_tail,
+             quantile_cont(avg_logprob, {PPL_HEAD_Q}) AS q_head
+      FROM s GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.avg_logprob,
+           CASE WHEN s.avg_logprob >= thr.q_head THEN 'head'
+                WHEN s.avg_logprob < thr.q_tail THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM s JOIN thr USING (lang)
     """

@@ -189,4 +189,90 @@ def registry():
             events_local_daily_rollup,
             events_local_daily_rollup_oracle(),
         ),
+        "events_rollup_merge": (
+            events_rollup_merge,
+            events_rollup_merge_oracle(),
+        ),
     }
+
+
+DAY_MS = 86_400_000
+
+
+def events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily statistics assembled by MERGING hourly partial aggregates —
+    the incremental-rollup lifecycle at 100 TB: each hour's scan persists a
+    tiny partial-state row (count, sum, min, max, sum-of-squares) and the
+    daily (or monthly) rollup combines STORED partials without ever
+    re-reading raw history. Everything emitted is algebraic: counts/sums
+    add, min/max fold, and mean/variance derive from the merged moments —
+    so merge(partials) is provably equal to a direct aggregate over raw,
+    which is exactly what the oracle computes (same naive moment formulas;
+    the 9-sig-digit value hash absorbs fold-order float drift, the
+    ``events_type_correlations`` precedent).
+
+    The frequency-sketch sibling is ``events_heavy_hitters_merged``, the
+    distinct-count sibling ``events_distinct_sketch_union``; this is the
+    plain-statistics member of the mergeable-state family. Plan shape:
+    two cascaded hash aggregates (hour grain → day grain). The first
+    shuffles pre-combined hourly buffers (map-side combine makes carried
+    rows ≤ |hours|·|partitions|); the second shuffles ≤ |hours| rows.
+    NULL ``value`` rows count toward traffic (n_events) but contribute no
+    moments (n_values), mirroring SQL aggregate NULL-skipping.
+    """
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.floor(F.col("ts_ms") / F.lit(HOUR_MS)).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("value").alias("n_values"),
+        F.sum("value").alias("sum_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.sum(F.col("value") * F.col("value")).alias("sumsq_v"),
+    )
+    daily = hourly.groupBy(
+        (F.floor(F.col("hour") / F.lit(24)) * F.lit(DAY_MS)).alias("day_ms")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("n_values").alias("n_values"),
+        F.sum("sum_v").alias("sum_value"),
+        F.min("min_v").alias("min_value"),
+        F.max("max_v").alias("max_value"),
+        F.sum("sumsq_v").alias("sumsq"),
+    )
+    mean = F.col("sum_value") / F.col("n_values")
+    return daily.select(
+        "day_ms",
+        "n_events",
+        "n_values",
+        "sum_value",
+        "min_value",
+        "max_value",
+        F.when(F.col("n_values") > 0, mean).alias("mean_value"),
+        F.when(
+            F.col("n_values") > 0,
+            F.col("sumsq") / F.col("n_values") - mean * mean,
+        ).alias("var_pop_value"),
+    )
+
+
+def events_rollup_merge_oracle() -> str:
+    return f"""
+    WITH direct AS (
+      SELECT (epoch_ms(ts) // {DAY_MS}) * {DAY_MS} AS day_ms,
+             count(*) AS n_events,
+             count(value) AS n_values,
+             sum(value) AS sum_value,
+             min(value) AS min_value,
+             max(value) AS max_value,
+             sum(value * value) AS sumsq
+      FROM events GROUP BY 1
+    )
+    SELECT day_ms, n_events, n_values, sum_value, min_value, max_value,
+           CASE WHEN n_values > 0 THEN sum_value / n_values END AS mean_value,
+           CASE WHEN n_values > 0
+                THEN sumsq / n_values - (sum_value / n_values)
+                     * (sum_value / n_values) END AS var_pop_value
+    FROM direct
+    """

@@ -73,6 +73,14 @@ AUDITED = [
     "knn_pq_adc",  # one Lloyd pipeline for all subspaces, broadcast codebook
     "docs_dsir_weights",  # broadcast 256-bucket model, doc_id-keyed rollup
     "docs_dsir_resample",  # Gumbel projection -> TakeOrderedAndProject
+    "docs_quality_quantile_filter",  # agg thresholds + broadcast-back filter
+    "docs_perplexity_buckets",  # reused LM scorer + per-lang quartile cut
+    "events_rollup_merge",  # cascaded hash aggregates, partials merge
+    "embeddings_hard_negatives",  # broadcast queries, label filter in join
+    "graph_communities_lpa",  # per-round join+max_by, checkpointed lineage
+    "embeddings_top_pc",  # corpus-once covariance + d²-row matvec rounds
+    "events_ks_test",  # two-stage bucketed CDF prefix sum, no global sort
+    "events_welch_ttest",  # one conditional-aggregate pass, scalar algebra
 ]
 
 #: Python stages expected by design (Arrow-batched pandas ops); anything
