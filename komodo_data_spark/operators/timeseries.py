@@ -220,8 +220,15 @@ def events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL ``value`` rows count toward traffic (n_events) but contribute no
     moments (n_values), mirroring SQL aggregate NULL-skipping.
     """
-    ev = load_events(spark, sf_dir)
-    hourly = ev.groupBy(
+    return merge_daily(hourly_partials(load_events(spark, sf_dir)))
+
+
+def hourly_partials(ev: DataFrame) -> DataFrame:
+    """THE hourly partial-state row (count, null-skipping count, sum, min,
+    max, sum-of-squares) — shared by the batch merge above and the
+    streaming moments store (streaming/moments_incremental.py) so the two
+    lifecycles can never persist different state shapes."""
+    return ev.groupBy(
         F.floor(F.col("ts_ms") / F.lit(HOUR_MS)).alias("hour")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -231,6 +238,12 @@ def events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_v"),
         F.sum(F.col("value") * F.col("value")).alias("sumsq_v"),
     )
+
+
+def merge_daily(hourly: DataFrame) -> DataFrame:
+    """THE partial-merge: fold any number of hourly partial rows (an hour
+    may appear many times — e.g. once per stream epoch) into daily
+    statistics. Counts/sums add, min/max fold, moments derive."""
     daily = hourly.groupBy(
         (F.floor(F.col("hour") / F.lit(24)) * F.lit(DAY_MS)).alias("day_ms")
     ).agg(

@@ -871,6 +871,7 @@ def registry():
     """name -> (query fn, oracle SQL) for the driver contract."""
     return {
         "q2_min_cost_supplier": (q2_min_cost_supplier, q2_oracle()),
+        "part_skyline": (part_skyline, part_skyline_oracle()),
         "q4_order_priority": (q4_order_priority, q4_oracle()),
         "q7_volume_shipping": (q7_volume_shipping, q7_oracle()),
         "q8_market_share": (q8_market_share, q8_oracle()),
@@ -888,3 +889,84 @@ def registry():
         "q21_sole_late_supplier": (q21_sole_late_supplier, q21_oracle()),
         "q22_dormant_customers": (q22_dormant_customers, q22_oracle()),
     }
+
+
+# --------------------------------------------------------------------------
+# skyline (Pareto front) — the classic "not dominated by anyone" operator
+# --------------------------------------------------------------------------
+
+#: Bucket width over the price axis for the two-stage prefix min. The gate
+#: data's price domain is bounded ([900, 1000)); at an unbounded domain
+#: swap fixed-width buckets for approx-quantile boundaries (the
+#: ``events_ks_test`` note) — same plan, still no global sort.
+SKYLINE_BUCKET_WIDTH = 10.0
+
+
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts minimizing (p_retailprice, p_size) — the
+    skyline operator from the OLAP literature (Börzsönyi et al.'s
+    SKYLINE OF clause), which no SQL engine ships natively: a part
+    survives iff no other part is <= on both axes and < on at least one.
+
+    The naive form is an O(n²) anti-self-join. The 2-D skyline admits an
+    exact distributed plan with NO pairwise work: sorted by price, a
+    point survives iff the strict-prefix minimum of size never reaches
+    its own size class — so the whole operator reduces to (1) a hash
+    aggregate to per-price minima, (2) the strict-before prefix minimum
+    over price order, run with the two-stage bucket technique
+    (``docs_token_budget_mix_twostage``): bucket subtotals cumulated on
+    the tiny ordered bucket frame + within-bucket windows partitioned by
+    bucket — every corpus-sized stage hash-partitioned, nothing passes
+    through one task. Survivor (price, min-size) classes broadcast back
+    to fetch the member rows (same-class duplicates are mutually
+    non-dominating, all skyline). The oracle deliberately uses the
+    INDEPENDENT O(n²) NOT EXISTS formulation, so the two engines agree
+    through entirely different algorithms.
+    """
+    pts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    gx = pts.groupBy("price").agg(F.min("size").alias("gmin"))
+    gx = gx.withColumn(
+        "bucket", F.floor(F.col("price") / F.lit(SKYLINE_BUCKET_WIDTH))
+    )
+    bmin = gx.groupBy("bucket").agg(F.min("gmin").alias("bm"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bmin = bmin.select("bucket", F.min("bm").over(wb).alias("before_bucket"))
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    survivors = (
+        gx.join(F.broadcast(bmin), "bucket")
+        .withColumn(
+            "before_x",
+            F.least(
+                F.coalesce("before_bucket", F.lit(2147483647)),
+                F.coalesce(
+                    F.min("gmin").over(wv), F.lit(2147483647)
+                ),
+            ),
+        )
+        .filter(F.col("before_x") > F.col("gmin"))
+        .select("price", F.col("gmin").alias("size"))
+    )
+    return pts.join(F.broadcast(survivors), ["price", "size"]).select(
+        "p_partkey", "price", "size"
+    )
+
+
+def part_skyline_oracle() -> str:
+    return """
+    SELECT p.p_partkey, p.p_retailprice AS price, p.p_size AS size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    """

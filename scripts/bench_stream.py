@@ -383,6 +383,21 @@ def main(argv: list[str] | None = None) -> int:
     batches14 = progress_rows(q14)
     report["dsir_gate"] = {"batches": batches14, **flat_check(batches14)}
 
+    # --- stream 15: incremental moments store (reuses events stage) --------
+    from komodo_data_spark.streaming.moments_incremental import (
+        start_moments_stream,
+    )
+
+    q15 = start_moments_stream(
+        spark, ev_src,
+        os.path.join(work, "moments_store"),
+        os.path.join(work, "ckpt_moments"),
+        max_files_per_trigger=1,
+    )
+    q15.awaitTermination()
+    batches15 = progress_rows(q15)
+    report["moments_store"] = {"batches": batches15, **flat_check(batches15)}
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",

@@ -81,6 +81,7 @@ AUDITED = [
     "embeddings_top_pc",  # corpus-once covariance + d²-row matvec rounds
     "events_ks_test",  # two-stage bucketed CDF prefix sum, no global sort
     "events_welch_ttest",  # one conditional-aggregate pass, scalar algebra
+    "part_skyline",  # 2-D Pareto front via two-stage prefix min, no n² join
 ]
 
 #: Python stages expected by design (Arrow-batched pandas ops); anything

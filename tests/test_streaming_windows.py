@@ -2228,3 +2228,78 @@ def test_docs_dsir_gate_matches_batch_weights(spark, sf_dir, tmp_path):
     ).awaitTermination()
     assert spark.read.parquet(keep).count() == sum(keep2.values())
     assert spark.read.parquet(div).count() == sum(div2.values())
+
+
+def test_moments_stream_matches_batch_rollup_merge(spark, sf_dir, tmp_path):
+    """Incremental moments store == batch rollup merge on the same rows:
+    the stream persists per-epoch hourly partials (hours deliberately
+    SPLIT across micro-batches by the parity staging), the store readout
+    reproduces the batch op's daily statistics including the merged
+    variance, replay with the same checkpoint changes nothing
+    (epoch-idempotent partitions), and the retention fold to hour grain
+    preserves the readout exactly."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.timeseries import (
+        events_rollup_merge,
+        merge_daily,
+    )
+    from komodo_data_spark.sources.tables import load_events
+    from komodo_data_spark.streaming import moments_incremental as M
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = tmp_path / "moments_arrivals"
+    src.mkdir()
+    for i in range(2):  # every hour lands in BOTH epochs -> real merging
+        sl = ev.filter(F.col("event_id") % 2 == i)
+        sl.coalesce(1).write.parquet(str(src / f"stage_{i}"))
+        part = _glob.glob(str(src / f"stage_{i}" / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"file_{i}.parquet"))
+        shutil.rmtree(src / f"stage_{i}")
+
+    store = str(tmp_path / "moments_store")
+    ck = str(tmp_path / "ckpt_moments")
+    q = M.start_moments_stream(spark, str(src), store, ck)
+    q.awaitTermination()
+
+    def by_day(df):
+        return {r["day_ms"]: r for r in df.collect()}
+
+    got = by_day(M.daily_from_store(spark, store))
+    exp = by_day(events_rollup_merge(spark, sf_dir))
+    assert set(got) == set(exp) and got
+    for day, er in exp.items():
+        gr = got[day]
+        for c in ("n_events", "n_values", "min_value", "max_value"):
+            assert gr[c] == er[c], (day, c)
+        for c in ("sum_value", "mean_value", "var_pop_value"):
+            assert abs(gr[c] - er[c]) <= 1e-9 * max(1.0, abs(er[c])), (day, c)
+
+    partials = spark.read.parquet(store)
+    assert partials.select("epoch_id").distinct().count() == 2
+    # hours genuinely split across epochs (the merge path is exercised)
+    assert (
+        partials.groupBy("hour").count().filter(F.col("count") > 1).count()
+        > 0
+    )
+
+    # replay with the same checkpoint: store unchanged
+    n_rows = partials.count()
+    q2 = M.start_moments_stream(spark, str(src), store, ck)
+    q2.awaitTermination()
+    assert spark.read.parquet(store).count() == n_rows
+
+    # retention fold to hour grain: readout identical
+    folded = by_day(merge_daily(M.compact_store(spark, store)))
+    assert set(folded) == set(got)
+    for day, gr in got.items():
+        fr = folded[day]
+        for c in ("n_events", "n_values", "min_value", "max_value"):
+            assert fr[c] == gr[c]
+        for c in ("sum_value", "mean_value", "var_pop_value"):
+            assert abs(fr[c] - gr[c]) <= 1e-9 * max(1.0, abs(gr[c]))
