@@ -856,3 +856,196 @@ def test_fuzzy_prefix_passjoin_is_complete(spark, tmp_path_factory, texts):
         for r in dedup_fuzzy_prefix(spark, str(d)).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# round-6 depth ops vs pure-Python references
+# --------------------------------------------------------------------------
+
+
+def py_skyline(pts):
+    """Brute-force O(n²) Pareto front: p survives iff nobody is <= on both
+    axes and < on one."""
+    out = set()
+    for k, x, y in pts:
+        dominated = any(
+            qx <= x and qy <= y and (qx < x or qy < y) for _, qx, qy in pts
+        )
+        if not dominated:
+            out.add((k, x, y))
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),  # price grid (halves)
+            st.integers(min_value=0, max_value=6),   # size grid
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_skyline_matches_python_bruteforce(spark, grid_pts):
+    """part_skyline's two-stage prefix-min plan == the O(n²) dominance
+    scan, for arbitrary small grids (small grids force duplicate points,
+    shared axes, and bucket-boundary crossings: width 10 over prices up
+    to 6.0 keeps everything in bucket 0, so scale one axis up to cross)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from komodo_data_spark.operators.tpch_extended import part_skyline
+
+    pts = [
+        (i, px * 2.5, sz)  # spread prices so some cross the width-10 line
+        for i, (px, sz) in enumerate(grid_pts)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "p_partkey": [p[0] for p in pts],
+            "p_name": ["n"] * len(pts),
+            "p_brand": ["B"] * len(pts),
+            "p_type": ["T"] * len(pts),
+            "p_size": pd.array([p[2] for p in pts], dtype="int32"),
+            "p_retailprice": [p[1] for p in pts],
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf.to_parquet(os.path.join(tmp, "part.parquet"))
+        got = {
+            (r["p_partkey"], r["price"], r["size"])
+            for r in part_skyline(spark, tmp).collect()
+        }
+    assert got == py_skyline(pts)
+
+
+def py_ks(a_vals, b_vals):
+    """Exact two-sample KS over the union of observed values."""
+    xs = sorted(set(a_vals) | set(b_vals))
+    na, nb = len(a_vals), len(b_vals)
+    best, ca, cb = 0.0, 0, 0
+    for x in xs:
+        ca += sum(1 for v in a_vals if v == x)
+        cb += sum(1 for v in b_vals if v == x)
+        best = max(best, abs(ca / na - cb / nb))
+    return best, len(xs)
+
+
+@given(
+    a_vals=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=20
+    ),
+    b_vals=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=20
+    ),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ks_test_matches_python(spark, a_vals, b_vals):
+    """events_ks_test's bucketed two-stage CDF == the direct Python sweep
+    for arbitrary integer-grid samples (range 0..50 spans several width-16
+    buckets, so the cross-bucket prefix handoff is exercised)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from komodo_data_spark.operators.stats_ops import (
+        KS_GROUP_A,
+        KS_GROUP_B,
+        events_ks_test,
+    )
+
+    rows = [(KS_GROUP_A, float(v)) for v in a_vals] + [
+        (KS_GROUP_B, float(v)) for v in b_vals
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(1, len(rows) + 1),
+            "ts": pd.to_datetime(
+                [1_700_000_000_000 + i for i in range(len(rows))], unit="ms"
+            ),
+            "user_id": [1] * len(rows),
+            "event_type": [r[0] for r in rows],
+            "value": [r[1] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf.to_parquet(os.path.join(tmp, "events.parquet"))
+        r = events_ks_test(spark, tmp).collect()[0]
+    exp_d, exp_pts = py_ks(a_vals, b_vals)
+    assert r["n_a"] == len(a_vals) and r["n_b"] == len(b_vals)
+    assert r["n_points"] == exp_pts
+    assert abs(r["ks_stat"] - exp_d) < 1e-12
+
+
+def py_lpa(edges, rounds=3):
+    """Synchronous label propagation, mode-of-neighbors with
+    (count desc, label asc) tie-break."""
+    from collections import Counter
+
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    lbl = {n: n for n in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for n, ns in nbrs.items():
+            c = Counter(lbl[m] for m in ns)
+            nxt[n] = min(c, key=lambda l: (-c[l], l))
+        lbl = nxt
+    return lbl
+
+
+@given(
+    st.sets(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),
+            st.integers(min_value=1, max_value=8),
+        ).map(lambda t: (min(t), max(t))).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lpa_matches_python_simulation(spark, edges):
+    """graph_communities_lpa == the Python synchronous simulation of the
+    same update rule on arbitrary small graphs (staged as one copresence
+    second per edge)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from komodo_data_spark.operators.graph_ops import graph_communities_lpa
+
+    rows = []
+    eid = 0
+    for sec, (u, v) in enumerate(sorted(edges), start=1):
+        for user, val in ((u, 1.0), (v, 2.0)):
+            eid += 1
+            rows.append((eid, sec * 1000, user, val))
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="ms"),
+            "user_id": [r[2] for r in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [r[3] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf.to_parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            r["user_id"]: r["community"]
+            for r in graph_communities_lpa(spark, tmp).collect()
+        }
+    assert got == py_lpa(sorted(edges))
