@@ -1026,9 +1026,14 @@ def embeddings_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Correlation normalizes through a broadcast of the d-row diagonal.
     Output is d(d+1)/2 rows regardless of corpus size; at 100 TB the
     explode volume is n*d²/2 map-side rows that never hit the exchange
-    unaggregated.
+    unaggregated. load_spread: the d²/2-struct explode is the query's
+    whole cost, and the single-row-group testdata layout would otherwise
+    evaluate it on ONE core (measured 4.4 s → 0.9 s at sf0.1); on a real
+    multi-file table the rebalance is skipped.
     """
-    v = load_table(spark, sf_dir, "embeddings")
+    from komodo_data_spark.sources.tables import load_spread
+
+    v = load_spread(spark, sf_dir, "embeddings")
     prods = v.select(
         F.explode(
             F.expr(
@@ -1434,13 +1439,13 @@ def embeddings_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
         )
         nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(
-                F.col("di").alias("pos"),
-                (F.col("w") / F.col("nrm")).alias("v"),
-            )
-            .localCheckpoint(eager=True)
+        # no per-round checkpoint: the iterate is d rows and POWER_ITERS
+        # bounds the lineage at 5 joins over the checkpointed matrix —
+        # an eager cut per round costs a scheduler round-trip each (it
+        # measurably doubled the query's wall time at sf0.1), buys nothing
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("di").alias("pos"),
+            (F.col("w") / F.col("nrm")).alias("v"),
         )
     return v.crossJoin(F.broadcast(nrm)).select(
         "pos", F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue")

@@ -74,6 +74,14 @@ SKEW_QUERIES = (
     "event_sessions",
     "events_transition_matrix",
     "copresence_pairs",
+    # boilerplate shifts the score mass of ~20% of docs onto one value
+    # ridge; the threshold fit must stay a combinable aggregate
+    "docs_quality_quantile_filter",
+    # the hot paragraph concentrates bigram-model mass on few keys
+    "docs_perplexity_buckets",
+    # the hot user becomes a hub node: a hot neighbor key in every
+    # propagation round's join
+    "graph_communities_lpa",
 )
 
 
