@@ -118,6 +118,14 @@ SF1_QUERIES = [
     # data selection (two corpus passes + TakeOrderedAndProject top-K)
     "knn_pq_adc", "knn_pq_recall", "docs_dsir_weights",
     "docs_dsir_resample",
+    # round-6 session-3 additions: threshold-broadcast quantile cuts (the
+    # perplexity buckets re-run the whole bigram-LM fit), cross-label hard
+    # negatives, the algebraic rollup merge, LPA over the copresence graph,
+    # the power-iteration top PC, the two-stage exact KS, and the skyline
+    "docs_quality_quantile_filter", "docs_perplexity_buckets",
+    "embeddings_hard_negatives", "events_rollup_merge",
+    "graph_communities_lpa", "embeddings_top_pc", "events_ks_test",
+    "part_skyline",
 ]
 
 #: Third decade (sf1 -> sf10): the same set MINUS queries whose OUTPUT
