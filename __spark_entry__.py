@@ -217,6 +217,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_ks_test",  # NEW r6: two-stage exact KS, no global sort
     "events_welch_ttest",  # NEW r6: one-pass A/B significance readout
     "part_skyline",  # NEW r6: Pareto front via two-stage prefix min
+    "parts_market_basket",  # NEW r6: map-side Apriori pairs + lift
+    "customer_rfm_segments",  # NEW r6: global-quartile RFM scoring
     "knn_pq_adc",  # NEW r6: product-quantization ADC search (ANN ladder top)
     "knn_pq_recall",  # NEW r6: recall eval pricing PQ's 256x compression
     "docs_dsir_weights",  # NEW r6: DSIR hashed-unigram importance weights

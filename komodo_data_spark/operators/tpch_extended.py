@@ -872,6 +872,14 @@ def registry():
     return {
         "q2_min_cost_supplier": (q2_min_cost_supplier, q2_oracle()),
         "part_skyline": (part_skyline, part_skyline_oracle()),
+        "parts_market_basket": (
+            parts_market_basket,
+            parts_market_basket_oracle(),
+        ),
+        "customer_rfm_segments": (
+            customer_rfm_segments,
+            customer_rfm_segments_oracle(),
+        ),
         "q4_order_priority": (q4_order_priority, q4_oracle()),
         "q7_volume_shipping": (q7_volume_shipping, q7_oracle()),
         "q8_market_share": (q8_market_share, q8_oracle()),
@@ -969,4 +977,206 @@ def part_skyline_oracle() -> str:
         AND q.p_size <= p.p_size
         AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
     )
+    """
+
+
+# --------------------------------------------------------------------------
+# market-basket affinity (frequent part pairs: support / confidence / lift)
+# --------------------------------------------------------------------------
+
+#: Minimum number of orders a part pair must co-occur in.
+MIN_PAIR_SUPPORT = 3
+
+
+def parts_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part PAIRS across order baskets with the three association
+    measures (support count, confidence a→b, lift) — the first Apriori
+    level, the engine primitive behind "frequently bought together".
+
+    Scale design: pair generation is MAP-SIDE — each order's distinct
+    part set is collected once (one shuffle keyed by the high-cardinality
+    order key) and its upper-triangle pairs explode from a nested
+    higher-order transform, the ``embeddings_dim_covariance`` trick —
+    never a basket×basket or lineitem self-join. Real carts are small, so
+    the per-order pair fan-out is bounded by |basket|²; a degenerate
+    mega-basket (one order containing the whole catalog) would be capped
+    by frequency-capping the basket first, the ``NGRAM_DF_CAP`` rule. The
+    pair aggregate is map-side combinable; singles supports and the
+    scalar order count broadcast back onto the (already support-filtered)
+    pair list. The oracle deliberately generates pairs the OPPOSITE way —
+    a basket self-join — so the two engines agree through different
+    algorithms. Lift arithmetic is integer-exact into one double divide.
+    """
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = b.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(items, (x, i) ->
+                  transform(slice(items, i + 2, size(items) - i - 1),
+                    y -> struct(x AS part_a, y AS part_b))))
+                """
+            )
+        ).alias("p")
+    ).select("p.*")
+    pair_supp = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= MIN_PAIR_SUPPORT)
+    )
+    singles = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    totals = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    sa = singles.select(
+        F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
+    )
+    sb = singles.select(
+        F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")
+    )
+    return (
+        pair_supp.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_support",
+            "supp_a",
+            "supp_b",
+            (F.col("pair_support").cast("double") / F.col("supp_a")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                F.col("pair_support").cast("double")
+                * F.col("n_orders")
+                / (F.col("supp_a") * F.col("supp_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+def parts_market_basket_oracle() -> str:
+    return f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    singles AS (SELECT l_partkey, count(*) AS supp FROM b GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             count(*) AS pair_support
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {MIN_PAIR_SUPPORT}
+    )
+    SELECT p.part_a, p.part_b, p.pair_support,
+           sa.supp AS supp_a, sb.supp AS supp_b,
+           p.pair_support::DOUBLE / sa.supp AS confidence_a_to_b,
+           p.pair_support::DOUBLE * n.n_orders / (sa.supp * sb.supp) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.l_partkey = p.part_a
+    JOIN singles sb ON sb.l_partkey = p.part_b
+    CROSS JOIN n
+    """
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartile scores)
+# --------------------------------------------------------------------------
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each customer's last-order recency, order count,
+    and exact-decimal revenue, scored 1–4 against the GLOBAL quartiles of
+    each dimension and concatenated into the classic three-digit segment
+    label — the marketing-analytics workhorse the reference's user
+    aggregates gesture at.
+
+    Scale design: one hash aggregate per customer, then the quartile fit
+    is a single scalar aggregate row (three ``percentile(..., array)``
+    states, partial-aggregatable) broadcast back onto the customer frame,
+    so scoring is map-side — the ``docs_quality_quantile_filter`` shape
+    with scalar instead of per-group thresholds. Engine-exactness: the
+    quantile fractions are dyadic (bit-identical rank positions), recency
+    and frequency are integers, and monetary sums in DECIMAL(18,2) on
+    BOTH engines before the double conversion — so thresholds and values
+    are identical doubles and no >= comparison can flip across engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(
+            F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+        ).alias("recency_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        _dbl(F.sum(dec("o_totalprice", 18, 2))).alias("monetary"),
+    )
+    qs = "array(0.25D, 0.5D, 0.75D)"
+    thr = rfm.agg(
+        F.expr(f"percentile(recency_ms, {qs})").alias("qr"),
+        F.expr(f"percentile(frequency, {qs})").alias("qf"),
+        F.expr(f"percentile(monetary, {qs})").alias("qm"),
+    )
+
+    def score(col: str, q: str) -> F.Column:
+        c = F.col(col)
+        return (
+            F.lit(1)
+            + (c >= F.col(q)[0]).cast("int")
+            + (c >= F.col(q)[1]).cast("int")
+            + (c >= F.col(q)[2]).cast("int")
+        )
+
+    return rfm.crossJoin(F.broadcast(thr)).select(
+        "o_custkey",
+        "recency_ms",
+        "frequency",
+        "monetary",
+        score("recency_ms", "qr").alias("r_score"),
+        score("frequency", "qf").alias("f_score"),
+        score("monetary", "qm").alias("m_score"),
+        F.concat_ws(
+            "",
+            score("recency_ms", "qr"),
+            score("frequency", "qf"),
+            score("monetary", "qm"),
+        ).alias("segment"),
+    )
+
+
+def customer_rfm_segments_oracle() -> str:
+    return """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(epoch_ms(o_orderdate)) AS recency_ms,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1
+    ),
+    thr AS (
+      SELECT quantile_cont(recency_ms, [0.25, 0.5, 0.75]) AS qr,
+             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS qf,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS qm
+      FROM rfm
+    ),
+    scored AS (
+      SELECT r.o_custkey, r.recency_ms, r.frequency, r.monetary,
+             1 + (r.recency_ms >= t.qr[1])::INT + (r.recency_ms >= t.qr[2])::INT
+               + (r.recency_ms >= t.qr[3])::INT AS r_score,
+             1 + (r.frequency >= t.qf[1])::INT + (r.frequency >= t.qf[2])::INT
+               + (r.frequency >= t.qf[3])::INT AS f_score,
+             1 + (r.monetary >= t.qm[1])::INT + (r.monetary >= t.qm[2])::INT
+               + (r.monetary >= t.qm[3])::INT AS m_score
+      FROM rfm r CROSS JOIN thr t
+    )
+    SELECT o_custkey, recency_ms, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+             AS segment
+    FROM scored
     """

@@ -126,6 +126,8 @@ SF1_QUERIES = [
     "embeddings_hard_negatives", "events_rollup_merge",
     "graph_communities_lpa", "embeddings_top_pc", "events_ks_test",
     "part_skyline",
+    # the basket pair explode (lineitem-driven) and the RFM customer agg
+    "parts_market_basket", "customer_rfm_segments",
 ]
 
 #: Third decade (sf1 -> sf10): the same set MINUS queries whose OUTPUT

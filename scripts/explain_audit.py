@@ -82,6 +82,8 @@ AUDITED = [
     "events_ks_test",  # two-stage bucketed CDF prefix sum, no global sort
     "events_welch_ttest",  # one conditional-aggregate pass, scalar algebra
     "part_skyline",  # 2-D Pareto front via two-stage prefix min, no n² join
+    "parts_market_basket",  # map-side basket pair explode, no self-join
+    "customer_rfm_segments",  # scalar quartile row broadcast onto customers
 ]
 
 #: Python stages expected by design (Arrow-batched pandas ops); anything
