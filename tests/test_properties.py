@@ -1049,3 +1049,164 @@ def test_lpa_matches_python_simulation(spark, edges):
             for r in graph_communities_lpa(spark, tmp).collect()
         }
     assert got == py_lpa(sorted(edges))
+
+
+def py_quality_keep(docs, q=0.75):
+    """Per-source keep set under the exact interpolated percentile rule."""
+    import math
+    from collections import defaultdict
+
+    def qscore(toks):
+        n = len(toks)
+        ttr = len(set(toks)) / n
+        return min(n / 100.0, 1.0) * (0.5 + 0.5 * ttr)
+
+    by_src = defaultdict(list)
+    scores = {}
+    for doc_id, toks, src in docs:
+        s = qscore(toks)
+        scores[doc_id] = (src, s)
+        by_src[src].append(s)
+    thr = {}
+    for src, vals in by_src.items():
+        vals.sort()
+        pos = q * (len(vals) - 1)
+        lo = math.floor(pos)
+        frac = pos - lo
+        hi = min(lo + 1, len(vals) - 1)
+        thr[src] = vals[lo] + (vals[hi] - vals[lo]) * frac
+    return {d for d, (src, s) in scores.items() if s >= thr[src]}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB"]),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d", "e"]),
+                min_size=1,
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quality_quantile_filter_matches_python(spark, docs_spec):
+    """docs_quality_quantile_filter == the Python interpolated-percentile
+    reference on arbitrary tiny corpora — the tiny alphabet forces heavy
+    score ties, the worst case for threshold membership."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from komodo_data_spark.operators.text_analysis import (
+        docs_quality_quantile_filter,
+    )
+
+    docs = [
+        (i, toks, src) for i, (src, toks) in enumerate(docs_spec)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "text": [" ".join(d[1]) for d in docs],
+            "lang": ["en"] * len(docs),
+            "source": [d[2] for d in docs],
+            "n_chars": [0] * len(docs),
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf.to_parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r["doc_id"]
+            for r in docs_quality_quantile_filter(spark, tmp).collect()
+        }
+    assert got == py_quality_keep(docs)
+
+
+def py_daily_moments(rows):
+    """Direct daily stats from raw (ts_ms, value-or-None) rows."""
+    from collections import defaultdict
+
+    days = defaultdict(list)
+    traffic = defaultdict(int)
+    for ts_ms, v in rows:
+        day = (ts_ms // 86_400_000) * 86_400_000
+        traffic[day] += 1
+        if v is not None:
+            days[day].append(v)
+    out = {}
+    for day, n_events in traffic.items():
+        vs = days.get(day, [])
+        n = len(vs)
+        out[day] = {
+            "n_events": n_events,
+            "n_values": n,
+            "sum_value": sum(vs) if n else None,
+            "min_value": min(vs) if n else None,
+            "max_value": max(vs) if n else None,
+            "mean_value": sum(vs) / n if n else None,
+            "var_pop_value": (
+                sum(x * x for x in vs) / n - (sum(vs) / n) ** 2 if n else None
+            ),
+        }
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3 * 86_400_000 - 1),  # ts_ms
+            st.one_of(
+                st.none(),
+                st.integers(min_value=-50, max_value=50).map(float),
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rollup_merge_matches_python_direct(spark, rows):
+    """events_rollup_merge (hourly partials folded to days) == the direct
+    Python daily computation, for arbitrary timestamps across 3 days,
+    NULL values included — the algebraic-mergeability property on inputs
+    the hand pin can't enumerate."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from komodo_data_spark.operators.timeseries import events_rollup_merge
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(1, len(rows) + 1),
+            "ts": pd.to_datetime([r[0] for r in rows], unit="ms").astype(
+                "datetime64[us]"
+            ),
+            "user_id": [1] * len(rows),
+            "event_type": ["view"] * len(rows),
+            "value": [r[1] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf.to_parquet(os.path.join(tmp, "events.parquet"))
+        got = {r["day_ms"]: r for r in events_rollup_merge(spark, tmp).collect()}
+    exp = py_daily_moments(rows)
+    assert set(got) == set(exp)
+    for day, e in exp.items():
+        g = got[day]
+        assert g["n_events"] == e["n_events"] and g["n_values"] == e["n_values"]
+        for c in ("sum_value", "min_value", "max_value", "mean_value",
+                  "var_pop_value"):
+            if e[c] is None:
+                assert g[c] is None, (day, c)
+            else:
+                assert abs(g[c] - e[c]) < 1e-9, (day, c)
