@@ -1001,6 +1001,10 @@ def registry():
             docs_perplexity_buckets,
             docs_perplexity_buckets_oracle(),
         ),
+        "docs_quality_band_filter": (
+            docs_quality_band_filter,
+            docs_quality_band_filter_oracle(),
+        ),
         "text_repetition_signals": (
             text_repetition_signals,
             text_repetition_signals_oracle(),
@@ -2060,41 +2064,40 @@ def text_nb_calibration_oracle() -> str:
 # per-source quality-quantile filter (keep the head of each source)
 # --------------------------------------------------------------------------
 
-#: Per-source keep quantile: docs scoring >= their source's 75th percentile
-#: survive (keep ~top quarter of each source independently). 0.75 is an
-#: exactly-representable binary fraction, so the rank position (n-1)*q is
-#: computed bit-identically by Spark and DuckDB; a non-dyadic q (0.7) puts
-#: the position within an ulp of an integer on one engine but not the
-#: other, flipping which bracket the threshold interpolates in.
-QUALITY_KEEP_QUANTILE = 0.75
+#: Per-source keep quantile as an exact rational. 7/10 — the CCNet-style
+#: "keep the head ~30%" cut a real curation recipe uses — is NOT dyadic:
+#: Spark ``percentile`` and DuckDB ``quantile_cont`` each compute the rank
+#: position (n-1)·q in their own floating point and can disagree within an
+#: ulp of an integer (measured: q=0.7 flipped 2 rows at sf0.001 in round
+#: 6). ``quantiles.exact_group_quantiles`` removes floating point from
+#: bracket selection (integer k = ((n-1)·num) div den), so ANY fraction is
+#: engine-exact.
+QUALITY_KEEP_Q = (7, 10)
 
 
 def docs_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep each source's top-quality slice: a doc survives iff its
     composite quality score (the ``text_quality_scores`` formula —
-    min(n_tokens/100, 1) · (0.5 + 0.5·TTR)) reaches its OWN source's 75th
+    min(n_tokens/100, 1) · (0.5 + 0.5·TTR)) reaches its OWN source's 70th
     percentile. Per-source (not global) thresholds are the standard
     curation move: a global cut silently deletes whole low-register
     sources (forums, chat), while per-source cuts keep every source's
     head and let the mixing stage set proportions.
 
-    Scale design: the threshold fit is a groupBy(source) **aggregate**,
-    never a per-source window over the corpus — percentile state is
-    partial-aggregatable (map-side combine collapses duplicate scores),
-    so the only full shuffle carries pre-combined buffers, and no
-    corpus-wide sort exists anywhere in the plan. The |sources|-row
-    threshold table broadcasts back, making the keep decision a map-side
-    join + filter on the scoring pass. At web scale swap the exact
-    ``percentile`` for ``approx_percentile`` (mergeable t-digest-style
-    sketch, same plan shape, bounded buffers on skewed sources); the
-    exact form here is the oracle-anchored baseline of that swap.
-    Threshold semantics: Spark exact ``percentile`` and DuckDB
-    ``quantile_cont`` both linearly interpolate at rank (n-1)·q; with a
-    dyadic q the position is bit-identical on both engines, and a
-    threshold interpolated strictly between two adjacent scores selects
-    the same doc set regardless of last-ulp interpolation differences
-    (measured: q=0.7 flipped 2 rows at sf0.001, q=0.75 is exact).
+    Scale design: the per-source thresholds come from
+    ``quantiles.exact_group_quantiles`` — exact kth-order statistics
+    located by a bucket-prefix pass, so no per-source window or sort ever
+    touches the corpus, and the rank bracket is chosen in INTEGER
+    arithmetic (engine-exact at any fraction, not just dyadic ones). The
+    |sources|-row threshold table broadcasts back, making the keep
+    decision a map-side join + filter on the scoring pass. The scored
+    frame is localCheckpointed: the fit reads it three times (extrema,
+    histogram, target-bucket selection) and re-tokenizing the corpus per
+    pass would triple the scan cost. At web scale swap the exact fit for
+    ``approx_percentile`` (mergeable sketch, same broadcast-back shape);
+    the exact form here is the oracle-anchored baseline of that swap.
     """
+    from komodo_data_spark.operators.quantiles import exact_group_quantiles
     from komodo_data_spark.sources.tables import load_spread
 
     d = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens())
@@ -2106,11 +2109,9 @@ def docs_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (0.5 + 0.5 * ttr)
         ).alias("quality_score"),
-    )
-    thr = scored.groupBy("source").agg(
-        F.expr(
-            f"percentile(quality_score, {QUALITY_KEEP_QUANTILE})"
-        ).alias("thr")
+    ).localCheckpoint(eager=True)
+    thr = exact_group_quantiles(
+        scored, ["source"], "quality_score", {"thr": QUALITY_KEEP_Q}
     )
     return (
         scored.join(F.broadcast(thr), "source")
@@ -2119,7 +2120,7 @@ def docs_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def docs_quality_quantile_filter_oracle() -> str:
+def _quality_scored_cte() -> str:
     t = sql_tokens()
     return f"""
     WITH d AS (SELECT doc_id, source, {t} AS toks FROM documents),
@@ -2129,15 +2130,85 @@ def docs_quality_quantile_filter_oracle() -> str:
                * (0.5 + 0.5 * (len(list_distinct(toks))::DOUBLE / len(toks)))
                AS quality_score
       FROM d
-    ),
-    thr AS (
-      SELECT source,
-             quantile_cont(quality_score, {QUALITY_KEEP_QUANTILE}) AS thr
-      FROM scored GROUP BY source
+    )"""
+
+
+def docs_quality_quantile_filter_oracle() -> str:
+    from komodo_data_spark.operators.quantiles import oracle_group_quantile_sql
+
+    thr = oracle_group_quantile_sql(
+        "scored", ["source"], "quality_score", {"thr": QUALITY_KEEP_Q}
     )
+    return f"""
+    {_quality_scored_cte()},{thr}
     SELECT s.doc_id, s.source, s.quality_score
-    FROM scored s JOIN thr USING (source)
-    WHERE s.quality_score >= thr.thr
+    FROM scored s JOIN _eq_thr t USING (source)
+    WHERE s.quality_score >= t.thr
+    """
+
+
+#: Mid-band keep: drop the bottom half (low-quality noise) AND the top
+#: decile — Gopher-style upper-bound trimming, which catches templated /
+#: keyword-stuffed spam that scores unnaturally high on lexical metrics.
+#: 9/10 is the non-dyadic upper cut that was impossible before
+#: ``exact_group_quantiles``.
+QUALITY_BAND_LO = (1, 2)
+QUALITY_BAND_HI = (9, 10)
+
+
+def docs_quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality BAND keep: survive iff the composite quality
+    score lands in [median, 90th percentile) of the doc's own source.
+    Lower cut drops noise; the upper cut is the Gopher-style trim for
+    template spam that maxes out lexical heuristics. Same plan shape as
+    :func:`docs_quality_quantile_filter` — one exact-order-statistic fit
+    producing BOTH cut points in a single bucket-prefix pass (the
+    histogram and target-bucket stages are shared across fractions), then
+    a broadcast join-back; the corpus is never sorted or windowed.
+    """
+    from komodo_data_spark.operators.quantiles import exact_group_quantiles
+    from komodo_data_spark.sources.tables import load_spread
+
+    d = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens())
+    n_tokens = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    scored = d.select(
+        "doc_id",
+        "source",
+        (
+            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (0.5 + 0.5 * ttr)
+        ).alias("quality_score"),
+    ).localCheckpoint(eager=True)
+    thr = exact_group_quantiles(
+        scored,
+        ["source"],
+        "quality_score",
+        {"lo": QUALITY_BAND_LO, "hi": QUALITY_BAND_HI},
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .filter(
+            (F.col("quality_score") >= F.col("lo"))
+            & (F.col("quality_score") < F.col("hi"))
+        )
+        .select("doc_id", "source", "quality_score")
+    )
+
+
+def docs_quality_band_filter_oracle() -> str:
+    from komodo_data_spark.operators.quantiles import oracle_group_quantile_sql
+
+    thr = oracle_group_quantile_sql(
+        "scored",
+        ["source"],
+        "quality_score",
+        {"lo": QUALITY_BAND_LO, "hi": QUALITY_BAND_HI},
+    )
+    return f"""
+    {_quality_scored_cte()},{thr}
+    SELECT s.doc_id, s.source, s.quality_score
+    FROM scored s JOIN _eq_thr t USING (source)
+    WHERE s.quality_score >= t.lo AND s.quality_score < t.hi
     """
 
 
@@ -2145,40 +2216,45 @@ def docs_quality_quantile_filter_oracle() -> str:
 # CCNet-style perplexity buckets (head / middle / tail per language)
 # --------------------------------------------------------------------------
 
-#: Quartile cut points for the head/middle/tail split. Exactly-representable
-#: binary fractions so Spark and DuckDB compute bit-identical rank positions
-#: (CCNet's original terciles would put 1/3 ulp-divergence into the rank).
-PPL_HEAD_Q = 0.75
-PPL_TAIL_Q = 0.25
+#: CCNet's ACTUAL cut points — terciles. 1/3 is not even representable in
+#: binary, the worst case for engine-specific (n-1)·q rank arithmetic;
+#: ``exact_group_quantiles`` selects the bracket in integer math, so the
+#: original design is now engine-exact (pre-round-7 this op was restricted
+#: to dyadic quartiles).
+PPL_HEAD_Q = (2, 3)
+PPL_TAIL_Q = (1, 3)
 
 
 def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-shaped head/middle/tail bucketing: score every doc under the
-    corpus bigram LM (``text_bigram_logprob`` — reused, not re-derived, so
-    the bucketer and the keep-gate can never score differently), then cut
-    each LANGUAGE at its own logprob quartiles — head = top quartile
-    (lowest perplexity), tail = bottom quartile. Per-language thresholds
-    are the point of CCNet's design: perplexity is not comparable across
+    """CCNet head/middle/tail bucketing: score every doc under the corpus
+    bigram LM (``text_bigram_logprob`` — reused, not re-derived, so the
+    bucketer and the keep-gate can never score differently), then cut each
+    LANGUAGE at its own logprob TERCILES (CCNet's original design) — head
+    = top third (lowest perplexity), tail = bottom third. Per-language
+    thresholds are the point: perplexity is not comparable across
     languages, so a global cut would classify entire low-resource
     languages as tail.
 
     Scale design: the LM fit and scoring inherit ``text_bigram_logprob``'s
     distributed two-stage shape (the model is a DataFrame, never
-    collected). The quartile fit is a groupBy(lang) aggregate over the
-    |docs|-row score frame — partial-aggregatable, no per-language window,
-    no global sort — and the |langs|-row threshold table broadcasts back,
-    so bucket assignment is map-side. An interpolated quartile lies
-    strictly between adjacent scores, making the >= / < bucket membership
-    engine-independent (same argument as ``docs_quality_quantile_filter``).
+    collected); the scored frame is localCheckpointed because the tercile
+    fit reads it three times and the LM pipeline is the expensive part.
+    The fit itself is ``quantiles.exact_group_quantiles`` — bucket-prefix
+    kth-order statistics, no per-language window or sort over the corpus,
+    engine-exact at the non-dyadic 1/3 and 2/3 fractions — and the
+    |langs|-row threshold table broadcasts back, so bucket assignment is
+    map-side.
     """
+    from komodo_data_spark.operators.quantiles import exact_group_quantiles
+
     scored = text_bigram_logprob(spark, sf_dir).select(
         "doc_id", "avg_logprob"
     )
     langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    s = scored.join(langs, "doc_id")
-    thr = s.groupBy("lang").agg(
-        F.expr(f"percentile(avg_logprob, {PPL_TAIL_Q})").alias("q_tail"),
-        F.expr(f"percentile(avg_logprob, {PPL_HEAD_Q})").alias("q_head"),
+    s = scored.join(langs, "doc_id").localCheckpoint(eager=True)
+    thr = exact_group_quantiles(
+        s, ["lang"], "avg_logprob",
+        {"q_tail": PPL_TAIL_Q, "q_head": PPL_HEAD_Q},
     )
     return (
         s.join(F.broadcast(thr), "lang")
@@ -2195,7 +2271,13 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_perplexity_buckets_oracle() -> str:
+    from komodo_data_spark.operators.quantiles import oracle_group_quantile_sql
+
     t = sql_tokens()
+    thr = oracle_group_quantile_sql(
+        "s", ["lang"], "avg_logprob",
+        {"q_tail": PPL_TAIL_Q, "q_head": PPL_HEAD_Q},
+    )
     return f"""
     WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
     grams AS (
@@ -2212,16 +2294,10 @@ def docs_perplexity_buckets_oracle() -> str:
     s AS (
       SELECT scored.doc_id, documents.lang, scored.avg_logprob
       FROM scored JOIN documents USING (doc_id)
-    ),
-    thr AS (
-      SELECT lang,
-             quantile_cont(avg_logprob, {PPL_TAIL_Q}) AS q_tail,
-             quantile_cont(avg_logprob, {PPL_HEAD_Q}) AS q_head
-      FROM s GROUP BY lang
-    )
+    ),{thr}
     SELECT s.doc_id, s.lang, s.avg_logprob,
-           CASE WHEN s.avg_logprob >= thr.q_head THEN 'head'
-                WHEN s.avg_logprob < thr.q_tail THEN 'tail'
+           CASE WHEN s.avg_logprob >= t.q_head THEN 'head'
+                WHEN s.avg_logprob < t.q_tail THEN 'tail'
                 ELSE 'middle' END AS bucket
-    FROM s JOIN thr USING (lang)
+    FROM s JOIN _eq_thr t USING (lang)
     """

@@ -1090,23 +1090,32 @@ def parts_market_basket_oracle() -> str:
 # --------------------------------------------------------------------------
 
 
+#: Quintile cut fractions — the CLASSIC marketing RFM scoring (scores 1–5,
+#: "555" champions). 1/5, 2/5, 3/5, 4/5 are non-dyadic; engine-exact only
+#: via the integer bracket arithmetic in ``quantiles.exact_group_quantiles``
+#: (pre-round-7 this op was restricted to dyadic quartiles / scores 1–4).
+RFM_CUTS = [(1, 5), (2, 5), (3, 5), (4, 5)]
+
+
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: each customer's last-order recency, order count,
-    and exact-decimal revenue, scored 1–4 against the GLOBAL quartiles of
+    and exact-decimal revenue, scored 1–5 against the GLOBAL quintiles of
     each dimension and concatenated into the classic three-digit segment
     label — the marketing-analytics workhorse the reference's user
     aggregates gesture at.
 
-    Scale design: one hash aggregate per customer, then the quartile fit
-    is a single scalar aggregate row (three ``percentile(..., array)``
-    states, partial-aggregatable) broadcast back onto the customer frame,
-    so scoring is map-side — the ``docs_quality_quantile_filter`` shape
-    with scalar instead of per-group thresholds. Engine-exactness: the
-    quantile fractions are dyadic (bit-identical rank positions), recency
-    and frequency are integers, and monetary sums in DECIMAL(18,2) on
-    BOTH engines before the double conversion — so thresholds and values
-    are identical doubles and no >= comparison can flip across engines.
+    Scale design: one hash aggregate per customer (localCheckpointed —
+    three quantile fits read it), then each dimension's quintile fit is
+    ``quantiles.exact_group_quantiles`` in global (group-less) mode: a
+    1-row threshold frame per dimension, broadcast back, so scoring is
+    map-side. Engine-exactness: the quintile brackets are selected in
+    INTEGER arithmetic (no dyadic restriction), recency and frequency are
+    integers, and monetary sums in DECIMAL(18,2) on BOTH engines before
+    the double conversion — so thresholds and values are identical
+    doubles and no >= comparison can flip across engines.
     """
+    from komodo_data_spark.operators.quantiles import exact_group_quantiles
+
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max(
@@ -1114,42 +1123,64 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recency_ms"),
         F.count(F.lit(1)).alias("frequency"),
         _dbl(F.sum(dec("o_totalprice", 18, 2))).alias("monetary"),
-    )
-    qs = "array(0.25D, 0.5D, 0.75D)"
-    thr = rfm.agg(
-        F.expr(f"percentile(recency_ms, {qs})").alias("qr"),
-        F.expr(f"percentile(frequency, {qs})").alias("qf"),
-        F.expr(f"percentile(monetary, {qs})").alias("qm"),
-    )
+    ).localCheckpoint(eager=True)
 
-    def score(col: str, q: str) -> F.Column:
+    def cuts(tag: str) -> dict[str, tuple[int, int]]:
+        return {f"q{tag}{i + 1}": c for i, c in enumerate(RFM_CUTS)}
+
+    thr_r = exact_group_quantiles(rfm, [], "recency_ms", cuts("r"))
+    thr_f = exact_group_quantiles(rfm, [], "frequency", cuts("f"))
+    thr_m = exact_group_quantiles(rfm, [], "monetary", cuts("m"))
+
+    def score(col: str, tag: str) -> F.Column:
         c = F.col(col)
-        return (
-            F.lit(1)
-            + (c >= F.col(q)[0]).cast("int")
-            + (c >= F.col(q)[1]).cast("int")
-            + (c >= F.col(q)[2]).cast("int")
-        )
+        out = F.lit(1)
+        for i in range(len(RFM_CUTS)):
+            out = out + (c >= F.col(f"q{tag}{i + 1}")).cast("int")
+        return out
 
-    return rfm.crossJoin(F.broadcast(thr)).select(
-        "o_custkey",
-        "recency_ms",
-        "frequency",
-        "monetary",
-        score("recency_ms", "qr").alias("r_score"),
-        score("frequency", "qf").alias("f_score"),
-        score("monetary", "qm").alias("m_score"),
-        F.concat_ws(
-            "",
-            score("recency_ms", "qr"),
-            score("frequency", "qf"),
-            score("monetary", "qm"),
-        ).alias("segment"),
+    return (
+        rfm.crossJoin(F.broadcast(thr_r))
+        .crossJoin(F.broadcast(thr_f))
+        .crossJoin(F.broadcast(thr_m))
+        .select(
+            "o_custkey",
+            "recency_ms",
+            "frequency",
+            "monetary",
+            score("recency_ms", "r").alias("r_score"),
+            score("frequency", "f").alias("f_score"),
+            score("monetary", "m").alias("m_score"),
+            F.concat_ws(
+                "",
+                score("recency_ms", "r"),
+                score("frequency", "f"),
+                score("monetary", "m"),
+            ).alias("segment"),
+        )
     )
 
 
 def customer_rfm_segments_oracle() -> str:
-    return """
+    from komodo_data_spark.operators.quantiles import oracle_group_quantile_sql
+
+    def cuts(tag: str) -> dict[str, tuple[int, int]]:
+        return {f"q{tag}{i + 1}": c for i, c in enumerate(RFM_CUTS)}
+
+    blocks = "".join(
+        "," + oracle_group_quantile_sql("rfm", [], col, cuts(tag), prefix=f"_{tag}")
+        for tag, col in (
+            ("r", "recency_ms"), ("f", "frequency"), ("m", "monetary")
+        )
+    )
+
+    def score(col: str, tag: str) -> str:
+        return "1 + " + " + ".join(
+            f"(r.{col} >= _{tag}_thr.q{tag}{i + 1})::INT"
+            for i in range(len(RFM_CUTS))
+        )
+
+    return f"""
     WITH rfm AS (
       SELECT o_custkey,
              max(epoch_ms(o_orderdate)) AS recency_ms,
@@ -1157,22 +1188,13 @@ def customer_rfm_segments_oracle() -> str:
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS monetary
       FROM orders GROUP BY 1
-    ),
-    thr AS (
-      SELECT quantile_cont(recency_ms, [0.25, 0.5, 0.75]) AS qr,
-             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS qf,
-             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS qm
-      FROM rfm
-    ),
+    ){blocks},
     scored AS (
       SELECT r.o_custkey, r.recency_ms, r.frequency, r.monetary,
-             1 + (r.recency_ms >= t.qr[1])::INT + (r.recency_ms >= t.qr[2])::INT
-               + (r.recency_ms >= t.qr[3])::INT AS r_score,
-             1 + (r.frequency >= t.qf[1])::INT + (r.frequency >= t.qf[2])::INT
-               + (r.frequency >= t.qf[3])::INT AS f_score,
-             1 + (r.monetary >= t.qm[1])::INT + (r.monetary >= t.qm[2])::INT
-               + (r.monetary >= t.qm[3])::INT AS m_score
-      FROM rfm r CROSS JOIN thr t
+             {score("recency_ms", "r")} AS r_score,
+             {score("frequency", "f")} AS f_score,
+             {score("monetary", "m")} AS m_score
+      FROM rfm r CROSS JOIN _r_thr CROSS JOIN _f_thr CROSS JOIN _m_thr
     )
     SELECT o_custkey, recency_ms, frequency, monetary,
            r_score, f_score, m_score,

@@ -43,9 +43,11 @@ def test_market_basket_support_confidence_lift(spark, tmp_path):
 
 def test_rfm_ladder_one_customer_per_score(spark, tmp_path):
     """Customer k has k orders, the latest on day k, totalling 10·k — so
-    on every dimension the four customers occupy the four quartile scores
-    in order and the segments are exactly 111/222/333/444 (interpolated
-    quartiles of 4 points sit strictly between adjacent values)."""
+    every dimension ranks the four customers identically and the QUINTILE
+    scores are hand-computable from the integer bracket rule: cut ranks
+    (3·i)/5 for i=1..4 are 0.6 / 1.2 / 1.8 / 2.4, so q1 ∈ (v0,v1),
+    q2 and q3 both ∈ (v1,v2), q4 ∈ (v2,v3) — scores 1/2/4/5 (no customer
+    lands on 3 with only four points) and segments 111/222/444/555."""
     from komodo_data_spark.operators.tpch_extended import customer_rfm_segments
 
     rows = []
@@ -81,8 +83,10 @@ def test_rfm_ladder_one_customer_per_score(spark, tmp_path):
         r["o_custkey"]: r for r in customer_rfm_segments(spark, str(d)).collect()
     }
     assert set(got) == {1, 2, 3, 4}
+    expected_score = {1: 1, 2: 2, 3: 4, 4: 5}
     for cust in (1, 2, 3, 4):
         r = got[cust]
         assert r["frequency"] == cust
         assert abs(r["monetary"] - 10.0 * cust) < 1e-9
-        assert r["segment"] == f"{cust}{cust}{cust}", (cust, r)
+        s = expected_score[cust]
+        assert r["segment"] == f"{s}{s}{s}", (cust, r)

@@ -36,11 +36,13 @@ def _distinct_words(prefix: str, n: int) -> str:
 
 def test_quality_quantile_filter_per_source_thresholds(spark, tmp_path):
     """Thresholds are PER SOURCE: with all-distinct-token docs the quality
-    score is exactly n_tokens/100, so the 75th-percentile cut is
-    hand-computable. Source a: scores .1/.2/.3/.4 -> thr = .3 + .25*(.4-.3)
-    = .325 -> only the .4 doc survives. Source b: scores .1/.5 ->
-    thr = .1 + .75*.4 = .4 -> only the .5 doc survives. A global cut would
-    have kept both b-docs out or let extra a-docs in."""
+    score is exactly n_tokens/100, so the 70th-percentile cut is
+    hand-computable via the integer bracket rule (k_lo = ((n-1)*7) div 10).
+    Source a: scores .1/.2/.3/.4, (3*7)=21 -> k_lo=2 rem=1 -> thr =
+    .3 + .1*(.4-.3) = .31 -> only the .4 doc survives. Source b: scores
+    .1/.5, (1*7)=7 -> k_lo=0 rem=7 -> thr = .1 + .7*.4 = .38 -> only the
+    .5 doc survives. A global cut would have kept both b-docs out or let
+    extra a-docs in."""
     from komodo_data_spark.operators.text_analysis import (
         docs_quality_quantile_filter,
     )
@@ -63,13 +65,16 @@ def test_quality_quantile_filter_per_source_thresholds(spark, tmp_path):
     assert abs(got[6]["quality_score"] - 0.5) < 1e-12
 
 
-def test_perplexity_buckets_per_lang_quartiles(spark, tmp_path):
-    """Bucket sizes follow each language's OWN quartiles (en n=8 ->
-    head 2 / middle 4 / tail 2; de n=4 -> head 1 / middle 2 / tail 1), and
-    membership is exactly the avg_logprob order: top quartile = head,
-    bottom quartile = tail. Doc texts repeat one common bigram a varying
-    number of times and close with one doc-unique (hence corpus-rare)
-    bigram, so every doc has a distinct average and the order is forced."""
+def test_perplexity_buckets_per_lang_terciles(spark, tmp_path):
+    """Bucket sizes follow each language's OWN terciles. en n=8: tail rank
+    (7*1)/3 = 2.33 -> threshold strictly inside (s2, s3) -> 3 tail; head
+    rank (7*2)/3 = 4.67 -> inside (s4, s5) -> 3 head; 2 middle. de n=4:
+    tail rank (3*1)/3 = 1 EXACT -> threshold == s1 -> 1 tail (strict <);
+    head rank (3*2)/3 = 2 exact -> threshold == s2 -> 2 head (>=), 1
+    middle — the integer-rank-hit edge case on both cuts. Doc texts repeat
+    one common bigram a varying number of times and close with one
+    doc-unique (hence corpus-rare) bigram, so every doc has a distinct
+    average and the order is forced."""
     from komodo_data_spark.operators.text_analysis import (
         docs_perplexity_buckets,
     )
@@ -86,7 +91,7 @@ def test_perplexity_buckets_per_lang_quartiles(spark, tmp_path):
     for r in out:
         by_lang.setdefault(r["lang"], []).append(r)
     assert {len(by_lang["en"]), len(by_lang["de"])} == {8, 4}
-    for lang, n_head, n_tail in (("en", 2, 2), ("de", 1, 1)):
+    for lang, n_head, n_tail in (("en", 3, 3), ("de", 2, 1)):
         rs = sorted(by_lang[lang], key=lambda r: r["avg_logprob"])
         scores = [r["avg_logprob"] for r in rs]
         assert len(set(scores)) == len(scores)  # distinct: order is forced
@@ -189,3 +194,74 @@ def test_hard_negatives_cross_label_only_and_ranked(spark, tmp_path):
     assert all(r["query_label"] == 0 for r in rows)
     assert rows[0]["cosine"] > rows[1]["cosine"] > rows[2]["cosine"]
     assert abs(rows[2]["cosine"] - 0.0) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# exact_group_quantiles — the engine-exact arbitrary-fraction quantile fit
+# --------------------------------------------------------------------------
+
+
+def _py_exact_quantile(vals, num, den):
+    """The integer-bracket rule the engine defines: k_lo in exact integer
+    arithmetic, one double interpolation."""
+    vals = sorted(vals)
+    pos_num = (len(vals) - 1) * num
+    lo, rem = divmod(pos_num, den)
+    hi = lo + (1 if rem else 0)
+    return vals[lo] + (rem / den) * (vals[hi] - vals[lo])
+
+
+def test_exact_group_quantiles_hand_and_numpy(spark):
+    """Arbitrary fractions (0.7, 0.9, 1/3) on groups exercising every edge:
+    distinct values, heavy ties, a singleton, and an all-equal group. Must
+    equal the pure-Python integer-bracket rule EXACTLY (same semantics) and
+    numpy's linear interpolation to float tolerance (same definition)."""
+    import numpy as np
+
+    from komodo_data_spark.operators.quantiles import exact_group_quantiles
+
+    data = {
+        "fib": [1.0, 1.0, 2.0, 3.0, 5.0, 8.0, 13.0],
+        "ties": [2.5, 2.5, 2.5, 2.5, 7.0],
+        "solo": [42.0],
+        "flat": [3.0, 3.0, 3.0],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    qs = {"q70": (7, 10), "q90": (9, 10), "t1": (1, 3)}
+    got = {r["grp"]: r for r in exact_group_quantiles(df, ["grp"], "val", qs).collect()}
+    assert set(got) == set(data)
+    for g, vs in data.items():
+        for name, (num, den) in qs.items():
+            want = _py_exact_quantile(vs, num, den)
+            assert got[g][name] == want, (g, name, got[g][name], want)
+            np_want = float(np.quantile(np.array(vs), num / den, method="linear"))
+            assert abs(got[g][name] - np_want) < 1e-12, (g, name)
+
+
+def test_exact_group_quantiles_global_mode(spark):
+    """Empty group_cols -> one global threshold row (the RFM shape)."""
+    from komodo_data_spark.operators.quantiles import exact_group_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in range(11)], ["val"])
+    out = exact_group_quantiles(df, [], "val", {"q": (9, 10)}).collect()
+    assert len(out) == 1
+    assert out[0]["q"] == 9.0  # rank (10*9)/10 = 9 exactly -> v[9]
+
+
+def test_quality_band_filter_hand_computed(spark, tmp_path):
+    """Band keep [median, p90): scores .1/.2/.3/.4/.5 (n=5, all-distinct
+    tokens). median rank (4*1)/2 = 2 -> lo = .3; p90 rank (4*9)/10 = 3.6
+    -> hi = .4 + .6*(.5-.4) = .46. Keep = {.3, .4} — the top doc (.5) is
+    trimmed by the upper cut, the bottom two by the lower."""
+    from komodo_data_spark.operators.text_analysis import (
+        docs_quality_band_filter,
+    )
+
+    rows = [
+        (i, _distinct_words(chr(96 + i), 10 * i), "en", "srca")
+        for i in range(1, 6)
+    ]
+    d = _write_docs(tmp_path, rows, name="band_sf")
+    got = {r["doc_id"] for r in docs_quality_band_filter(spark, d).collect()}
+    assert got == {3, 4}

@@ -1051,10 +1051,15 @@ def test_lpa_matches_python_simulation(spark, edges):
     assert got == py_lpa(sorted(edges))
 
 
-def py_quality_keep(docs, q=0.75):
-    """Per-source keep set under the exact interpolated percentile rule."""
-    import math
+def py_quality_keep(docs, q=(7, 10)):
+    """Per-source keep set under the exact kth-order-statistic rule the
+    engine defines (quantiles.exact_group_quantiles): bracket ranks chosen
+    in INTEGER arithmetic — k_lo = ((n-1)·num) div den — then one double
+    interpolation, so the Python reference can never ulp-diverge from the
+    engine on the rank position."""
     from collections import defaultdict
+
+    num, den = q
 
     def qscore(toks):
         n = len(toks)
@@ -1070,11 +1075,10 @@ def py_quality_keep(docs, q=0.75):
     thr = {}
     for src, vals in by_src.items():
         vals.sort()
-        pos = q * (len(vals) - 1)
-        lo = math.floor(pos)
-        frac = pos - lo
-        hi = min(lo + 1, len(vals) - 1)
-        thr[src] = vals[lo] + (vals[hi] - vals[lo]) * frac
+        pos_num = (len(vals) - 1) * num
+        lo, rem = divmod(pos_num, den)
+        hi = lo + (1 if rem else 0)
+        thr[src] = vals[lo] + (rem / den) * (vals[hi] - vals[lo])
     return {d for d, (src, s) in scores.items() if s >= thr[src]}
 
 
