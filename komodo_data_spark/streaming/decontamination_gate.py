@@ -126,7 +126,18 @@ def start_docs_decontamination_gate(
     max_contam_frac: float = DEFAULT_MAX_CONTAM_FRAC,
     max_files_per_trigger: int = 16,
 ) -> StreamingQuery:
-    """Gate a documents file-source stream on benchmark 4-gram overlap."""
+    """Gate a documents file-source stream on benchmark 4-gram overlap.
+
+    Fails fast if no benchmark version has ever been published: the gate
+    re-reads the store every micro-batch, and a missing store would
+    otherwise kill the streaming query from inside the first foreachBatch
+    with a bare path-not-found instead of a precondition error (an
+    un-screened pass-through default would silently disable
+    decontamination — the one wrong behavior for a privacy/leakage gate).
+    """
+    from komodo_data_spark.streaming.stores import require_store
+
+    require_store(spark, store_path, "benchmark-shingle")
     schema = spark.read.parquet(docs_dir).schema
     return (
         spark.readStream.schema(schema)

@@ -129,7 +129,16 @@ def start_docs_dsir_gate(
     min_log_weight: float = DEFAULT_MIN_LOG_WEIGHT,
     max_files_per_trigger: int = 16,
 ) -> StreamingQuery:
-    """Gate a documents file-source stream on DSIR importance weight."""
+    """Gate a documents file-source stream on DSIR importance weight.
+
+    Fails fast if no model version has ever been published — the
+    latest-wins store read inside every foreachBatch would otherwise kill
+    the streaming query with a bare path-not-found on the first
+    micro-batch instead of a clear precondition error at start time.
+    """
+    from komodo_data_spark.streaming.stores import require_store
+
+    require_store(spark, store_path, "DSIR model")
     schema = spark.read.parquet(docs_dir).schema
     return (
         spark.readStream.schema(schema)

@@ -13,20 +13,32 @@ held area. Both sides derive the class through ONE kernel
 rule (PII, compression, decontamination gates) — gate and audit cannot
 disagree about a record's equivalence class by construction.
 
-Per-epoch verdicts are FINAL for that epoch, the same contract as the
-decontamination gate: a verdict was correct against the store as of
-ingestion, and promoting earlier held records once their class crosses k
-is the periodic batch job's business (read held, semi-join classes now
->= k in the store — one line with the same kernel), not a retroactive
-rewrite of published epochs. This keeps every write epoch-idempotent:
+Whole classes release ATOMICALLY: when a class's accumulated count
+crosses k at epoch E, the released partition for E carries BOTH the
+current batch's members AND every earlier-parked member of that class
+(semi-joined from the held area in the same epoch). This is what makes
+the released store itself k-anonymous at every instant — releasing only
+the crossing batch's rows would publish a class with as few as one
+record until an out-of-band promotion job ran (round-6 advice finding).
+Each record's ``origin_epoch`` column preserves its ingestion epoch;
+``epoch_id`` (the partition) is the epoch that RELEASED it.
+
+Every write stays epoch-idempotent:
 
 - class-count store: parquet partitioned by ``epoch_id``; each batch
   writes ITS OWN class counts with dynamic overwrite, so an
   at-least-once replay overwrites the identical partition and the
   accumulated fold (groupBy-sum at read) never double-counts.
-- released / held: one partition per epoch, dynamic overwrite, verdicts
-  deterministic given (store-so-far, batch) — crash anywhere and the
-  replayed epoch reproduces byte-identical outputs.
+- released / held: one partition per epoch, dynamic overwrite. The
+  promotion set is deterministic on replay because it reads only STRICT
+  PRIOR state: held partitions with epoch_id < E and the crossing test
+  compares the store folded through E against the store folded through
+  E-1 (both sides exclude anything epoch E itself might have
+  half-written before a crash). A class crosses k exactly once — counts
+  only grow and every parked record's class was below k at its origin —
+  so no held record can be promoted twice. Held partitions are
+  append-only (promotion never rewrites them); the live parked set is
+  the ``still_held`` view (held minus releasable classes).
 
 Scale: the store folds |classes| x |epochs| rows — bounded by the QI
 domain, not the record count (the same O(1)-fold retention argument as
@@ -43,6 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from komodo_data_spark.operators.pipeline_ops import K_ANON, QI_COLS, qi_classes
+from komodo_data_spark.streaming.stores import read_store_or_empty
 
 
 def accumulated_class_counts(spark: SparkSession, store_path: str) -> DataFrame:
@@ -77,23 +90,62 @@ def k_anonymity_gate_batch(
     )
     # 2. verdict against the accumulated counts (now includes this epoch);
     #    broadcast: the folded frame is QI-domain-sized, never record-sized
-    acc = accumulated_class_counts(spark, store_path)
+    store = spark.read.parquet(store_path)
+    acc = store.groupBy(*QI_COLS).agg(F.sum("n").cast("long").alias("acc_n"))
     annotated = (
         qi.join(F.broadcast(acc), list(QI_COLS), "left")
         .withColumn("releasable", F.coalesce("acc_n", F.lit(0)) >= F.lit(k))
+        .drop("acc_n")
         .withColumn("epoch_id", F.lit(int(epoch_id)))
-        # two output branches must not re-run the verdict join
+        # output branches must not re-run the verdict join
         .localCheckpoint(eager=True)
     )
-    for flag, path in ((True, released_path), (False, held_path)):
-        (
-            annotated.filter(F.col("releasable") == F.lit(flag))
-            .drop("releasable")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch_id")
-            .parquet(path)
+    held_new = annotated.filter(~F.col("releasable")).drop("releasable")
+    (
+        held_new.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(held_path)
+    )
+    # 3. atomic whole-class release: classes that CROSSED k at this epoch
+    #    (folded-through-E >= k, folded-through-E-1 < k) pull their parked
+    #    members out of held in the SAME released partition. Both inputs
+    #    are strict-prior state (epoch_id < E), so a replayed epoch
+    #    reproduces the identical promotion set even after a crash that
+    #    half-wrote this epoch's partitions.
+    prev = (
+        store.filter(F.col("epoch_id") < F.lit(int(epoch_id)))
+        .groupBy(*QI_COLS)
+        .agg(F.sum("n").cast("long").alias("prev_n"))
+    )
+    crossed = (
+        acc.join(prev, list(QI_COLS), "left")
+        .filter(
+            (F.col("acc_n") >= F.lit(k))
+            & (F.coalesce("prev_n", F.lit(0)) < F.lit(k))
         )
+        .select(*QI_COLS)
+    )
+    held_prior = read_store_or_empty(spark, held_path, held_new.schema).filter(
+        F.col("epoch_id") < F.lit(int(epoch_id))
+    )
+    promoted = (
+        held_prior.join(F.broadcast(crossed), list(QI_COLS), "left_semi")
+        .withColumnRenamed("epoch_id", "origin_epoch")
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+    )
+    released = (
+        annotated.filter(F.col("releasable"))
+        .drop("releasable")
+        .withColumn("origin_epoch", F.lit(int(epoch_id)))
+        .unionByName(promoted)
+    )
+    (
+        released.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(released_path)
+    )
 
 
 def start_k_anonymity_gate(
@@ -124,17 +176,19 @@ def start_k_anonymity_gate(
     )
 
 
-def promote_held(
+def still_held(
     spark: SparkSession, store_path: str, held_path: str, k: int = K_ANON
 ) -> DataFrame:
-    """The periodic batch companion: held records whose class has since
-    reached k — releasable NOW. Pure read-side (no state mutation here;
-    the caller moves/publishes them under its own write-audit-publish),
-    one broadcast semi-join through the same kernel columns."""
+    """The live parked set: held-area records whose QI class is STILL
+    below k. Held partitions are append-only (the gate promotes by
+    writing into released, never by rewriting held), so consumers read
+    the parked backlog through this view — held rows of releasable
+    classes were already published at their class's crossing epoch. One
+    broadcast anti-join through the same kernel columns."""
     ok = accumulated_class_counts(spark, store_path).filter(
         F.col("acc_n") >= F.lit(k)
     )
     held = spark.read.parquet(held_path)
     return held.join(
-        F.broadcast(ok.select(*QI_COLS)), list(QI_COLS), "left_semi"
+        F.broadcast(ok.select(*QI_COLS)), list(QI_COLS), "left_anti"
     )

@@ -90,3 +90,42 @@ def compact_distinct_store(
     for e in epochs:
         shutil.rmtree(os.path.join(store_path, f"epoch_id={e}"))
     return len(epochs)
+
+
+_MISSING_STORE_CONDITIONS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
+def read_store_or_empty(spark: SparkSession, path: str, schema) -> "DataFrame":
+    """Read an epoch-partitioned store, treating a missing path (or a dir
+    holding only empty-frame write metadata) as an EMPTY frame of the
+    given schema. For stores whose absence is a legitimate state — e.g.
+    the k-anonymity held area before any record was ever parked — not a
+    misconfiguration (for those, use :func:`require_store`)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except AnalysisException as exc:
+        if exc.getCondition() not in _MISSING_STORE_CONDITIONS:
+            raise
+        return spark.createDataFrame([], schema)
+
+
+def require_store(spark: SparkSession, path: str, what: str) -> None:
+    """Fail FAST with a clear precondition error if a store a streaming
+    gate depends on has never been published. Without this, the first
+    micro-batch's ``spark.read.parquet(store)`` inside foreachBatch throws
+    a bare path-not-found and kills the whole streaming query — the
+    operator error ('you forgot to publish the benchmark / model') should
+    surface at start_*() time instead."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path).schema
+    except AnalysisException as exc:
+        if exc.getCondition() not in _MISSING_STORE_CONDITIONS:
+            raise
+        raise RuntimeError(
+            f"{what} store at '{path}' has never been published — "
+            f"publish it before starting the gate (empty or missing path)"
+        ) from exc

@@ -85,6 +85,17 @@ OUTPUT_QUADRATIC_BY_DATA = {
     " the 68x output growth as designed, not outpacing it)",
 }
 
+#: Output-quadratic queries are NOT waved through unchecked (round-6
+#: advice finding): since their honest cost is proportional to the edge
+#: list they must emit, the enforced invariant is OUTPUT-NORMALIZED time
+#: — seconds per emitted row must not grow more than NORM_RATIO_GATE
+#: across a decade. A regression where candidate volume outpaces true-
+#: pair growth (the PassJoin failure mode) shows up directly as per-row
+#: time inflation, while fixed per-query overhead only ever DEFLATES the
+#: ratio (small scale pays more overhead per row), so the gate has no
+#: false-flag pressure from noise floors.
+NORM_RATIO_GATE = 10.0
+
 #: shuffle-heavy set for the second decade: the BENCH_SKEW queries +
 #: the composed evals (sampled/bounded production modes only) + the
 #: heaviest TPC-H joins and graph ops from BENCH_DETAIL.
@@ -169,31 +180,40 @@ def main() -> int:
                 pass
             spark.catalog.clearCache()
 
-    def timed(sf_dir: str, names=None) -> dict[str, float]:
+    def timed(sf_dir: str, names=None) -> tuple[dict[str, float], dict[str, int]]:
         out: dict[str, float] = {}
+        rows: dict[str, int] = {}
         for name in (names if names is not None else qs):
             fn = qs[name]
             t0 = time.perf_counter()
             try:
-                fn(spark, sf_dir).count()
+                rows[name] = fn(spark, sf_dir).count()
                 out[name] = round(time.perf_counter() - t0, 4)
             except Exception as exc:
                 print(f"bench_scaling: {name} failed at {sf_dir}: {exc}",
                       file=sys.stderr)
                 out[name] = -1.0
+                rows[name] = -1
             spark.catalog.clearCache()
-        return out
+        return out, rows
 
-    t_small = timed(SF_SMALL)
-    t_large = timed(SF_LARGE)
+    t_small, _ = timed(SF_SMALL)
+    t_large, r_large = timed(SF_LARGE)
 
     have_sf1 = os.path.isdir(SF_XL)
     sf1_set = [n for n in SF1_QUERIES if n in qs]
-    t_xl = timed(SF_XL, sf1_set) if have_sf1 else {}
+    t_xl, r_xl = timed(SF_XL, sf1_set) if have_sf1 else ({}, {})
 
     have_sf10 = os.path.isdir(SF_XXL)
     sf10_set = [n for n in sf1_set if n not in SF10_EXCLUDE]
-    t_xxl = timed(SF_XXL, sf10_set) if have_sf10 else {}
+    t_xxl, r_xxl = timed(SF_XXL, sf10_set) if have_sf10 else ({}, {})
+
+    def norm_ratio(t_hi, n_hi, t_lo, n_lo):
+        """Per-emitted-row time ratio across a decade (output-quadratic
+        gate); None when either side lacks positive time and rows."""
+        if min(t_hi, t_lo) <= 0 or min(n_hi, n_lo) <= 0:
+            return None
+        return round((t_hi / n_hi) / (t_lo / n_lo), 2)
 
     queries = {}
     flagged = []
@@ -221,6 +241,15 @@ def main() -> int:
             queries[name]["ratio_sf1"] = ratio1
             if name in OUTPUT_QUADRATIC_BY_DATA:
                 queries[name]["gate_exempt"] = OUTPUT_QUADRATIC_BY_DATA[name]
+                queries[name]["rows_sf1"] = r_xl.get(name, -1)
+                nr1 = norm_ratio(txl, r_xl.get(name, -1),
+                                 tl, r_large.get(name, -1))
+                queries[name]["norm_ratio_sf1"] = nr1
+                # the exemption is from the TIME ratio only: seconds per
+                # emitted row must still stay decade-flat
+                if nr1 is not None and nr1 > NORM_RATIO_GATE \
+                        and name not in flagged:
+                    flagged.append(name)
             if txl < 0 and name not in flagged:
                 flagged.append(name)
             elif ratio1 is not None and ratio1 > RATIO_GATE and (
@@ -234,6 +263,14 @@ def main() -> int:
             ratio10 = round(txxl / txl, 2) if txl > 0 and txxl >= 0 else None
             queries[name]["t_sf10"] = txxl
             queries[name]["ratio_sf10"] = ratio10
+            if name in OUTPUT_QUADRATIC_BY_DATA:
+                queries[name]["rows_sf10"] = r_xxl.get(name, -1)
+                nr10 = norm_ratio(txxl, r_xxl.get(name, -1),
+                                  txl, r_xl.get(name, -1))
+                queries[name]["norm_ratio_sf10"] = nr10
+                if nr10 is not None and nr10 > NORM_RATIO_GATE \
+                        and name not in flagged:
+                    flagged.append(name)
             if txxl < 0 and name not in flagged:
                 flagged.append(name)
             elif ratio10 is not None and ratio10 > RATIO_GATE and (
@@ -258,6 +295,7 @@ def main() -> int:
     result = {
         "metric": "per_query_time_ratio_sf0.1_over_sf0.01",
         "ratio_gate": RATIO_GATE,
+        "norm_ratio_gate": NORM_RATIO_GATE,
         "t01_floor_sec": T01_FLOOR,
         "t_abs_ceiling_sec": T_ABS_CEILING,
         "sf1_dir": SF_XL if have_sf1 else None,

@@ -328,7 +328,10 @@ def main(argv: list[str] | None = None) -> int:
     from komodo_data_spark.streaming import windows as W
 
     ev_time_src = os.path.join(work, "events_time_arrivals")
-    stage_arrival_files_ordered(ev, "event_id", args.batches, ev_time_src)
+    # split on the EVENT-TIME column (canonical nanos-long ts), not
+    # ingestion order: on disordered data an event_id split would mark
+    # most rows late and skew the latency numbers (round-6 advice finding)
+    stage_arrival_files_ordered(ev, "ts", args.batches, ev_time_src)
     tr = W.transcript_rollup(W.events_stream(spark, ev_time_src, 1))
     q12 = (
         tr.writeStream.format("parquet")

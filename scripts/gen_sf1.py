@@ -48,6 +48,8 @@ import os
 import shutil
 import sys
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -67,6 +69,26 @@ N_USERS = 15_000
 N_DOCS = 50_000
 N_EMBED = 8_000  # driver's own sub-linear step: 500 → 2000 is 4×
 EMBED_DIM = 64
+
+
+@dataclass(frozen=True)
+class GenConfig:
+    """Explicit generator parameters. gen_sf10.py passes its own instance
+    instead of mutating this module's globals (round-6 advice finding: a
+    refactor that captured the globals as locals would have silently made
+    sf10 generate sf1-sized data with sf1's seed)."""
+
+    out_dir: str = DEFAULT_OUT
+    seed: int = SEED
+    label: str = "sf1"
+    n_customer: int = N_CUSTOMER
+    n_supplier: int = N_SUPPLIER
+    n_part: int = N_PART
+    n_orders: int = N_ORDERS
+    n_events: int = N_EVENTS
+    n_users: int = N_USERS
+    n_docs: int = N_DOCS
+    n_embed: int = N_EMBED
 
 
 def _read(name: str) -> pd.DataFrame:
@@ -90,11 +112,13 @@ def _resample(rng: np.random.Generator, src: pd.DataFrame, n: int,
     return src.iloc[idx][cols].reset_index(drop=True)
 
 
-def main() -> int:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_OUT
+def main(cfg: GenConfig | None = None) -> int:
+    if cfg is None:
+        cfg = GenConfig(out_dir=sys.argv[1]) if len(sys.argv) > 1 else GenConfig()
+    out_dir = cfg.out_dir
     if os.path.realpath(out_dir).startswith("/root/testdata/"):
         raise SystemExit("refusing to write under the read-only driver dir")
-    rng = np.random.default_rng(SEED)
+    rng = np.random.default_rng(cfg.seed)
     os.makedirs(out_dir, exist_ok=True)
 
     # fixed-cardinality dims: copy verbatim
@@ -105,32 +129,32 @@ def main() -> int:
 
     # customer / supplier / part: row-resample attributes, fresh keys
     cust = _read("customer")
-    df = _resample(rng, cust, N_CUSTOMER,
+    df = _resample(rng, cust, cfg.n_customer,
                    ["c_nationkey", "c_acctbal", "c_mktsegment"])
-    df.insert(0, "c_custkey", np.arange(N_CUSTOMER, dtype=np.int64))
-    df.insert(1, "c_name", [f"Customer#{k:09d}" for k in range(N_CUSTOMER)])
+    df.insert(0, "c_custkey", np.arange(cfg.n_customer, dtype=np.int64))
+    df.insert(1, "c_name", [f"Customer#{k:09d}" for k in range(cfg.n_customer)])
     _write(out_dir, "customer", df, _schema_of("customer"))
 
     supp = _read("supplier")
-    df = _resample(rng, supp, N_SUPPLIER, ["s_nationkey", "s_acctbal"])
-    df.insert(0, "s_suppkey", np.arange(N_SUPPLIER, dtype=np.int64))
-    df.insert(1, "s_name", [f"Supplier#{k:09d}" for k in range(N_SUPPLIER)])
+    df = _resample(rng, supp, cfg.n_supplier, ["s_nationkey", "s_acctbal"])
+    df.insert(0, "s_suppkey", np.arange(cfg.n_supplier, dtype=np.int64))
+    df.insert(1, "s_name", [f"Supplier#{k:09d}" for k in range(cfg.n_supplier)])
     _write(out_dir, "supplier", df, _schema_of("supplier"))
 
     part = _read("part")
-    df = _resample(rng, part, N_PART,
+    df = _resample(rng, part, cfg.n_part,
                    ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"])
-    df.insert(0, "p_partkey", np.arange(N_PART, dtype=np.int64))
+    df.insert(0, "p_partkey", np.arange(cfg.n_part, dtype=np.int64))
     _write(out_dir, "part", df, _schema_of("part"))
 
     # orders: resampled attributes, uniform FK into the new customer domain
     orders = _read("orders")
-    df = _resample(rng, orders, N_ORDERS,
+    df = _resample(rng, orders, cfg.n_orders,
                    ["o_orderstatus", "o_totalprice", "o_orderdate",
                     "o_orderpriority"])
-    df.insert(0, "o_orderkey", np.arange(N_ORDERS, dtype=np.int64))
+    df.insert(0, "o_orderkey", np.arange(cfg.n_orders, dtype=np.int64))
     df.insert(1, "o_custkey",
-              rng.integers(0, N_CUSTOMER, size=N_ORDERS, dtype=np.int64))
+              rng.integers(0, cfg.n_customer, size=cfg.n_orders, dtype=np.int64))
     _write(out_dir, "orders", df, _schema_of("orders"))
 
     # lineitem: lines-per-order drawn from the EMPIRICAL sf0.1 distribution
@@ -138,17 +162,17 @@ def main() -> int:
     li = _read("lineitem")
     lpo_counts = li.groupby("l_orderkey").size()
     lpo_vals, lpo_freq = np.unique(lpo_counts.values, return_counts=True)
-    lpo = rng.choice(lpo_vals, size=N_ORDERS, p=lpo_freq / lpo_freq.sum())
+    lpo = rng.choice(lpo_vals, size=cfg.n_orders, p=lpo_freq / lpo_freq.sum())
     n_li = int(lpo.sum())
     df = _resample(rng, li, n_li,
                    ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
                     "l_returnflag", "l_linestatus", "l_shipdate"])
     df.insert(0, "l_orderkey", np.repeat(
-        np.arange(N_ORDERS, dtype=np.int64), lpo))
+        np.arange(cfg.n_orders, dtype=np.int64), lpo))
     df.insert(1, "l_partkey",
-              rng.integers(0, N_PART, size=n_li, dtype=np.int64))
+              rng.integers(0, cfg.n_part, size=n_li, dtype=np.int64))
     df.insert(2, "l_suppkey",
-              rng.integers(0, N_SUPPLIER, size=n_li, dtype=np.int64))
+              rng.integers(0, cfg.n_supplier, size=n_li, dtype=np.int64))
     # driver convention: linenumber is uniform 1..7, not sequential
     df.insert(3, "l_linenumber",
               rng.integers(1, 8, size=n_li).astype(np.int32))
@@ -158,17 +182,17 @@ def main() -> int:
     # (event_type, value, props-k) resampled jointly to keep correlations
     ev = _read("events")
     t0, t1 = ev["ts"].min().value, ev["ts"].max().value  # ns since epoch
-    ts = np.sort(rng.integers(t0, t1, size=N_EVENTS))
+    ts = np.sort(rng.integers(t0, t1, size=cfg.n_events))
     ts = (ts // 1000) * 1000  # microsecond resolution like the driver file
-    idx = rng.integers(0, len(ev), size=N_EVENTS)
+    idx = rng.integers(0, len(ev), size=cfg.n_events)
     df = pd.DataFrame({
-        "event_id": np.arange(N_EVENTS, dtype=np.int64),
+        "event_id": np.arange(cfg.n_events, dtype=np.int64),
         "ts": pd.to_datetime(ts),
-        "user_id": rng.integers(0, N_USERS, size=N_EVENTS, dtype=np.int64),
+        "user_id": rng.integers(0, cfg.n_users, size=cfg.n_events, dtype=np.int64),
         "event_type": ev["event_type"].values[idx],
         "value": ev["value"].values[idx],
         "props": [json.dumps({"k": int(k)})
-                  for k in rng.integers(0, 100, size=N_EVENTS)],
+                  for k in rng.integers(0, 100, size=cfg.n_events)],
     })
     _write(out_dir, "events", df, _schema_of("events"))
 
@@ -180,10 +204,10 @@ def main() -> int:
         if w != "dup")))
     langs = np.array(["en", "de", "es", "fr", "zh"])
     lang_p = np.array([0.41, 0.1475, 0.1475, 0.1475, 0.1475])
-    n_words = rng.integers(10, 101, size=N_DOCS)
+    n_words = rng.integers(10, 101, size=cfg.n_docs)
     texts = [" ".join(rng.choice(vocab, size=k)) for k in n_words]
     # ~1% near-dups: copy an earlier doc, substitute 1-3 words with "dup"
-    for i in rng.choice(np.arange(1, N_DOCS), size=N_DOCS // 100,
+    for i in rng.choice(np.arange(1, cfg.n_docs), size=cfg.n_docs // 100,
                         replace=False):
         words = texts[int(rng.integers(0, i))].split()
         for j in rng.choice(len(words),
@@ -192,30 +216,30 @@ def main() -> int:
             words[j] = "dup"
         texts[i] = " ".join(words)
     # ~0.2% exact duplicates
-    for i in rng.choice(np.arange(1, N_DOCS), size=N_DOCS // 500,
+    for i in rng.choice(np.arange(1, cfg.n_docs), size=cfg.n_docs // 500,
                         replace=False):
         texts[i] = texts[int(rng.integers(0, i))]
     df = pd.DataFrame({
-        "doc_id": np.arange(N_DOCS, dtype=np.int64),
+        "doc_id": np.arange(cfg.n_docs, dtype=np.int64),
         "text": texts,
-        "lang": rng.choice(langs, size=N_DOCS, p=lang_p),
-        "source": [f"src{k}" for k in rng.integers(0, 20, size=N_DOCS)],
+        "lang": rng.choice(langs, size=cfg.n_docs, p=lang_p),
+        "source": [f"src{k}" for k in rng.integers(0, 20, size=cfg.n_docs)],
     })
     df["n_chars"] = df["text"].str.len().astype(np.int64)
     _write(out_dir, "documents", df, _schema_of("documents"))
 
     # embeddings: unit-norm vectors like the driver's (label centroids
     # are near zero there, so labels are independent uniform)
-    vecs = rng.standard_normal((N_EMBED, EMBED_DIM)).astype(np.float32)
+    vecs = rng.standard_normal((cfg.n_embed, EMBED_DIM)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     df = pd.DataFrame({
-        "vec_id": np.arange(N_EMBED, dtype=np.int64),
+        "vec_id": np.arange(cfg.n_embed, dtype=np.int64),
         "embedding": list(vecs),
-        "label": rng.integers(0, 10, size=N_EMBED).astype(np.int32),
+        "label": rng.integers(0, 10, size=cfg.n_embed).astype(np.int32),
     })
     _write(out_dir, "embeddings", df, _schema_of("embeddings"))
 
-    print(f"sf1 written to {out_dir}")
+    print(f"{cfg.label} written to {out_dir}")
     return 0
 
 

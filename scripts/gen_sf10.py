@@ -32,17 +32,23 @@ import gen_sf1  # noqa: E402
 
 
 def main() -> int:
-    gen_sf1.SEED = 10042
-    gen_sf1.DEFAULT_OUT = "/root/testdata_local/sf10"
-    gen_sf1.N_CUSTOMER = 1_500_000
-    gen_sf1.N_SUPPLIER = 100_000
-    gen_sf1.N_PART = 2_000_000
-    gen_sf1.N_ORDERS = 15_000_000
-    gen_sf1.N_EVENTS = 10_000_000
-    gen_sf1.N_USERS = 150_000
-    gen_sf1.N_DOCS = 500_000
-    gen_sf1.N_EMBED = 32_000  # sub-linear 4x/decade, like the driver's step
-    return gen_sf1.main()
+    # explicit config object, not module-global mutation (round-6 advice
+    # finding): every size and the seed travel together, so a gen_sf1
+    # refactor can never silently hand sf10 the sf1 parameters
+    cfg = gen_sf1.GenConfig(
+        out_dir=sys.argv[1] if len(sys.argv) > 1 else "/root/testdata_local/sf10",
+        seed=10042,
+        label="sf10",
+        n_customer=1_500_000,
+        n_supplier=100_000,
+        n_part=2_000_000,
+        n_orders=15_000_000,
+        n_events=10_000_000,
+        n_users=150_000,
+        n_docs=500_000,
+        n_embed=32_000,  # sub-linear 4x/decade, like the driver's step
+    )
+    return gen_sf1.main(cfg)
 
 
 if __name__ == "__main__":

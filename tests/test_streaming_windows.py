@@ -2020,11 +2020,13 @@ def test_compact_distinct_store_crash_fuzz_every_prune(spark, tmp_path):
 
 def test_k_anonymity_gate_hold_and_release(spark, tmp_path):
     """The streaming k-anonymity release gate: a record is released iff its
-    QI class's ACCUMULATED count has reached k at its ingestion epoch
-    (hold-and-release — k-anonymity is a corpus property, classes only
-    grow); earlier held records are promoted by the batch companion once
-    their class crosses k; a replayed epoch (at-least-once redelivery)
-    overwrites its own store/output partitions and changes nothing."""
+    QI class's ACCUMULATED count has reached k (hold-and-release —
+    k-anonymity is a corpus property, classes only grow), and when a class
+    CROSSES k its earlier-parked members are promoted out of held in the
+    SAME epoch — so the released store satisfies k-anonymity at every
+    epoch boundary, not just after an out-of-band promotion job. A
+    replayed epoch (at-least-once redelivery) overwrites its own
+    store/output partitions and changes nothing."""
     import os as _os
 
     import pyarrow as pa
@@ -2034,8 +2036,8 @@ def test_k_anonymity_gate_hold_and_release(spark, tmp_path):
     from komodo_data_spark.streaming.k_anonymity_gate import (
         accumulated_class_counts,
         k_anonymity_gate_batch,
-        promote_held,
         start_k_anonymity_gate,
+        still_held,
     )
 
     def cust(rows):
@@ -2053,7 +2055,7 @@ def test_k_anonymity_gate_hold_and_release(spark, tmp_path):
     A, B = (1, "AUTO", 1500.0), (2, "BLDG", 10.0)
     arrivals = [
         [(1, *A), (2, *A), (3, *B)],  # epoch 0: A=2 held, B=1 held
-        [(4, *A)],  # epoch 1: A crosses 3 -> this row released
+        [(4, *A)],  # epoch 1: A crosses 3 -> row 4 AND parked 1,2 release
         [(5, *A), (6, *B)],  # epoch 2: A=4 released, B=2 held
     ]
     src = tmp_path / "kanon_arrivals"
@@ -2071,16 +2073,30 @@ def test_k_anonymity_gate_hold_and_release(spark, tmp_path):
         str(tmp_path / "ckpt_kanon"), k=3, max_files_per_trigger=1,
     ).awaitTermination()
 
+    rel_rows = spark.read.parquet(rel).collect()
     released = {
-        (r["c_custkey"], r["epoch_id"])
-        for r in spark.read.parquet(rel).collect()
+        (r["c_custkey"], r["epoch_id"], r["origin_epoch"]) for r in rel_rows
     }
     held_rows = {
         (r["c_custkey"], r["epoch_id"])
         for r in spark.read.parquet(held).collect()
     }
-    assert released == {(4, 1), (5, 2)}
+    # atomic whole-class release: epoch 1 publishes row 4 AND the parked
+    # rows 1, 2 (origin epoch 0) the moment class A crosses k=3
+    assert released == {(4, 1, 1), (1, 1, 0), (2, 1, 0), (5, 2, 2)}
+    # held is append-only; promotion publishes to released without
+    # rewriting held partitions
     assert held_rows == {(1, 0), (2, 0), (3, 0), (6, 2)}
+
+    # the privacy invariant the atomic release buys: at EVERY epoch
+    # boundary the released store itself is k-anonymous
+    for upto in (0, 1, 2):
+        by_class: dict[tuple, int] = {}
+        for r in rel_rows:
+            if r["epoch_id"] <= upto:
+                key = tuple(r[c] for c in QI_COLS)
+                by_class[key] = by_class.get(key, 0) + 1
+        assert all(n >= 3 for n in by_class.values()), (upto, by_class)
 
     # accumulated store == the batch audit's class sizes
     acc = {
@@ -2089,9 +2105,9 @@ def test_k_anonymity_gate_hold_and_release(spark, tmp_path):
     }
     assert acc == {(1, "AUTO", 1): 4, (2, "BLDG", 0): 2}
 
-    # batch companion: A's held rows promote (class at 4 >= 3), B's don't
-    promoted = {r["c_custkey"] for r in promote_held(spark, store, held, k=3).collect()}
-    assert promoted == {1, 2}
+    # the live parked view: only records whose class is still below k
+    parked = {r["c_custkey"] for r in still_held(spark, store, held, k=3).collect()}
+    assert parked == {3, 6}
 
     # at-least-once replay of epoch 1: byte-identical state, no recount
     replay = spark.createDataFrame(
@@ -2106,7 +2122,7 @@ def test_k_anonymity_gate_hold_and_release(spark, tmp_path):
     }
     assert acc2 == acc
     released2 = {
-        (r["c_custkey"], r["epoch_id"])
+        (r["c_custkey"], r["epoch_id"], r["origin_epoch"])
         for r in spark.read.parquet(rel).collect()
     }
     assert released2 == released
@@ -2303,3 +2319,28 @@ def test_moments_stream_matches_batch_rollup_merge(spark, sf_dir, tmp_path):
             assert fr[c] == gr[c]
         for c in ("sum_value", "mean_value", "var_pop_value"):
             assert abs(fr[c] - gr[c]) <= 1e-9 * max(1.0, abs(gr[c]))
+
+
+def test_gates_fail_fast_without_published_store(spark, tmp_path):
+    """A gate started before its model/benchmark store was ever published
+    must raise a clear precondition error at start_*() time — not die
+    inside the first foreachBatch with a bare path-not-found (round-6
+    advice finding)."""
+    from komodo_data_spark.streaming.decontamination_gate import (
+        start_docs_decontamination_gate,
+    )
+    from komodo_data_spark.streaming.dsir_gate import start_docs_dsir_gate
+
+    docs = str(tmp_path / "docs")
+    with pytest.raises(RuntimeError, match="benchmark-shingle store"):
+        start_docs_decontamination_gate(
+            spark, docs, str(tmp_path / "no_store"),
+            str(tmp_path / "clean"), str(tmp_path / "quar"),
+            str(tmp_path / "ckpt1"),
+        )
+    with pytest.raises(RuntimeError, match="DSIR model store"):
+        start_docs_dsir_gate(
+            spark, docs, str(tmp_path / "no_model"),
+            str(tmp_path / "keep"), str(tmp_path / "div"),
+            str(tmp_path / "ckpt2"),
+        )
