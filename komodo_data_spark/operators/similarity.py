@@ -204,6 +204,8 @@ def registry():
         ),
         "knn_pq_adc": (knn_pq_adc, knn_pq_adc_oracle()),
         "knn_pq_recall": (knn_pq_recall, knn_pq_recall_oracle()),
+        "knn_ivfpq_adc": (knn_ivfpq_adc, knn_ivfpq_adc_oracle()),
+        "knn_ivfpq_recall": (knn_ivfpq_recall, knn_ivfpq_recall_oracle()),
         "kmeans_clusters": (kmeans_clusters, kmeans_clusters_oracle()),
         "dedup_semantic": (dedup_semantic, dedup_semantic_oracle()),
         "embeddings_vector_stats": (
@@ -1098,32 +1100,38 @@ PQ_K = 4  # codebook centroids per subspace (codes fit in 2 bits here)
 PQ_ITERS = 2  # fixed Lloyd unroll per codebook (same trade as kmeans_clusters)
 
 
-def _pq_fit(spark: SparkSession, sf_dir: str):
-    """Shared PQ codebook fit: k-means in each of the PQ_M subspaces
-    (deterministic init = the first PQ_K vectors' subvectors, PQ_ITERS
-    fixed Lloyd iterations — the kmeans_clusters unroll, run over ALL
-    subspaces in ONE pipeline). Returns (codebooks(m, cid, ce),
-    codes(vec_id, m, cid, s)).
-
-    Scale design: subvectors are a map-side posexplode (n·M rows, no
-    shuffle); every Lloyd iteration is ONE broadcast join against the
-    M·K-row codebook + one (m, cid, pos)-keyed mean — the per-iteration
-    shuffle cost is independent of M because all subspaces ride the same
-    exchange, instead of M sequential fits each paying its own.
-    """
-    v = _vectors(spark, sf_dir).select("vec_id", "e")
-    sub = v.select(
+def _pq_subvectors(v: DataFrame, col: str = "e") -> DataFrame:
+    """Map-side posexplode of a (vec_id, <col>) vector frame into the
+    (vec_id, m, s) subvector frame the Lloyd fit consumes — n·M rows, no
+    shuffle."""
+    return v.select(
         "vec_id",
         F.posexplode(
             F.array(
                 *[
-                    F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
                     for m in range(PQ_M)
                 ]
             )
         ).alias("m", "s"),
     )
-    cents = sub.filter(F.col("vec_id") < PQ_K).select(
+
+
+def _pq_lloyd(sub: DataFrame, k: int = PQ_K):
+    """Shared PQ codebook fit over a (vec_id, m, s) subvector frame:
+    k-means in each of the PQ_M subspaces (deterministic init = the first
+    PQ_K vectors' subvectors, PQ_ITERS fixed Lloyd iterations — the
+    kmeans_clusters unroll, run over ALL subspaces in ONE pipeline).
+    Returns (codebooks(m, cid, ce), codes(vec_id, m, cid, s)). Fed raw
+    subvectors by ``_pq_fit`` (flat PQ) and coarse-cell RESIDUAL
+    subvectors by ``_ivfpq_fit`` (the FAISS IVFPQ composition).
+
+    Scale design: every Lloyd iteration is ONE broadcast join against the
+    M·K-row codebook + one (m, cid, pos)-keyed mean — the per-iteration
+    shuffle cost is independent of M because all subspaces ride the same
+    exchange, instead of M sequential fits each paying its own.
+    """
+    cents = sub.filter(F.col("vec_id") < k).select(
         "m", F.col("vec_id").alias("cid"), F.col("s").alias("ce")
     )
 
@@ -1163,6 +1171,12 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
     # iteration (SURVEY §4 lesson (c), same hub rule as dedup_semantic)
     cents = cents.localCheckpoint(eager=True)
     return cents, assign(cents)
+
+
+def _pq_fit(spark: SparkSession, sf_dir: str):
+    """Flat PQ fit over the raw embedding subvectors (see _pq_lloyd)."""
+    v = _vectors(spark, sf_dir).select("vec_id", "e")
+    return _pq_lloyd(_pq_subvectors(v))
 
 
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,11 +1238,21 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_cte_prefix() -> str:
-    """DuckDB CTE chain fitting the same per-subspace Lloyd unroll
-    (PQ_ITERS == 2 is unrolled literally, like _kmeans_cte_prefix):
-    exposes ``v`` (float vectors) and ``rec`` (PQ-reconstructed vectors).
+def _pq_sql_subvectors(src: str, col: str) -> str:
+    """DuckDB subvector-explode CTE body over a (vec_id, <col>) source."""
+    return f"""
+      SELECT {src}.vec_id, t.m,
+             array_slice({src}.{col}, t.m * {PQ_SUBDIM} + 1,
+                         t.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS s
+      FROM {src}, unnest(range(0, {PQ_M})) AS t(m)
     """
+
+
+def _pq_sql_chain(k: int = PQ_K) -> str:
+    """DuckDB CTE chain fitting the same per-subspace Lloyd unroll as
+    ``_pq_lloyd`` (PQ_ITERS == 2 unrolled literally, like
+    _kmeans_cte_prefix) over an existing ``sub`` CTE; emits
+    ``pc0..pc2`` (codebooks) and ``paf`` (final code assignment)."""
     sqd = (
         "list_sum(list_transform(range(1, len(s.s)+1),"
         " i -> (s.s[i] - c.ce[i]) * (s.s[i] - c.ce[i])))"
@@ -1252,19 +1276,20 @@ def _pq_cte_prefix() -> str:
     """
 
     return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    sub AS (
-      SELECT v.vec_id, t.m,
-             array_slice(v.e, t.m * {PQ_SUBDIM} + 1,
-                         t.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS s
-      FROM v, unnest(range(0, {PQ_M})) AS t(m)
-    ),
-    pc0 AS (SELECT m, vec_id AS cid, s AS ce FROM sub WHERE vec_id < {PQ_K}),
+    pc0 AS (SELECT m, vec_id AS cid, s AS ce FROM sub WHERE vec_id < {k}),
     pa1 AS ({assign("sub", "pc0")}),
     pc1 AS ({update("pa1")}),
     pa2 AS ({assign("sub", "pc1")}),
     pc2 AS ({update("pa2")}),
-    paf AS ({assign("sub", "pc2")}),
+    paf AS ({assign("sub", "pc2")})"""
+
+
+def _pq_cte_prefix() -> str:
+    """DuckDB CTE chain for flat PQ: exposes ``v`` (float vectors) and
+    ``rec`` (PQ-reconstructed vectors)."""
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sub AS ({_pq_sql_subvectors("v", "e")}),{_pq_sql_chain()},
     rec AS (
       SELECT a.vec_id, flatten(list(c.ce ORDER BY a.m)) AS e
       FROM paf a JOIN pc2 c ON c.m = a.m AND c.cid = a.cid
@@ -1302,6 +1327,220 @@ def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def knn_pq_recall_oracle() -> str:
     return _recall_oracle(knn_pq_adc_oracle())
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: the FAISS-standard composed index (coarse cells + PQ residuals)
+# --------------------------------------------------------------------------
+
+
+#: Residual codebook size for the composed index (4-bit codes). The flat
+#: PQ rung keeps PQ_K=4 for its documented 2-bit budget; the composition
+#: spends more bits on the residual because AFTER the coarse subtraction
+#: the residual carries ALL remaining signal — FAISS defaults to 8-bit
+#: codebooks for the same reason. 4 subspaces × 4 bits = 2 bytes/vector.
+IVFPQ_K = 16
+
+
+def _ivfpq_fit(spark: SparkSession, sf_dir: str):
+    """The IVFPQ index build (Jégou et al. 2011, §IV — the composition
+    FAISS ships as IndexIVFPQ): coarse-quantize every vector to its
+    nearest K-MEANS cell (the fitted ``_kmeans_fit`` centroids — not the
+    arbitrary first-N vectors ``knn_ivf`` uses, because residual coding
+    only wins when the cell center is the cell MEAN; measured here,
+    raw-vector cells made residuals WORSE than flat PQ), then PQ-encode
+    the residual (vector − cell centroid) with the shared per-subspace
+    Lloyd kernel at IVFPQ_K codewords.
+
+    Returns (cells(cid, ce), picked(vec_id, cell_id), codebooks, codes).
+    Scale design: the coarse centroids localCheckpoint (KMEANS_K rows;
+    three consumers — residual join, reconstruction, query probing —
+    must not each re-run the Lloyd chain); coarse assignment is a
+    broadcast crossJoin + map-side-combinable min-struct argmin, never a
+    corpus shuffle; the residual explode is map-side; the residual
+    codebook rounds inherit ``_pq_lloyd``'s broadcast shape.
+    """
+    cells = _kmeans_fit(spark, sf_dir)[0].localCheckpoint(eager=True)
+    v = _vectors(spark, sf_dir)
+    picked = (
+        v.crossJoin(F.broadcast(cells))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    _sqdist(F.col("e"), F.col("ce")).alias("d"),
+                    F.col("cid").alias("cid"),
+                )
+            )["cid"].alias("cell_id"),
+            F.first("e").alias("e"),
+        )
+    )
+    resid = picked.join(
+        F.broadcast(cells), F.col("cell_id") == F.col("cid")
+    ).select(
+        "vec_id",
+        "cell_id",
+        F.zip_with("e", "ce", lambda x, c: x - c).alias("r"),
+    )
+    cents, codes = _pq_lloyd(_pq_subvectors(resid, "r"), k=IVFPQ_K)
+    return cells, picked.select("vec_id", "cell_id"), cents, codes
+
+
+def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN search — the production-standard composed index: probe
+    the query's IVF_PROBES nearest coarse cells, ADC-score only their
+    members against (cell centroid + PQ-reconstructed residual), top-TOP_K
+    per query. Composes the two existing rungs exactly the way FAISS
+    IndexIVFPQ does: the inverted lists bound WHICH vectors are scored
+    (candidate generation stays an equi-join on cell_id) and the residual
+    codes bound WHAT is read per candidate (PQ_M codes instead of the
+    float vector).
+
+    Scale design: at 100 TB the scan side of the search join carries only
+    (vec_id, cell_id, 4 codes) — the 256× PQ compression — and the probe
+    restriction cuts candidates to ~probes/KMEANS_K of the corpus (dial
+    KMEANS_K up with corpus size: FAISS guidance is ~sqrt(n) cells); both
+    dials (probes, IVFPQ_K) trade recall for cost with the measured twin
+    ``knn_ivfpq_recall`` pricing the composition against brute force.
+    Reconstruction joins are broadcast (codebook is M·K rows; cells are
+    N_CELLS rows); nothing corpus-sized shuffles except the (vec_id)-keyed
+    code reassembly that any PQ store pays once at build time.
+    """
+    cells, assigned, cents, codes = _ivfpq_fit(spark, sf_dir)
+    rrec = (
+        codes.join(F.broadcast(cents), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "ce"))),
+                    lambda x: x["ce"],
+                )
+            ).alias("rr")
+        )
+    )
+    rec = (
+        assigned.join(rrec, "vec_id")
+        .join(F.broadcast(cells), F.col("cell_id") == F.col("cid"))
+        .select(
+            "vec_id",
+            "cell_id",
+            F.zip_with("ce", "rr", lambda c, r: c + r).alias("re"),
+        )
+        .withColumn("rnrm", _nrm(F.col("re")))
+    )
+    # queries stay exact floats; probe the IVF_PROBES nearest cells by the
+    # coarse quantizer's own metric (Euclidean — the assignment metric);
+    # the query frame is N_QUERIES×KMEANS_K rows, so the window cost is nil
+    wq = Window.partitionBy("query_id").orderBy(F.asc("qd"), F.asc("cid"))
+    q = (
+        _vectors(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+        .crossJoin(F.broadcast(cells))
+        .withColumn("qd", _sqdist(F.col("qe"), F.col("ce")))
+        .withColumn("crnk", F.row_number().over(wq))
+        .filter(F.col("crnk") <= IVF_PROBES)
+        .select("query_id", "qe", "qnrm", F.col("cid").alias("qcell"))
+    )
+    scored = rec.join(
+        F.broadcast(q),
+        (F.col("cell_id") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos_pre(F.col("qe"), F.col("re"), F.col("qnrm"), F.col("rnrm")).alias(
+            "adc_cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_cosine", "rnk")
+    )
+
+
+def _ivfpq_cte_prefix() -> str:
+    """DuckDB twin of the IVFPQ build: the k-means coarse fit (shared
+    ``_kmeans_cte_prefix`` — exposes ``c2`` centroids and ``af`` final
+    assignment), residual subvectors through the shared Lloyd unroll at
+    IVFPQ_K, reconstruction = cell centroid + residual codeword. Exposes
+    ``v``, ``c2`` and ``rec`` (vec_id, cell_id, e)."""
+    return f"""
+    {_kmeans_cte_prefix()},
+    rsd AS (
+      SELECT a.vec_id, a.cid AS cell_id,
+             list_transform(range(1, len(a.e)+1),
+                            i -> a.e[i] - c.ce[i]) AS r
+      FROM af a JOIN c2 c USING (cid)
+    ),
+    sub AS ({_pq_sql_subvectors("rsd", "r")}),{_pq_sql_chain(k=IVFPQ_K)},
+    rrec AS (
+      SELECT a.vec_id, flatten(list(c.ce ORDER BY a.m)) AS rr
+      FROM paf a JOIN pc2 c ON c.m = a.m AND c.cid = a.cid
+      GROUP BY a.vec_id
+    ),
+    rec AS (
+      SELECT r.vec_id, r.cell_id,
+             list_transform(range(1, len(c.ce)+1),
+                            i -> c.ce[i] + rr.rr[i]) AS e
+      FROM rsd r JOIN rrec rr ON rr.vec_id = r.vec_id
+      JOIN c2 c ON c.cid = r.cell_id
+    )"""
+
+
+def knn_ivfpq_adc_oracle() -> str:
+    qsqd = (
+        "list_sum(list_transform(range(1, len(q.e)+1),"
+        " i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i])))"
+    )
+    return f"""
+    {_ivfpq_cte_prefix()},
+    qprobe AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, q.e, c.cid AS qcell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id ORDER BY {qsqd} ASC, c.cid ASC
+               ) AS crnk
+        FROM v q CROSS JOIN c2 c WHERE q.vec_id < {N_QUERIES}
+      ) WHERE crnk <= {IVF_PROBES}
+    ),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, {_SQL_COS} AS adc_cosine
+      FROM qprobe q JOIN rec v
+        ON v.cell_id = q.qcell AND v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC
+      ) AS rnk FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_cosine, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+def knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the composed IVF-PQ index against the exact float
+    top-K — prices BOTH approximations at once (probe misses from the
+    coarse cells, quantization error from the residual codes), read next
+    to ``knn_ivf_recall`` and ``knn_pq_recall`` to see what each layer
+    costs alone vs composed."""
+    return _recall_vs_bruteforce(
+        knn_brute_force(spark, sf_dir), knn_ivfpq_adc(spark, sf_dir)
+    )
+
+
+def knn_ivfpq_recall_oracle() -> str:
+    return _recall_oracle(knn_ivfpq_adc_oracle())
 
 
 # --------------------------------------------------------------------------
