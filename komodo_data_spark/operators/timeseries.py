@@ -193,6 +193,10 @@ def registry():
             events_rollup_merge,
             events_rollup_merge_oracle(),
         ),
+        "events_value_percentiles_hist": (
+            events_value_percentiles_hist,
+            events_value_percentiles_hist_oracle(),
+        ),
     }
 
 
@@ -288,4 +292,151 @@ def events_rollup_merge_oracle() -> str:
                 THEN sumsq / n_values - (sum_value / n_values)
                      * (sum_value / n_values) END AS var_pop_value
     FROM direct
+    """
+
+
+# --------------------------------------------------------------------------
+# fixed-grid value-histogram percentiles (mergeable quantile state)
+# --------------------------------------------------------------------------
+
+#: Fixed histogram grid for the events ``value`` domain. A FIXED grid is
+#: what makes the state exactly mergeable (bin counts add across partials
+#: with zero error — unlike t-digest/KLL whose merges drift), at the cost
+#: of a domain-knowledge choice: values above the top edge clamp into the
+#: last bin, so the grid must cover the monitored range (value spans
+#: [0, ~560] across every driver SF; 256 x 2.5 covers to 640 with room).
+#: Estimation error is bounded by ONE bin width (2.5) by construction
+#: AGAINST THE k-TH ORDER STATISTIC (the inverse-CDF quantile): v[k] and
+#: its estimate live in the same bin. The LINEARLY-INTERPOLATED
+#: percentile has no such bound in sparse tails — its bracket
+#: (v[k], v[k+1]) can span many empty bins (measured: click p99 at
+#: sf0.001 interpolates across an ~80-unit gap) — which is a property of
+#: that definition, not of the histogram; monitors read histogram
+#: quantiles as CDF-inverse points (the Prometheus histogram_quantile
+#: convention).
+VHIST_LO = 0.0
+VHIST_W = 2.5
+VHIST_BINS = 256
+
+#: The percentile panel every latency/metric monitor watches.
+VHIST_QS: dict[str, tuple[int, int]] = {
+    "p50": (1, 2),
+    "p90": (9, 10),
+    "p99": (99, 100),
+}
+
+
+def value_hist_partials(ev: DataFrame) -> DataFrame:
+    """THE mergeable quantile-state row: per (event_type, bin) value
+    counts on the fixed grid — shared by the batch percentile op below
+    and the streaming quantile store
+    (streaming/quantiles_incremental.py), so the two lifecycles persist
+    the same state shape (the ``hourly_partials`` rule)."""
+    b = F.floor((F.col("value") - F.lit(VHIST_LO)) / F.lit(VHIST_W))
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.least(
+                F.greatest(b, F.lit(0)), F.lit(VHIST_BINS - 1)
+            ).cast("int").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def percentiles_from_partials(partials: DataFrame) -> DataFrame:
+    """THE read-time fold: merge any number of (event_type, b, n) partial
+    rows (a bin may appear once per stream epoch) and interpolate the
+    VHIST_QS percentiles. Rank brackets use the exact integer arithmetic
+    of ``quantiles.exact_group_quantiles`` (k = ((n-1)·num) div den), so
+    the Spark op, the DuckDB oracle, and the Python test reference
+    compute bit-identical estimates; the estimate for fractional rank r
+    inside bin b is  lo + w·b + w·(r − cum_before)/n_b  — always within
+    the k-statistic's own bin, hence within one bin width of the exact
+    k-th order statistic (see the VHIST grid note on why the
+    INTERPOLATED percentile is the wrong yardstick in sparse tails).
+    State is |event_types| × ≤VHIST_BINS rows: window cost
+    at read time is nil and per-batch maintenance is one
+    map-side-combinable aggregate."""
+    hist = partials.groupBy("event_type", "b").agg(F.sum("n").alias("n"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.withColumn("cum", F.coalesce(F.sum("n").over(wc), F.lit(0)))
+    tot = hist.groupBy("event_type").agg(F.sum("n").alias("nn"))
+    h = hist.join(F.broadcast(tot), "event_type")
+    cols = []
+    for name, (num, den) in VHIST_QS.items():
+        klo = F.expr(f"((nn - 1) * {num}) div {den}")
+        frac = F.expr(f"((nn - 1) * {num}) % {den}").cast("double") / F.lit(
+            float(den)
+        )
+        inbin = (klo >= F.col("cum")) & (klo < F.col("cum") + F.col("n"))
+        est = (
+            F.lit(VHIST_LO)
+            + F.lit(VHIST_W) * F.col("b")
+            + F.lit(VHIST_W)
+            * (((klo - F.col("cum")).cast("double") + frac) / F.col("n"))
+        )
+        cols.append(F.min(F.when(inbin, est)).alias(name))
+    return h.groupBy("event_type").agg(
+        F.first("nn").alias("n_values"), *cols
+    ).orderBy("event_type")
+
+
+def events_value_percentiles_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type p50/p90/p99 from the fixed-grid value histogram —
+    the batch anchor of the streaming mergeable quantile store. The
+    histogram (not exact-sort) form is deliberately what's benchmarked:
+    it is the representation whose state merges exactly across stream
+    epochs, and its grid-resolution error bound (one bin width) is pinned
+    by test against the exact percentile.
+
+    Scale design: one map-side-combinable (event_type, bin) count over
+    the scan — no corpus sort, no per-group windows; the read-time
+    interpolation runs over |types| × 256 rows. The same two stages are
+    the per-batch write and the store read of the streaming twin."""
+    from komodo_data_spark.sources.tables import load_events
+
+    return percentiles_from_partials(
+        value_hist_partials(load_events(spark, sf_dir))
+    )
+
+
+def events_value_percentiles_hist_oracle() -> str:
+    q_cols = []
+    for name, (num, den) in VHIST_QS.items():
+        q_cols.append(
+            f"min(CASE WHEN ((nn - 1) * {num}) // {den} >= cum AND"
+            f" ((nn - 1) * {num}) // {den} < cum + n THEN"
+            f" {VHIST_LO} + {VHIST_W} * b + {VHIST_W} *"
+            f" (((((nn - 1) * {num}) // {den}) - cum)::DOUBLE +"
+            f" (((nn - 1) * {num}) % {den})::DOUBLE / {den}) / n"
+            f" END) AS {name}"
+        )
+    return f"""
+    WITH hist AS (
+      SELECT event_type,
+             least(greatest(floor((value - {VHIST_LO}) / {VHIST_W}), 0),
+                   {VHIST_BINS - 1})::INT AS b,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, b, n,
+             coalesce(sum(n) OVER (
+               PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS nn
+      FROM hist
+    )
+    SELECT event_type, max(nn)::BIGINT AS n_values, {", ".join(q_cols)}
+    FROM cum GROUP BY event_type ORDER BY event_type
     """

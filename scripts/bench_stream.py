@@ -401,6 +401,21 @@ def main(argv: list[str] | None = None) -> int:
     batches15 = progress_rows(q15)
     report["moments_store"] = {"batches": batches15, **flat_check(batches15)}
 
+    # --- stream 16: incremental quantile store (reuses events stage) -------
+    from komodo_data_spark.streaming.quantiles_incremental import (
+        start_value_quantile_stream,
+    )
+
+    q16 = start_value_quantile_stream(
+        spark, ev_src,
+        os.path.join(work, "quantile_store"),
+        os.path.join(work, "ckpt_quantiles"),
+        max_files_per_trigger=1,
+    )
+    q16.awaitTermination()
+    batches16 = progress_rows(q16)
+    report["quantile_store"] = {"batches": batches16, **flat_check(batches16)}
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",

@@ -2344,3 +2344,87 @@ def test_gates_fail_fast_without_published_store(spark, tmp_path):
             str(tmp_path / "keep"), str(tmp_path / "div"),
             str(tmp_path / "ckpt2"),
         )
+
+
+def test_quantile_stream_matches_batch_and_bounds_error(spark, sf_dir, tmp_path):
+    """Incremental quantile store == batch histogram-percentile op on the
+    same rows EXACTLY (fixed-grid counts merge with zero error; bins are
+    deliberately split across micro-batches), the grid-resolution error
+    vs the EXACT percentile is within one bin width as documented, replay
+    with the same checkpoint changes nothing, and the retention fold
+    preserves the readout exactly."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.timeseries import (
+        VHIST_QS,
+        VHIST_W,
+        events_value_percentiles_hist,
+        percentiles_from_partials,
+    )
+    from komodo_data_spark.sources.tables import load_events
+    from komodo_data_spark.streaming import quantiles_incremental as Q
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = tmp_path / "qtile_arrivals"
+    src.mkdir()
+    for i in range(2):  # every event_type lands in BOTH epochs -> merging
+        sl = ev.filter(F.col("event_id") % 2 == i)
+        sl.coalesce(1).write.parquet(str(src / f"stage_{i}"))
+        part = _glob.glob(str(src / f"stage_{i}" / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"file_{i}.parquet"))
+        shutil.rmtree(src / f"stage_{i}")
+
+    store = str(tmp_path / "qtile_store")
+    ck = str(tmp_path / "ckpt_qtile")
+    Q.start_value_quantile_stream(spark, str(src), store, ck).awaitTermination()
+
+    def by_type(df):
+        return {r["event_type"]: r for r in df.collect()}
+
+    got = by_type(Q.percentiles_from_store(spark, store))
+    exp = by_type(events_value_percentiles_hist(spark, sf_dir))
+    assert set(got) == set(exp) and got
+    for et, er in exp.items():
+        gr = got[et]
+        assert gr["n_values"] == er["n_values"], et
+        for c in VHIST_QS:
+            assert gr[c] == er[c], (et, c)  # EXACT: counts merge losslessly
+
+    # grid-resolution bound: every estimate within one bin width of the
+    # exact k-th ORDER STATISTIC (the inverse-CDF quantile — the
+    # interpolated percentile has no histogram bound in sparse tails;
+    # see the VHIST grid note)
+    vals_by_type: dict[str, list] = {}
+    for r in load_events(spark, sf_dir).select("event_type", "value").collect():
+        if r["value"] is not None:
+            vals_by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, gr in got.items():
+        vs = sorted(vals_by_type[et])
+        for c, (num, den) in VHIST_QS.items():
+            k_lo = ((len(vs) - 1) * num) // den
+            assert abs(gr[c] - vs[k_lo]) <= VHIST_W, (et, c, gr[c], vs[k_lo])
+
+    partials = spark.read.parquet(store)
+    assert partials.select("epoch_id").distinct().count() == 2
+    # bins genuinely split across epochs (the merge path is exercised)
+    assert (
+        partials.groupBy("event_type", "b").count()
+        .filter(F.col("count") > 1).count() > 0
+    )
+
+    # replay with the same checkpoint: store unchanged
+    n_rows = partials.count()
+    Q.start_value_quantile_stream(spark, str(src), store, ck).awaitTermination()
+    assert spark.read.parquet(store).count() == n_rows
+
+    # retention fold to one row per (type, bin): readout identical
+    folded = by_type(percentiles_from_partials(Q.compact_store(spark, store)))
+    assert set(folded) == set(got)
+    for et, gr in got.items():
+        for c in VHIST_QS:
+            assert folded[et][c] == gr[c]
