@@ -17,7 +17,7 @@ token-counting / fingerprinting layer a training-data pipeline needs
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from komodo_data_spark.plans import exploded
@@ -1052,6 +1052,10 @@ def registry():
         "text_bpe_merges": (
             text_bpe_merges,
             text_bpe_merges_oracle(),
+        ),
+        "text_unigram_lm": (
+            text_unigram_lm,
+            text_unigram_lm_oracle(),
         ),
         "text_nb_calibration": (
             text_nb_calibration,
@@ -2300,4 +2304,316 @@ def docs_perplexity_buckets_oracle() -> str:
                 WHEN s.avg_logprob < t.q_tail THEN 'tail'
                 ELSE 'middle' END AS bucket
     FROM s JOIN _eq_thr t USING (lang)
+    """
+
+
+# --------------------------------------------------------------------------
+# unigram-LM tokenizer (SentencePiece-style Viterbi-EM, fixed rounds)
+# --------------------------------------------------------------------------
+
+#: The OTHER public tokenizer family next to BPE (Kudo 2018 /
+#: SentencePiece): piece probabilities fit by EM, words segmented by the
+#: max-likelihood (Viterbi) path. Fixed shapes keep the plan finite and
+#: the oracle expressible: pieces are word substrings up to UNI_MAXP
+#: chars, words longer than UNI_MAXW are excluded from the fit (none
+#: exist in this corpus; at web scale they're URL/hash outliers a real
+#: recipe also drops), UNI_EM full Viterbi-EM rounds follow the seed.
+UNI_MAXP = 3
+UNI_MAXW = 16
+UNI_EM = 2
+UNI_TOP = 50
+#: Piece log-probabilities are QUANTIZED to integers (round(ln(p)·1e6))
+#: before the DP ever compares path scores. This is what makes the fit
+#: engine-exact: two segmentations whose true log-likelihoods coincide
+#: (symmetric counts do this on real corpora) compare as EQUAL integers
+#: on both engines and fall to the same deterministic tie-break (longer
+#: final piece), instead of hinging on which engine's libm ln() is an
+#: ulp higher. The 1e-6 nat resolution is far below any meaningful
+#: probability difference.
+UNI_SCALE = 1_000_000
+#: Integer -infinity for unreachable DP states / unknown pieces: deep
+#: enough that one poisoned step (> |NEG/2|) can never be repaired by
+#: real scores (|path| <= 16 pieces x ~3e7 quantized nats), shallow
+#: enough that 17 poisoned steps stay inside int64 (ANSI overflow-safe).
+UNI_NEG = -(10**15)
+
+
+def _uni_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted word vocabulary for the unigram fit — the same
+    'train on (word, count), never on raw docs' move as ``_bpe_fit``;
+    localCheckpointed because every EM round reads it."""
+    d = _docs(spark, sf_dir).select("doc_id", tokens().alias("toks"))
+    toks = exploded(d, F.col("toks"), "word", "doc_id")
+    return (
+        toks.filter(
+            (F.length("word") >= 1) & (F.length("word") <= UNI_MAXW)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _uni_substrings(words: DataFrame) -> DataFrame:
+    """(word, piece) pairs for every substring of length 1..UNI_MAXP at
+    every position (with multiplicity) — map-side explode."""
+    subs = F.flatten(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(UNI_MAXP)),
+                lambda l: l <= F.length("word"),
+            ),
+            lambda l: F.transform(
+                F.sequence(F.lit(1), F.length("word") - l + 1),
+                lambda s: F.substring(F.col("word"), s, l),
+            ),
+        )
+    )
+    return words.select("word", "cnt", F.explode(subs).alias("piece"))
+
+
+def _uni_viterbi(words_with_map: DataFrame) -> DataFrame:
+    """Row-local Viterbi over each word given its (piece -> quantized
+    score) map column ``m``: one ``aggregate`` fold over positions, dp
+    state = array of (score, tie-break, pieces-so-far). Unknown pieces
+    poison a path via the UNI_NEG sentinel (integer math only — no NULL
+    states, no float compares). Tie-break on equal scores: longer final
+    piece (max -j == max piece length at a fixed position)."""
+    word = F.col("word")
+
+    def step(acc, i):
+        def cand(j):
+            piece = F.substring(word, j + 1, i - j)
+            prev = F.element_at(acc, j + 1)
+            return F.struct(
+                (
+                    prev["sc"]
+                    + F.coalesce(
+                        F.element_at(F.col("m"), piece), F.lit(UNI_NEG)
+                    )
+                ).alias("sc"),
+                (-j).alias("nj"),
+                F.concat(prev["ps"], F.array(piece)).alias("ps"),
+            )
+
+        cands = F.transform(
+            F.sequence(F.greatest(i - F.lit(UNI_MAXP), F.lit(0)), i - 1),
+            cand,
+        )
+        return F.concat(acc, F.array(F.array_max(cands)))
+
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("sc"),
+            F.lit(0).alias("nj"),
+            F.array().cast("array<string>").alias("ps"),
+        )
+    )
+    dp = F.aggregate(F.sequence(F.lit(1), F.length(word)), init, step)
+    return (
+        words_with_map.select(
+            "word", "cnt", F.element_at(dp, F.length(word) + 1).alias("fin")
+        )
+        .filter(F.col("fin.sc") > F.lit(UNI_NEG // 2))
+        .select("word", "cnt", F.col("fin.ps").alias("ps"))
+    )
+
+
+def _uni_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round Viterbi-EM unigram-LM fit. Returns the final piece
+    table (piece, n_uses, score_q): usage counts from the last E-step,
+    quantized log-probs from the last M-step.
+
+    Scale design (the ``_bpe_fit`` discipline): ONE corpus-sized
+    explode+groupBy builds the weighted vocabulary; everything after is
+    vocab-bounded. Per EM round: broadcast the piece table into a
+    per-word score MAP (one vocab-sized join + collect_list — pieces a
+    word could use are its own <= 42 substrings), segment every word with
+    the single codegen'd DP expression (no per-position joins, no
+    iterative shuffles), explode the winning paths into corpus-weighted
+    usage counts, and re-score with Laplace smoothing over the FULL seed
+    piece set (+1/(tot+|P|)) so coverage never collapses — every word
+    stays segmentable in every round (single chars keep nonzero
+    probability). Loop-carried piece tables are localCheckpointed.
+    """
+    words = _uni_words(spark, sf_dir)
+    subs = _uni_substrings(words).localCheckpoint(eager=True)
+    seed = (
+        subs.groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot0 = seed.agg(F.sum("c").alias("tot"))
+    pieces = seed.crossJoin(F.broadcast(tot0)).select(
+        "piece",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("tot").cast("double"))
+            * UNI_SCALE
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    pair_universe = subs.select("word", "piece").distinct().localCheckpoint(
+        eager=True
+    )
+    out = None
+    for _ in range(UNI_EM):
+        m = (
+            pair_universe.join(F.broadcast(pieces), "piece")
+            .groupBy("word")
+            .agg(
+                F.map_from_entries(
+                    F.array_distinct(F.collect_list(F.struct("piece", "sq")))
+                ).alias("m")
+            )
+        )
+        seg = _uni_viterbi(words.join(m, "word"))
+        uses = (
+            exploded(seg, F.col("ps"), "piece", "cnt")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("n_uses"))
+        )
+        tot = uses.agg(F.sum("n_uses").alias("tot"))
+        np_ = seed.agg(F.count(F.lit(1)).alias("np"))
+        pieces = (
+            seed.select("piece")
+            .join(uses, "piece", "left")
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(np_))
+            .select(
+                "piece",
+                F.coalesce("n_uses", F.lit(0)).alias("n_uses"),
+                F.round(
+                    F.log(
+                        (F.coalesce("n_uses", F.lit(0)) + 1).cast("double")
+                        / (F.col("tot") + F.col("np")).cast("double")
+                    )
+                    * UNI_SCALE
+                )
+                .cast("long")
+                .alias("sq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = pieces
+    return out
+
+
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a SentencePiece-style unigram-LM tokenizer (fixed-round
+    Viterbi-EM over a substring seed vocabulary, corpus-weighted) and
+    report the UNI_TOP most-used pieces: (rank, piece, n_uses, score_q).
+    The BPE trainer's sibling — the two public tokenizer families ship
+    side by side, trained from the same weighted vocabulary discipline.
+    Output is integers + strings only (scores stay in their quantized
+    integer form), so oracle comparison is exact by construction."""
+    pieces = _uni_fit(spark, sf_dir)
+    top = (
+        pieces.filter(F.col("n_uses") > 0)
+        .orderBy(F.desc("n_uses"), F.asc("piece"))
+        .limit(UNI_TOP)
+    )
+    w = Window.orderBy(F.desc("n_uses"), F.asc("piece"))
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "piece",
+        "n_uses",
+        F.col("sq").alias("score_q"),
+    )
+
+
+def _uni_sql_dp(tag: str, pieces_cte: str) -> str:
+    """Recursive-CTE Viterbi over ``words`` given a piece table CTE —
+    deliberately a DIFFERENT algorithm shape than the Spark fold (a
+    sliding window of the last UNI_MAXP dp states carried across
+    recursion steps) so the oracle checks semantics, not the plan.
+    Emits ``dp{tag}`` and ``seg{tag}`` (word, cnt, ps)."""
+    neg = UNI_NEG
+    return f"""
+    dp{tag} AS (
+      SELECT word, cnt, length(word) AS wl, 0 AS i,
+             0::BIGINT AS sc0, []::VARCHAR[] AS ps0,
+             {neg}::BIGINT AS sc1, []::VARCHAR[] AS ps1,
+             {neg}::BIGINT AS sc2, []::VARCHAR[] AS ps2
+      FROM words
+      UNION ALL
+      SELECT word, cnt, wl, i + 1,
+             best['sc'], best['ps'],
+             sc0, ps0,
+             sc1, ps1
+      FROM (
+        SELECT d.word, d.cnt, d.wl, d.i,
+               list_max([
+                 {{'sc': d.sc0 + coalesce(p1.sq, {neg}), 'l': 1,
+                   'ps': list_append(d.ps0, substr(d.word, d.i + 1, 1))}},
+                 {{'sc': d.sc1 + coalesce(p2.sq, {neg}), 'l': 2,
+                   'ps': list_append(d.ps1, substr(d.word, d.i, 2))}},
+                 {{'sc': d.sc2 + coalesce(p3.sq, {neg}), 'l': 3,
+                   'ps': list_append(d.ps2, substr(d.word, d.i - 1, 3))}}
+               ]) AS best,
+               d.sc0, d.ps0, d.sc1, d.ps1
+        FROM dp{tag} d
+        LEFT JOIN {pieces_cte} p1 ON p1.piece = substr(d.word, d.i + 1, 1)
+        LEFT JOIN {pieces_cte} p2
+          ON d.i >= 1 AND p2.piece = substr(d.word, d.i, 2)
+        LEFT JOIN {pieces_cte} p3
+          ON d.i >= 2 AND p3.piece = substr(d.word, d.i - 1, 3)
+        WHERE d.i < d.wl
+      )
+    ),
+    seg{tag} AS (
+      SELECT word, cnt, ps0 AS ps FROM dp{tag}
+      WHERE i = wl AND sc0 > {neg // 2}
+    )"""
+
+
+def text_unigram_lm_oracle() -> str:
+    t = sql_tokens()
+    rounds = []
+    prev_pieces = "p0"
+    for r in range(UNI_EM):
+        rounds.append(_uni_sql_dp(str(r), prev_pieces))
+        rounds.append(f"""
+    use{r} AS (
+      SELECT u.p AS piece, sum(cnt) AS n_uses
+      FROM seg{r}, unnest(ps) AS u(p) GROUP BY 1
+    ),
+    p{r + 1} AS (
+      SELECT s.piece, coalesce(u.n_uses, 0) AS n_uses,
+             round(ln((coalesce(u.n_uses, 0) + 1)::DOUBLE /
+                      ((SELECT sum(n_uses) FROM use{r})
+                       + (SELECT count(*) FROM seedc))::DOUBLE)
+                   * {UNI_SCALE})::BIGINT AS sq
+      FROM (SELECT DISTINCT piece FROM seedc) s
+      LEFT JOIN use{r} u USING (piece)
+    )""")
+        prev_pieces = f"p{r + 1}"
+    return f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, {t} AS toks FROM documents),
+    words AS (
+      SELECT w AS word, count(*) AS cnt
+      FROM d, unnest(toks) AS u(w)
+      WHERE length(w) >= 1 AND length(w) <= {UNI_MAXW}
+      GROUP BY 1
+    ),
+    seedc AS (
+      SELECT substr(w.word, s.s, l.l) AS piece, sum(w.cnt) AS c
+      FROM words w,
+           unnest(range(1, {UNI_MAXP} + 1)) AS l(l),
+           unnest(range(1, length(w.word) - l.l + 2)) AS s(s)
+      GROUP BY 1
+    ),
+    p0 AS (
+      SELECT piece,
+             round(ln(c::DOUBLE / (SELECT sum(c)::DOUBLE FROM seedc))
+                   * {UNI_SCALE})::BIGINT AS sq
+      FROM seedc
+    ),{",".join(rounds)}
+    SELECT row_number() OVER (ORDER BY n_uses DESC, piece ASC) AS rank,
+           piece, n_uses::BIGINT AS n_uses, sq AS score_q
+    FROM p{UNI_EM}
+    WHERE n_uses > 0
+    ORDER BY n_uses DESC, piece ASC
+    LIMIT {UNI_TOP}
     """

@@ -374,3 +374,40 @@ def test_label_metrics_hand_computed(spark, tmp_path):
         1 / math.log2(2) + 1 / math.log2(3)
     )
     assert abs(b1["ndcg_at_k"] - want) < 1e-12
+
+
+def test_unigram_lm_hand_computed(spark, tmp_path):
+    """Two-round Viterbi-EM on corpora small enough to run by hand.
+
+    Corpus A: two 'aaaa' words. Seed counts (weighted, all positions):
+    a=8, aa=6, aaa=4, total 18. Viterbi over 'aaaa': aa+aa = 2*ln(6/18)
+    = -2.197 beats aaa+a (-2.315) and a*4 (-3.24) -> uses: aa = 2 words
+    * 2 pieces = 4. M-step (Laplace over the 3 seed pieces): aa ->
+    ln(5/7), a and aaa -> ln(1/7). Round 2 re-segments identically
+    (aa+aa = 2*ln(5/7) still wins), so the output is the single used
+    piece 'aa' with n_uses 4 and score_q = round(ln(5/7)*1e6).
+
+    Corpus B: words 'ab' and 'cd' once each. All 6 seed pieces tie at
+    c=1; one-piece paths win (ln(1/6) > 2*ln(1/6)), so uses are ab=1,
+    cd=1 and both score round(ln(2/8)*1e6) after smoothing (tot=2, P=6).
+    """
+    import math
+
+    from komodo_data_spark.operators.text_analysis import text_unigram_lm
+
+    sf = _write_docs(tmp_path, ["aaaa aaaa"])
+    rows = text_unigram_lm(spark, sf).collect()
+    assert [(r["rank"], r["piece"], r["n_uses"]) for r in rows] == [
+        (1, "aa", 4)
+    ]
+    assert rows[0]["score_q"] == round(math.log(5 / 7) * 1_000_000)
+
+    sf2 = _write_docs(tmp_path, ["ab cd"])
+    rows2 = text_unigram_lm(spark, sf2).collect()
+    assert [(r["rank"], r["piece"], r["n_uses"]) for r in rows2] == [
+        (1, "ab", 1),
+        (2, "cd", 1),
+    ]
+    assert {r["score_q"] for r in rows2} == {
+        round(math.log(2 / 8) * 1_000_000)
+    }
