@@ -162,6 +162,10 @@ def registry():
             events_welch_ttest,
             events_welch_ttest_oracle(),
         ),
+        "events_cusum_changepoint": (
+            events_cusum_changepoint,
+            events_cusum_changepoint_oracle(),
+        ),
     }
 
 
@@ -385,4 +389,107 @@ def events_welch_ttest_oracle() -> str:
              / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
                 + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df_welch
     FROM m
+    """
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint localization (WHEN did the level shift)
+# --------------------------------------------------------------------------
+
+_CUSUM_DAY_MS = 86_400_000
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type, WHERE the value level shifted: the classic CUSUM
+    localization statistic — cumulative sum of deviations from the grand
+    mean over the time-ordered daily series, with the changepoint at the
+    |cusum| peak (Page 1954; for a single level shift the peak of
+    S_d = Σ_{d'<=d}(x_d' − μ̂) is the maximum-likelihood split point).
+    Completes the drift family: PSI says how much the distribution moved,
+    KS says whether, this says WHEN. Output per type: the changepoint
+    day, the signed cusum there, its magnitude, and the series length.
+
+    Scale design: the corpus collapses to (type, day) partial sums via
+    ONE map-side-combinable hash aggregate (the bucket-prefix move — days
+    are the buckets); the running sum and the arg-max are windows/aggs
+    over the tiny |types|×|days| frame, so no corpus-wide or per-type
+    sort ever exists. The grand mean is derived from the partials
+    themselves (one more tiny agg, broadcast back). Determinism: the
+    arg-max tie-breaks to the EARLIEST day via max_by on
+    (|cusum|, -day).
+    """
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type",
+        (F.floor(F.col("ts_ms") / F.lit(_CUSUM_DAY_MS)) * _CUSUM_DAY_MS).alias(
+            "day_ms"
+        ),
+    ).agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("s").alias("tot_s"),
+        F.sum("n").alias("tot_n"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "dev",
+            F.col("s") - F.col("n") * (F.col("tot_s") / F.col("tot_n")),
+        )
+        .withColumn("cusum", F.sum("dev").over(w))
+    )
+    best = F.max_by(
+        F.struct(F.col("day_ms"), F.col("cusum")),
+        F.struct(F.abs("cusum").alias("a"), (-F.col("day_ms")).alias("nd")),
+    ).alias("b")
+    return (
+        c.groupBy("event_type")
+        .agg(best, F.first("n_days").alias("n_days"))
+        .select(
+            "event_type",
+            F.col("b.day_ms").alias("cp_day_ms"),
+            F.col("b.cusum").alias("cusum_at_cp"),
+            F.abs(F.col("b.cusum")).alias("max_abs_cusum"),
+            "n_days",
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_cusum_changepoint_oracle() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT event_type,
+             (epoch_ms(ts) // {_CUSUM_DAY_MS}) * {_CUSUM_DAY_MS} AS day_ms,
+             sum(value) AS s, count(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(s) AS tot_s, sum(n) AS tot_n,
+             count(*) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    c AS (
+      SELECT d.event_type, d.day_ms, t.n_days,
+             sum(d.s - d.n * (t.tot_s / t.tot_n)) OVER (
+               PARTITION BY d.event_type ORDER BY d.day_ms
+               ROWS UNBOUNDED PRECEDING
+             ) AS cusum
+      FROM daily d JOIN tot t USING (event_type)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY abs(cusum) DESC, day_ms ASC
+      ) AS rn
+      FROM c
+    )
+    SELECT event_type, day_ms AS cp_day_ms, cusum AS cusum_at_cp,
+           abs(cusum) AS max_abs_cusum, n_days::BIGINT AS n_days
+    FROM ranked WHERE rn = 1 ORDER BY event_type
     """

@@ -1214,3 +1214,80 @@ def test_rollup_merge_matches_python_direct(spark, rows):
                 assert g[c] is None, (day, c)
             else:
                 assert abs(g[c] - e[c]) < 1e-9, (day, c)
+
+
+def py_cusum_changepoint(rows):
+    """Pure-Python CUSUM localization mirroring the engine's exact op
+    order: daily (sum, n) partials in day order, grand mean once, running
+    sum of deviations, arg-max |cusum| with earliest-day tie-break.
+    Returns (cp_day_ms, cusum_at_cp, n_days)."""
+    from collections import defaultdict
+
+    DAY = 86_400_000
+    daily = defaultdict(lambda: [0.0, 0])
+    for ts_ms, v in rows:
+        d = (ts_ms // DAY) * DAY
+        daily[d][0] += v
+        daily[d][1] += 1
+    tot_s = sum(s for s, _ in daily.values())
+    tot_n = sum(n for _, n in daily.values())
+    mu = tot_s / tot_n
+    best = None
+    cusum = 0.0
+    for day in sorted(daily):
+        s, n = daily[day]
+        cusum += s - n * mu
+        key = (abs(cusum), -day)
+        if best is None or key > best[0]:
+            best = (key, day, cusum)
+    return best[1], best[2], len(daily)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4 * 86_400_000 - 1),  # ts_ms
+            st.integers(min_value=-50, max_value=50),  # integer-valued
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cusum_changepoint_matches_python(spark, rows):
+    """events_cusum_changepoint == the direct Python CUSUM on arbitrary
+    rows across 4 days. Integer values make every partial sum exactly
+    representable, so the comparison is exact (the one division — the
+    grand mean — is performed identically on both sides), including the
+    arg-max day under the earliest-day tie-break that symmetric integer
+    data actually exercises."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from komodo_data_spark.operators.stats_ops import events_cusum_changepoint
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(1, len(rows) + 1),
+            "ts": pd.to_datetime([r[0] for r in rows], unit="ms").astype(
+                "datetime64[us]"
+            ),
+            "user_id": [1] * len(rows),
+            "event_type": ["view"] * len(rows),
+            "value": [float(r[1]) for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf.to_parquet(os.path.join(tmp, "events.parquet"))
+        out = events_cusum_changepoint(spark, tmp).collect()
+    assert len(out) == 1
+    got = out[0]
+    cp_day, cusum_at, n_days = py_cusum_changepoint(rows)
+    assert got["cp_day_ms"] == cp_day
+    assert got["n_days"] == n_days
+    assert abs(got["cusum_at_cp"] - cusum_at) < 1e-9
+    assert abs(got["max_abs_cusum"] - abs(cusum_at)) < 1e-9
