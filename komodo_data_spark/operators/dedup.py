@@ -424,15 +424,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents").withColumn("toks", tokens())
     sig = _simhash_signatures(d)
+    return simhash_pigeonhole_pairs(sig)
+
+
+def simhash_pigeonhole_pairs(
+    sig: DataFrame, bits: int = SIMHASH_BITS, hmax: int = HAMMING_MAX
+) -> DataFrame:
+    """All (doc_i, doc_j, hamming<=hmax) pairs from a (doc_id, simhash)
+    frame WITHOUT an all-pairs join — shared by the text near-dup detector
+    above and the media near-dup detector
+    (multimodal_ops.media_simhash_pairs), so every SimHash consumer gets
+    the same banding plan."""
     # Pigeonhole candidate generation: split the signature into
     # HAMMING_MAX+1 segments — ≤ HAMMING_MAX differing bits cannot touch all
     # segments, so every qualifying pair agrees on ≥ 1 segment. That turns
     # the quadratic nested-loop into an equi-join on (segment_id, value),
     # which Catalyst plans as a shuffled hash join: linear scan + one
     # shuffle, candidates verified with the exact Hamming distance.
-    n_seg = HAMMING_MAX + 1
-    widths = [SIMHASH_BITS // n_seg] * n_seg
-    widths[-1] += SIMHASH_BITS % n_seg
+    n_seg = hmax + 1
+    widths = [bits // n_seg] * n_seg
+    widths[-1] += bits % n_seg
     seg_cols, off = [], 0
     for sid, w in enumerate(widths):
         seg_cols.append(
@@ -485,7 +496,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hamming",
             F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j"))),
         )
-        .filter(F.col("hamming") <= HAMMING_MAX)
+        .filter(F.col("hamming") <= hmax)
         .select("doc_i", "doc_j", "hamming")
     )
 

@@ -283,6 +283,10 @@ def registry():
             media_metadata_arrow_oracle(),
         ),
         "media_frame_dedup": (media_frame_dedup, media_frame_dedup_oracle()),
+        "media_simhash_pairs": (
+            media_simhash_pairs,
+            media_simhash_pairs_oracle(),
+        ),
     }
 
 
@@ -475,4 +479,96 @@ def media_frame_dedup_oracle() -> str:
              AS dup_frame_frac
     FROM per_doc p LEFT JOIN dpd d ON d.doc_id = p.doc_id
     ORDER BY p.doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# fuzzy media dedup: SimHash over sampled-frame byte 4-grams
+# --------------------------------------------------------------------------
+
+MEDIA_GRAM = 4  # byte n-gram width for the frame-content fingerprint
+
+
+def media_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate media pairs — the fuzzy upgrade of
+    ``media_frame_dedup``, which catches only byte-identical frames and
+    lets re-encoded / offset payloads slip through. Each media item is
+    fingerprinted by a 32-bit SimHash over the byte 4-grams of its
+    SAMPLED frames (same frame grid as ``media_frame_samples``: 64-byte
+    chunks, every FRAME_STRIDEth), so payloads sharing most local byte
+    content land within Hamming distance HAMMING_MAX even when bytes
+    shift or a few frames differ; pairs come from the shared pigeonhole
+    segment join (``dedup.simhash_pigeonhole_pairs``) — an equi-join on
+    (segment, value), never all-pairs.
+
+    Byte/char note: payloads here are UTF-8 of ASCII text (module
+    docstring), so byte 4-grams are exactly char 4-grams and the DuckDB
+    oracle mirrors the byte math with substr. Scale design: gram
+    extraction and the per-bit votes are one map stage over the scan
+    (the ``_simhash_signatures`` exploded-vote form, md5 computed once
+    per gram); the only shuffles are the vote aggregate and the
+    segment-key candidate join — the text detector's plan, pointed at
+    frame bytes.
+    """
+    from komodo_data_spark.operators.dedup import (
+        _simhash_signatures,
+        simhash_pigeonhole_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    n_frames = F.ceil(F.length("text") / F.lit(float(FRAME_BYTES)))
+    chunk_of = lambda fi: F.substring(  # noqa: E731
+        F.col("text"), fi * FRAME_BYTES + 1, FRAME_BYTES
+    )
+    grams_of = lambda chunk: F.when(  # noqa: E731
+        F.length(chunk) >= MEDIA_GRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.length(chunk) - (MEDIA_GRAM - 1)),
+            lambda s: F.substring(chunk, s, MEDIA_GRAM),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STRIDE)),
+            lambda fi: grams_of(chunk_of(fi)),
+        )
+    )
+    sig = _simhash_signatures(
+        d.withColumn("toks", toks).filter(F.size("toks") > 0)
+    )
+    return simhash_pigeonhole_pairs(sig)
+
+
+def media_simhash_pairs_oracle() -> str:
+    from komodo_data_spark.operators.dedup import HAMMING_MAX, SIMHASH_BITS
+    from komodo_data_spark.functions.text_features import sql_simhash
+
+    sh = sql_simhash("grams", SIMHASH_BITS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             ceil(length(text) / {FRAME_BYTES}.0)::BIGINT AS n_frames
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    ch AS (
+      SELECT doc_id, substr(text, fi * {FRAME_BYTES} + 1, {FRAME_BYTES})
+               AS chunk
+      FROM d, unnest(range(0, n_frames, {FRAME_STRIDE})) AS t(fi)
+    ),
+    gr AS (
+      SELECT doc_id, substr(chunk, s.s, {MEDIA_GRAM}) AS gram
+      FROM ch,
+           unnest(range(1, greatest(length(chunk) - {MEDIA_GRAM - 1}, 0) + 1))
+             AS s(s)
+    ),
+    sig AS (
+      SELECT doc_id, {sh} AS simhash
+      FROM (SELECT doc_id, list(gram) AS grams FROM gr GROUP BY doc_id)
+    )
+    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     """
