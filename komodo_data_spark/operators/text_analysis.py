@@ -1057,6 +1057,10 @@ def registry():
             text_unigram_lm,
             text_unigram_lm_oracle(),
         ),
+        "text_unigram_apply": (
+            text_unigram_apply,
+            text_unigram_apply_oracle(),
+        ),
         "text_nb_calibration": (
             text_nb_calibration,
             text_nb_calibration_oracle(),
@@ -2574,11 +2578,11 @@ def text_unigram_lm_oracle() -> str:
     for r in range(UNI_EM):
         rounds.append(_uni_sql_dp(str(r), prev_pieces))
         rounds.append(f"""
-    use{r} AS (
+    use{r} AS MATERIALIZED (
       SELECT u.p AS piece, sum(cnt) AS n_uses
       FROM seg{r}, unnest(ps) AS u(p) GROUP BY 1
     ),
-    p{r + 1} AS (
+    p{r + 1} AS MATERIALIZED (
       SELECT s.piece, coalesce(u.n_uses, 0) AS n_uses,
              round(ln((coalesce(u.n_uses, 0) + 1)::DOUBLE /
                       ((SELECT sum(n_uses) FROM use{r})
@@ -2591,20 +2595,20 @@ def text_unigram_lm_oracle() -> str:
     return f"""
     WITH RECURSIVE
     d AS (SELECT doc_id, {t} AS toks FROM documents),
-    words AS (
+    words AS MATERIALIZED (
       SELECT w AS word, count(*) AS cnt
       FROM d, unnest(toks) AS u(w)
       WHERE length(w) >= 1 AND length(w) <= {UNI_MAXW}
       GROUP BY 1
     ),
-    seedc AS (
+    seedc AS MATERIALIZED (
       SELECT substr(w.word, s.s, l.l) AS piece, sum(w.cnt) AS c
       FROM words w,
            unnest(range(1, {UNI_MAXP} + 1)) AS l(l),
            unnest(range(1, length(w.word) - l.l + 2)) AS s(s)
       GROUP BY 1
     ),
-    p0 AS (
+    p0 AS MATERIALIZED (
       SELECT piece,
              round(ln(c::DOUBLE / (SELECT sum(c)::DOUBLE FROM seedc))
                    * {UNI_SCALE})::BIGINT AS sq
@@ -2616,4 +2620,66 @@ def text_unigram_lm_oracle() -> str:
     WHERE n_uses > 0
     ORDER BY n_uses DESC, piece ASC
     LIMIT {UNI_TOP}
+    """
+
+
+def text_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram LM to the corpus: per document, the word
+    count and the EXACT token count under the final fitted piece
+    probabilities — the ``text_bpe_train_apply`` twin for the other
+    tokenizer family, so packing/budget planning can price both
+    tokenizers on the same corpus. One more Viterbi pass under the FINAL
+    piece table (what ships to inference) segments the distinct-word
+    vocabulary; application is a broadcast join of (word -> n_pieces)
+    onto the exploded corpus tokens + a per-doc sum — the corpus is never
+    segmented row by row. Words outside the fit's [1, UNI_MAXW] length
+    band carry no segmentation and are skipped identically on both
+    engines (none exist in this corpus).
+    """
+    pieces = _uni_fit(spark, sf_dir)
+    words = _uni_words(spark, sf_dir)
+    m = (
+        _uni_substrings(words)
+        .select("word", "piece")
+        .distinct()
+        .join(F.broadcast(pieces.select("piece", "sq")), "piece")
+        .groupBy("word")
+        .agg(
+            F.map_from_entries(
+                F.array_distinct(F.collect_list(F.struct("piece", "sq")))
+            ).alias("m")
+        )
+    )
+    fitted = _uni_viterbi(words.join(m, "word")).select(
+        "word", F.size("ps").alias("n_pieces")
+    )
+    d = _docs(spark, sf_dir).select("doc_id", tokens().alias("toks"))
+    toks = exploded(d, F.col("toks"), "word", "doc_id")
+    return (
+        toks.join(F.broadcast(fitted), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_uni_tokens"),
+        )
+    )
+
+
+def text_unigram_apply_oracle() -> str:
+    t = sql_tokens()
+    # the full fit chain from the trainer's oracle, then one more Viterbi
+    # under the FINAL piece table and a per-doc rollup
+    fit = text_unigram_lm_oracle().split("SELECT row_number()")[0].rstrip()
+    fit = fit.rstrip(",")
+    return f"""
+    {fit},{_uni_sql_dp("F", f"p{UNI_EM}")},
+    fitted AS (SELECT word, len(ps) AS n_pieces FROM segF),
+    dtoks AS (
+      SELECT doc_id, u.w AS word
+      FROM (SELECT doc_id, {t} AS toks FROM documents), unnest(toks) AS u(w)
+    )
+    SELECT d.doc_id, count(*) AS n_words,
+           CAST(sum(f.n_pieces) AS BIGINT) AS n_uni_tokens
+    FROM dtoks d JOIN fitted f USING (word)
+    GROUP BY d.doc_id
     """
