@@ -238,4 +238,78 @@ def registry():
             orders_group_fingerprint,
             orders_group_fingerprint_oracle(),
         ),
+        "orders_benford_digits": (
+            orders_benford_digits,
+            orders_benford_digits_oracle(),
+        ),
     }
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (numeric data-quality profiling)
+# --------------------------------------------------------------------------
+
+
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic fabricated-/corrupted-numeric-column detector a
+    profiling suite ships: organically-grown monetary amounts follow
+    P(d) = log10(1 + 1/d); a generator bug, unit mixup, or synthetic
+    fill shows up as a flat or spiked digit histogram long before any
+    downstream model does. Output per digit: count, observed vs expected
+    fraction, and the chi-square term (sum them for the test statistic).
+
+    Engine-exactness: the first digit comes from INTEGER string math —
+    price cast to DECIMAL(18,2) cents, then the first character of the
+    integer's decimal rendering — never floor(log10(x)), whose float
+    rounding flips at powers of ten. One map-side-combinable digit
+    aggregate over the scan; the 9-row result needs no further care.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    per_digit = (
+        o.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tot = per_digit.agg(F.sum("n_orders").alias("tot"))
+    exp_frac = F.log10(1.0 + 1.0 / F.col("digit"))
+    exp_n = exp_frac * F.col("tot")
+    return (
+        per_digit.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            (F.col("n_orders").cast("double") / F.col("tot")).alias(
+                "obs_frac"
+            ),
+            exp_frac.alias("exp_frac"),
+            (
+                (F.col("n_orders").cast("double") - exp_n)
+                * (F.col("n_orders").cast("double") - exp_n)
+                / exp_n
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def orders_benford_digits_oracle() -> str:
+    return """
+    WITH per_digit AS (
+      SELECT CAST(substr(((CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT)::VARCHAR, 1, 1) AS INT) AS digit,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tot FROM per_digit)
+    SELECT digit, n_orders,
+           n_orders::DOUBLE / tot AS obs_frac,
+           log10(1.0 + 1.0 / digit) AS exp_frac,
+           (n_orders::DOUBLE - log10(1.0 + 1.0 / digit) * tot)
+             * (n_orders::DOUBLE - log10(1.0 + 1.0 / digit) * tot)
+             / (log10(1.0 + 1.0 / digit) * tot) AS chi2_term
+    FROM per_digit CROSS JOIN tot
+    ORDER BY digit
+    """

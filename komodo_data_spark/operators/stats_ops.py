@@ -166,6 +166,10 @@ def registry():
             events_cusum_changepoint,
             events_cusum_changepoint_oracle(),
         ),
+        "events_mannwhitney_u": (
+            events_mannwhitney_u,
+            events_mannwhitney_u_oracle(),
+        ),
     }
 
 
@@ -492,4 +496,155 @@ def events_cusum_changepoint_oracle() -> str:
     SELECT event_type, day_ms AS cp_day_ms, cusum AS cusum_at_cp,
            abs(cusum) AS max_abs_cusum, n_days::BIGINT AS n_days
     FROM ranked WHERE rn = 1 ORDER BY event_type
+    """
+
+
+# --------------------------------------------------------------------------
+# Mann–Whitney U (rank-based two-sample test, tie-corrected)
+# --------------------------------------------------------------------------
+
+#: |z| threshold for the two-sided 5% significance readout.
+MWU_Z_95 = 1.959963984540054
+
+
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann–Whitney U between the value distributions of the
+    two KS event types — the RANK-based member of the two-sample family
+    (Welch compares means, KS compares CDFs, U compares stochastic order;
+    it's the test of record when values are heavy-tailed and a mean is
+    meaningless). Output: sample sizes, both U statistics, the normal
+    approximation's mean/sd, z, and the 5% two-sided verdict.
+
+    Scale design: midranks never materialize per row — one hash aggregate
+    collapses the corpus to per-DISTINCT-VALUE (n_a, n_b) counts, then
+    the rank prefix runs over that tie-group frame with the same
+    two-stage bucket-prefix shape as ``events_ks_test`` (value buckets
+    refine value order; every window is bucket-partitioned). Everything
+    up to the final z is INTEGER arithmetic — rank sums are kept doubled
+    (2·R is always integral even with .5 midranks) and the tie-correction
+    Σ(t³−t) is exact — so both engines agree bit-for-bit on U and only
+    the last sqrt/division is floating point.
+    """
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(
+            F.col("event_type").isin(KS_GROUP_A, KS_GROUP_B)
+            & F.col("value").isNotNull()
+        )
+        .select("event_type", "value")
+    )
+    per_value = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == KS_GROUP_A).cast("long")).alias("na"),
+        F.sum((F.col("event_type") == KS_GROUP_B).cast("long")).alias("nb"),
+    ).withColumn("bucket", F.floor(F.col("value") / F.lit(KS_BUCKET_WIDTH)))
+    bstats = per_value.groupBy("bucket").agg(
+        (F.sum("na") + F.sum("nb")).alias("bn")
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bstats = bstats.select(
+        "bucket", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("cumb")
+    )
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col("na") + F.col("nb")
+    ranked = per_value.join(F.broadcast(bstats), "bucket").select(
+        "na",
+        "nb",
+        t.alias("t"),
+        # rows strictly below this tie group, corpus-wide
+        (F.col("cumb") + F.coalesce(F.sum(t).over(wv), F.lit(0))).alias(
+            "below"
+        ),
+    )
+    # doubled midrank of the tie group = 2·below + t + 1 (integral)
+    agg = ranked.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(F.col("na") * (2 * F.col("below") + F.col("t") + 1)).alias(
+            "r2_a"
+        ),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie3"
+        ),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    u2_a = F.col("r2_a") - n_a * (n_a + 1)  # 2·U_a, exact bigint
+    u2_b = 2 * n_a * n_b - u2_a
+    mu2 = n_a * n_b  # 2·mean of U
+    var = (
+        n_a.cast("double")
+        * n_b.cast("double")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tie3").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    z = (u2_a - mu2).cast("double") / (2.0 * F.sqrt(var))
+    return agg.select(
+        "n_a",
+        "n_b",
+        (u2_a.cast("double") / 2.0).alias("u_a"),
+        (u2_b.cast("double") / 2.0).alias("u_b"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(MWU_Z_95)).alias("significant_95"),
+    )
+
+
+def events_mannwhitney_u_oracle() -> str:
+    return f"""
+    WITH ev AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+        AND value IS NOT NULL
+    ),
+    per_value AS (
+      SELECT value,
+             CAST(sum(CASE WHEN event_type = '{KS_GROUP_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN event_type = '{KS_GROUP_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             floor(value / {KS_BUCKET_WIDTH}) AS bucket
+      FROM ev GROUP BY value
+    ),
+    bstats AS (
+      SELECT bucket,
+             coalesce(CAST(sum(sum(na) + sum(nb)) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS cumb
+      FROM per_value GROUP BY bucket
+    ),
+    ranked AS (
+      SELECT p.na, p.nb, p.na + p.nb AS t,
+             b.cumb + coalesce(CAST(sum(p.na + p.nb) OVER (
+               PARTITION BY p.bucket ORDER BY p.value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS below
+      FROM per_value p JOIN bstats b USING (bucket)
+    ),
+    agg AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+             CAST(sum(na * (2 * below + t + 1)) AS BIGINT) AS r2_a,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+      FROM ranked
+    )
+    SELECT n_a, n_b,
+           (r2_a - n_a * (n_a + 1)) / 2.0 AS u_a,
+           (2 * n_a * n_b - (r2_a - n_a * (n_a + 1))) / 2.0 AS u_b,
+           ((r2_a - n_a * (n_a + 1)) - n_a * n_b)::DOUBLE
+             / (2.0 * sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+                 * ((n_a + n_b + 1)::DOUBLE
+                    - tie3::DOUBLE / ((n_a + n_b)::DOUBLE
+                                      * (n_a + n_b - 1)::DOUBLE)))) AS z,
+           abs(((r2_a - n_a * (n_a + 1)) - n_a * n_b)::DOUBLE
+             / (2.0 * sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+                 * ((n_a + n_b + 1)::DOUBLE
+                    - tie3::DOUBLE / ((n_a + n_b)::DOUBLE
+                                      * (n_a + n_b - 1)::DOUBLE)))))
+             > {MWU_Z_95} AS significant_95
+    FROM agg
     """

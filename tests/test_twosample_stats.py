@@ -85,3 +85,36 @@ def test_welch_ttest_hand_computed(spark, tmp_path):
     assert abs(r["var_b"] - 2.0) < 1e-12
     assert abs(r["t_stat"] - (-(3 ** 0.5) / 2)) < 1e-12
     assert abs(r["df_welch"] - 32.0 / 19.0) < 1e-12
+
+
+def test_mannwhitney_u_hand_computed(spark, tmp_path):
+    """A = {1, 2, 3} (click), B = {2, 3, 4} (purchase): pooled midranks
+    are 1 / 2.5 / 2.5 / 4.5 / 4.5 / 6, so R_A = 1 + 2.5 + 4.5 = 8 and
+    U_A = R_A - 3*4/2 = 2, U_B = 9 - 2 = 7. Tie correction: two tie
+    groups of size 2 -> sum(t^3 - t) = 12; var = (9/12)*(7 - 12/30)
+    = 4.95, z = (2 - 4.5)/sqrt(4.95) = -1.1237...; not significant at
+    5%. Other event types in the table must be ignored."""
+    import math
+
+    from komodo_data_spark.operators.stats_ops import (
+        KS_GROUP_A,
+        KS_GROUP_B,
+        events_mannwhitney_u,
+    )
+
+    rows = [
+        (1, KS_GROUP_A, 1.0),
+        (2, KS_GROUP_A, 2.0),
+        (3, KS_GROUP_A, 3.0),
+        (4, KS_GROUP_B, 2.0),
+        (5, KS_GROUP_B, 3.0),
+        (6, KS_GROUP_B, 4.0),
+        (7, "view", 99.0),  # ignored
+    ]
+    d = _write_events(tmp_path, rows, name="mwu_sf")
+    r = events_mannwhitney_u(spark, d).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["u_a"] == 2.0 and r["u_b"] == 7.0
+    var = (9.0 / 12.0) * (7.0 - 12.0 / 30.0)
+    assert abs(r["z"] - (2.0 - 4.5) / math.sqrt(var)) < 1e-12
+    assert r["significant_95"] is False
