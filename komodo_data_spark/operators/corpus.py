@@ -132,6 +132,10 @@ def registry():
             event_value_percentiles_oracle(),
         ),
         "event_value_percentiles_approx": (event_value_percentiles_approx, None),
+        "docs_chunk_windows": (
+            docs_chunk_windows,
+            docs_chunk_windows_oracle(),
+        ),
     }
 
 
@@ -302,4 +306,73 @@ def corpus_prepare_oracle() -> str:
            sum(n_tokens)::BIGINT AS total_tokens,
            avg(quality_score) AS avg_quality
     FROM labeled GROUP BY split, lang ORDER BY split, lang
+    """
+
+
+# --------------------------------------------------------------------------
+# RAG-style sliding-window chunking
+# --------------------------------------------------------------------------
+
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+
+
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping fixed-stride token windows —
+    the chunking stage every embedding/RAG pipeline runs before encoding
+    (fixed grid: size CHUNK_SIZE, stride CHUNK_STRIDE, so consecutive
+    chunks share CHUNK_SIZE−CHUNK_STRIDE tokens of context). Chunk
+    starts sit on the deterministic grid 1, 1+stride, …; the final chunk
+    is short when the doc runs out — grid membership, not content,
+    decides boundaries, so re-chunking a grown corpus never moves
+    existing chunk ids. Output: (doc_id, chunk_idx, start_tok,
+    n_chunk_tokens, chunk_text).
+
+    Scale design: pure map-side explode over the scan (sequence +
+    slice + concat_ws are all codegen'd); no shuffle at all — the
+    1000-executor plan is the same single stage.
+    """
+    from komodo_data_spark.functions.text_features import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("toks")
+    )
+    n = F.size("toks")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_STRIDE))
+    return (
+        d.filter(n > 0)
+        .select("doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "s"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("s").alias("start_tok"),
+            F.least(F.lit(CHUNK_SIZE), F.size("toks") - F.col("s") + 1).alias(
+                "n_chunk_tokens"
+            ),
+            F.concat_ws(
+                " ", F.slice("toks", F.col("s"), CHUNK_SIZE)
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def docs_chunk_windows_oracle() -> str:
+    from komodo_data_spark.functions.text_features import sql_tokens
+
+    t = sql_tokens()
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             generate_subscripts(range(1, greatest(len(toks), 1) + 1,
+                                       {CHUNK_STRIDE}), 1) - 1 AS chunk_idx,
+             unnest(range(1, greatest(len(toks), 1) + 1,
+                          {CHUNK_STRIDE})) AS s
+      FROM d WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_idx::INT AS chunk_idx, s::INT AS start_tok,
+           least({CHUNK_SIZE}, n - s + 1)::INT AS n_chunk_tokens,
+           array_to_string(list_slice(toks, s, s + {CHUNK_SIZE} - 1), ' ')
+             AS chunk_text
+    FROM g
     """

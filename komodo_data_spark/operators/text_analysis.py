@@ -1061,6 +1061,10 @@ def registry():
             text_unigram_apply,
             text_unigram_apply_oracle(),
         ),
+        "text_cooccurrence_pmi": (
+            text_cooccurrence_pmi,
+            text_cooccurrence_pmi_oracle(),
+        ),
         "text_nb_calibration": (
             text_nb_calibration,
             text_nb_calibration_oracle(),
@@ -2682,4 +2686,125 @@ def text_unigram_apply_oracle() -> str:
            CAST(sum(f.n_pieces) AS BIGINT) AS n_uni_tokens
     FROM dtoks d JOIN fitted f USING (word)
     GROUP BY d.doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# skip-gram cooccurrence PMI (word-association statistics)
+# --------------------------------------------------------------------------
+
+PMI_WINDOW = 2  # pair tokens up to this many positions apart
+PMI_MIN_PAIR = 5  # minimum pair support to report
+PMI_TOP = 50
+
+
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over skip-gram token pairs — the
+    word2vec-era association statistic (collocations, phrase mining,
+    embedding-free similarity): every unordered token pair within
+    PMI_WINDOW positions is a cooccurrence event, and
+    PMI(a,b) = ln( c_ab · T / (m_a · m_b) ) with marginals m taken over
+    the SAME pair-event space (self-consistent, no mixed denominators).
+    Reports the PMI_TOP most frequent pairs (support >= PMI_MIN_PAIR);
+    ranking is by integer support with lexicographic tie-break, so the
+    cut is engine-exact and PMI rides along as a value column.
+
+    Scale design: pair extraction is a map-side explode (positions ×
+    window offsets); pair counting is one map-side-combinable hash
+    aggregate; marginals come from ONE more aggregate over the already-
+    counted pair table (2·|pairs| rows, not the corpus), broadcast back.
+    TakeOrderedAndProject handles the top-k — no global sort.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", tokens().alias("toks"))
+    n = F.size("toks")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(PMI_WINDOW), n - i)
+                ),
+                lambda k: F.struct(
+                    F.least(
+                        F.element_at("toks", i), F.element_at("toks", i + k)
+                    ).alias("w1"),
+                    F.greatest(
+                        F.element_at("toks", i), F.element_at("toks", i + k)
+                    ).alias("w2"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        exploded(d.filter(n >= 2), pair_structs, "p", "doc_id")
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=True)
+    )
+    marg = (
+        pairs.select(F.col("w1").alias("w"), "n_pair")
+        .unionByName(pairs.select(F.col("w2").alias("w"), "n_pair"))
+        .groupBy("w")
+        .agg(F.sum("n_pair").alias("m"))
+    )
+    tot = pairs.agg(F.sum("n_pair").alias("t"))
+    top = (
+        pairs.filter(F.col("n_pair") >= PMI_MIN_PAIR)
+        .orderBy(F.desc("n_pair"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP)
+    )
+    return (
+        top.join(F.broadcast(marg.withColumnRenamed("w", "w1")
+                 .withColumnRenamed("m", "m1")), "w1")
+        .join(F.broadcast(marg.withColumnRenamed("w", "w2")
+              .withColumnRenamed("m", "m2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.log(
+                F.col("n_pair").cast("double")
+                * F.col("t").cast("double")
+                / (F.col("m1").cast("double") * F.col("m2").cast("double"))
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("n_pair"), F.asc("w1"), F.asc("w2"))
+    )
+
+
+def text_cooccurrence_pmi_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    pr AS (
+      SELECT least(toks[i.i], toks[i.i + k.k]) AS w1,
+             greatest(toks[i.i], toks[i.i + k.k]) AS w2
+      FROM d,
+           unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i(i),
+           unnest(range(1, least({PMI_WINDOW}, len(toks) - i.i) + 1)) AS k(k)
+      WHERE len(toks) >= 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT w, CAST(sum(n_pair) AS BIGINT) AS m FROM (
+        SELECT w1 AS w, n_pair FROM pairs
+        UNION ALL SELECT w2, n_pair FROM pairs
+      ) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS t FROM pairs),
+    top AS (
+      SELECT w1, w2, n_pair FROM pairs WHERE n_pair >= {PMI_MIN_PAIR}
+      ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT {PMI_TOP}
+    )
+    SELECT top.w1, top.w2, top.n_pair,
+           ln(top.n_pair::DOUBLE * tot.t::DOUBLE
+              / (m1.m::DOUBLE * m2.m::DOUBLE)) AS pmi
+    FROM top
+    JOIN marg m1 ON m1.w = top.w1
+    JOIN marg m2 ON m2.w = top.w2
+    CROSS JOIN tot
+    ORDER BY top.n_pair DESC, top.w1 ASC, top.w2 ASC
     """
