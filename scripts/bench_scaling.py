@@ -139,6 +139,15 @@ SF1_QUERIES = [
     "part_skyline",
     # the basket pair explode (lineitem-driven) and the RFM customer agg
     "parts_market_basket", "customer_rfm_segments",
+    # round-7 additions: exact-order-statistic quantile cuts (band filter
+    # shares the bucket-prefix fit), the composed IVF-PQ index + recall,
+    # the histogram-quantile anchor, both unigram-LM passes (vocab-bounded
+    # Viterbi-EM), CUSUM/Mann-Whitney (two-stage day/rank prefixes), the
+    # media SimHash pigeonhole join, chunking explode, and PMI pairs
+    "docs_quality_band_filter", "knn_ivfpq_adc", "knn_ivfpq_recall",
+    "events_value_percentiles_hist", "text_unigram_lm", "text_unigram_apply",
+    "events_cusum_changepoint", "events_mannwhitney_u", "media_simhash_pairs",
+    "orders_benford_digits", "docs_chunk_windows", "text_cooccurrence_pmi",
 ]
 
 #: Third decade (sf1 -> sf10): the same set MINUS queries whose OUTPUT

@@ -83,7 +83,17 @@ AUDITED = [
     "events_welch_ttest",  # one conditional-aggregate pass, scalar algebra
     "part_skyline",  # 2-D Pareto front via two-stage prefix min, no n² join
     "parts_market_basket",  # map-side basket pair explode, no self-join
-    "customer_rfm_segments",  # scalar quartile row broadcast onto customers
+    "customer_rfm_segments",  # quintile rows broadcast onto customers
+    "docs_quality_band_filter",  # bucket-prefix order statistics, both cuts one fit
+    "knn_ivfpq_adc",  # kmeans cells + residual PQ, broadcast codebooks
+    "events_value_percentiles_hist",  # one combinable bin agg + tiny interpolation
+    "text_unigram_lm",  # vocab-bounded EM, row-local DP (no per-position joins)
+    "events_cusum_changepoint",  # day-partial agg + tiny running-sum window
+    "events_mannwhitney_u",  # tie-group counts + bucketed rank prefix
+    "media_simhash_pairs",  # frame-gram votes + pigeonhole segment equi-join
+    "docs_chunk_windows",  # pure map-side explode, zero exchanges
+    "text_cooccurrence_pmi",  # pair explode + combinable agg, marginals from pairs
+    "orders_benford_digits",  # one digit aggregate, 9-row result
 ]
 
 #: Python stages expected by design (Arrow-batched pandas ops); anything
