@@ -116,6 +116,10 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
             ea.events_value_anomalies,
             ea.events_value_anomalies_oracle(),
         ),
+        "events_seasonal_anomalies": (
+            ea.events_seasonal_anomalies,
+            ea.events_seasonal_anomalies_oracle(),
+        ),
         "events_props_variant": (
             ea.events_props_variant,
             ea.events_props_variant_oracle(),

@@ -1221,3 +1221,55 @@ def events_audience_overlap_oracle() -> str:
     JOIN tot na ON na.event_type = i.type_a
     JOIN tot nb ON nb.event_type = i.type_b
     """
+
+
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomalies: an event is flagged when its value
+    deviates > _ZSCORE_CUT standard deviations from the mean of its OWN
+    (event_type, hour-of-day) cell — the seasonal upgrade of
+    ``events_value_anomalies``, which scores against the type-global
+    mean and therefore flags every ordinary nightly peak while missing a
+    genuinely-anomalous value that hides inside the global band but sits
+    far outside its hour's band. The classic telemetry-monitoring move:
+    the baseline absorbs the diurnal cycle, the residual carries the
+    signal.
+
+    Scale design: identical to the global variant — one
+    map-side-combinable aggregate to a (types × 24)-row baseline frame,
+    broadcast back onto the scan, flag in a single pass; no event rows
+    ever shuffle. Hour-of-day is pure integer epoch math ((ts_ms div
+    3600000) mod 24 — no timezone functions), identical on both engines.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        "value",
+        ((F.col("ts_ms") / F.lit(3_600_000)).cast("long") % 24).alias("hod"),
+    ).filter(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type", "hod").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(stats), ["event_type", "hod"])
+        .withColumn("zscore", (F.col("value") - F.col("mu")) / F.col("sigma"))
+        .filter(F.abs("zscore") > _ZSCORE_CUT)
+        .select("event_id", "event_type", "hod", "value", "zscore")
+    )
+
+
+def events_seasonal_anomalies_oracle() -> str:
+    return f"""
+    WITH ev AS (
+      SELECT event_id, event_type, value,
+             (epoch_ms(ts) // 3600000) % 24 AS hod
+      FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT event_type, hod, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, e.hod, e.value,
+           (e.value - s.mu) / s.sigma AS zscore
+    FROM ev e JOIN stats s ON s.event_type = e.event_type AND s.hod = e.hod
+    WHERE abs((e.value - s.mu) / s.sigma) > {_ZSCORE_CUT}
+    """

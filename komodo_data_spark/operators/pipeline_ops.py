@@ -1132,6 +1132,10 @@ def registry():
             docs_split_by_cluster,
             docs_split_by_cluster_oracle(),
         ),
+        "docs_stratified_sample": (
+            docs_stratified_sample,
+            docs_stratified_sample_oracle(),
+        ),
         "docs_per_source_sample_k": (
             docs_per_source_sample_k,
             docs_per_source_sample_k_oracle(),
@@ -2542,4 +2546,63 @@ def docs_dsir_resample_oracle() -> str:
     FROM w
     ORDER BY gumbel_key DESC, doc_id ASC
     LIMIT {DSIR_SAMPLE_K}
+    """
+
+
+# --------------------------------------------------------------------------
+# exact stratified sampling (per-stratum quotas without per-stratum sorts)
+# --------------------------------------------------------------------------
+
+STRATA_QUOTA = 50  # docs kept per language
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY ``STRATA_QUOTA`` documents per language (all of them when a
+    language has fewer) — deterministic across runs and engines: the kept
+    set is the quota-smallest md5(doc_id) hashes per stratum, so growing
+    the corpus only ever swaps members, never reshuffles them randomly.
+    Per-stratum exact quotas are the sampling move mixture recipes need
+    when proportional sampling would starve low-resource strata.
+
+    Scale design: this is the scale twin ``docs_per_source_sample_k``'s
+    docstring promises — the per-stratum cutoff is
+    ``quantiles.exact_group_kth`` (the k-th smallest hash located by the
+    bucket-prefix pass), so there is NO per-stratum sort or rank window
+    over the corpus (the window form sorts every stratum; fine for a few
+    bounded sources, wrong for high-cardinality strata); the |langs|-row
+    cutoff table broadcasts back and the keep decision is a map-side
+    hash-compare. 13 hex chars (52 bits) keep the hash exactly
+    representable in the fit's double domain while staying
+    collision-free at any realistic stratum size, so ``hash <= cutoff``
+    keeps exactly the quota.
+    """
+    from komodo_data_spark.operators.quantiles import exact_group_kth
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast("long").alias("h")
+    )
+    cut = exact_group_kth(d, ["lang"], "h", STRATA_QUOTA, out_col="cut")
+    return (
+        d.join(F.broadcast(cut), "lang")
+        .filter(F.col("h") <= F.col("cut"))
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def docs_stratified_sample_oracle() -> str:
+    return f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::UBIGINT
+                  AS BIGINT) AS h
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM h
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= {STRATA_QUOTA}
+    ORDER BY lang, doc_id
     """

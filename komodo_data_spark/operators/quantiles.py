@@ -69,7 +69,12 @@ def exact_group_quantiles(
     returned threshold is bit-identical to the SQL produced by
     :func:`oracle_group_quantile_sql`.
     """
-    for name, (num, den) in quantiles.items():
+    for name, spec in quantiles.items():
+        if spec[0] == "kth":
+            if int(spec[1]) < 1:
+                raise ValueError(f"{name}: kth rank must be >= 1, got {spec[1]}")
+            continue
+        num, den = spec
         if not (0 <= num <= den) or den <= 0:
             raise ValueError(f"quantile {name}: need 0 <= num <= den, got {num}/{den}")
 
@@ -88,10 +93,18 @@ def exact_group_quantiles(
         F.max(value_col).alias("_vmax"),
         F.count(value_col).alias("_n"),
     )
-    for name, (num, den) in quantiles.items():
-        kframe = kframe.withColumn(
-            f"_klo_{name}", F.expr(f"((_n - 1) * {num}) div {den}")
-        ).withColumn(f"_krem_{name}", F.expr(f"((_n - 1) * {num}) % {den}"))
+    for name, spec in quantiles.items():
+        if spec[0] == "kth":
+            # fixed 1-based rank, clamped to the group size: klo = min(k, n)-1
+            kframe = kframe.withColumn(
+                f"_klo_{name}",
+                F.least(F.lit(int(spec[1])).cast("long"), F.col("_n")) - 1,
+            ).withColumn(f"_krem_{name}", F.lit(0).cast("long"))
+        else:
+            num, den = spec
+            kframe = kframe.withColumn(
+                f"_klo_{name}", F.expr(f"((_n - 1) * {num}) div {den}")
+            ).withColumn(f"_krem_{name}", F.expr(f"((_n - 1) * {num}) % {den}"))
 
     # Stage 1 — map-side value bucketing. The bucket id is a pure function
     # of (value, group extrema): equal values always share a bucket, so a
@@ -121,7 +134,7 @@ def exact_group_quantiles(
     # Stage 3 — locate the bucket + local offset of every requested rank
     # (lo and hi bracket ends per fraction). <= 2·|quantiles| rows/group.
     targets = []
-    for name, (_num, _den) in quantiles.items():
+    for name in quantiles:
         klo = F.col(f"_klo_{name}")
         khi = klo + (F.col(f"_krem_{name}") > 0).cast("bigint")
         targets.append(
@@ -175,7 +188,8 @@ def exact_group_quantiles(
     # frac = rem/den (small-int double division), then lo + frac*(hi-lo).
     out = picked.join(kframe, group_cols)
     cols = []
-    for name, (_num, den) in quantiles.items():
+    for name, spec in quantiles.items():
+        den = 1 if spec[0] == "kth" else spec[1]
         frac = F.col(f"_krem_{name}").cast("double") / F.lit(den).cast("double")
         cols.append(
             (
@@ -247,3 +261,25 @@ def oracle_group_quantile_sql(
       SELECT {grp_out} {", ".join(thr_cols)}
       FROM {p}_vv JOIN {p}_kk USING ({gkey})
     )"""
+
+
+def exact_group_kth(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    out_col: str = "kth",
+    n_buckets: int = N_QUANTILE_BUCKETS,
+) -> DataFrame:
+    """Value of the k-th SMALLEST element per group (1-based, clamped to
+    the group size) — the fixed-rank sibling of
+    :func:`exact_group_quantiles`, same bucket-prefix machinery with the
+    rank given absolutely instead of as a fraction of the group. This is
+    the primitive behind exact per-group QUOTAS: filter
+    ``value <= kth`` to keep exactly k rows per group (when values are
+    distinct) without ever sorting a group — the selection plan touches
+    ~group/n_buckets rows per group.
+    """
+    return exact_group_quantiles(
+        df, group_cols, value_col, {out_col: ("kth", k)}, n_buckets
+    )

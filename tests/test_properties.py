@@ -1291,3 +1291,55 @@ def test_cusum_changepoint_matches_python(spark, rows):
     assert got["n_days"] == n_days
     assert abs(got["cusum_at_cp"] - cusum_at) < 1e-9
     assert abs(got["max_abs_cusum"] - abs(cusum_at)) < 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=-20, max_value=20),  # heavy ties
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([(7, 10), (9, 10), (1, 3), (2, 3), (1, 2), (0, 1), (1, 1)]),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_group_quantiles_matches_python(spark, rows, frac):
+    """exact_group_quantiles == the integer-bracket reference rule EXACTLY
+    on arbitrary integer-valued groups with heavy ties, for dyadic AND
+    non-dyadic fractions including the 0/1 edges — the engine-exactness
+    property all five quantile consumers (quality filter, band, terciles,
+    RFM quintiles, histogram percentiles) rest on. numpy agrees only to
+    float tolerance: it computes the rank position (n-1)·q in floating
+    point, which is precisely the cross-engine divergence the
+    integer-bracket rule exists to remove (e.g. 3·(1/3) = 0.999... puts
+    numpy in the wrong bracket)."""
+    import numpy as np
+
+    from komodo_data_spark.operators.quantiles import exact_group_quantiles
+
+    num, den = frac
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "grp string, val double"
+    )
+    got = {
+        r["grp"]: r["q"]
+        for r in exact_group_quantiles(
+            df, ["grp"], "val", {"q": frac}
+        ).collect()
+    }
+    by_g: dict[str, list] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(float(v))
+    assert set(got) == set(by_g)
+    for g, vs in by_g.items():
+        vs = sorted(vs)
+        pos_num = (len(vs) - 1) * num
+        lo, rem = divmod(pos_num, den)
+        hi = lo + (1 if rem else 0)
+        want = vs[lo] + (rem / den) * (vs[hi] - vs[lo])
+        assert got[g] == want, (g, frac, got[g], want)
+        np_want = float(np.quantile(np.array(vs), num / den, method="linear"))
+        assert abs(got[g] - np_want) < 1e-9, (g, frac)
