@@ -224,6 +224,8 @@ _PRIORITY: tuple[str, ...] = (
     "orders_benford_digits",  # NEW r7: first-digit data-quality audit
     "docs_chunk_windows",  # NEW r7: RAG sliding-window chunking, zero shuffle
     "text_cooccurrence_pmi",  # NEW r7: skip-gram association statistics
+    "docs_stratified_sample",  # NEW r7: exact per-stratum quotas, kth cutoff
+    "events_seasonal_anomalies",  # NEW r7: hour-of-day-adjusted z-scores
     # --- (b) changed since last witness ---
     "docs_quality_quantile_filter",  # r7: exact-order-statistic fit, q=0.7
     "docs_perplexity_buckets",  # r7: CCNet's true terciles (1/3, 2/3)
@@ -262,8 +264,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_pairs_capped",
     "dedup_substring_spans",
     "dedup_repeated_blocks",
-    "dedup_fuzzy_prefix",
-    "dedup_source_overlap",
 )
 
 

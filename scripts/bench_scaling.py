@@ -148,6 +148,7 @@ SF1_QUERIES = [
     "events_value_percentiles_hist", "text_unigram_lm", "text_unigram_apply",
     "events_cusum_changepoint", "events_mannwhitney_u", "media_simhash_pairs",
     "orders_benford_digits", "docs_chunk_windows", "text_cooccurrence_pmi",
+    "docs_stratified_sample", "events_seasonal_anomalies",
 ]
 
 #: Third decade (sf1 -> sf10): the same set MINUS queries whose OUTPUT

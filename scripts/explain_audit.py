@@ -94,6 +94,8 @@ AUDITED = [
     "docs_chunk_windows",  # pure map-side explode, zero exchanges
     "text_cooccurrence_pmi",  # pair explode + combinable agg, marginals from pairs
     "orders_benford_digits",  # one digit aggregate, 9-row result
+    "docs_stratified_sample",  # kth-smallest-hash cutoff, no per-stratum sort
+    "events_seasonal_anomalies",  # (type, hod) baseline broadcast, one-pass flag
 ]
 
 #: Python stages expected by design (Arrow-batched pandas ops); anything
