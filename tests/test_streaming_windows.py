@@ -2428,3 +2428,94 @@ def test_quantile_stream_matches_batch_and_bounds_error(spark, sf_dir, tmp_path)
     for et, gr in got.items():
         for c in VHIST_QS:
             assert folded[et][c] == gr[c]
+
+
+def test_k_anonymity_gate_crash_between_writes_replays_identically(
+    spark, tmp_path
+):
+    """The atomic-promotion replay claim, crash-fuzzed: kill the batch
+    AFTER the class-count store write but BEFORE the released write (the
+    window where a naive implementation would double-promote on replay,
+    because the store already contains the crashed epoch). The replay
+    must reproduce the identical released partition — the promotion set
+    reads only strict-prior state (held epochs < E; crossing test folds
+    the store through E-1), so the half-written epoch can't poison it."""
+    from pyspark.sql import DataFrame
+
+    from komodo_data_spark.streaming import k_anonymity_gate as G
+
+    def cust_df(rows):
+        return spark.createDataFrame(
+            [(i, f"C#{i}", nk, bal, seg) for i, nk, seg, bal in rows],
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+
+    A = (1, "AUTO", 1500.0)
+    store = str(tmp_path / "kz_store")
+    rel = str(tmp_path / "kz_released")
+    held = str(tmp_path / "kz_held")
+
+    # epoch 0: two A-members park in held (k=3 not reached)
+    G.k_anonymity_gate_batch(
+        cust_df([(1, *A), (2, *A)]), 0, store, rel, held, k=3
+    )
+    assert spark.read.parquet(held).count() == 2
+
+    # epoch 1 (first attempt): crash right after the epoch's class counts
+    # land in the store — released/held for epoch 1 never written
+    batch1 = cust_df([(3, *A)])
+
+    class _Boom(RuntimeError):
+        pass
+
+    real_batch = G.k_anonymity_gate_batch
+
+    def crashing_batch(batch_df: DataFrame, epoch_id, *a, **kw):
+        # run the real function but blow up inside by sabotaging the
+        # released write: monkeypatch DataFrame writes is invasive, so
+        # instead re-implement the crash point — write the store
+        # partition exactly as the real code does, then die.
+        from pyspark.sql import functions as F
+
+        qi = G.qi_classes(batch_df)
+        (
+            qi.groupBy(*G.QI_COLS)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(a[0])
+        )
+        raise _Boom("injected crash after store write")
+
+    import pytest as _pytest
+
+    with _pytest.raises(_Boom):
+        crashing_batch(batch1, 1, store, rel, held)
+    # the crash window state: store HAS epoch 1, released epoch 1 does not
+    assert (
+        spark.read.parquet(store)
+        .filter("epoch_id = 1").count() == 1
+    )
+    import os as _os
+    assert not _os.path.exists(_os.path.join(rel, "epoch_id=1"))
+
+    # replay epoch 1 through the REAL batch fn: must release row 3 AND
+    # promote rows 1, 2 exactly once, despite the store already holding
+    # epoch 1 from the crashed attempt
+    real_batch(batch1, 1, store, rel, held, k=3)
+    released = {
+        (r["c_custkey"], r["epoch_id"], r["origin_epoch"])
+        for r in spark.read.parquet(rel).collect()
+    }
+    assert released == {(3, 1, 1), (1, 1, 0), (2, 1, 0)}
+
+    # and a SECOND full replay of the same epoch changes nothing
+    real_batch(batch1, 1, store, rel, held, k=3)
+    released2 = {
+        (r["c_custkey"], r["epoch_id"], r["origin_epoch"])
+        for r in spark.read.parquet(rel).collect()
+    }
+    assert released2 == released
