@@ -1343,3 +1343,108 @@ def test_exact_group_quantiles_matches_python(spark, rows, frac):
         assert got[g] == want, (g, frac, got[g], want)
         np_want = float(np.quantile(np.array(vs), num / den, method="linear"))
         assert abs(got[g] - np_want) < 1e-9, (g, frac)
+
+
+def py_unigram_lm(docs, maxp=3, maxw=16, em=2, scale=1_000_000, top=50):
+    """Pure-Python mirror of the unigram-LM trainer: same seed counts,
+    same integer micro-nat quantization (half-away rounding, matching
+    Spark's ROUND), same (score, last-piece-length) Viterbi tie-break,
+    same Laplace M-step. Returns [(rank, piece, n_uses, score_q)]."""
+    import math
+    from collections import Counter
+
+    NEG = -(10**15)
+
+    def q(x):
+        v = x * scale
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(
+            math.floor(-v + 0.5)
+        )
+
+    words = Counter()
+    for toks in docs:
+        for w in toks:
+            if 1 <= len(w) <= maxw:
+                words[w] += 1
+    seed = Counter()
+    for w, c in words.items():
+        for l in range(1, maxp + 1):
+            for s in range(len(w) - l + 1):
+                seed[w[s : s + l]] += c
+    tot0 = sum(seed.values())
+    scores = {p: q(math.log(c / tot0)) for p, c in seed.items()}
+
+    def viterbi(w):
+        dp = [(0, 0, [])]  # (sc, l, ps)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for j in range(max(0, i - maxp), i):
+                piece = w[j:i]
+                sc = dp[j][0] + scores.get(piece, NEG)
+                cands.append((sc, i - j, dp[j][2] + [piece]))
+            dp.append(max(cands, key=lambda c: (c[0], c[1])))
+        return dp[len(w)]
+
+    uses = Counter()
+    for _ in range(em):
+        uses = Counter()
+        for w, c in words.items():
+            sc, _l, ps = viterbi(w)
+            if sc > NEG // 2:
+                for p in ps:
+                    uses[p] += c
+        tot = sum(uses.values())
+        scores = {
+            p: q(math.log((uses.get(p, 0) + 1) / (tot + len(seed))))
+            for p in seed
+        }
+    ranked = sorted(
+        ((p, n) for p, n in uses.items() if n > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:top]
+    return [
+        (i + 1, p, n, scores[p]) for i, (p, n) in enumerate(ranked)
+    ]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_unigram_lm_matches_python_em(spark, docs):
+    """text_unigram_lm == the pure-Python Viterbi-EM mirror on arbitrary
+    tiny two-letter corpora — the 2-char alphabet forces maximal piece
+    sharing and score ties, the worst case for the integer tie-break the
+    quantized scores exist to make deterministic."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from komodo_data_spark.operators.text_analysis import text_unigram_lm
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [" ".join(toks) for toks in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [0] * len(docs),
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf.to_parquet(os.path.join(tmp, "documents.parquet"))
+        got = [
+            (r["rank"], r["piece"], r["n_uses"], r["score_q"])
+            for r in text_unigram_lm(spark, tmp).collect()
+        ]
+    assert got == py_unigram_lm(docs)
