@@ -1244,7 +1244,10 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "value",
-        ((F.col("ts_ms") / F.lit(3_600_000)).cast("long") % 24).alias("hod"),
+        # true integer division (div), not double-divide-then-truncate:
+        # the docstring/oracle promise `//` semantics and double quotients
+        # get ulp-fragile at finer resolutions
+        (F.expr("(ts_ms div 3600000) % 24")).alias("hod"),
     ).filter(F.col("value").isNotNull())
     stats = ev.groupBy("event_type", "hod").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")

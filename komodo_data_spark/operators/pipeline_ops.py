@@ -22,8 +22,14 @@ Scale notes (100 TB):
   swap the propagation body for alternating large-star/small-star — same
   join shape, O(log n) rounds.
 - ``token_packing`` is the deterministic "concatenate in key order, cut at
-  capacity" packing: one window cumsum per language partition — a single
-  shuffle on the partition key, no driver-side loop.
+  capacity" packing. The naive form (one window cumsum per language) caps
+  parallelism at |langs| — every document of a language flows through ONE
+  task for the ordered cumsum. It instead runs the surrogate-keys /
+  twostage-budget shape: range-partition on (lang, doc_id), aggregate token
+  sums per (lang, partition) into a tiny frame, prefix-sum that frame,
+  broadcast the offsets back, cumsum within partitions — every stage
+  bounded by a partition, so the English slab of a 100 TB corpus packs in
+  parallel.
 """
 
 from __future__ import annotations
@@ -993,23 +999,62 @@ def dedup_clusters_oracle() -> str:
 
 PACK_CAPACITY = 2048
 
+#: Range partitions for the packing cumsum. Like _SK_PARTITIONS this is a
+#: parallelism knob, not a correctness knob — at 100 TB raise it to the
+#: cluster's task budget; the offset frame stays |langs| × this.
+_PACK_PARTITIONS = 8
+
 
 def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into fixed token-budget bins per language: docs are
     laid end-to-end in doc_id order and cut every PACK_CAPACITY tokens
-    (bin = floor(start_offset / capacity)). One window cumsum per lang —
-    a single shuffle on the partition key, fully deterministic."""
+    (bin = floor(start_offset / capacity)), fully deterministic.
+
+    Scale design: the naive form — ``sum() OVER (PARTITION BY lang ORDER BY
+    doc_id)`` — is a single-task-per-language sort: parallelism is capped at
+    |langs|, and the English partition of a 100 TB corpus runs on ONE
+    executor. This runs the :func:`docs_surrogate_keys` technique on a SUM
+    instead of a COUNT: range-partition on (lang, doc_id) — so within a
+    lang, every doc of partition p precedes every doc of partition p+1 —
+    aggregate token sums per (lang, pid) into a tiny |langs|×|pids| frame,
+    prefix-sum that frame with a window (tiny), broadcast the offsets back,
+    and cumsum within each (pid, lang) — a PARTITIONED window over 1/Nth of
+    the corpus. Exact because (lang, pid, doc_id) order refines
+    (lang, doc_id) order under range partitioning on (lang, doc_id).
+
+    The range-partitioned frame is checkpointed eagerly: partition ids must
+    be identical in the sum pass and the cumsum pass (two plan branches
+    would re-sample range boundaries independently).
+    """
     d = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks = (
+        d.select("lang", "doc_id", F.size(tokens()).alias("n_tokens"))
+        .repartitionByRange(_PACK_PARTITIONS, "lang", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    toks = d.select("lang", "doc_id", F.size(tokens()).alias("n_tokens"))
-    binned = toks.withColumn(
+    wo = (
+        Window.partitionBy("lang")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        toks.groupBy("lang", "pid")
+        .agg(F.sum("n_tokens").alias("p_sum"))
+        .withColumn("offset", F.coalesce(F.sum("p_sum").over(wo), F.lit(0)))
+        .select("lang", "pid", "offset")
+    )
+    wd = (
+        Window.partitionBy("pid", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = toks.join(F.broadcast(offsets), ["lang", "pid"]).withColumn(
         "bin",
-        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(PACK_CAPACITY))
-        .cast("long"),
+        (
+            (F.col("offset") + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0)))
+            / F.lit(PACK_CAPACITY)
+        ).cast("long"),
     )
     return (
         binned.groupBy("lang", "bin")
@@ -2572,9 +2617,16 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded sources, wrong for high-cardinality strata); the |langs|-row
     cutoff table broadcasts back and the keep decision is a map-side
     hash-compare. 13 hex chars (52 bits) keep the hash exactly
-    representable in the fit's double domain while staying
-    collision-free at any realistic stratum size, so ``hash <= cutoff``
-    keeps exactly the quota.
+    representable in the fit's double domain.
+
+    Cutoff ties (a second row sharing the 52-bit cutoff hash within a
+    stratum — astronomically unlikely, but the contract says EXACTLY
+    quota) break deterministically on doc_id: rows strictly below the
+    cutoff always keep, and rows AT the cutoff rank by doc_id for the
+    remaining slots — the engine-side mirror of the oracle's
+    ``ORDER BY h, doc_id`` row_number. The tie branch is a map-side
+    filter feeding a window over the ~|strata|-row tie frame, so the
+    exactness guarantee costs one extra tiny aggregate, not a sort.
     """
     from komodo_data_spark.operators.quantiles import exact_group_kth
 
@@ -2582,12 +2634,25 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast("long").alias("h")
     )
     cut = exact_group_kth(d, ["lang"], "h", STRATA_QUOTA, out_col="cut")
-    return (
-        d.join(F.broadcast(cut), "lang")
-        .filter(F.col("h") <= F.col("cut"))
-        .select("doc_id", "lang")
-        .orderBy("lang", "doc_id")
+    j = d.join(F.broadcast(cut), "lang")
+    below = j.filter(F.col("h") < F.col("cut")).select("doc_id", "lang")
+    n_below = (
+        j.filter(F.col("h") < F.col("cut"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_below"))
     )
+    wt = Window.partitionBy("lang").orderBy("doc_id")
+    tie_kept = (
+        j.filter(F.col("h") == F.col("cut"))
+        .join(F.broadcast(n_below), "lang", "left")
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(
+            F.col("rn")
+            <= F.lit(STRATA_QUOTA) - F.coalesce("n_below", F.lit(0))
+        )
+        .select("doc_id", "lang")
+    )
+    return below.unionByName(tie_kept).orderBy("lang", "doc_id")
 
 
 def docs_stratified_sample_oracle() -> str:
@@ -2600,7 +2665,7 @@ def docs_stratified_sample_oracle() -> str:
     ),
     ranked AS (
       SELECT doc_id, lang,
-             row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
       FROM h
     )
     SELECT doc_id, lang FROM ranked WHERE rn <= {STRATA_QUOTA}

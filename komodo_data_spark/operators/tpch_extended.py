@@ -1129,9 +1129,6 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dbl(F.sum(dec("o_totalprice", 18, 2))).alias("monetary"),
     ).localCheckpoint(eager=True)
 
-    def cuts(tag: str) -> dict[str, tuple[int, int]]:
-        return {f"q{tag}{i + 1}": c for i, c in enumerate(RFM_CUTS)}
-
     melted = rfm.select(
         F.explode(
             F.array(

@@ -177,18 +177,48 @@ def start_k_anonymity_gate(
 
 
 def still_held(
-    spark: SparkSession, store_path: str, held_path: str, k: int = K_ANON
+    spark: SparkSession,
+    store_path: str,
+    held_path: str,
+    k: int = K_ANON,
+    schema=None,
 ) -> DataFrame:
     """The live parked set: held-area records whose QI class is STILL
     below k. Held partitions are append-only (the gate promotes by
     writing into released, never by rewriting held), so consumers read
     the parked backlog through this view — held rows of releasable
     classes were already published at their class's crossing epoch. One
-    broadcast anti-join through the same kernel columns."""
+    broadcast anti-join through the same kernel columns.
+
+    A held dir holding only ``_SUCCESS`` (every epoch released everything
+    — empty partitioned writes emit no part files) is a LEGITIMATE state:
+    pass ``schema`` (the gate's held-row schema) to get the empty view
+    back instead of UNABLE_TO_INFER_SCHEMA; without a schema the
+    condition raises a precondition error naming the fix, mirroring
+    ``require_store``."""
     ok = accumulated_class_counts(spark, store_path).filter(
         F.col("acc_n") >= F.lit(k)
     )
-    held = spark.read.parquet(held_path)
+    if schema is not None:
+        held = read_store_or_empty(spark, held_path, schema)
+    else:
+        from pyspark.errors import AnalysisException
+
+        from komodo_data_spark.streaming.stores import (
+            _MISSING_STORE_CONDITIONS,
+        )
+
+        try:
+            held = spark.read.parquet(held_path)
+        except AnalysisException as exc:
+            if exc.getCondition() not in _MISSING_STORE_CONDITIONS:
+                raise
+            raise RuntimeError(
+                f"held store at '{held_path}' has no readable partitions "
+                f"(all epochs released, or never parked) — pass "
+                f"still_held(..., schema=<held-row schema>) to get the "
+                f"empty parked view"
+            ) from exc
     return held.join(
         F.broadcast(ok.select(*QI_COLS)), list(QI_COLS), "left_anti"
     )

@@ -2128,6 +2128,42 @@ def test_k_anonymity_gate_hold_and_release(spark, tmp_path):
     assert released2 == released
 
 
+def test_k_anonymity_still_held_when_everything_released(spark, tmp_path):
+    """A held dir holding only _SUCCESS (every epoch released everything —
+    empty partitioned writes emit no part files) is a legitimate state:
+    ``still_held`` must return the EMPTY parked view when given the held
+    schema, and fail with a precondition error naming that fix when not
+    (round-7 advice: the bare read threw UNABLE_TO_INFER_SCHEMA)."""
+    import pytest
+
+    from komodo_data_spark.streaming.k_anonymity_gate import (
+        k_anonymity_gate_batch,
+        still_held,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "C#1", 1, 1500.0, "AUTO"), (2, "C#2", 1, 1600.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    store = str(tmp_path / "store")
+    rel = str(tmp_path / "released")
+    held = str(tmp_path / "held")
+    # k=1: both records release at epoch 0; the held write is an empty
+    # partitioned frame -> held dir contains only _SUCCESS
+    k_anonymity_gate_batch(batch, 0, store, rel, held, k=1)
+    assert spark.read.parquet(rel).count() == 2
+
+    held_schema = (
+        spark.read.parquet(rel).drop("origin_epoch").schema
+    )  # held rows = released rows minus the promotion stamp
+    assert (
+        still_held(spark, store, held, k=1, schema=held_schema).count() == 0
+    )
+    with pytest.raises(RuntimeError, match="schema"):
+        still_held(spark, store, held, k=1)
+
+
 def test_docs_dsir_gate_matches_batch_weights(spark, sf_dir, tmp_path):
     """The streaming DSIR importance gate must reproduce the batch
     scorer's weights exactly (one shared kernel: ``dsir_fit_llr`` +
