@@ -263,6 +263,217 @@ def oracle_group_quantile_sql(
     )"""
 
 
+def exact_group_weighted_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    quantiles: dict[str, tuple[int, int]],
+    n_buckets: int = N_QUANTILE_BUCKETS,
+) -> DataFrame:
+    """WEIGHTED-rank sibling of :func:`exact_group_quantiles`: the returned
+    threshold for fraction ``q = num/den`` is the smallest value ``v`` such
+    that the cumulative WEIGHT of rows with value <= v reaches
+    ``target = clamp(ceil(W·num/den), 1, W)`` (W = the group's total
+    weight). This is the cut real curation recipes need — "drop the
+    lowest-quality 30% of TOKENS" weights each document by its token
+    count, not 1 (round-7 verdict #2: the unweighted form selects kth-order
+    statistics of rows, so a source full of short junk docs loses far less
+    than 30% of its token mass).
+
+    Exactness: weights must be positive INTEGERS (token counts are), so
+    ``target`` is pure bigint arithmetic — ``(W·num) div den`` plus a
+    remainder test — and the threshold is an ACTUAL data value (no
+    interpolation: there is no meaningful between-value token position, and
+    skipping it keeps the whole fit in integer + comparison arithmetic,
+    bit-identical across engines with no IEEE subtlety at all). Rows with
+    NULL value or NULL/non-positive weight are ignored. ``q = 0/den``
+    returns the group min (target clamps to 1); ``q = den/den`` the max.
+
+    Scale shape is stage-for-stage the unweighted fit: one extrema+total
+    aggregate, map-side value bucketing, a (|groups| x n_buckets) histogram
+    of WEIGHT sums prefix-summed per group (tiny window), then a running
+    weight cumsum inside only the located buckets (~group/n_buckets rows
+    each). No corpus- or group-wide sort exists in the plan. The picked
+    row is tie-safe: equal values share a bucket and the first crossing of
+    the running cumsum lands on the same VALUE under any tie order.
+    """
+    for name, (num, den) in quantiles.items():
+        if not (0 <= num <= den) or den <= 0:
+            raise ValueError(
+                f"quantile {name}: need 0 <= num <= den, got {num}/{den}"
+            )
+
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("long")
+    df = (
+        df.select(*group_cols, v.alias(value_col), w.alias("_w"))
+        .filter(v.isNotNull() & w.isNotNull() & (w > 0))
+    )
+    if not group_cols:
+        df = df.withColumn("_g", F.lit(1))
+        group_cols = ["_g"]
+
+    # Stage 0 — per-group extrema + total weight, then the exact integer
+    # target per fraction: clamp(ceil(W*num/den), 1, W).
+    kframe = df.groupBy(*group_cols).agg(
+        F.min(value_col).alias("_vmin"),
+        F.max(value_col).alias("_vmax"),
+        F.sum("_w").alias("_wtot"),
+    )
+    for name, (num, den) in quantiles.items():
+        kframe = kframe.withColumn(
+            f"_tgt_{name}",
+            F.greatest(
+                F.least(
+                    F.expr(
+                        f"((_wtot * {num}) div {den}) + "
+                        f"(CASE WHEN (_wtot * {num}) % {den} > 0 THEN 1 ELSE 0 END)"
+                    ),
+                    F.col("_wtot"),
+                ),
+                F.lit(1).cast("long"),
+            ),
+        )
+
+    # Stage 1 — map-side value bucketing (same bucket function as the
+    # unweighted fit: equal values always share a bucket).
+    span = F.col("_vmax") - F.col("_vmin")
+    bucket = F.when(span <= F.lit(0.0), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(value_col) - F.col("_vmin")) / span * n_buckets).cast(
+                "int"
+            ),
+            F.lit(n_buckets - 1),
+        )
+    )
+    bucketed = df.join(F.broadcast(kframe), group_cols).withColumn("_b", bucket)
+
+    # Stage 2 — histogram of WEIGHT sums; prefix-sum per group over the
+    # tiny (|groups| x n_buckets) frame gives each bucket its cumulative
+    # weight interval (_cum, _cum + _cnt].
+    hist = bucketed.groupBy(*group_cols, "_b").agg(F.sum("_w").alias("_cnt"))
+    wc = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.withColumn("_cum", F.coalesce(F.sum("_cnt").over(wc), F.lit(0)))
+
+    # Stage 3 — locate the bucket whose weight interval contains each
+    # target; the crossing happens at local cumulative weight
+    # _lt = target - _cum (1-based in weight units).
+    targets = [
+        F.struct(F.lit(name).alias("which"), F.col(f"_tgt_{name}").alias("t"))
+        for name in quantiles
+    ]
+    tk = (
+        hist.join(kframe, group_cols)
+        .select(
+            *group_cols,
+            "_b",
+            "_cum",
+            "_cnt",
+            F.explode(F.array(*targets)).alias("_t"),
+        )
+        .filter(
+            (F.col("_t.t") > F.col("_cum"))
+            & (F.col("_t.t") <= F.col("_cum") + F.col("_cnt"))
+        )
+        .select(
+            *group_cols,
+            "_b",
+            F.col("_t.which").alias("_which"),
+            (F.col("_t.t") - F.col("_cum")).alias("_lt"),
+        )
+    )
+
+    # Stage 4 — running weight cumsum inside ONLY the target buckets; the
+    # first row whose cumulative weight reaches _lt carries the threshold
+    # value (exactly one row satisfies _cw - w < _lt <= _cw since weights
+    # are positive).
+    wrun = (
+        Window.partitionBy(*group_cols, "_b", "_which")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = (
+        bucketed.join(F.broadcast(tk), [*group_cols, "_b"])
+        .withColumn("_cw", F.sum("_w").over(wrun))
+        .filter(
+            (F.col("_cw") >= F.col("_lt"))
+            & (F.col("_cw") - F.col("_w") < F.col("_lt"))
+        )
+        .groupBy(*group_cols)
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("_which") == name, F.col(value_col))
+                ).alias(name)
+                for name in quantiles
+            ]
+        )
+    )
+    keep = [c for c in group_cols if c != "_g"]
+    return picked.select(*keep, *quantiles.keys())
+
+
+def oracle_group_weighted_quantile_sql(
+    source: str,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    quantiles: dict[str, tuple[int, int]],
+    prefix: str = "_wq",
+) -> str:
+    """DuckDB CTE block computing the SAME thresholds as
+    :func:`exact_group_weighted_quantiles` via a DIFFERENT algorithm — a
+    RANGE-frame cumulative weight (all value ties included at once) and
+    ``min(v) WHERE cumw >= target`` instead of bucket location + first
+    crossing — so the oracle independently checks the plan. Emits CTEs
+    ``{prefix}_base/_tgt/_cum/_thr``; join ``{prefix}_thr`` (group cols +
+    one column per quantile name). Embed in an existing WITH chain.
+    """
+    g = ", ".join(group_cols) if group_cols else "1 AS _g"
+    gkey = ", ".join(group_cols) if group_cols else "_g"
+    part = f"PARTITION BY {gkey} " if group_cols else ""
+    tgt_cols, thr_cols = [], []
+    for name, (num, den) in quantiles.items():
+        tgt_cols.append(
+            f"greatest(least(((_W * {num}) // {den}) + "
+            f"(CASE WHEN (_W * {num}) % {den} > 0 THEN 1 ELSE 0 END), _W), 1) "
+            f"AS _tgt_{name}"
+        )
+        thr_cols.append(
+            f"min(CASE WHEN _cw >= _tgt_{name} THEN _v END) AS {name}"
+        )
+    grp_out = (", ".join(group_cols) + ",") if group_cols else ""
+    p = prefix
+    return f"""
+    {p}_base AS (
+      SELECT {g}, {value_col}::DOUBLE AS _v, {weight_col}::BIGINT AS _w
+      FROM {source}
+      WHERE {value_col} IS NOT NULL AND {weight_col} IS NOT NULL
+        AND {weight_col} > 0
+    ),
+    {p}_tgt AS (
+      SELECT {gkey}, {", ".join(tgt_cols)}
+      FROM (SELECT {gkey}, sum(_w) AS _W FROM {p}_base GROUP BY {gkey})
+    ),
+    {p}_cum AS (
+      SELECT {gkey}, _v,
+             sum(_w) OVER ({part}ORDER BY _v
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS _cw
+      FROM {p}_base
+    ),
+    {p}_thr AS (
+      SELECT {grp_out} {", ".join(thr_cols)}
+      FROM {p}_cum JOIN {p}_tgt USING ({gkey})
+      GROUP BY {gkey}
+    )"""
+
+
 def exact_group_kth(
     df: DataFrame,
     group_cols: list[str],

@@ -1005,6 +1005,10 @@ def registry():
             docs_quality_band_filter,
             docs_quality_band_filter_oracle(),
         ),
+        "docs_quality_token_weighted_filter": (
+            docs_quality_token_weighted_filter,
+            docs_quality_token_weighted_filter_oracle(),
+        ),
         "text_repetition_signals": (
             text_repetition_signals,
             text_repetition_signals_oracle(),
@@ -2221,6 +2225,91 @@ def docs_quality_band_filter_oracle() -> str:
     SELECT s.doc_id, s.source, s.quality_score
     FROM scored s JOIN _eq_thr t USING (source)
     WHERE s.quality_score >= t.lo AND s.quality_score < t.hi
+    """
+
+
+#: Token-mass drop fraction: remove the lowest-quality 30% of TOKENS per
+#: source (so the kept head carries ~70% of each source's token mass). The
+#: weight-blind sibling (QUALITY_KEEP_Q) keeps the top 30% of DOCUMENTS —
+#: a source full of short junk docs loses far less than 30% of its tokens
+#: under that cut, which is why real recipes budget by token mass.
+TOKEN_MASS_DROP_Q = (3, 10)
+
+
+def docs_quality_token_weighted_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep the top ~70% of each source's TOKEN MASS by quality: a doc
+    survives iff its composite quality score reaches the source's
+    token-weighted 30th percentile — the smallest score at which the
+    cumulative token count of worse-scored docs reaches
+    ceil(0.3 · source_tokens). Docs AT the threshold keep in full (the
+    threshold is an actual score value, not an interpolation), so the kept
+    mass is >= 70% with the boundary class never split.
+
+    Scale design: same shape as :func:`docs_quality_quantile_filter` with
+    the fit swapped for ``quantiles.exact_group_weighted_quantiles`` —
+    the bucket-prefix pass sums token WEIGHTS instead of row counts, the
+    target rank is pure bigint arithmetic (ceil(W·3/10)), and the
+    threshold is selected by a running cumsum inside one located bucket
+    per source. No per-source sort or window ever touches the corpus; the
+    |sources|-row threshold frame broadcasts back onto the scoring pass.
+    """
+    from komodo_data_spark.operators.quantiles import (
+        exact_group_weighted_quantiles,
+    )
+    from komodo_data_spark.sources.tables import load_spread
+
+    d = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens())
+    n_tokens = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    scored = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        (
+            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (0.5 + 0.5 * ttr)
+        ).alias("quality_score"),
+    ).localCheckpoint(eager=True)
+    thr = exact_group_weighted_quantiles(
+        scored,
+        ["source"],
+        "quality_score",
+        "n_tokens",
+        {"thr": TOKEN_MASS_DROP_Q},
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("quality_score") >= F.col("thr"))
+        .select("doc_id", "source", "n_tokens", "quality_score")
+    )
+
+
+def docs_quality_token_weighted_filter_oracle() -> str:
+    from komodo_data_spark.operators.quantiles import (
+        oracle_group_weighted_quantile_sql,
+    )
+
+    t = sql_tokens()
+    thr = oracle_group_weighted_quantile_sql(
+        "scored",
+        ["source"],
+        "quality_score",
+        "n_tokens",
+        {"thr": TOKEN_MASS_DROP_Q},
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, source, {t} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+             least(len(toks) / 100.0, 1.0)
+               * (0.5 + 0.5 * (len(list_distinct(toks))::DOUBLE / len(toks)))
+               AS quality_score
+      FROM d
+    ),{thr}
+    SELECT s.doc_id, s.source, s.n_tokens, s.quality_score
+    FROM scored s JOIN _wq_thr t USING (source)
+    WHERE s.quality_score >= t.thr
     """
 
 
