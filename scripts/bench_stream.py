@@ -416,6 +416,23 @@ def main(argv: list[str] | None = None) -> int:
     batches16 = progress_rows(q16)
     report["quantile_store"] = {"batches": batches16, **flat_check(batches16)}
 
+    # --- stream 17: PQ-coded ANN index (reuses embeddings stage) -----------
+    from komodo_data_spark.streaming.ann_pq_incremental import (
+        publish_ivfpq_model,
+        start_incremental_pq_index,
+    )
+
+    publish_ivfpq_model(spark, args.sf_dir, os.path.join(work, "pq_model"))
+    q17 = start_incremental_pq_index(
+        spark, emb_src,
+        os.path.join(work, "pq_model"),
+        os.path.join(work, "pq_store"),
+        os.path.join(work, "ckpt_pq"),
+    )
+    q17.awaitTermination()
+    batches17 = progress_rows(q17)
+    report["pq_ann_index"] = {"batches": batches17, **flat_check(batches17)}
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",

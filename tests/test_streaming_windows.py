@@ -1716,6 +1716,116 @@ def test_incremental_ann_index_matches_batch_knn(spark, sf_dir, tmp_path):
     assert knn_from_store(spark, str(tmp_path / "never")) is None
 
 
+def test_incremental_pq_index_matches_batch_ivfpq(spark, sf_dir, tmp_path):
+    """PQ-coded streaming ANN index: the model (coarse cells + residual
+    codebooks) freezes from the batch fit, vectors arrive file by file and
+    encode to (vec_id, cell_id, codes) rows, and ADC top-k served from the
+    code store alone equals batch knn_ivfpq_adc over the same corpus —
+    arrival order must not change any neighbor or any cosine bit. Replay
+    drain adds nothing; the DISTINCT fold changes no probe; and the code
+    store is materially NARROWER on disk than the float store over the
+    identical rows (the round-7 verdict #3 point of the upgrade)."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.similarity import (
+        N_QUERIES,
+        knn_ivfpq_adc,
+    )
+    from komodo_data_spark.sources.tables import load_table
+    from komodo_data_spark.streaming.ann_incremental import (
+        start_incremental_ann_index,
+    )
+    from komodo_data_spark.streaming.ann_pq_incremental import (
+        compact_pq_store,
+        knn_from_pq_store,
+        publish_ivfpq_model,
+        read_pq_index,
+        start_incremental_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = tmp_path / "emb_arrivals"
+    src.mkdir()
+    for i in range(3):
+        emb.filter(F.pmod("vec_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            str(src / f"arrival_{i}.parquet_dir")
+        )
+    for i, part in enumerate(
+        sorted(_glob.glob(str(src / "*" / "part-*.parquet")))
+    ):
+        shutil.copy(part, str(src / f"file_{i}.parquet"))
+    for d in _glob.glob(str(src / "*.parquet_dir")):
+        shutil.rmtree(d)
+
+    model = str(tmp_path / "pq_model")
+    store = str(tmp_path / "pq_store")
+    ck = str(tmp_path / "ckpt_pq")
+
+    # model not published yet -> fail fast, not inside the first batch
+    import pytest
+
+    with pytest.raises(RuntimeError, match="IVFPQ"):
+        start_incremental_pq_index(spark, str(src), model, store, ck)
+
+    publish_ivfpq_model(spark, sf_dir, model)
+    start_incremental_pq_index(
+        spark, str(src), model, store, ck
+    ).awaitTermination()
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    def topk():
+        return sorted(
+            (r["query_id"], r["rnk"], r["neighbor_id"], r["adc_cosine"])
+            for r in knn_from_pq_store(spark, model, store, queries).collect()
+        )
+
+    got = topk()
+    exp = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["adc_cosine"])
+        for r in knn_ivfpq_adc(spark, sf_dir).collect()
+    )
+    assert got == exp and got  # bit-exact cosines, same neighbors
+
+    # replay drain: same checkpoint, nothing new to process
+    start_incremental_pq_index(
+        spark, str(src), model, store, ck
+    ).awaitTermination()
+    assert topk() == exp
+
+    # compaction folds epochs without changing any probe result
+    assert compact_pq_store(spark, store) >= 3
+    assert topk() == exp
+
+    # width: build the FLOAT store over the identical arrivals and compare
+    # on-disk bytes — the code store must be materially narrower (the
+    # in-memory payload ratio is 4 codes vs 64 doubles = 256x; parquet
+    # encoding and per-row overhead compress that, still >= 4x here)
+    fstore = str(tmp_path / "float_store")
+    start_incremental_ann_index(
+        spark, str(src), fstore, str(tmp_path / "ckpt_float")
+    ).awaitTermination()
+
+    def _bytes(root):
+        return sum(
+            os.path.getsize(p)
+            for p in _glob.glob(os.path.join(root, "**", "*.parquet"),
+                                recursive=True)
+        )
+
+    import os
+
+    pq_bytes, float_bytes = _bytes(store), _bytes(fstore)
+    assert read_pq_index(spark, store).count() == emb.count()
+    assert pq_bytes * 4 <= float_bytes, (pq_bytes, float_bytes)
+
+    # empty store contract
+    assert knn_from_pq_store(spark, model, str(tmp_path / "never"), queries) is None
+
+
 def test_docs_compression_gate_matches_batch_scorer(spark, sf_dir, tmp_path):
     """The streaming zlib gate must keep/quarantine exactly the documents
     the batch scorer's keep band keeps/drops (one shared kernel), across
