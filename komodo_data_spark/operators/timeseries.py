@@ -302,21 +302,29 @@ def events_rollup_merge_oracle() -> str:
 #: Fixed histogram grid for the events ``value`` domain. A FIXED grid is
 #: what makes the state exactly mergeable (bin counts add across partials
 #: with zero error — unlike t-digest/KLL whose merges drift), at the cost
-#: of a domain-knowledge choice: values above the top edge clamp into the
-#: last bin, so the grid must cover the monitored range (value spans
-#: [0, ~560] across every driver SF; 256 x 2.5 covers to 640 with room).
+#: of a domain-knowledge choice: the grid should cover the monitored
+#: range (value spans [0, ~560] across every driver SF; 256 x 2.5 covers
+#: to 640 with room). Values OUTSIDE the grid land in explicit
+#: underflow/overflow bins (b = -1 / VHIST_BINS) rather than silently
+#: clamping into the edge bins (round-7 advice: a clamped p99 under
+#: value-domain drift read as the top bin edge with no signal) — the
+#: partials also carry exact running min/max, so the readout can still
+#: estimate inside [min, VHIST_LO] / [VHIST_TOP, max] AND flags every
+#: percentile that lands there (``*_clamped``), because the one-bin-width
+#: bound below does NOT hold in those bins.
 #: Estimation error is bounded by ONE bin width (2.5) by construction
-#: AGAINST THE k-TH ORDER STATISTIC (the inverse-CDF quantile): v[k] and
-#: its estimate live in the same bin. The LINEARLY-INTERPOLATED
-#: percentile has no such bound in sparse tails — its bracket
-#: (v[k], v[k+1]) can span many empty bins (measured: click p99 at
-#: sf0.001 interpolates across an ~80-unit gap) — which is a property of
-#: that definition, not of the histogram; monitors read histogram
-#: quantiles as CDF-inverse points (the Prometheus histogram_quantile
-#: convention).
+#: AGAINST THE k-TH ORDER STATISTIC (the inverse-CDF quantile) for every
+#: IN-GRID percentile: v[k] and its estimate live in the same bin. The
+#: LINEARLY-INTERPOLATED percentile has no such bound in sparse tails —
+#: its bracket (v[k], v[k+1]) can span many empty bins (measured: click
+#: p99 at sf0.001 interpolates across an ~80-unit gap) — which is a
+#: property of that definition, not of the histogram; monitors read
+#: histogram quantiles as CDF-inverse points (the Prometheus
+#: histogram_quantile convention).
 VHIST_LO = 0.0
 VHIST_W = 2.5
 VHIST_BINS = 256
+VHIST_TOP = VHIST_LO + VHIST_W * VHIST_BINS  # 640.0 — overflow threshold
 
 #: The percentile panel every latency/metric monitor watches.
 VHIST_QS: dict[str, tuple[int, int]] = {
@@ -331,42 +339,65 @@ def value_hist_partials(ev: DataFrame) -> DataFrame:
     counts on the fixed grid — shared by the batch percentile op below
     and the streaming quantile store
     (streaming/quantiles_incremental.py), so the two lifecycles persist
-    the same state shape (the ``hourly_partials`` rule)."""
-    b = F.floor((F.col("value") - F.lit(VHIST_LO)) / F.lit(VHIST_W))
+    the same state shape (the ``hourly_partials`` rule). Out-of-grid
+    values go to the explicit underflow (-1) / overflow (VHIST_BINS)
+    bins, and every partial carries exact min/max (both merge exactly,
+    like the counts), so domain drift is visible in the state instead of
+    silently absorbed by the edge bins."""
+    raw = F.floor((F.col("value") - F.lit(VHIST_LO)) / F.lit(VHIST_W))
+    b = (
+        F.when(F.col("value") < F.lit(VHIST_LO), F.lit(-1))
+        .when(F.col("value") >= F.lit(VHIST_TOP), F.lit(VHIST_BINS))
+        .otherwise(F.least(raw, F.lit(VHIST_BINS - 1)))
+    )
     return (
         ev.filter(F.col("value").isNotNull())
-        .groupBy(
-            "event_type",
-            F.least(
-                F.greatest(b, F.lit(0)), F.lit(VHIST_BINS - 1)
-            ).cast("int").alias("b"),
+        .groupBy("event_type", b.cast("int").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
         )
-        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
 def percentiles_from_partials(partials: DataFrame) -> DataFrame:
-    """THE read-time fold: merge any number of (event_type, b, n) partial
-    rows (a bin may appear once per stream epoch) and interpolate the
-    VHIST_QS percentiles. Rank brackets use the exact integer arithmetic
-    of ``quantiles.exact_group_quantiles`` (k = ((n-1)·num) div den), so
-    the Spark op, the DuckDB oracle, and the Python test reference
-    compute bit-identical estimates; the estimate for fractional rank r
-    inside bin b is  lo + w·b + w·(r − cum_before)/n_b  — always within
-    the k-statistic's own bin, hence within one bin width of the exact
-    k-th order statistic (see the VHIST grid note on why the
-    INTERPOLATED percentile is the wrong yardstick in sparse tails).
-    State is |event_types| × ≤VHIST_BINS rows: window cost
-    at read time is nil and per-batch maintenance is one
-    map-side-combinable aggregate."""
-    hist = partials.groupBy("event_type", "b").agg(F.sum("n").alias("n"))
+    """THE read-time fold: merge any number of (event_type, b, n, vmin,
+    vmax) partial rows (a bin may appear once per stream epoch) and
+    interpolate the VHIST_QS percentiles. Rank brackets use the exact
+    integer arithmetic of ``quantiles.exact_group_quantiles``
+    (k = ((n-1)·num) div den), so the Spark op, the DuckDB oracle, and
+    the Python test reference compute bit-identical estimates; the
+    estimate for fractional rank r inside an in-grid bin b is
+    lo + w·b + w·(r − cum_before)/n_b — always within the k-statistic's
+    own bin, hence within one bin width of the exact k-th order statistic
+    (see the VHIST grid note on why the INTERPOLATED percentile is the
+    wrong yardstick in sparse tails).
+
+    A rank that lands in the underflow/overflow bin has NO one-bin-width
+    guarantee — the readout estimates it inside the exact observed range
+    ([min, VHIST_LO) below the grid, [VHIST_TOP, max] above; the merged
+    min/max make those brackets exact) and raises the percentile's
+    ``*_clamped`` flag so a monitor sees the bound violation instead of a
+    silently-wrong edge value. State is |event_types| × ≤VHIST_BINS+2
+    rows: window cost at read time is nil and per-batch maintenance is
+    one map-side-combinable aggregate."""
+    hist = partials.groupBy("event_type", "b").agg(
+        F.sum("n").alias("n"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
     wc = (
         Window.partitionBy("event_type")
         .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     hist = hist.withColumn("cum", F.coalesce(F.sum("n").over(wc), F.lit(0)))
-    tot = hist.groupBy("event_type").agg(F.sum("n").alias("nn"))
+    tot = hist.groupBy("event_type").agg(
+        F.sum("n").alias("nn"),
+        F.min("vmin").alias("tmin"),
+        F.max("vmax").alias("tmax"),
+    )
     h = hist.join(F.broadcast(tot), "event_type")
     cols = []
     for name, (num, den) in VHIST_QS.items():
@@ -375,13 +406,31 @@ def percentiles_from_partials(partials: DataFrame) -> DataFrame:
             float(den)
         )
         inbin = (klo >= F.col("cum")) & (klo < F.col("cum") + F.col("n"))
+        pos = ((klo - F.col("cum")).cast("double") + frac) / F.col("n")
         est = (
-            F.lit(VHIST_LO)
-            + F.lit(VHIST_W) * F.col("b")
-            + F.lit(VHIST_W)
-            * (((klo - F.col("cum")).cast("double") + frac) / F.col("n"))
+            F.when(
+                F.col("b") == -1,
+                F.col("tmin") + (F.lit(VHIST_LO) - F.col("tmin")) * pos,
+            )
+            .when(
+                F.col("b") == VHIST_BINS,
+                F.lit(VHIST_TOP) + (F.col("tmax") - F.lit(VHIST_TOP)) * pos,
+            )
+            .otherwise(
+                F.lit(VHIST_LO)
+                + F.lit(VHIST_W) * F.col("b")
+                + F.lit(VHIST_W) * pos
+            )
         )
         cols.append(F.min(F.when(inbin, est)).alias(name))
+        cols.append(
+            F.max(
+                F.when(
+                    inbin,
+                    (F.col("b") == -1) | (F.col("b") == VHIST_BINS),
+                )
+            ).alias(f"{name}_clamped")
+        )
     return h.groupBy("event_type").agg(
         F.first("nn").alias("n_values"), *cols
     ).orderBy("event_type")
@@ -411,20 +460,36 @@ def events_value_percentiles_hist(
 def events_value_percentiles_hist_oracle() -> str:
     q_cols = []
     for name, (num, den) in VHIST_QS.items():
-        q_cols.append(
-            f"min(CASE WHEN ((nn - 1) * {num}) // {den} >= cum AND"
-            f" ((nn - 1) * {num}) // {den} < cum + n THEN"
-            f" {VHIST_LO} + {VHIST_W} * b + {VHIST_W} *"
-            f" (((((nn - 1) * {num}) // {den}) - cum)::DOUBLE +"
+        pos = (
+            f"(((((nn - 1) * {num}) // {den}) - cum)::DOUBLE +"
             f" (((nn - 1) * {num}) % {den})::DOUBLE / {den}) / n"
-            f" END) AS {name}"
+        )
+        inbin = (
+            f"((nn - 1) * {num}) // {den} >= cum AND"
+            f" ((nn - 1) * {num}) // {den} < cum + n"
+        )
+        q_cols.append(
+            f"min(CASE WHEN {inbin} THEN"
+            f" CASE WHEN b = -1 THEN tmin + ({VHIST_LO} - tmin) * {pos}"
+            f"      WHEN b = {VHIST_BINS} THEN"
+            f"        {VHIST_TOP} + (tmax - {VHIST_TOP}) * {pos}"
+            f"      ELSE {VHIST_LO} + {VHIST_W} * b + {VHIST_W} * {pos}"
+            f" END END) AS {name}"
+        )
+        q_cols.append(
+            f"max(CASE WHEN {inbin} THEN"
+            f" (b = -1 OR b = {VHIST_BINS}) END) AS {name}_clamped"
         )
     return f"""
     WITH hist AS (
       SELECT event_type,
-             least(greatest(floor((value - {VHIST_LO}) / {VHIST_W}), 0),
-                   {VHIST_BINS - 1})::INT AS b,
-             count(*) AS n
+             CASE WHEN value < {VHIST_LO} THEN -1
+                  WHEN value >= {VHIST_TOP} THEN {VHIST_BINS}
+                  ELSE least(floor((value - {VHIST_LO}) / {VHIST_W}),
+                             {VHIST_BINS - 1})
+             END::INT AS b,
+             count(*) AS n,
+             min(value) AS vmin, max(value) AS vmax
       FROM events WHERE value IS NOT NULL
       GROUP BY 1, 2
     ),
@@ -434,7 +499,9 @@ def events_value_percentiles_hist_oracle() -> str:
                PARTITION BY event_type ORDER BY b
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ), 0) AS cum,
-             sum(n) OVER (PARTITION BY event_type) AS nn
+             sum(n) OVER (PARTITION BY event_type) AS nn,
+             min(vmin) OVER (PARTITION BY event_type) AS tmin,
+             max(vmax) OVER (PARTITION BY event_type) AS tmax
       FROM hist
     )
     SELECT event_type, max(nn)::BIGINT AS n_values, {", ".join(q_cols)}

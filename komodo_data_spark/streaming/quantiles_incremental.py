@@ -94,5 +94,9 @@ def compact_store(spark: SparkSession, store_path: str) -> DataFrame:
     return (
         spark.read.parquet(store_path)
         .groupBy("event_type", "b")
-        .agg(F.sum("n").alias("n"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
     )

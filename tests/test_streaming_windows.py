@@ -2576,6 +2576,88 @@ def test_quantile_stream_matches_batch_and_bounds_error(spark, sf_dir, tmp_path)
             assert folded[et][c] == gr[c]
 
 
+def test_quantile_stream_flags_domain_drift(spark, tmp_path):
+    """Value-domain drift: values walking past VHIST_TOP (and below
+    VHIST_LO) land in explicit overflow/underflow bins instead of
+    silently clamping into the edge bins (round-7 advice). A percentile
+    whose rank lands there raises its ``*_clamped`` flag and is estimated
+    inside the exact observed range (the merged min/max), while every
+    in-grid percentile keeps the one-bin-width bound — on the SAME
+    readout, with the drifted bins split across micro-batches."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.timeseries import (
+        VHIST_LO,
+        VHIST_TOP,
+        VHIST_W,
+        percentiles_from_partials,
+        value_hist_partials,
+    )
+    from komodo_data_spark.streaming import quantiles_incremental as Q
+
+    # 'drift': 196 in-grid values 0..195 plus 4 overflow values -> with
+    # n=200, p99's rank klo=197 lands in the overflow bin while p50/p90
+    # stay in-grid. 'udrift': 120 negative values + 80 in-grid -> p50's
+    # rank 99 lands in the underflow bin, p90/p99 stay in-grid.
+    ev = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        (F.lit(1_700_000_000_000_000_000) + F.col("id") * F.lit(10**9)).alias(
+            "ts"
+        ),
+        (F.col("id") % 7).alias("user_id"),
+        F.when(F.col("id") < 200, F.lit("drift"))
+        .otherwise(F.lit("udrift"))
+        .alias("event_type"),
+        F.when(F.col("id") < 196, F.col("id").cast("double"))
+        .when(F.col("id") < 200, F.lit(900.0) + (F.col("id") - 196) * 100.0)
+        .otherwise((F.col("id") - 320).cast("double"))
+        .alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    src = tmp_path / "drift_arrivals"
+    src.mkdir()
+    for i in range(2):  # drifted bins land in BOTH epochs -> merge path
+        sl = ev.filter(F.col("event_id") % 2 == i)
+        sl.coalesce(1).write.parquet(str(src / f"stage_{i}"))
+        part = _glob.glob(str(src / f"stage_{i}" / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"file_{i}.parquet"))
+        shutil.rmtree(src / f"stage_{i}")
+
+    store = str(tmp_path / "drift_store")
+    Q.start_value_quantile_stream(
+        spark, str(src), store, str(tmp_path / "ckpt_drift")
+    ).awaitTermination()
+    got = {r["event_type"]: r for r in Q.percentiles_from_store(spark, store).collect()}
+
+    # drift: p99 flagged, estimated inside [VHIST_TOP, observed max]
+    d = got["drift"]
+    assert d["p99_clamped"] is True
+    assert VHIST_TOP <= d["p99"] <= 1200.0
+    # in-grid percentiles keep the one-bin-width bound vs the exact
+    # order statistic (values 0..195: v[99]=99, v[179]=179)
+    assert abs(d["p50"] - 99.0) <= VHIST_W and d["p50_clamped"] is False
+    assert abs(d["p90"] - 179.0) <= VHIST_W and d["p90_clamped"] is False
+
+    # udrift: sorted = -120..-1, 0..79 -> v[99]=-21 (underflow), v[179]=59
+    u = got["udrift"]
+    assert u["p50_clamped"] is True
+    assert -120.0 <= u["p50"] < VHIST_LO
+    assert abs(u["p90"] - 59.0) <= VHIST_W and u["p90_clamped"] is False
+    assert abs(u["p99"] - 77.0) <= VHIST_W and u["p99_clamped"] is False
+
+    # stream == batch kernel on the same rows, drift included
+    exp = {
+        r["event_type"]: r
+        for r in percentiles_from_partials(value_hist_partials(ev)).collect()
+    }
+    for et, gr in got.items():
+        for c in gr.asDict():
+            assert gr[c] == exp[et][c], (et, c)
+
+
 def test_k_anonymity_gate_crash_between_writes_replays_identically(
     spark, tmp_path
 ):
