@@ -1078,6 +1078,10 @@ def registry():
             dedup_minhash_recall_sampled_oracle(),
         ),
         "dedup_simhash": (dedup_simhash, dedup_simhash_oracle()),
+        "dedup_simhash_recall": (
+            dedup_simhash_recall,
+            dedup_simhash_recall_oracle(),
+        ),
         "dedup_embedding_pairs": (
             dedup_embedding_pairs,
             dedup_embedding_pairs_oracle(),
@@ -1619,21 +1623,117 @@ def dedup_minhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_recall_from(posts)
 
 
-def _minhash_recall_from(posts: DataFrame) -> DataFrame:
-    # Fused form of the two detectors: both consume the SAME cached
-    # postings frame (one tokenize+shingle pass instead of two), and both
-    # verify with _verify_jaccard at the same threshold, so the outputs
-    # are identical to running dedup_ngram_pairs / dedup_minhash_lsh
-    # separately (which is exactly what the composed oracle does).
-    # Each pair frame is then consumed twice (scalar count + semi-join),
-    # so both are cached too.
-    posts = posts.cache()
+def _detector_recall_counts(
+    truth: DataFrame, det: DataFrame, det_col: str
+) -> DataFrame:
+    """Scalar recall frame from a truth pair set and a detector pair set
+    (both (doc_i, doc_j) frames, both consumed twice — callers cache):
+    |truth|, |detector|, |overlap|, recall = hit/true. The three counts
+    are scalar aggregates combined by broadcast cross join (1×1 frames) —
+    the assembly every recall twin shares."""
+    hit = truth.join(det, ["doc_i", "doc_j"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_det = det.agg(F.count(F.lit(1)).alias(det_col))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit_pairs"))
+    return (
+        n_true.crossJoin(n_det)
+        .crossJoin(n_hit)
+        .select(
+            "n_true_pairs",
+            det_col,
+            "n_hit_pairs",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_hit_pairs").cast("double") / F.col("n_true_pairs"),
+            ).alias("recall"),
+        )
+    )
+
+
+def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the SimHash near-dup detector (hamming <= HAMMING_MAX over
+    32-bit unigram signatures) against the SAME exact 3-gram-Jaccard
+    ground truth ``dedup_minhash_recall`` uses — closing the repo's
+    symmetry rule (every approximate detector ships with a measured
+    recall; SimHash was one of the two without, round-7 verdict #5) and
+    making the two text detectors' banding/signature losses directly
+    comparable on one truth.
+
+    Unlike MinHash-LSH (whose loss is banding: signatures that never
+    collide), the pigeonhole join is COMPLETE for hamming <= HAMMING_MAX,
+    so the measured loss here is purely representational: true near-dup
+    pairs whose 32-bit unigram SimHashes differ in more than HAMMING_MAX
+    bits.
+
+    Runs on the deterministic hash-bucket slice of
+    ``dedup_minhash_recall_sampled`` (fixed ~RECALL_SAMPLE_TARGET_DOCS doc
+    budget at any corpus size — the quadratic truth stays constant across
+    the scaling decades); truth and detector see the same slice.
+
+    Measured at sf0.1: recall 0.50 (35/70 true pairs) with 157k emitted
+    pairs — the expected profile of a 32-bit unigram signature at radius
+    2 (low precision, and near-dups whose edits concentrate in rare
+    tokens flip >2 bits); read next to ``dedup_minhash_recall_sampled``
+    to see what the banded shingle detector buys.
+    """
+    from komodo_data_spark.operators.pipeline_ops import _bucket_col
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    gate = _bucket_col() < _recall_sample_buckets(n_docs)
+    posts = _doc_postings(spark, sf_dir).filter(gate).cache()
+    truth = _truth_pairs_from(posts).cache()
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(gate)
+        .withColumn("toks", tokens())
+    )
+    det = (
+        simhash_pigeonhole_pairs(_simhash_signatures(d))
+        .select("doc_i", "doc_j")
+        .cache()
+    )
+    return _detector_recall_counts(truth, det, "n_simhash_pairs")
+
+
+def dedup_simhash_recall_oracle() -> str:
+    from komodo_data_spark.operators.pipeline_ops import _sql_bucket
+
+    buckets = (
+        f"greatest(1, least(100, {RECALL_SAMPLE_TARGET_DOCS} * 100 // "
+        "greatest((SELECT count(*) FROM main.documents), 1)))"
+    )
+    return f"""
+    WITH documents AS (SELECT * FROM main.documents WHERE
+      {_sql_bucket()} < {buckets}),
+    truth AS ({dedup_ngram_pairs_oracle()}),
+    det AS (SELECT doc_i, doc_j FROM ({dedup_simhash_oracle()})),
+    hit AS (
+      SELECT t.doc_i, t.doc_j FROM truth t
+      WHERE EXISTS (
+        SELECT 1 FROM det l WHERE l.doc_i = t.doc_i AND l.doc_j = t.doc_j
+      )
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM det) AS n_simhash_pairs,
+           (SELECT count(*) FROM hit) AS n_hit_pairs,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN (SELECT count(*) FROM hit)::DOUBLE
+                     / (SELECT count(*) FROM truth)
+                ELSE NULL END AS recall
+    """
+
+
+def _truth_pairs_from(
+    posts: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact-Jaccard ground-truth pairs from a flat (doc_id, g) postings
+    frame — the dedup_ngram_pairs shape (ONE postings self-join whose
+    pair-aggregate yields common counts directly; see the note in
+    ``_minhash_recall_from``). Shared by the text recall twins (3-gram
+    shingle postings at JACCARD_THRESHOLD) and the media twin (byte-4-gram
+    postings at its own threshold)."""
     sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # ground truth in the dedup_ngram_pairs shape: ONE postings self-join
-    # whose pair-aggregate yields the common counts directly (never a
-    # candidate distinct followed by re-joining the postings — that shape
-    # re-multiplies every pair by its shingles and measured 2.5x slower)
-    truth = (
+    return (
         posts.alias("a")
         .join(posts.alias("b"), "g")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -1659,11 +1759,26 @@ def _minhash_recall_from(posts: DataFrame) -> DataFrame:
         .filter(
             F.col("common").cast("double")
             / (F.col("n_i") + F.col("n_j") - F.col("common"))
-            >= JACCARD_THRESHOLD
+            >= threshold
         )
         .select("doc_i", "doc_j")
-        .cache()
     )
+
+
+def _minhash_recall_from(posts: DataFrame) -> DataFrame:
+    # Fused form of the two detectors: both consume the SAME cached
+    # postings frame (one tokenize+shingle pass instead of two), and both
+    # verify with _verify_jaccard at the same threshold, so the outputs
+    # are identical to running dedup_ngram_pairs / dedup_minhash_lsh
+    # separately (which is exactly what the composed oracle does).
+    # Each pair frame is then consumed twice (scalar count + semi-join),
+    # so both are cached too.
+    posts = posts.cache()
+    # ground truth in the dedup_ngram_pairs shape: ONE postings self-join
+    # whose pair-aggregate yields the common counts directly (never a
+    # candidate distinct followed by re-joining the postings — that shape
+    # re-multiplies every pair by its shingles and measured 2.5x slower)
+    truth = _truth_pairs_from(posts).cache()
     bands = bands_of(posts)
     cand = (
         bands.alias("a")
@@ -1675,23 +1790,7 @@ def _minhash_recall_from(posts: DataFrame) -> DataFrame:
         .distinct()
     )
     lsh = _verify_jaccard(posts, cand).select("doc_i", "doc_j").cache()
-    hit = truth.join(lsh, ["doc_i", "doc_j"], "left_semi")
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
-    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit_pairs"))
-    return (
-        n_true.crossJoin(n_lsh)
-        .crossJoin(n_hit)
-        .select(
-            "n_true_pairs",
-            "n_lsh_pairs",
-            "n_hit_pairs",
-            F.when(
-                F.col("n_true_pairs") > 0,
-                F.col("n_hit_pairs").cast("double") / F.col("n_true_pairs"),
-            ).alias("recall"),
-        )
-    )
+    return _detector_recall_counts(truth, lsh, "n_lsh_pairs")
 
 
 def _recall_oracle_ctes() -> str:

