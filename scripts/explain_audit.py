@@ -96,6 +96,11 @@ AUDITED = [
     "orders_benford_digits",  # one digit aggregate, 9-row result
     "docs_stratified_sample",  # kth-smallest-hash cutoff, no per-stratum sort
     "events_seasonal_anomalies",  # (type, hod) baseline broadcast, one-pass flag
+    "token_packing",  # range-partitioned prefix sums, no per-lang global sort
+    "docs_quality_token_weighted_filter",  # weighted bucket-prefix fit + broadcast-back
+    "dedup_simhash_recall",  # sliced truth self-join + pigeonhole detector, scalar counts
+    "media_simhash_recall",  # shared gram pass cached, sliced truth + detector
+    "benchmark_contamination_bloom",  # broadcast bloom prefilter, shuffle join on survivors only
 ]
 
 #: Python stages expected by design (Arrow-batched pandas ops); anything
