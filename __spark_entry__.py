@@ -216,6 +216,11 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash_recall",  # NEW r8: SimHash vs exact-Jaccard truth
     "media_simhash_recall",  # NEW r8: media SimHash vs gram-Jaccard truth
     "benchmark_contamination_bloom",  # NEW r8: beyond-broadcast decontam
+    "docs_ppl_token_weighted_buckets",  # NEW r8: CCNet cut by token mass
+    "events_mad_outliers",  # NEW r8: robust MAD modified z-score
+    "events_spearman_trend",  # NEW r8: nonparametric monotone trend
+    "events_hourly_acf",  # NEW r8: lag-1/2/24 autocorrelation
+    "customers_l_diversity",  # NEW r8: homogeneity-attack audit
     # --- (b) changed since last witness ---
     "token_packing",  # r8: two-stage range-partitioned prefix sums
     "docs_stratified_sample",  # r8: deterministic (h, doc_id) tie-break
@@ -257,13 +262,8 @@ _PRIORITY: tuple[str, ...] = (
     "docs_surrogate_keys",
     "customers_k_anonymity",
     "text_language_id",
-    "text_bpe_train_apply",
     "text_bm25_rank",
     "knn_brute_force",
-    "knn_ivf_recall",
-    "dedup_embedding_recall",
-    "media_frame_dedup",
-    "graph_pagerank",
 )
 
 

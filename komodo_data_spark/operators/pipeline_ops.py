@@ -1265,6 +1265,10 @@ def registry():
             customers_k_anonymity,
             customers_k_anonymity_oracle(),
         ),
+        "customers_l_diversity": (
+            customers_l_diversity,
+            customers_l_diversity_oracle(),
+        ),
         "events_key_skew_profile": (
             events_key_skew_profile,
             events_key_skew_profile_oracle(),
@@ -2505,6 +2509,73 @@ def customers_k_anonymity_oracle() -> str:
            count(*) < {K_ANON} AS below_k
     FROM customer
     GROUP BY 1, 2, 3
+    """
+
+
+#: l-diversity floor: a QI class must contain at least this many DISTINCT
+#: sensitive values. The l-diversity QI is COARSER than QI_COLS — the
+#: sensitive attribute (market segment) is excluded from the key, because
+#: an attribute cannot be both quasi-identifier and secret.
+L_DIVERSITY = 3
+LDIV_QI = ("c_nationkey", "bal_band")
+
+
+def customers_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al.): per QI class (nation,
+    balance band), how many DISTINCT market-segment values it contains
+    and the entropy of that distribution. k-anonymity alone is defeated
+    by the homogeneity attack — a class of 50 records all in the same
+    segment re-identifies nobody yet still discloses every member's
+    segment — so the export gate needs BOTH audits: class size >= k
+    (``customers_k_anonymity``) and distinct sensitive values >= l
+    (this). Entropy is the strictness upgrade (entropy l-diversity):
+    ln(l) of a uniform class, near 0 when one value dominates even if
+    l values technically appear.
+
+    Scale: two chained map-side-combinable hash aggregates — corpus →
+    (QI, segment) counts → per-QI rollup; output bounded by the QI
+    domain × nothing (the segment dimension folds into the rollup).
+    Entropy assembles from Σn·ln(n) and the class size in one pass:
+    H = ln(S) − Σ n·ln n / S.
+    """
+    c = qi_classes(load_table(spark, sf_dir, "customer")).select(
+        *LDIV_QI, "c_mktsegment"
+    )
+    per = c.groupBy(*LDIV_QI, "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    size = F.sum("n")
+    return (
+        per.groupBy(*LDIV_QI)
+        .agg(
+            size.alias("class_size"),
+            F.count(F.lit(1)).alias("n_distinct_sensitive"),
+            (
+                F.log(size.cast("double"))
+                - F.sum(F.col("n") * F.log(F.col("n").cast("double")))
+                / size.cast("double")
+            ).alias("sensitive_entropy"),
+            (F.count(F.lit(1)) < L_DIVERSITY).alias("below_l"),
+        )
+        .orderBy(*LDIV_QI)
+    )
+
+
+def customers_l_diversity_oracle() -> str:
+    return f"""
+    WITH per AS (
+      SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+               AS bal_band,
+             c_mktsegment, count(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, bal_band,
+           CAST(sum(n) AS BIGINT) AS class_size,
+           count(*) AS n_distinct_sensitive,
+           ln(sum(n)::DOUBLE) - sum(n * ln(n::DOUBLE)) / sum(n)::DOUBLE
+             AS sensitive_entropy,
+           count(*) < {L_DIVERSITY} AS below_l
+    FROM per GROUP BY 1, 2 ORDER BY 1, 2
     """
 
 

@@ -170,6 +170,14 @@ def registry():
             events_mannwhitney_u,
             events_mannwhitney_u_oracle(),
         ),
+        "events_mad_outliers": (
+            events_mad_outliers,
+            events_mad_outliers_oracle(),
+        ),
+        "events_spearman_trend": (
+            events_spearman_trend,
+            events_spearman_trend_oracle(),
+        ),
     }
 
 
@@ -647,4 +655,212 @@ def events_mannwhitney_u_oracle() -> str:
                                       * (n_a + n_b - 1)::DOUBLE)))))
              > {MWU_Z_95} AS significant_95
     FROM agg
+    """
+
+
+# --------------------------------------------------------------------------
+# robust outliers: median absolute deviation (modified z-score)
+# --------------------------------------------------------------------------
+
+#: Iglewicz–Hoberg modified z-score: 0.6745·(x − median)/MAD, flag |z|>3.5
+#: (the published consistency constant and cutoff). MAD-based flagging is
+#: the ROBUST member of the anomaly family: events_value_anomalies'
+#: mean/stddev z-score lets a single extreme value inflate sigma until it
+#: masks every other outlier; median and MAD have 50% breakdown.
+MAD_CONSISTENCY = 0.6745
+MAD_Z_CUT = 3.5
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type MAD outliers: flag events whose modified z-score
+    0.6745·(value − median)/MAD exceeds 3.5 in magnitude — the robust
+    upgrade of ``events_value_anomalies`` (whose mean/σ baseline is
+    itself dragged by the outliers it is hunting).
+
+    Scale design: TWO chained ``quantiles.exact_group_quantiles`` fits —
+    the per-type median, broadcast back for the absolute deviations, then
+    the per-type median of those deviations (the MAD) — each a
+    bucket-prefix kth-order-statistic pass with no per-type sort or
+    window over the corpus; the deviation frame is localCheckpointed
+    because the second fit reads it three times. Flagging is a map-side
+    broadcast join + filter. Engine-exact: both medians interpolate at
+    frac ∈ {0, 1/2} on identical doubles, and the modified z is the same
+    left-to-right expression on both engines, so the flag set cannot
+    straddle an ulp. Types with MAD = 0 (a majority-constant value) emit
+    nothing — documented, mirrored in the oracle; a production recipe
+    falls back to the mean-σ scorer for those.
+    """
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+        .localCheckpoint(eager=True)
+    )
+    from komodo_data_spark.operators.quantiles import exact_group_quantiles
+
+    med = exact_group_quantiles(ev, ["event_type"], "value", {"med": (1, 2)})
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("absdev", F.abs(F.col("value") - F.col("med")))
+        .localCheckpoint(eager=True)
+    )
+    mad = exact_group_quantiles(dev, ["event_type"], "absdev", {"mad": (1, 2)})
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (
+                F.lit(MAD_CONSISTENCY) * F.col("absdev") / F.col("mad")
+                > F.lit(MAD_Z_CUT)
+            )
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (
+                F.lit(MAD_CONSISTENCY)
+                * (F.col("value") - F.col("med"))
+                / F.col("mad")
+            ).alias("mod_z"),
+        )
+    )
+
+
+def events_mad_outliers_oracle() -> str:
+    from komodo_data_spark.operators.quantiles import oracle_group_quantile_sql
+
+    m = oracle_group_quantile_sql(
+        "ev", ["event_type"], "value", {"med": (1, 2)}, prefix="_m"
+    )
+    d = oracle_group_quantile_sql(
+        "dev", ["event_type"], "absdev", {"mad": (1, 2)}, prefix="_d"
+    )
+    return f"""
+    WITH ev AS (
+      SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+    ),{m},
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, t.med,
+             abs(e.value - t.med) AS absdev
+      FROM ev e JOIN _m_thr t USING (event_type)
+    ),{d}
+    SELECT v.event_id, v.event_type, v.value,
+           {MAD_CONSISTENCY} * (v.value - v.med) / t.mad AS mod_z
+    FROM dev v JOIN _d_thr t USING (event_type)
+    WHERE t.mad > 0 AND {MAD_CONSISTENCY} * v.absdev / t.mad > {MAD_Z_CUT}
+    """
+
+
+# --------------------------------------------------------------------------
+# Spearman rank trend (nonparametric monotone-trend measure)
+# --------------------------------------------------------------------------
+
+#: Time bucket for the rank locate stage (one day of epoch-millis); value
+#: side reuses KS_BUCKET_WIDTH. Bucket width tunes parallelism only,
+#: never the result.
+SPEARMAN_TS_BUCKET_MS = 86_400_000
+
+
+def events_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Spearman rank correlation between event TIME and
+    value — the nonparametric monotone-trend test (a drifting sensor
+    shows ρ far from 0 even when the drift is nonlinear, where Pearson
+    on raw values chases the curve's shape and the mean-based trend op
+    chases outliers). Ties get textbook midranks; ρ = Pearson correlation
+    of the rank sequences, computed on DOUBLED midranks (2R is integral
+    even with .5 midranks, and correlation is scale-invariant), so rank
+    construction is pure integer arithmetic on both engines.
+
+    Scale design: ranks never come from a per-type global sort. Each
+    axis collapses to per-DISTINCT-value tie-group counts (one hash
+    aggregate), gets its corpus-wide rank prefix from the two-stage
+    bucket-prefix shape (``events_ks_test`` / ``events_mannwhitney_u``:
+    tiny per-(type, bucket) frame windows, bucket order refines value
+    order), and joins back to event rows on the (type, value) key —
+    high-cardinality, skew-free. One final combinable aggregate emits
+    |types| rows. Types with a constant axis (rank variance 0, ρ
+    undefined) are excluded by distinct-count guard on BOTH engines —
+    Spark yields NaN and DuckDB NULL for corr of a constant, which would
+    be a spurious hash mismatch, not a semantic one.
+    """
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "ts_ms", "value")
+    )
+
+    def ranks2(col: str, width: float) -> DataFrame:
+        per = ev.groupBy("event_type", col).agg(
+            F.count(F.lit(1)).alias("t")
+        ).withColumn("bucket", F.floor(F.col(col) / F.lit(width)))
+        wb = (
+            Window.partitionBy("event_type")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        bstats = (
+            per.groupBy("event_type", "bucket")
+            .agg(F.sum("t").alias("bn"))
+            .select(
+                "event_type",
+                "bucket",
+                F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("cumb"),
+            )
+        )
+        wv = (
+            Window.partitionBy("event_type", "bucket")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        below = F.col("cumb") + F.coalesce(F.sum("t").over(wv), F.lit(0))
+        return per.join(F.broadcast(bstats), ["event_type", "bucket"]).select(
+            "event_type",
+            col,
+            (2 * below + F.col("t") + 1).alias("r2"),
+        )
+
+    rx = ranks2("ts_ms", SPEARMAN_TS_BUCKET_MS).withColumnRenamed("r2", "rx2")
+    ry = ranks2("value", KS_BUCKET_WIDTH).withColumnRenamed("r2", "ry2")
+    joined = ev.join(rx, ["event_type", "ts_ms"]).join(
+        ry, ["event_type", "value"]
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("ts_ms").alias("_dx"),
+            F.countDistinct("value").alias("_dy"),
+            F.corr(F.col("rx2").cast("double"), F.col("ry2").cast("double")).alias(
+                "spearman_rho"
+            ),
+        )
+        .filter((F.col("_dx") > 1) & (F.col("_dy") > 1))
+        .select("event_type", "n", "spearman_rho")
+        .orderBy("event_type")
+    )
+
+
+def events_spearman_trend_oracle() -> str:
+    # Independent algorithm: per-row midranks straight from window
+    # rank()/count() (2·rank + t − 1 = the engine's 2·below + t + 1),
+    # instead of the bucket-prefix construction.
+    return """
+    WITH ev AS (
+      SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    scored AS (
+      SELECT event_type, ts_ms, value,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY ts_ms)
+               + count(*) OVER (PARTITION BY event_type, ts_ms) - 1 AS rx2,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+               + count(*) OVER (PARTITION BY event_type, value) - 1 AS ry2
+      FROM ev
+    )
+    SELECT event_type, count(*) AS n,
+           corr(rx2::DOUBLE, ry2::DOUBLE) AS spearman_rho
+    FROM scored GROUP BY event_type
+    HAVING count(DISTINCT ts_ms) > 1 AND count(DISTINCT value) > 1
+    ORDER BY event_type
     """

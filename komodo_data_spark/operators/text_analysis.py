@@ -1009,6 +1009,10 @@ def registry():
             docs_quality_token_weighted_filter,
             docs_quality_token_weighted_filter_oracle(),
         ),
+        "docs_ppl_token_weighted_buckets": (
+            docs_ppl_token_weighted_buckets,
+            docs_ppl_token_weighted_buckets_oracle(),
+        ),
         "text_repetition_signals": (
             text_repetition_signals,
             text_repetition_signals_oracle(),
@@ -2401,6 +2405,112 @@ def docs_perplexity_buckets_oracle() -> str:
                 WHEN s.avg_logprob < t.q_tail THEN 'tail'
                 ELSE 'middle' END AS bucket
     FROM s JOIN _eq_thr t USING (lang)
+    """
+
+
+def docs_ppl_token_weighted_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet buckets cut by TOKEN MASS: head/middle/tail boundaries are
+    the perplexity values where each language's CUMULATIVE TOKEN count
+    crosses 1/3 and 2/3 — so each bucket carries (up to the boundary doc)
+    a third of the language's tokens, which is what a training-mix recipe
+    actually budgets. The doc-count sibling (``docs_perplexity_buckets``)
+    puts a third of the DOCUMENTS in each bucket; when short docs score
+    differently from long ones (they do — avg_logprob is length-biased),
+    its "head third" can carry well under a third of the trainable
+    tokens.
+
+    Scale design: identical shape to the sibling with the fit swapped for
+    ``quantiles.exact_group_weighted_quantiles`` — integer token-mass
+    targets, weight-sum histogram, running cumsum inside the located
+    buckets only; thresholds are actual score values (no interpolation),
+    broadcast back for a map-side bucket assignment. The scored frame is
+    localCheckpointed: the LM pipeline is the expensive part and the fit
+    reads the frame three times.
+
+    The fit ranks INT MICRO-NAT scores (floor(avg_logprob·1e6)), the
+    text_unigram_lm precedent: a weighted threshold IS a data value and
+    the boundary doc sits exactly on it, so ulp-level differences in the
+    engines' order-dependent ln-sum aggregates would flip boundary
+    membership (measured: one es doc flipped head/middle on the raw
+    doubles). The doc-count sibling tolerates raw doubles only because
+    no doc sits AT its interpolated threshold by construction.
+    """
+    from komodo_data_spark.operators.quantiles import (
+        exact_group_weighted_quantiles,
+    )
+
+    scored = text_bigram_logprob(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens()).alias("n_tokens")
+    )
+    s = (
+        scored.join(docs, "doc_id")
+        .withColumn(
+            "uq", F.floor(F.col("avg_logprob") * F.lit(1_000_000.0)).cast("long")
+        )
+        .localCheckpoint(eager=True)
+    )
+    thr = exact_group_weighted_quantiles(
+        s,
+        ["lang"],
+        "uq",
+        "n_tokens",
+        {"q_tail": PPL_TAIL_Q, "q_head": PPL_HEAD_Q},
+    )
+    return s.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "avg_logprob",
+        F.when(F.col("uq") >= F.col("q_head"), "head")
+        .when(F.col("uq") < F.col("q_tail"), "tail")
+        .otherwise("middle")
+        .alias("bucket"),
+    )
+
+
+def docs_ppl_token_weighted_buckets_oracle() -> str:
+    from komodo_data_spark.operators.quantiles import (
+        oracle_group_weighted_quantile_sql,
+    )
+
+    t = sql_tokens()
+    thr = oracle_group_weighted_quantile_sql(
+        "s",
+        ["lang"],
+        "uq",
+        "n_tokens",
+        {"q_tail": PPL_TAIL_Q, "q_head": PPL_HEAD_Q},
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+      FROM d, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+    ),
+    model AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+    tot AS (SELECT sum(c) AS n_total FROM model),
+    scored AS (
+      SELECT grams.doc_id, avg(ln(model.c / tot.n_total)) AS avg_logprob
+      FROM grams JOIN model USING (g) CROSS JOIN tot
+      GROUP BY grams.doc_id
+    ),
+    s AS (
+      SELECT scored.doc_id, dd.lang, dd.n_tokens, scored.avg_logprob,
+             CAST(floor(scored.avg_logprob * 1000000.0) AS BIGINT) AS uq
+      FROM scored JOIN (
+        SELECT doc_id, lang, len({t}) AS n_tokens FROM documents
+      ) dd USING (doc_id)
+    ),{thr}
+    SELECT s.doc_id, s.lang, s.n_tokens, s.avg_logprob,
+           CASE WHEN s.uq >= t.q_head THEN 'head'
+                WHEN s.uq < t.q_tail THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM s JOIN _wq_thr t USING (lang)
     """
 
 

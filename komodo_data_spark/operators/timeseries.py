@@ -197,6 +197,7 @@ def registry():
             events_value_percentiles_hist,
             events_value_percentiles_hist_oracle(),
         ),
+        "events_hourly_acf": (events_hourly_acf, events_hourly_acf_oracle()),
     }
 
 
@@ -506,4 +507,84 @@ def events_value_percentiles_hist_oracle() -> str:
     )
     SELECT event_type, max(nn)::BIGINT AS n_values, {", ".join(q_cols)}
     FROM cum GROUP BY event_type ORDER BY event_type
+    """
+
+
+# --------------------------------------------------------------------------
+# hourly autocorrelation (seasonality / persistence diagnostic)
+# --------------------------------------------------------------------------
+
+#: ACF lags in HOURS. 1 = persistence, 24 = diurnal cycle — the two lags a
+#: telemetry monitor actually reads; 2 fills in the short-range decay.
+ACF_LAGS = (1, 2, 24)
+
+
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's HOURLY mean value at lags
+    1/2/24 hours — the diagnostic that separates a persistent level
+    (high lag-1), white noise (all ≈ 0), and a diurnal cycle (lag-24
+    spike); it is what says whether ``events_seasonal_anomalies``' hour-
+    of-day baseline is even warranted for a type. Pairs are matched on
+    REAL hour offsets (an hour with no events simply contributes no
+    pair), so gaps don't smear lags the way positional shifting would.
+
+    Scale design: the corpus collapses to a (type, hour) mean frame with
+    one map-side-combinable aggregate; everything after — the lag
+    explode, the (type, hour+lag) self-equi-join, and the per-(type,
+    lag) correlation — runs on that tiny frame (|types| × |hours| rows,
+    KBs at any corpus size). Types/lags with degenerate variance on
+    either side are excluded by distinct-count guard on BOTH engines
+    (Spark corr yields NaN, DuckDB NULL — a spurious hash mismatch).
+    """
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    hourly = ev.groupBy(
+        "event_type", F.expr(f"ts_ms div {HOUR_MS}").alias("hr")
+    ).agg(F.avg("value").alias("v"))
+    a = hourly.select(
+        "event_type",
+        "hr",
+        F.col("v").alias("v_a"),
+        F.explode(F.array(*[F.lit(k) for k in ACF_LAGS])).alias("lag"),
+    )
+    b = hourly.select(
+        "event_type", F.col("hr").alias("hr_b"), F.col("v").alias("v_b")
+    )
+    pairs = a.join(
+        b,
+        (a["event_type"] == b["event_type"])
+        & (F.col("hr_b") == F.col("hr") + F.col("lag")),
+    ).select(a["event_type"], "lag", "v_a", "v_b")
+    return (
+        pairs.groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("v_a").alias("_da"),
+            F.countDistinct("v_b").alias("_db"),
+            F.corr("v_a", "v_b").alias("acf"),
+        )
+        .filter((F.col("_da") > 1) & (F.col("_db") > 1))
+        .select("event_type", "lag", "n_pairs", "acf")
+        .orderBy("event_type", "lag")
+    )
+
+
+def events_hourly_acf_oracle() -> str:
+    lags = ", ".join(str(k) for k in ACF_LAGS)
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_ms(ts) // {HOUR_MS} AS hr, avg(value) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.v AS v_a, b.v AS v_b
+      FROM hourly a
+      CROSS JOIN (SELECT unnest([{lags}]) AS lag) l
+      JOIN hourly b
+        ON b.event_type = a.event_type AND b.hr = a.hr + l.lag
+    )
+    SELECT event_type, lag, count(*) AS n_pairs, corr(v_a, v_b) AS acf
+    FROM pairs GROUP BY 1, 2
+    HAVING count(DISTINCT v_a) > 1 AND count(DISTINCT v_b) > 1
+    ORDER BY event_type, lag
     """

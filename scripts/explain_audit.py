@@ -101,6 +101,11 @@ AUDITED = [
     "dedup_simhash_recall",  # sliced truth self-join + pigeonhole detector, scalar counts
     "media_simhash_recall",  # shared gram pass cached, sliced truth + detector
     "benchmark_contamination_bloom",  # broadcast bloom prefilter, shuffle join on survivors only
+    "events_mad_outliers",  # two chained bucket-prefix medians, map-side flag
+    "events_spearman_trend",  # bucketed midranks x2 + one corr aggregate
+    "docs_ppl_token_weighted_buckets",  # micro-nat weighted terciles, broadcast-back
+    "events_hourly_acf",  # tiny hourly frame, lag self-join + corr
+    "customers_l_diversity",  # two chained hash aggregates, QI-bounded output
 ]
 
 #: Python stages expected by design (Arrow-batched pandas ops); anything
