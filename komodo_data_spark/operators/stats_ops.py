@@ -825,18 +825,29 @@ def events_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(rx, ["event_type", "ts_ms"]).join(
         ry, ["event_type", "value"]
     )
-    return (
-        joined.groupBy("event_type")
+    # the degenerate guard must run BEFORE corr, not as a post-filter:
+    # Spark 4's ANSI-mode corr THROWS DIVIDE_BY_ZERO on a zero-variance
+    # group instead of yielding NaN (pinned by the hand test's constant
+    # type), so filter those groups out with a broadcast semi-join on a
+    # tiny per-type distinct-count aggregate
+    ok = (
+        ev.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n"),
             F.countDistinct("ts_ms").alias("_dx"),
             F.countDistinct("value").alias("_dy"),
+        )
+        .filter((F.col("_dx") > 1) & (F.col("_dy") > 1))
+        .select("event_type")
+    )
+    return (
+        joined.join(F.broadcast(ok), "event_type", "left_semi")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
             F.corr(F.col("rx2").cast("double"), F.col("ry2").cast("double")).alias(
                 "spearman_rho"
             ),
         )
-        .filter((F.col("_dx") > 1) & (F.col("_dy") > 1))
-        .select("event_type", "n", "spearman_rho")
         .orderBy("event_type")
     )
 

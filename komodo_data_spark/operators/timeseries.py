@@ -554,16 +554,25 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (a["event_type"] == b["event_type"])
         & (F.col("hr_b") == F.col("hr") + F.col("lag")),
     ).select(a["event_type"], "lag", "v_a", "v_b")
-    return (
+    # the degenerate guard runs BEFORE corr: Spark 4's ANSI corr THROWS
+    # DIVIDE_BY_ZERO on a zero-variance group rather than yielding NaN,
+    # so filter those (type, lag) cells out first (all tiny frames here)
+    ok = (
         pairs.groupBy("event_type", "lag")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
             F.countDistinct("v_a").alias("_da"),
             F.countDistinct("v_b").alias("_db"),
-            F.corr("v_a", "v_b").alias("acf"),
         )
         .filter((F.col("_da") > 1) & (F.col("_db") > 1))
-        .select("event_type", "lag", "n_pairs", "acf")
+        .select("event_type", "lag")
+    )
+    return (
+        pairs.join(F.broadcast(ok), ["event_type", "lag"], "left_semi")
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.corr("v_a", "v_b").alias("acf"),
+        )
         .orderBy("event_type", "lag")
     )
 

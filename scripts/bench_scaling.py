@@ -149,6 +149,15 @@ SF1_QUERIES = [
     "events_cusum_changepoint", "events_mannwhitney_u", "media_simhash_pairs",
     "orders_benford_digits", "docs_chunk_windows", "text_cooccurrence_pmi",
     "docs_stratified_sample", "events_seasonal_anomalies",
+    # round-8 additions: the two-stage packing cumsum, token-weighted
+    # quantile fits (the ppl variant re-runs the bigram-LM fit), the
+    # bloom-prefiltered decontamination path, the SimHash recall twins
+    # (fixed-budget sliced truth), chained MAD medians, bucketed Spearman
+    # midranks, the hourly ACF rollup, and the l-diversity audit
+    "token_packing", "docs_quality_token_weighted_filter",
+    "docs_ppl_token_weighted_buckets", "benchmark_contamination_bloom",
+    "dedup_simhash_recall", "media_simhash_recall", "events_mad_outliers",
+    "events_spearman_trend", "events_hourly_acf", "customers_l_diversity",
 ]
 
 #: Third decade (sf1 -> sf10): the same set MINUS queries whose OUTPUT

@@ -82,6 +82,14 @@ SKEW_QUERIES = (
     # the hot user becomes a hub node: a hot neighbor key in every
     # propagation round's join
     "graph_communities_lpa",
+    # round 8: the hot boilerplate concentrates token mass — the
+    # range-partitioned packing cumsum and the token-WEIGHTED threshold
+    # fit must both stay partition-bounded under that ridge
+    "token_packing",
+    "docs_quality_token_weighted_filter",
+    # the hot value ridge lands one giant tie group on a single rank
+    # bucket; the midrank prefix must stay bucket-partitioned
+    "events_spearman_trend",
 )
 
 
