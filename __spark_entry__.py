@@ -221,6 +221,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_spearman_trend",  # NEW r8: nonparametric monotone trend
     "events_hourly_acf",  # NEW r8: lag-1/2/24 autocorrelation
     "customers_l_diversity",  # NEW r8: homogeneity-attack audit
+    "dedup_ngram_pairs_prefix",  # NEW r8: exact PPJoin prefix-filter join
     # --- (b) changed since last witness ---
     "token_packing",  # r8: two-stage range-partitioned prefix sums
     "docs_stratified_sample",  # r8: deterministic (h, doc_id) tie-break
@@ -263,7 +264,6 @@ _PRIORITY: tuple[str, ...] = (
     "customers_k_anonymity",
     "text_language_id",
     "text_bm25_rank",
-    "knn_brute_force",
 )
 
 

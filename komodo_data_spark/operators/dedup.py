@@ -98,7 +98,9 @@ def _doc_postings(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     return exploded(_doc_shingles(spark, sf_dir, n), F.col("sh"), "g", "doc_id")
 
 
-def _verify_jaccard(posts: DataFrame, cand: DataFrame) -> DataFrame:
+def _verify_jaccard(
+    posts: DataFrame, cand: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
     """Exact Jaccard for candidate (doc_i, doc_j) pairs from flat postings.
 
     common(i,j) via a postings equi-join restricted to candidate docs, set
@@ -132,7 +134,93 @@ def _verify_jaccard(posts: DataFrame, cand: DataFrame) -> DataFrame:
                 / (F.col("n_i") + F.col("n_j") - F.col("common"))
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def prefix_filtered_jaccard_pairs(
+    posts: DataFrame, num: int, den: int
+) -> DataFrame:
+    """EXACT Jaccard >= num/den pairs from flat DISTINCT (doc_id, g)
+    postings via PREFIX FILTERING (Chaudhuri et al. 2006; Xiao et al.
+    2008, the PPJoin prefix) — the third candidate-generation strategy in
+    the dedup ladder, EXACT unlike both neighbors: MinHash-LSH misses
+    banding-unlucky pairs, the df-cap drops hot-shingle pairs outright.
+
+    The theorem: order every set by one global total order (ascending
+    document frequency, gram as tie-break — rare-first maximizes
+    selectivity) and take each set's first ``n − ceil(t·n) + 1`` elements
+    as its prefix; any pair with Jaccard >= t shares at least one PREFIX
+    element, so the candidate equi-join runs on prefix postings only and
+    verification (the exact common-count join) touches only candidates.
+    The prefix length is computed in INTEGER arithmetic from the rational
+    threshold (ceil(t·n) = (num·n + den − 1) div den): a float ``0.8·n``
+    can round ABOVE the true product and silently shorten the prefix —
+    an incompleteness bug, not an ulp nit.
+
+    Scale shape: df is one hash aggregate; prefix selection is one
+    doc_id-partitioned window over each doc's ~|set| postings; the
+    candidate join's cost is Σ df_prefix² — prefixes hold each doc's
+    RAREST grams, so a hot key never generates candidates. Verification
+    is per-CANDIDATE (one ``array_intersect`` on the two reassembled
+    gram arrays — candidate-bounded work, where the flat common-count
+    join would re-multiply every candidate by its |set| postings:
+    measured 5.8 s vs ~2 s on the media-gram truth's 827k candidates at
+    sf0.1). Callers cache ``posts`` (consumed by df, sizes, prefix, and
+    the array reassembly).
+    """
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    wp = Window.partitionBy("doc_id").orderBy("df", "g")
+    pref = (
+        posts.join(dfreq, "g")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.expr(f"({num} * n + {den} - 1) div {den}") + 1
+        )
+        .select("doc_id", "g")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    arrs = posts.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("g")).alias("gs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c = F.size(F.array_intersect("g_i", "g_j"))
+    return (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_i"),
+                F.col("gs").alias("g_i"),
+                F.col("n").alias("n_i"),
+            ),
+            "doc_i",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_j"),
+                F.col("gs").alias("g_j"),
+                F.col("n").alias("n_j"),
+            ),
+            "doc_j",
+        )
+        .select(
+            "doc_i",
+            "doc_j",
+            (
+                c.cast("double") / (F.col("n_i") + F.col("n_j") - c)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(num / den))
     )
 
 
@@ -228,6 +316,31 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def dedup_ngram_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT twin of :func:`dedup_ngram_pairs` via prefix filtering
+    (:func:`prefix_filtered_jaccard_pairs`) — identical output, identical
+    oracle, but the candidate join runs only on each document's rarest
+    ``n − ceil(0.7·n) + 1`` shingles instead of all of them, so a hot
+    boilerplate shingle costs nothing. This is the EXACT scale path the
+    uncapped baseline's docstring promises: LSH trades recall, the
+    df-cap trades completeness; the prefix filter trades neither — its
+    cost concentrates where near-duplicates actually are. Honest trade,
+    measured at sf0.1: ~4.7 s vs the naive join's ~2.3 s on THIS corpus
+    (3-token shingles over a 31-word vocabulary are already rare keys,
+    so the naive Σdf² is small and the df/window/verify machinery is
+    pure overhead) — the variant earns its keep when a key gets hot,
+    which is exactly what BENCH_SKEW measures it under.
+    """
+    posts = _doc_postings(spark, sf_dir).cache()
+    return prefix_filtered_jaccard_pairs(posts, 7, 10)
+
+
+def dedup_ngram_pairs_prefix_oracle() -> str:
+    # identical contract to the baseline: the prefix filter is complete,
+    # so the independent check IS the all-pairs oracle
+    return dedup_ngram_pairs_oracle()
 
 
 def dedup_ngram_pairs_oracle() -> str:
@@ -1064,6 +1177,10 @@ def registry():
             dedup_ngram_pairs_capped,
             dedup_ngram_pairs_capped_oracle(),
         ),
+        "dedup_ngram_pairs_prefix": (
+            dedup_ngram_pairs_prefix,
+            dedup_ngram_pairs_prefix_oracle(),
+        ),
         "dedup_containment_pairs": (
             dedup_containment_pairs,
             dedup_containment_pairs_oracle(),
@@ -1587,17 +1704,21 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 RECALL_SAMPLE_TARGET_DOCS = 2500
 
 
-def _recall_sample_buckets(n_docs: int) -> int:
+def _recall_sample_buckets(
+    n_docs: int, target: int = RECALL_SAMPLE_TARGET_DOCS
+) -> int:
     """Bucket count (of the md5 % 100 gate) sizing the recall eval's slice
-    to ~RECALL_SAMPLE_TARGET_DOCS documents REGARDLESS of corpus size:
+    to ~``target`` documents REGARDLESS of corpus size:
     floor(target·100 / n), clamped to [1, 100]. A fixed bucket count was
     the third-decade catch (BENCH_SCALING sf1→sf10): 50 buckets is a
     fixed FRACTION, so the slice grew linearly and its all-pairs truth
     quadratically (5.8 s → 403 s over a 10× step). With a fixed DOC
     budget the eval is O(target²) at any corpus size; the % 100
     granularity floors the slice at 1% — production at >100× the target
-    uses a finer modulus, same arithmetic."""
-    return max(1, min(100, RECALL_SAMPLE_TARGET_DOCS * 100 // max(n_docs, 1)))
+    uses a finer modulus, same arithmetic. ``target`` defaults to the
+    shared text budget; evals with denser feature sets (the media gram
+    truth) pass their own."""
+    return max(1, min(100, target * 100 // max(n_docs, 1)))
 
 
 def dedup_minhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -585,13 +585,22 @@ def media_simhash_pairs_oracle() -> str:
     """
 
 
-#: Ground-truth threshold for the media recall twin: exact Jaccard over
-#: the DISTINCT byte-4-grams of the sampled frames. The corpus separates
-#: cleanly (measured: every pair above 0.5 gram-Jaccard is at ~1.0 —
-#: planted near-dups vs unrelated ASCII payloads), so 0.8 marks "truly
-#: near-duplicate payload" without riding the noise floor of shared
-#: common grams.
-MEDIA_JACCARD_THRESHOLD = 0.8
+#: Ground-truth threshold for the media recall twin, as an exact rational
+#: (the prefix filter's length arithmetic needs it integer-exact): exact
+#: Jaccard over the DISTINCT byte-4-grams of the sampled frames. The
+#: corpus separates cleanly (measured: every pair above 0.5 gram-Jaccard
+#: is at ~1.0 — planted near-dups vs unrelated ASCII payloads), so 4/5
+#: marks "truly near-duplicate payload" without riding the noise floor
+#: of shared common grams.
+MEDIA_JACCARD_Q = (4, 5)
+
+#: Media recall slice budget — HALF the shared text budget. Byte 4-grams
+#: are ~25× denser per doc than 3-token shingles on this corpus (77
+#: distinct grams vs ~3 rare shingles joining), so the same doc budget
+#: buys a far heavier truth; 1250 docs keeps the eval's candidate volume
+#: in the same band as the text twins while still sampling dozens of
+#: true pairs at every SF.
+MEDIA_RECALL_TARGET_DOCS = 1250
 
 
 def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,27 +616,35 @@ def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Runs on the deterministic hash-bucket slice with the fixed
     ~RECALL_SAMPLE_TARGET_DOCS budget (``dedup._recall_sample_buckets``),
-    so the quadratic exact truth stays CONSTANT across the scaling
-    decades while the detector side remains the linear production plan.
-    The sliced gram frame is cached: truth postings and detector
-    signatures both read it (one gram-extraction pass, slice-sized).
+    so the exact truth stays CONSTANT across the scaling decades while
+    the detector side remains the linear production plan. The truth is
+    PREFIX-FILTERED (``dedup.prefix_filtered_jaccard_pairs``): byte
+    4-grams are dense — every doc shares hot grams like ' the' — so the
+    naive postings self-join is Σdf²-quadratic in the slice (measured
+    17.4 s at sf0.1); the prefix filter joins only each doc's rarest
+    grams and verifies candidates exactly (same 70 pairs, ~2 s). The
+    sliced gram frame is cached: truth postings and detector signatures
+    both read it (one gram-extraction pass, slice-sized).
 
-    Measured: recall 0.93/0.92/0.90 at sf0.001/0.01/0.1 with near-truth
-    pair volumes (e.g. 139 emitted vs 70 true at sf0.1) — the dense
-    byte-4-gram sets give the 32-bit signature far more stable bits than
-    the unigram text variant (cf. ``dedup_simhash_recall``'s 0.50).
+    Measured: recall 0.93/0.92/0.89 at sf0.001/0.01/0.1 with near-truth
+    pair volumes (e.g. 40 emitted vs 19 true on the sf0.1 slice) — the
+    dense byte-4-gram sets give the 32-bit signature far more stable
+    bits than the unigram text variant (cf. ``dedup_simhash_recall``'s
+    0.50).
     """
     from komodo_data_spark.operators.dedup import (
         _detector_recall_counts,
         _recall_sample_buckets,
         _simhash_signatures,
-        _truth_pairs_from,
+        prefix_filtered_jaccard_pairs,
         simhash_pigeonhole_pairs,
     )
     from komodo_data_spark.operators.pipeline_ops import _bucket_col
 
     n_docs = load_table(spark, sf_dir, "documents").count()
-    gate = _bucket_col() < _recall_sample_buckets(n_docs)
+    gate = _bucket_col() < _recall_sample_buckets(
+        n_docs, target=MEDIA_RECALL_TARGET_DOCS
+    )
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
@@ -640,7 +657,11 @@ def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = d.select(
         "doc_id", F.explode(F.array_distinct("toks")).alias("g")
     ).cache()
-    truth = _truth_pairs_from(posts, MEDIA_JACCARD_THRESHOLD).cache()
+    truth = (
+        prefix_filtered_jaccard_pairs(posts, *MEDIA_JACCARD_Q)
+        .select("doc_i", "doc_j")
+        .cache()
+    )
     det = (
         simhash_pigeonhole_pairs(_simhash_signatures(d))
         .select("doc_i", "doc_j")
@@ -650,11 +671,10 @@ def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_simhash_recall_oracle() -> str:
-    from komodo_data_spark.operators.dedup import RECALL_SAMPLE_TARGET_DOCS
     from komodo_data_spark.operators.pipeline_ops import _sql_bucket
 
     buckets = (
-        f"greatest(1, least(100, {RECALL_SAMPLE_TARGET_DOCS} * 100 // "
+        f"greatest(1, least(100, {MEDIA_RECALL_TARGET_DOCS} * 100 // "
         "greatest((SELECT count(*) FROM main.documents), 1)))"
     )
     return f"""
@@ -685,7 +705,7 @@ def media_simhash_recall_oracle() -> str:
     truth AS (
       SELECT doc_i, doc_j FROM tp
       JOIN sz si ON si.doc_id = doc_i JOIN sz sj ON sj.doc_id = doc_j
-      WHERE c::DOUBLE / (si.n + sj.n - c) >= {MEDIA_JACCARD_THRESHOLD}
+      WHERE c::DOUBLE / (si.n + sj.n - c) >= {MEDIA_JACCARD_Q[0] / MEDIA_JACCARD_Q[1]}
     ),
     det AS (SELECT doc_i, doc_j FROM ({media_simhash_pairs_oracle()})),
     hit AS (

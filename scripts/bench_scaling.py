@@ -158,6 +158,7 @@ SF1_QUERIES = [
     "docs_ppl_token_weighted_buckets", "benchmark_contamination_bloom",
     "dedup_simhash_recall", "media_simhash_recall", "events_mad_outliers",
     "events_spearman_trend", "events_hourly_acf", "customers_l_diversity",
+    "dedup_ngram_pairs_prefix",
 ]
 
 #: Third decade (sf1 -> sf10): the same set MINUS queries whose OUTPUT

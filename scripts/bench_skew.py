@@ -90,6 +90,9 @@ SKEW_QUERIES = (
     # the hot value ridge lands one giant tie group on a single rank
     # bucket; the midrank prefix must stay bucket-partitioned
     "events_spearman_trend",
+    # the prefix filter's whole claim: a 20%-hot shingle generates ZERO
+    # candidates because a hot key never lands in any doc's rare prefix
+    "dedup_ngram_pairs_prefix",
 )
 
 

@@ -106,6 +106,7 @@ AUDITED = [
     "docs_ppl_token_weighted_buckets",  # micro-nat weighted terciles, broadcast-back
     "events_hourly_acf",  # tiny hourly frame, lag self-join + corr
     "customers_l_diversity",  # two chained hash aggregates, QI-bounded output
+    "dedup_ngram_pairs_prefix",  # PPJoin prefix candidates + intersect verify
 ]
 
 #: Python stages expected by design (Arrow-batched pandas ops); anything
