@@ -332,6 +332,19 @@ def dedup_ngram_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the naive Σdf² is small and the df/window/verify machinery is
     pure overhead) — the variant earns its keep when a key gets hot,
     which is exactly what BENCH_SKEW measures it under.
+
+    Validity boundary (measured by the sf10 scaling decade, which caught
+    a disk-filling candidate join): prefix selectivity presumes the
+    feature space dwarfs the corpus. This synthetic vocabulary admits
+    only 31³ = 29,791 distinct shingles, so past ~100k docs even the
+    "rarest" prefix shingles carry df in the thousands and the candidate
+    set degrades toward all-pairs — the same vocabulary-saturation
+    property the repo classifies for dedup_simhash/dedup_fuzzy_prefix
+    (OUTPUT_QUADRATIC_BY_DATA). Real corpora have unbounded Zipfian
+    vocabularies, where the prefix df distribution stays selective at
+    any n; on saturated feature spaces, no EXACT all-pairs detector is
+    subquadratic because the answer itself is dense (SF10_EXCLUDE entry,
+    bench_scaling.py).
     """
     posts = _doc_postings(spark, sf_dir).cache()
     return prefix_filtered_jaccard_pairs(posts, 7, 10)

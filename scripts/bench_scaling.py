@@ -166,7 +166,21 @@ SF1_QUERIES = [
 #: true pairs at sf10 (64.6M at sf1, x~100/decade), which is an output-
 #: size property of this 31-word-vocabulary corpus, not an engine cost
 #: worth a 10-minute bench slot. Everything else runs under the gate.
-SF10_EXCLUDE = {"dedup_simhash"}
+SF10_EXCLUDE = {
+    "dedup_simhash",
+    # Caught by this gate in round 8 (disk-filling shuffle at sf10, a
+    # REAL catch): prefix filtering's selectivity assumes the feature
+    # space dwarfs the corpus, and this synthetic corpus saturates it —
+    # a 31-word vocabulary admits only 31^3 = 29,791 distinct 3-token
+    # shingles, so at 500k docs every doc's "rarest" prefix shingles
+    # carry df in the thousands and the candidate join degrades toward
+    # all-pairs (Σ df_prefix² ≈ 2e10). Same vocabulary-saturation class
+    # as dedup_simhash's exclusion and dedup_fuzzy_prefix's
+    # OUTPUT_QUADRATIC_BY_DATA entry: a data-density property, not an
+    # engine cost — real corpora have unbounded Zipfian vocabularies
+    # (documented on the operator).
+    "dedup_ngram_pairs_prefix",
+}
 
 
 def main() -> int:
