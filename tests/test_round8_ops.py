@@ -162,3 +162,101 @@ def test_l_diversity_hand_computed(spark, tmp_path):
     assert b["class_size"] == 3 and b["n_distinct_sensitive"] == 3
     assert b["below_l"] is False
     assert abs(b["sensitive_entropy"] - math.log(3)) < 1e-12
+
+
+def test_bloom_fit_has_no_false_negatives(spark):
+    """The decontamination bloom's only correctness obligation: EVERY
+    inserted key must pass the filter (false positives are fine — the
+    exact semi-join removes them; a false negative would silently drop a
+    contaminated document). Checked on adversarial keys (empty string,
+    unicode, near-duplicates) plus a measured FP rate sanity band."""
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.pipeline_ops import (
+        DECONTAM_BLOOM_BITS_PER_KEY,
+        DECONTAM_BLOOM_K,
+        bloom_fit,
+    )
+
+    keys = ["", "a", "aa", "ab", "ba", "the quick fox", "the quick fox ",
+            "éèê", "0", "00"] + [f"k{i}" for i in range(500)]
+    kdf = spark.createDataFrame([(k,) for k in keys], ["s"])
+    n_bits = max(1 << 16, DECONTAM_BLOOM_BITS_PER_KEY * len(keys))
+    bf = bloom_fit(kdf, "s", n_bits).localCheckpoint(eager=True)
+
+    def probe(df):
+        ex = df.crossJoin(F.broadcast(bf))
+        for k in range(DECONTAM_BLOOM_K):
+            ex = ex.withColumn(
+                f"_p{k}", F.pmod(F.xxhash64(F.col("s"), F.lit(k)), F.lit(n_bits))
+            )
+        might = F.lit(True)
+        for k in range(DECONTAM_BLOOM_K):
+            might = might & (
+                F.expr(
+                    f"element_at(bf, CAST(_p{k} div 64 AS INT) + 1) "
+                    f"& shiftleft(CAST(1 AS BIGINT), CAST(_p{k} % 64 AS INT))"
+                )
+                != 0
+            )
+        return ex.withColumn("hit", might)
+
+    # no false negatives: all inserted keys pass
+    assert probe(kdf).filter(~F.col("hit")).count() == 0
+    # false positives bounded: ~0.24% predicted at m/n=16,k=4; allow 10x
+    misses = spark.createDataFrame(
+        [(f"miss{i}",) for i in range(20_000)], ["s"]
+    )
+    fp = probe(misses).filter(F.col("hit")).count()
+    assert fp <= 20_000 * 0.024, fp
+
+
+def test_prefix_filtered_jaccard_is_complete(spark):
+    """Property test: the PPJoin prefix filter must find EXACTLY the
+    pairs the naive all-pairs Jaccard finds — completeness is the whole
+    claim (the integer prefix-length arithmetic exists because a float
+    ceil can silently shorten a prefix). Random tiny corpora over a
+    3-token alphabet force heavy gram sharing and boundary Jaccards."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from komodo_data_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1,
+                     max_size=6, unique=True),
+            min_size=2,
+            max_size=10,
+        ),
+        st.sampled_from([(1, 2), (7, 10), (4, 5), (1, 3)]),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def inner(sets, q):
+        num, den = q
+        posts = spark.createDataFrame(
+            [(i, g) for i, gs in enumerate(sets) for g in gs],
+            ["doc_id", "g"],
+        )
+        got = {
+            (r["doc_i"], r["doc_j"]): r["jaccard"]
+            for r in prefix_filtered_jaccard_pairs(posts, num, den).collect()
+        }
+        want = {}
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                a, b = set(sets[i]), set(sets[j])
+                jac = len(a & b) / len(a | b)
+                if jac >= num / den:
+                    want[(i, j)] = jac
+        assert set(got) == set(want), (sets, q, got, want)
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-15
+
+    inner()
