@@ -213,14 +213,23 @@ def prefix_filtered_jaccard_pairs(
             ),
             "doc_j",
         )
+        .withColumn("c", c)
+        # accept/reject in INTEGERS (c·den >= num·(|i|+|j|-c)) — the same
+        # cross-multiplication the prefix length uses, so the contract is
+        # rational end-to-end; the double `jaccard` is output-only. (The
+        # float compare was value-identical at realistic set sizes — the
+        # rational gap dwarfs an ulp — but inconsistent with the docstring.)
+        .filter(
+            F.col("c") * den >= num * (F.col("n_i") + F.col("n_j") - F.col("c"))
+        )
         .select(
             "doc_i",
             "doc_j",
             (
-                c.cast("double") / (F.col("n_i") + F.col("n_j") - c)
+                F.col("c").cast("double")
+                / (F.col("n_i") + F.col("n_j") - F.col("c"))
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= F.lit(num / den))
     )
 
 

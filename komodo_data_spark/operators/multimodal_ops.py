@@ -703,9 +703,11 @@ def media_simhash_recall_oracle() -> str:
       GROUP BY 1, 2
     ),
     truth AS (
+      -- integer cross-multiplication, mirroring the engine's
+      -- prefix_filtered_jaccard_pairs accept test exactly
       SELECT doc_i, doc_j FROM tp
       JOIN sz si ON si.doc_id = doc_i JOIN sz sj ON sj.doc_id = doc_j
-      WHERE c::DOUBLE / (si.n + sj.n - c) >= {MEDIA_JACCARD_Q[0] / MEDIA_JACCARD_Q[1]}
+      WHERE c * {MEDIA_JACCARD_Q[1]} >= {MEDIA_JACCARD_Q[0]} * (si.n + sj.n - c)
     ),
     det AS (SELECT doc_i, doc_j FROM ({media_simhash_pairs_oracle()})),
     hit AS (

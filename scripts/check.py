@@ -75,6 +75,11 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # per-query cache hygiene (bench.py does the same): the recall
+        # twins and prefix-join ops cache postings/truth frames per
+        # invocation; without this, a 223-query sweep accumulates caches
+        # and leans on LRU eviction.
+        spark.catalog.clearCache()
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as exc:
