@@ -492,6 +492,15 @@ def media_frame_dedup_oracle() -> str:
 
 MEDIA_GRAM = 4  # byte n-gram width for the frame-content fingerprint
 
+#: Media SimHash geometry — 32-bit signatures at Hamming radius 2, pinned
+#: HERE (not shared with dedup.SIMHASH_BITS/HAMMING_MAX, which size the
+#: TEXT detector): byte-4-gram sets of near-dup payloads are dense and
+#: near-identical, so 32 bits at radius 2 already measures 0.89-0.93
+#: recall on the exact gram-Jaccard truth; the text detector's sparser
+#: shingle features needed 64 bits at radius 7 for comparable recall.
+MEDIA_SIMHASH_BITS = 32
+MEDIA_HAMMING_MAX = 2
+
 
 def media_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-duplicate media pairs — the fuzzy upgrade of
@@ -500,7 +509,7 @@ def media_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprinted by a 32-bit SimHash over the byte 4-grams of its
     SAMPLED frames (same frame grid as ``media_frame_samples``: 64-byte
     chunks, every FRAME_STRIDEth), so payloads sharing most local byte
-    content land within Hamming distance HAMMING_MAX even when bytes
+    content land within Hamming distance MEDIA_HAMMING_MAX even when bytes
     shift or a few frames differ; pairs come from the shared pigeonhole
     segment join (``dedup.simhash_pigeonhole_pairs``) — an equi-join on
     (segment, value), never all-pairs.
@@ -525,7 +534,9 @@ def media_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _simhash_signatures(
         d.withColumn("toks", _media_gram_toks()).filter(F.size("toks") > 0)
     )
-    return simhash_pigeonhole_pairs(sig)
+    return simhash_pigeonhole_pairs(
+        sig, bits=MEDIA_SIMHASH_BITS, hmax=MEDIA_HAMMING_MAX
+    )
 
 
 def _media_gram_toks():
@@ -553,10 +564,9 @@ def _media_gram_toks():
 
 
 def media_simhash_pairs_oracle() -> str:
-    from komodo_data_spark.operators.dedup import HAMMING_MAX, SIMHASH_BITS
     from komodo_data_spark.functions.text_features import sql_simhash
 
-    sh = sql_simhash("grams", SIMHASH_BITS)
+    sh = sql_simhash("grams", MEDIA_SIMHASH_BITS)
     return f"""
     WITH d AS (
       SELECT doc_id, text,
@@ -581,7 +591,7 @@ def media_simhash_pairs_oracle() -> str:
     SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {MEDIA_HAMMING_MAX}
     """
 
 
@@ -610,9 +620,9 @@ def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate detector ships with a measured recall; the two SimHash
     detectors were the last without one). Truth and detector share ONE
     gram definition (``_media_gram_toks``): the pigeonhole join is
-    complete at hamming <= HAMMING_MAX, so the measured loss is purely
-    the 32-bit signature's — true near-dup payloads whose gram sets hash
-    more than HAMMING_MAX bits apart.
+    complete at hamming <= MEDIA_HAMMING_MAX, so the measured loss is
+    purely the 32-bit signature's — true near-dup payloads whose gram
+    sets hash more than MEDIA_HAMMING_MAX bits apart.
 
     Runs on the deterministic hash-bucket slice with the fixed
     ~RECALL_SAMPLE_TARGET_DOCS budget (``dedup._recall_sample_buckets``),
@@ -663,7 +673,11 @@ def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     det = (
-        simhash_pigeonhole_pairs(_simhash_signatures(d))
+        simhash_pigeonhole_pairs(
+            _simhash_signatures(d),
+            bits=MEDIA_SIMHASH_BITS,
+            hmax=MEDIA_HAMMING_MAX,
+        )
         .select("doc_i", "doc_j")
         .cache()
     )

@@ -66,17 +66,16 @@ T_SF10_CEILING = 120.0
 
 #: Queries whose OUTPUT row count is quadratic in the data BY DATA
 #: DENSITY, not by algorithm: the synthetic corpus draws documents from
-#: a ~31-word vocabulary, so the number of TRUE near-duplicate pairs
-#: grows ~n² — measured dedup_simhash pairs 5,462 / 601,231 / 64,618,212
-#: at sf0.01/0.1/1 (a near-constant ~4.3e-4 pairs per doc²; the
-#: sf0.01→sf0.1 step on the DRIVER's own data is already 110×). A
-#: detector that must EMIT a quadratic edge list cannot run in linear
-#: time, so the time-ratio gate does not apply; the query is still timed
-#: and recorded, and its value correctness is hash-pinned at
-#: sf0.01/sf0.1 with count-parity evidence at sf1 (BASELINE.md).
+#: a ~31-word vocabulary, so some pair densities grow ~n². A detector
+#: that must EMIT a quadratic edge list cannot run in linear time, so
+#: the time-ratio gate does not apply; the query is still timed and
+#: recorded, and its value correctness is hash-pinned at sf0.01/sf0.1
+#: with count-parity evidence at sf1 (BASELINE.md).
+#: (dedup_simhash left this set in round 9: the 64-bit shingle-feature
+#: signature emits truth-sized pair lists — 25 / 226 pairs at
+#: sf0.01/sf0.1 vs the old unigram signature's 601k/64.6M — so the
+#: ordinary time-ratio gate applies to it again.)
 OUTPUT_QUADRATIC_BY_DATA = {
-    "dedup_simhash": "emits the true near-dup pair list; pair density is"
-    " quadratic in this corpus (31-word vocabulary)",
     "dedup_fuzzy_prefix": "emits ALL title pairs within edit distance 3;"
     " measured true pairs 271 / 1,539 / 104,787 at sf0.1/sf1/sf10 — the"
     " 5-token title space saturates the 31-word vocabulary, so near-dup"
@@ -161,12 +160,15 @@ SF1_QUERIES = [
     "dedup_ngram_pairs_prefix",
 ]
 
-#: Third decade (sf1 -> sf10): the same set MINUS queries whose OUTPUT
-#: is quadratic by data density — dedup_simhash would have to emit ~6.4e9
-#: true pairs at sf10 (64.6M at sf1, x~100/decade), which is an output-
-#: size property of this 31-word-vocabulary corpus, not an engine cost
-#: worth a 10-minute bench slot. Everything else runs under the gate.
+#: Third decade (sf1 -> sf10): the same set MINUS the saturation cases.
 SF10_EXCLUDE = {
+    # The 64-bit pigeonhole join's candidate volume has a random-collision
+    # floor of Σ bucket² over 8-bit segment values ≈ 8·n²/512: at sf10
+    # (500k docs) that is ~3.9e9 candidate probes regardless of true-pair
+    # density — an algorithm-geometry property of Hamming-radius search
+    # (wider segments would trade recall), not a per-row regression the
+    # ratio gate could catch. OUTPUT is truth-sized now (round 9); the
+    # sf1 decade still runs it under the ordinary gate.
     "dedup_simhash",
     # Caught by this gate in round 8 (disk-filling shuffle at sf10, a
     # REAL catch): prefix filtering's selectivity assumes the feature
@@ -241,6 +243,25 @@ def main() -> int:
     have_sf10 = os.path.isdir(SF_XXL)
     sf10_set = [n for n in sf1_set if n not in SF10_EXCLUDE]
     t_xxl, r_xxl = timed(SF_XXL, sf10_set) if have_sf10 else ({}, {})
+
+    # For the excluded prefix join, record the very number its runtime
+    # saturation guard reads (Σ df_prefix² over the prefix postings) as
+    # the exclusion's evidence — the guard now refuses at this volume
+    # instead of filling the shuffle disk (round-9 verdict ask #2).
+    saturation_evidence = {}
+    if have_sf10 and "dedup_ngram_pairs_prefix" in SF10_EXCLUDE:
+        from komodo_data_spark.operators import dedup
+
+        posts = dedup._doc_postings(spark, SF_XXL).cache()
+        est = dedup.prefix_candidate_volume(
+            dedup._prefix_postings(posts, 7, 10)
+        )
+        saturation_evidence["dedup_ngram_pairs_prefix"] = {
+            "sf10_candidate_volume_estimate": est,
+            "guard_budget": dedup.PREFIX_CANDIDATE_BUDGET,
+            "guard_trips": est > dedup.PREFIX_CANDIDATE_BUDGET,
+        }
+        spark.catalog.clearCache()
 
     def norm_ratio(t_hi, n_hi, t_lo, n_lo):
         """Per-emitted-row time ratio across a decade (output-quadratic
@@ -339,6 +360,8 @@ def main() -> int:
         "sf10_dir": SF_XXL if have_sf10 else None,
         "sf10_ceiling_sec": T_SF10_CEILING,
         "n_sf10_queries": len(t_xxl),
+        "sf10_excluded": sorted(SF10_EXCLUDE),
+        "sf10_saturation_evidence": saturation_evidence,
         "top_ratios_sf10": dict(top_sf10),
         "n_queries": len(queries),
         "n_flagged": len(flagged),

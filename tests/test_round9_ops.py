@@ -1,0 +1,139 @@
+"""Round-9 operator tests: the prefix-join saturation guard + df-cap
+fallback, and the upgraded 64-bit shingle-feature SimHash detector."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _saturated_posts(spark):
+    """A corpus whose gram space is saturated: 60 docs drawing 4 grams
+    each from a 6-gram vocabulary — every 'rare' prefix gram is hot
+    (df ~ 40), the exact shape that degraded the sf10 prefix join."""
+    vocab = [f"g{i}" for i in range(6)]
+    rows = [
+        (d, vocab[(d + k) % 6]) for d in range(60) for k in range(4)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "g"]).cache()
+
+
+def test_prefix_saturation_guard_trips(spark):
+    from komodo_data_spark.operators.dedup import (
+        VocabularySaturationError,
+        _prefix_postings,
+        prefix_candidate_volume,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    posts = _saturated_posts(spark)
+    est = prefix_candidate_volume(_prefix_postings(posts, 7, 10))
+    assert est > 1000  # genuinely saturated: ~hot-df² candidate volume
+    with pytest.raises(VocabularySaturationError) as exc:
+        prefix_filtered_jaccard_pairs(posts, 7, 10, budget=1000)
+    assert exc.value.estimate == est
+    assert exc.value.budget == 1000
+    # refusal happens BEFORE the candidate join: the message carries the
+    # one-aggregate estimate, so callers can size a fallback
+    assert f"{est:,}" in str(exc.value)
+
+
+def test_prefix_saturation_fallback_matches_capped_contract(spark):
+    from komodo_data_spark.operators.dedup import (
+        _df_capped_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    posts = _saturated_posts(spark)
+    got = sorted(
+        (r["doc_i"], r["doc_j"], round(r["jaccard"], 9))
+        for r in prefix_filtered_jaccard_pairs(
+            posts, 7, 10, budget=1000, fallback="df_cap"
+        ).collect()
+    )
+    want = sorted(
+        (r["doc_i"], r["doc_j"], round(r["jaccard"], 9))
+        for r in _df_capped_pairs(posts, 7 / 10).collect()
+    )
+    assert got == want
+
+
+def test_prefix_guard_stays_open_on_rare_key_corpus(spark):
+    """A healthy (rare-key) corpus sails through the default budget and
+    the guarded result equals the unguarded one."""
+    from komodo_data_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    rows = [(d, f"g{d}_{k}") for d in range(20) for k in range(5)]
+    # plant one near-dup pair: docs 100/101 share 5 of 5 grams
+    rows += [(100, f"s{k}") for k in range(5)]
+    rows += [(101, f"s{k}") for k in range(5)]
+    posts = spark.createDataFrame(rows, ["doc_id", "g"]).cache()
+    guarded = prefix_filtered_jaccard_pairs(posts, 7, 10).collect()
+    open_ = prefix_filtered_jaccard_pairs(posts, 7, 10, budget=None).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, open_))
+    assert [(r["doc_i"], r["doc_j"]) for r in guarded] == [(100, 101)]
+
+
+def test_simhash64_signature_matches_python(spark):
+    """The 64-bit packing (bit k = bit (k%4) of md5 hex digit (k//4+1))
+    must equal a direct Python mirror — the same md5-portability contract
+    the DuckDB oracle relies on."""
+    import hashlib
+
+    from komodo_data_spark.operators.dedup import _simhash_signatures64
+
+    features = [f"tok{i}" for i in range(9)]
+    posts = spark.createDataFrame(
+        [(1, g) for g in features], ["doc_id", "g"]
+    )
+    got = _simhash_signatures64(posts).collect()[0]["simhash"]
+
+    votes = [0] * 64
+    for g in features:
+        h = hashlib.md5(g.encode()).hexdigest()
+        for k in range(64):
+            votes[k] += (int(h[k // 4], 16) >> (k % 4)) & 1
+    sig = 0
+    for k in range(64):
+        if votes[k] * 2 > len(features):
+            sig |= 1 << k
+    # two's-complement fold to signed 64-bit, like Spark's BIGINT
+    if sig >= 1 << 63:
+        sig -= 1 << 64
+    assert got == sig
+
+
+def test_simhash_pigeonhole_complete_at_radius7(spark):
+    """Pairs within Hamming<=7 of planted 64-bit signatures must ALL be
+    found by the 8x8-bit pigeonhole join (completeness is structural:
+    <=7 differing bits cannot touch all 8 segments)."""
+    from komodo_data_spark.operators.dedup import simhash_pigeonhole_pairs
+
+    base = 0x0123_4567_89AB_CDEF
+    sigs = [
+        (0, base),
+        (1, base ^ 0b1),                      # hamming 1
+        (2, base ^ (0b1111111 << 13)),        # hamming 7, crosses segments
+        (3, base ^ ((1 << 63) | 0b11)),       # hamming 3 incl. sign bit
+        (4, ~base & 0xFFFF_FFFF_FFFF_FFFF),   # hamming 64: must NOT pair
+    ]
+    rows = [
+        (i, s - (1 << 64) if s >= 1 << 63 else s) for i, s in sigs
+    ]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["doc_i"], r["doc_j"]): r["hamming"]
+        for r in simhash_pigeonhole_pairs(sig).collect()
+    }
+    # exact expectations, computed from the planted signatures
+    import itertools
+
+    want = {}
+    vals = dict(sigs)
+    for a, b in itertools.combinations(sorted(vals), 2):
+        h = bin(vals[a] ^ vals[b]).count("1")
+        if h <= 7:
+            want[(a, b)] = h
+    assert got == want
