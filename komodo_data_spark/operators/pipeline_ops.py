@@ -1165,6 +1165,121 @@ def token_packing_stats_oracle() -> str:
     """
 
 
+#: Fixed sequence length for token_packing_sequences. 128 sits BELOW the
+#: corpus's typical doc length (~150-250 tokens), so the testdata
+#: exercises both packing directions: most docs split across 2+ sequences
+#: AND most sequences contain 2+ doc slices (boundary rows).
+PACK_SEQ_LEN = 128
+
+
+def token_packing_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the per-language token stream into fixed-PACK_SEQ_LEN training
+    SEQUENCES — the actual batch-prep step ``token_packing`` (which cuts
+    BINS and reports per-bin totals) stops short of: every token is
+    placed exactly once, long docs split across sequence boundaries, and
+    each output row is one doc-slice ``(lang, seq_id, doc_id, start_tok,
+    n_toks)`` — the attention-boundary map a sequence assembler consumes
+    (round-8 verdict ask #4).
+
+    Semantics: within a language, docs lie end-to-end in doc_id order;
+    the stream is cut every PACK_SEQ_LEN tokens; a doc spanning global
+    offsets [s, s+n) intersects sequences s div L .. (s+n−1) div L, and
+    its slice in sequence q is [max(s, qL), min(s+n, (q+1)L)) —
+    start_tok is doc-relative, so (doc_id, start_tok, n_toks) addresses
+    the exact token run. All integer arithmetic; zero-token docs emit
+    nothing.
+
+    Scale design: the doc start offsets come from the same two-stage
+    range-partitioned prefix sum as :func:`token_packing` (per-(lang,pid)
+    partials + a tiny broadcast offsets frame — no per-language
+    single-task sort at any size); the sequence fan-out is a map-side
+    ``explode(sequence(...))`` adding ~total_tokens/L + n_docs rows. No
+    shuffle after the offsets window; the output is written
+    sequence-ordered per partition, which is exactly the order an
+    assembler reads.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = (
+        d.select("lang", "doc_id", F.size(tokens()).alias("n_tokens"))
+        .repartitionByRange(_PACK_PARTITIONS, "lang", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wo = (
+        Window.partitionBy("lang")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        toks.groupBy("lang", "pid")
+        .agg(F.sum("n_tokens").alias("p_sum"))
+        .withColumn("offset", F.coalesce(F.sum("p_sum").over(wo), F.lit(0)))
+        .select("lang", "pid", "offset")
+    )
+    wd = (
+        Window.partitionBy("pid", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    L = PACK_SEQ_LEN
+    started = (
+        toks.join(F.broadcast(offsets), ["lang", "pid"])
+        .withColumn(
+            "s",
+            F.col("offset")
+            + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0)),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    lo = F.greatest(F.col("seq_id") * L, F.col("s"))
+    hi = F.least((F.col("seq_id") + 1) * L, F.col("s") + F.col("n_tokens"))
+    return (
+        started.withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s div {L}"),
+                    F.expr(f"(s + n_tokens - 1) div {L}"),
+                )
+            ),
+        )
+        .select(
+            "lang",
+            "seq_id",
+            "doc_id",
+            (lo - F.col("s")).alias("start_tok"),
+            (hi - lo).alias("n_toks"),
+        )
+        .orderBy("lang", "seq_id", "doc_id")
+    )
+
+
+def token_packing_sequences_oracle() -> str:
+    t = sql_tokens()
+    L = PACK_SEQ_LEN
+    return f"""
+    WITH toks AS (
+      SELECT lang, doc_id, len({t}) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), st AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - n_tokens AS s
+      FROM toks
+    )
+    SELECT lang, q AS seq_id, doc_id,
+           GREATEST(q * {L}, s) - s AS start_tok,
+           LEAST((q + 1) * {L}, s + n_tokens) - GREATEST(q * {L}, s)
+             AS n_toks
+    FROM st, unnest(range(s // {L}, (s + n_tokens - 1) // {L} + 1)) AS u(q)
+    WHERE n_tokens > 0
+    ORDER BY lang, seq_id, doc_id
+    """
+
+
 def registry():
     """name -> (query fn, oracle SQL) for the driver contract."""
     return {
@@ -1223,6 +1338,10 @@ def registry():
         "token_packing_stats": (
             token_packing_stats,
             token_packing_stats_oracle(),
+        ),
+        "token_packing_sequences": (
+            token_packing_sequences,
+            token_packing_sequences_oracle(),
         ),
         "dedup_keep_latest": (dedup_keep_latest, dedup_keep_latest_oracle()),
         "dedup_keep_latest_maxby": (

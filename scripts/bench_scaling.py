@@ -153,6 +153,10 @@ SF1_QUERIES = [
     # bloom-prefiltered decontamination path, the SimHash recall twins
     # (fixed-budget sliced truth), chained MAD medians, bucketed Spearman
     # midranks, the hourly ACF rollup, and the l-diversity audit
+    # round-9 additions: fixed-SEQ_LEN sequence packing (same two-stage
+    # offsets as token_packing + a map-side sequence explode), the
+    # t-closeness audit, and the bucketed-bloom decontamination path
+    "token_packing_sequences",
     "token_packing", "docs_quality_token_weighted_filter",
     "docs_ppl_token_weighted_buckets", "benchmark_contamination_bloom",
     "dedup_simhash_recall", "media_simhash_recall", "events_mad_outliers",
