@@ -1624,49 +1624,94 @@ def benchmark_contamination_oracle() -> str:
 DECONTAM_BLOOM_BITS_PER_KEY = 16
 DECONTAM_BLOOM_K = 4
 
+#: Target bits per bloom BUCKET row (8 KB of words). The round-8 design
+#: was one row holding the whole bitset, built by a driver-side
+#: collect_list: at a 100M-shingle eval union that is a ~200 MB single
+#: array — past Spark's broadcast comfort zone and a single-row
+#: serialization chokepoint. Bucketing keeps the same total bits and the
+#: same FP math (keys hash uniformly to buckets, each bucket keeps
+#: ~BITS_PER_KEY bits per key) in B small rows that broadcast and build
+#: as ordinary aggregates.
+BLOOM_BUCKET_BITS = 1 << 16
 
-def bloom_fit(keys: DataFrame, key_col: str, n_bits: int) -> DataFrame:
-    """ONE-row Bloom filter frame (column ``bf``: array<long> of
-    ceil(n_bits/64) words) over a key column — the broadcastable bitset
-    Spark's internal ``bloom_filter_agg`` would build (that expression is
-    not registered as a public function in 4.1, so this is the same
-    semantics from public expressions: k xxhash64 positions per key,
+#: Seed for the bucket-routing hash — any constant outside the probe
+#: seeds 0..DECONTAM_BLOOM_K-1, so bucket choice is independent of the
+#: in-bucket bit positions.
+_BLOOM_BUCKET_SEED = 101
+
+
+def _bloom_geometry(n_keys: int) -> tuple[int, int]:
+    """(n_buckets, bits_per_bucket) for a key count: total bits
+    ~ BITS_PER_KEY·n spread over max(8, total/BUCKET_BITS) buckets (the
+    floor keeps the plan structurally bucketed at test scale), per-bucket
+    bits a multiple of 64. The word index cast to INT in the probe is
+    guarded here (advice r8: the flat design could overflow element_at's
+    INT index past ~2^37 total bits — per-bucket bits are bounded by
+    construction, and the assert keeps it that way)."""
+    total = max(1 << 16, DECONTAM_BLOOM_BITS_PER_KEY * n_keys)
+    n_buckets = max(8, -(-total // BLOOM_BUCKET_BITS))
+    bits_per = max(64, (-(-total // n_buckets // 64)) * 64)
+    assert bits_per // 64 <= (1 << 31) - 2, bits_per
+    return n_buckets, bits_per
+
+
+def bloom_fit(keys: DataFrame, key_col: str, n_keys: int) -> DataFrame:
+    """BUCKETED Bloom filter frame — one row per bucket
+    ``(bkt, bf: array<long>)`` of bits_per_bucket/64 words — over a key
+    column: the broadcastable bitset Spark's internal ``bloom_filter_agg``
+    would build (that expression is not registered as a public function
+    in 4.1, so this is the same semantics from public expressions: a
+    bucket-routing xxhash64 + k in-bucket xxhash64 positions per key,
     word-wise ``bit_or(shiftleft())``). Fit cost is one explode + one
-    map-side-combinable aggregate to <= n_bits/64 rows; the dense
-    word array assembles with the codebook collect_list pattern."""
-    spark = keys.sparkSession
+    map-side-combinable aggregate to B·bits_per/64 (bkt, word) rows, then
+    a per-BUCKET dense-array assembly (map lookup over a static word-index
+    sequence) — no driver-side single-row collect, no row larger than
+    ~BLOOM_BUCKET_BITS/8 bytes at any key count."""
+    n_buckets, bits_per = _bloom_geometry(n_keys)
+    n_words = bits_per // 64
     pos = keys.select(
+        F.pmod(
+            F.xxhash64(F.col(key_col), F.lit(_BLOOM_BUCKET_SEED)),
+            F.lit(n_buckets),
+        ).alias("bkt"),
         F.explode(
             F.array(
                 *[
                     F.pmod(
-                        F.xxhash64(F.col(key_col), F.lit(k)), F.lit(n_bits)
+                        F.xxhash64(F.col(key_col), F.lit(k)), F.lit(bits_per)
                     )
                     for k in range(DECONTAM_BLOOM_K)
                 ]
             )
-        ).alias("p")
+        ).alias("p"),
     )
     wr = (
         pos.select(
+            "bkt",
             F.expr("p div 64").alias("w"),
             F.expr("CAST(p % 64 AS INT)").alias("b"),
         )
-        .groupBy("w")
+        .groupBy("bkt", "w")
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("word"))
     )
-    n_words = (n_bits + 63) // 64
-    dense = (
-        spark.range(n_words)
-        .select(F.col("id").alias("w"))
-        .join(wr, "w", "left")
-        .select("w", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
-    )
-    return dense.groupBy().agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("w", "word"))),
-            lambda x: x["word"],
-        ).alias("bf")
+    return (
+        wr.groupBy("bkt")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("word")
+            ).alias("wm")
+        )
+        .select(
+            "bkt",
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1)),
+                # try_element_at: ANSI element_at throws on absent map
+                # keys, and most word slots of a sparse bucket are absent
+                lambda i: F.coalesce(
+                    F.try_element_at("wm", i), F.lit(0).cast("long")
+                ),
+            ).alias("bf"),
+        )
     )
 
 
@@ -1684,11 +1729,22 @@ def benchmark_contamination_bloom(
     corpus-sized explode never reaches an exchange; what shuffles is
     hits plus the bloom's ~0.24% false positives.
 
-    Measured candidate reduction at sf0.1: 249,562 exploded corpus
-    shingles -> 2,702 survivors entering the exact join (92× fewer rows
-    shuffled; 2,122 true hits + 580 false positives = 0.23% of misses,
-    matching the predicted 0.24% for m/n=16, k=4); output hash-identical
-    to the broadcast path at sf0.001/0.01/0.1.
+    The filter is BUCKETED (round-8 verdict ask #5): keys route to
+    max(8, total_bits/2^16) buckets by an independent xxhash64, each
+    bucket holding its own ~16-bits-per-key word array, and the probe is
+    a broadcast equi-join on the bucket key followed by the k in-bucket
+    bit tests. Same FP math as a flat bitset, but no single-row
+    array<long> ceiling: the round-8 design built ONE row holding all
+    total_bits/64 words via a driver-side collect_list — ~200 MB at a
+    100M-shingle eval union — where the bucket rows stay ~8 KB each at
+    any key count and assemble as ordinary per-bucket aggregates.
+
+    Measured candidate reduction at sf0.1 (bucketed: 6,115 keys -> 8
+    buckets x 12,288 bits): 249,562 exploded corpus shingles -> 2,667
+    survivors entering the exact join (94× fewer rows shuffled; 2,122
+    true hits + 545 false positives = 0.22% of misses, matching the
+    predicted 0.24% for m/n=16, k=4); output hash-identical to the
+    broadcast path at sf0.001/0.01/0.1.
 
     Scale notes: the bloom is fit with one map-side-combinable aggregate
     (``bloom_fit``) and sized from one column-pruned count, so its
@@ -1705,19 +1761,32 @@ def benchmark_contamination_bloom(
         d.filter(F.col("doc_id") % _BENCH_MOD == 0)
     ).localCheckpoint(eager=True)  # consumed by the fit AND the exact join
     n_keys = bench_sh.count()
-    n_bits = max(1 << 16, DECONTAM_BLOOM_BITS_PER_KEY * n_keys)
-    bf = bloom_fit(bench_sh, "s", n_bits).localCheckpoint(eager=True)
+    n_buckets, bits_per = _bloom_geometry(n_keys)
+    bf = bloom_fit(bench_sh, "s", n_keys).localCheckpoint(eager=True)
 
     corpus = (
         d.filter(F.col("doc_id") % _BENCH_MOD != 0)
         .withColumn("__sh", shingles(tokens(), _CONTAM_N))
     )
-    ex = exploded(
-        corpus.select("doc_id", "__sh"), F.col("__sh"), "s", "doc_id"
-    ).crossJoin(F.broadcast(bf))
+    ex = (
+        exploded(
+            corpus.select("doc_id", "__sh"), F.col("__sh"), "s", "doc_id"
+        )
+        .withColumn(
+            "bkt",
+            F.pmod(
+                F.xxhash64(F.col("s"), F.lit(_BLOOM_BUCKET_SEED)),
+                F.lit(n_buckets),
+            ),
+        )
+        # broadcast equi-join on the bucket key; a probe whose bucket got
+        # no keys has no row to join — the inner join dropping it IS the
+        # correct negative answer (bloom of the empty set)
+        .join(F.broadcast(bf), "bkt")
+    )
     for k in range(DECONTAM_BLOOM_K):
         ex = ex.withColumn(
-            f"_p{k}", F.pmod(F.xxhash64(F.col("s"), F.lit(k)), F.lit(n_bits))
+            f"_p{k}", F.pmod(F.xxhash64(F.col("s"), F.lit(k)), F.lit(bits_per))
         )
     might = F.lit(True)
     for k in range(DECONTAM_BLOOM_K):

@@ -173,29 +173,42 @@ def test_bloom_fit_has_no_false_negatives(spark):
     from pyspark.sql import functions as F
 
     from komodo_data_spark.operators.pipeline_ops import (
-        DECONTAM_BLOOM_BITS_PER_KEY,
         DECONTAM_BLOOM_K,
+        _BLOOM_BUCKET_SEED,
+        _bloom_geometry,
         bloom_fit,
     )
 
     keys = ["", "a", "aa", "ab", "ba", "the quick fox", "the quick fox ",
             "éèê", "0", "00"] + [f"k{i}" for i in range(500)]
     kdf = spark.createDataFrame([(k,) for k in keys], ["s"])
-    n_bits = max(1 << 16, DECONTAM_BLOOM_BITS_PER_KEY * len(keys))
-    bf = bloom_fit(kdf, "s", n_bits).localCheckpoint(eager=True)
+    n_buckets, bits_per = _bloom_geometry(len(keys))
+    assert n_buckets >= 8  # the structural-bucketing floor
+    bf = bloom_fit(kdf, "s", len(keys)).localCheckpoint(eager=True)
+    assert bf.count() <= n_buckets
 
     def probe(df):
-        ex = df.crossJoin(F.broadcast(bf))
+        ex = df.withColumn(
+            "bkt",
+            F.pmod(
+                F.xxhash64(F.col("s"), F.lit(_BLOOM_BUCKET_SEED)),
+                F.lit(n_buckets),
+            ),
+        ).join(F.broadcast(bf), "bkt", "left")
         for k in range(DECONTAM_BLOOM_K):
             ex = ex.withColumn(
-                f"_p{k}", F.pmod(F.xxhash64(F.col("s"), F.lit(k)), F.lit(n_bits))
+                f"_p{k}",
+                F.pmod(F.xxhash64(F.col("s"), F.lit(k)), F.lit(bits_per)),
             )
-        might = F.lit(True)
+        might = F.col("bf").isNotNull()
         for k in range(DECONTAM_BLOOM_K):
             might = might & (
-                F.expr(
-                    f"element_at(bf, CAST(_p{k} div 64 AS INT) + 1) "
-                    f"& shiftleft(CAST(1 AS BIGINT), CAST(_p{k} % 64 AS INT))"
+                F.coalesce(
+                    F.expr(
+                        f"element_at(bf, CAST(_p{k} div 64 AS INT) + 1) "
+                        f"& shiftleft(CAST(1 AS BIGINT), CAST(_p{k} % 64 AS INT))"
+                    ),
+                    F.lit(0).cast("long"),
                 )
                 != 0
             )
