@@ -1388,6 +1388,10 @@ def registry():
             customers_l_diversity,
             customers_l_diversity_oracle(),
         ),
+        "customers_t_closeness": (
+            customers_t_closeness,
+            customers_t_closeness_oracle(),
+        ),
         "events_key_skew_profile": (
             events_key_skew_profile,
             events_key_skew_profile_oracle(),
@@ -2764,6 +2768,98 @@ def customers_l_diversity_oracle() -> str:
              AS sensitive_entropy,
            count(*) < {L_DIVERSITY} AS below_l
     FROM per GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+#: t-closeness ceiling: a QI class whose sensitive-value distribution sits
+#: further than this (total variation) from the GLOBAL distribution leaks
+#: attribute information even when it is k-anonymous and l-diverse (a
+#: class can hold 3 distinct segments yet be 90% one segment that is 20%
+#: globally — skewness attack). 0.2 is the conventional audit ceiling.
+T_CLOSENESS = 0.2
+
+
+def customers_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the third rung of the privacy
+    ladder after ``customers_k_anonymity`` (class size) and
+    ``customers_l_diversity`` (distinct sensitive values): per QI class
+    (nation, balance band), the TOTAL VARIATION distance between the
+    class's market-segment distribution and the global one. l-diversity
+    is defeated by the skewness attack — a class with l distinct values
+    still discloses plenty when its mix diverges wildly from the
+    population's — so the export gate reads all three audits.
+
+    Exactness: the distance is assembled from INTEGER counts end to end —
+    TV = (Σ_present |n_s·N − g_s·S| + (N − Σ_present g_s)·S) / (2·S·N),
+    where the second numerator term folds in every segment ABSENT from
+    the class (|0 − g_s/N| mass) without densifying — and performs ONE
+    double divide at the end, so both engines compare identical doubles
+    (the weighted-quantile/micro-nat lesson: never rank engine-assembled
+    float sums).
+
+    Scale: one map-side-combinable hash aggregate corpus → (QI, segment)
+    counts; the global distribution derives from THAT tiny frame (sum
+    over classes — no second corpus pass) and joins back broadcast; the
+    per-class windows/rollups run on the QI-domain-bounded frame, never
+    the corpus.
+    """
+    c = qi_classes(load_table(spark, sf_dir, "customer")).select(
+        *LDIV_QI, "c_mktsegment"
+    )
+    per = c.groupBy(*LDIV_QI, "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    glob = (
+        per.groupBy("c_mktsegment")
+        .agg(F.sum("n").alias("g"))
+        # NB: named gtot, not N — Spark resolves case-insensitively and
+        # `N` would collide with the per-class count column `n`
+        .withColumn("gtot", F.sum("g").over(Window.partitionBy()))
+    )
+    ws = Window.partitionBy(*LDIV_QI)
+    joined = per.join(F.broadcast(glob), "c_mktsegment").withColumn(
+        "cls", F.sum("n").over(ws)
+    )
+    num = F.sum(F.abs(F.col("n") * F.col("gtot") - F.col("g") * F.col("cls")))
+    absent = (F.max("gtot") - F.sum("g")) * F.max("cls")
+    denom = (F.lit(2) * F.max("cls") * F.max("gtot")).cast("double")
+    return (
+        joined.groupBy(*LDIV_QI)
+        .agg(
+            F.max("cls").alias("class_size"),
+            ((num + absent).cast("double") / denom).alias("tv_distance"),
+        )
+        .withColumn("above_t", F.col("tv_distance") > T_CLOSENESS)
+        .orderBy(*LDIV_QI)
+    )
+
+
+def customers_t_closeness_oracle() -> str:
+    return f"""
+    WITH per AS (
+      SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+               AS bal_band,
+             c_mktsegment, count(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    gdist AS (
+      SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS g,
+             CAST(sum(sum(n)) OVER () AS BIGINT) AS gtot
+      FROM per GROUP BY 1
+    ),
+    j AS (
+      SELECT per.*, g, gtot,
+             CAST(sum(n) OVER (PARTITION BY c_nationkey, bal_band)
+                  AS BIGINT) AS cls
+      FROM per JOIN gdist USING (c_mktsegment)
+    )
+    SELECT c_nationkey, bal_band,
+           max(cls) AS class_size,
+           (sum(abs(n * gtot - g * cls)) + (max(gtot) - sum(g)) * max(cls))::DOUBLE
+             / (2 * max(cls) * max(gtot))::DOUBLE AS tv_distance,
+           (sum(abs(n * gtot - g * cls)) + (max(gtot) - sum(g)) * max(cls))::DOUBLE
+             / (2 * max(cls) * max(gtot))::DOUBLE > {T_CLOSENESS} AS above_t
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
     """
 
 

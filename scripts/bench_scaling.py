@@ -156,7 +156,7 @@ SF1_QUERIES = [
     # round-9 additions: fixed-SEQ_LEN sequence packing (same two-stage
     # offsets as token_packing + a map-side sequence explode), the
     # t-closeness audit, and the bucketed-bloom decontamination path
-    "token_packing_sequences",
+    "token_packing_sequences", "customers_t_closeness",
     "token_packing", "docs_quality_token_weighted_filter",
     "docs_ppl_token_weighted_buckets", "benchmark_contamination_bloom",
     "dedup_simhash_recall", "media_simhash_recall", "events_mad_outliers",

@@ -127,6 +127,52 @@ def test_token_packing_sequences_covers_every_token_once(spark, sf_dir):
             assert total == PACK_SEQ_LEN, (lang, seq_id, total)
 
 
+def test_t_closeness_hand_computed(spark, tmp_path):
+    """Global mix: A=4, B=2, C=1 of 7. Class (1,1) = {A,A,A,B} (S=4):
+    TV = 0.5*(|3/4-4/7| + |1/4-2/7| + |0-1/7|) = 5/28 < 0.2 -> ok.
+    Class (2,0) = {A,B,C} (S=3): TV = 0.5*(|1/3-4/7| + |1/3-2/7| +
+    |1/3-1/7|) = 5/21 > 0.2 -> above_t."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from komodo_data_spark.operators.pipeline_ops import (
+        customers_t_closeness,
+    )
+
+    segs = [
+        (1, 1, 1500.0, "A"),
+        (2, 1, 1600.0, "A"),
+        (3, 1, 1700.0, "A"),
+        (4, 1, 1800.0, "B"),
+        (5, 2, 10.0, "A"),
+        (6, 2, 20.0, "B"),
+        (7, 2, 30.0, "C"),
+    ]
+    table = pa.table(
+        {
+            "c_custkey": pa.array([r[0] for r in segs], pa.int64()),
+            "c_name": pa.array([f"C#{r[0]}" for r in segs], pa.string()),
+            "c_nationkey": pa.array([r[1] for r in segs], pa.int32()),
+            "c_acctbal": pa.array([r[2] for r in segs], pa.float64()),
+            "c_mktsegment": pa.array([r[3] for r in segs], pa.string()),
+        }
+    )
+    d = tmp_path / "tclose_sf"
+    d.mkdir()
+    pq.write_table(table, d / "customer.parquet")
+    got = {
+        (r["c_nationkey"], r["bal_band"]): r
+        for r in customers_t_closeness(spark, str(d)).collect()
+    }
+    a, b = got[(1, 1)], got[(2, 0)]
+    assert a["class_size"] == 4
+    assert abs(a["tv_distance"] - 5 / 28) < 1e-15
+    assert a["above_t"] is False
+    assert b["class_size"] == 3
+    assert abs(b["tv_distance"] - 5 / 21) < 1e-15
+    assert b["above_t"] is True
+
+
 def test_simhash64_signature_matches_python(spark):
     """The 64-bit packing (bit k = bit (k%4) of md5 hex digit (k//4+1))
     must equal a direct Python mirror — the same md5-portability contract
