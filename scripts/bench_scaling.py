@@ -164,16 +164,12 @@ SF1_QUERIES = [
     "dedup_ngram_pairs_prefix",
 ]
 
-#: Third decade (sf1 -> sf10): the same set MINUS the saturation cases.
+#: Third decade (sf1 -> sf10): the same set MINUS the saturation case.
+#: (dedup_simhash left this set in round 9 too: the multi-index probe
+#: join — 16-bit segments + 1-bit-correction probes — cut the candidate
+#: floor 2⁸× vs narrow-segment pigeonholing, and the detector now runs
+#: sf10 in ~18 s with truth-sized output, under the ordinary gate.)
 SF10_EXCLUDE = {
-    # The 64-bit pigeonhole join's candidate volume has a random-collision
-    # floor of Σ bucket² over 8-bit segment values ≈ 8·n²/512: at sf10
-    # (500k docs) that is ~3.9e9 candidate probes regardless of true-pair
-    # density — an algorithm-geometry property of Hamming-radius search
-    # (wider segments would trade recall), not a per-row regression the
-    # ratio gate could catch. OUTPUT is truth-sized now (round 9); the
-    # sf1 decade still runs it under the ordinary gate.
-    "dedup_simhash",
     # Caught by this gate in round 8 (disk-filling shuffle at sf10, a
     # REAL catch): prefix filtering's selectivity assumes the feature
     # space dwarfs the corpus, and this synthetic corpus saturates it —

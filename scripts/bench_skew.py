@@ -93,6 +93,10 @@ SKEW_QUERIES = (
     # the prefix filter's whole claim: a 20%-hot shingle generates ZERO
     # candidates because a hot key never lands in any doc's rare prefix
     "dedup_ngram_pairs_prefix",
+    # round 9: sequence packing rides the same range-partitioned cumsum
+    # as token_packing but fans out per sequence — the hot boilerplate's
+    # token mass must not re-serialize the explode onto one task
+    "token_packing_sequences",
 )
 
 

@@ -91,6 +91,7 @@ AUDITED = [
     "events_cusum_changepoint",  # day-partial agg + tiny running-sum window
     "events_mannwhitney_u",  # tie-group counts + bucketed rank prefix
     "media_simhash_pairs",  # frame-gram votes + pigeonhole segment equi-join
+    "dedup_simhash",  # r9: 64-bit shingle votes + 8x8-bit pigeonhole equi-join
     "docs_chunk_windows",  # pure map-side explode, zero exchanges
     "text_cooccurrence_pmi",  # pair explode + combinable agg, marginals from pairs
     "orders_benford_digits",  # one digit aggregate, 9-row result
@@ -100,13 +101,15 @@ AUDITED = [
     "docs_quality_token_weighted_filter",  # weighted bucket-prefix fit + broadcast-back
     "dedup_simhash_recall",  # sliced truth self-join + pigeonhole detector, scalar counts
     "media_simhash_recall",  # shared gram pass cached, sliced truth + detector
-    "benchmark_contamination_bloom",  # broadcast bloom prefilter, shuffle join on survivors only
+    "benchmark_contamination_bloom",  # r9: BUCKETED bloom broadcast equi-join, shuffle join on survivors
     "events_mad_outliers",  # two chained bucket-prefix medians, map-side flag
     "events_spearman_trend",  # bucketed midranks x2 + one corr aggregate
     "docs_ppl_token_weighted_buckets",  # micro-nat weighted terciles, broadcast-back
     "events_hourly_acf",  # tiny hourly frame, lag self-join + corr
     "customers_l_diversity",  # two chained hash aggregates, QI-bounded output
-    "dedup_ngram_pairs_prefix",  # PPJoin prefix candidates + intersect verify
+    "dedup_ngram_pairs_prefix",  # r9: prefix candidates + length/positional filters + intersect verify
+    "token_packing_sequences",  # r9: two-stage offsets + map-side sequence explode
+    "customers_t_closeness",  # r9: one corpus agg, broadcast global mix, integer TV
 ]
 
 #: Python stages expected by design (Arrow-batched pandas ops); anything

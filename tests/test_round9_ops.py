@@ -234,3 +234,13 @@ def test_simhash_pigeonhole_complete_at_radius7(spark):
         if h <= 7:
             want[(a, b)] = h
     assert got == want
+
+    # the multi-index probe join (the production text path: 16-bit
+    # segments + 1-bit-correction probes) must find the SAME pairs
+    from komodo_data_spark.operators.dedup import simhash_multiprobe_pairs
+
+    got_mp = {
+        (r["doc_i"], r["doc_j"]): r["hamming"]
+        for r in simhash_multiprobe_pairs(sig).collect()
+    }
+    assert got_mp == want
