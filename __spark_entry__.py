@@ -214,6 +214,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- (a) NEW in round 9 ---
     "token_packing_sequences",  # NEW r9: fixed-SEQ_LEN sequence packing
     "customers_t_closeness",  # NEW r9: total-variation privacy audit
+    "customers_t_closeness_emd",  # NEW r9 (late): ordered-band EMD audit
     # --- (b) changed since last witness ---
     "dedup_simhash",  # r9: 64-bit shingle-feature signature, radius 7
     "dedup_simhash_recall",  # r9: new detector on the same sliced truth
@@ -244,7 +245,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_transition_matrix",
     "events_value_psi_drift",
     "event_sessions",
-    "events_moving_agg",
     "split_leakage_pairs",
     "docs_weighted_sample",
     "docs_temperature_mix",

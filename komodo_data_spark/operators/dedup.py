@@ -175,11 +175,13 @@ class VocabularySaturationError(RuntimeError):
 #: Candidate-volume budget (Σ df_prefix² — an upper bound on the prefix
 #: equi-join's output rows) above which prefix_filtered_jaccard_pairs
 #: refuses or falls back. Measured landscape on the synthetic corpus
-#: (3-gram shingles at 7/10): 5.0e5 at sf0.1, 6.3e7 at sf1, ~2e10 at sf10
-#: (the round-8 disk-filler); the media-gram truth slice is 6.0e5 at
-#: sf0.1. 2e9 sits an order of magnitude under the observed failure and
-#: 30× above the heaviest healthy run — roughly the candidate count a
-#: 32-core executor wave verifies in tens of seconds.
+#: (3-gram shingles at 7/10): 5.0e5 at sf0.1, 6.3e7 at sf1, 6.8e9 at
+#: sf10 (the round-8 disk-filler's configuration; the exact estimate is
+#: now recorded in BENCH_SCALING's sf10_saturation_evidence block, where
+#: guard_trips=true); the media-gram truth slice is 6.0e5 at sf0.1. 2e9
+#: sits 3.4× under the observed failure and 30× above the heaviest
+#: healthy run — roughly the candidate count a 32-core executor wave
+#: verifies in tens of seconds.
 PREFIX_CANDIDATE_BUDGET = 2_000_000_000
 
 

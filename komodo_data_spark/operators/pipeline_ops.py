@@ -1392,6 +1392,10 @@ def registry():
             customers_t_closeness,
             customers_t_closeness_oracle(),
         ),
+        "customers_t_closeness_emd": (
+            customers_t_closeness_emd,
+            customers_t_closeness_emd_oracle(),
+        ),
         "events_key_skew_profile": (
             events_key_skew_profile,
             events_key_skew_profile_oracle(),
@@ -2860,6 +2864,120 @@ def customers_t_closeness_oracle() -> str:
            (sum(abs(n * gtot - g * cls)) + (max(gtot) - sum(g)) * max(cls))::DOUBLE
              / (2 * max(cls) * max(gtot))::DOUBLE > {T_CLOSENESS} AS above_t
     FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def customers_t_closeness_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness with the EARTH MOVER'S DISTANCE over an ORDERED
+    sensitive attribute (Li et al. 2007, §4.2) — the companion of
+    :func:`customers_t_closeness`, which uses total variation for the
+    categorical sensitive attribute. Here the roles swap: QI = (nation,
+    market segment), sensitive = the ordered balance BAND, and the
+    distance respects adjacency — a class whose balances sit one band
+    away from the global mix leaks far less than one concentrated at the
+    extreme, which total variation cannot distinguish.
+
+    For ordered values v_1..v_m, EMD = Σ_i |Σ_{j<=i}(p_j − q_j)| / (m−1).
+    Assembled integer-exactly like the TV audit: cumulative numerators
+    Σ_{j<=i}(n_j·gtot − g_j·cls) over a DENSIFIED (class × band) frame
+    (absent bands carry n_j = 0 but still contribute their cumulative
+    term — that is why this one densifies where TV folded absence in
+    algebraically), one double divide by ((m−1)·cls·gtot) at the end.
+
+    Scale: one corpus-sized hash aggregate to (QI, band) counts; the
+    band spine, class sizes, and the densifying cross join all live on
+    QI-domain-bounded frames (|nations|·|segments| × |bands|), never the
+    corpus; the cumulative window partitions by class over those tiny
+    rows.
+    """
+    per = (
+        qi_classes(load_table(spark, sf_dir, "customer"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    gband = (
+        per.groupBy("bal_band")
+        .agg(F.sum("n").alias("g"))
+        .withColumn("gtot", F.sum("g").over(Window.partitionBy()))
+        .withColumn("nb", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    classes = per.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").alias("cls")
+    )
+    dense = (
+        classes.crossJoin(F.broadcast(gband))
+        .join(per, ["c_nationkey", "c_mktsegment", "bal_band"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0).cast("long")))
+    )
+    wc = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bal_band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.withColumn(
+        "cum_d",
+        F.sum(F.col("n") * F.col("gtot") - F.col("g") * F.col("cls")).over(wc),
+    )
+    denom = (
+        (F.max("nb") - 1) * F.max("cls") * F.max("gtot")
+    ).cast("double")
+    emd = F.when(
+        F.max("nb") > 1, F.sum(F.abs("cum_d")).cast("double") / denom
+    ).otherwise(F.lit(0.0))
+    return (
+        cum.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.max("cls").alias("class_size"),
+            emd.alias("emd_distance"),
+        )
+        .withColumn("above_t", F.col("emd_distance") > T_CLOSENESS)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+def customers_t_closeness_emd_oracle() -> str:
+    return f"""
+    WITH per AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             count(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    gband AS (
+      SELECT bal_band, CAST(sum(n) AS BIGINT) AS g,
+             CAST(sum(sum(n)) OVER () AS BIGINT) AS gtot,
+             count(*) OVER () AS nb
+      FROM per GROUP BY 1
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, CAST(sum(n) AS BIGINT) AS cls
+      FROM per GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT c.c_nationkey, c.c_mktsegment, b.bal_band, b.g, b.gtot,
+             b.nb, c.cls, coalesce(p.n, 0) AS n
+      FROM classes c CROSS JOIN gband b
+      LEFT JOIN per p ON p.c_nationkey = c.c_nationkey
+        AND p.c_mktsegment = c.c_mktsegment AND p.bal_band = b.bal_band
+    ),
+    cum AS (
+      SELECT *, CAST(sum(n * gtot - g * cls) OVER (
+               PARTITION BY c_nationkey, c_mktsegment ORDER BY bal_band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_d
+      FROM dense
+    )
+    SELECT c_nationkey, c_mktsegment,
+           max(cls) AS class_size,
+           CASE WHEN max(nb) > 1 THEN
+             sum(abs(cum_d))::DOUBLE
+               / ((max(nb) - 1) * max(cls) * max(gtot))::DOUBLE
+           ELSE 0.0E0 END AS emd_distance,
+           CASE WHEN max(nb) > 1 THEN
+             sum(abs(cum_d))::DOUBLE
+               / ((max(nb) - 1) * max(cls) * max(gtot))::DOUBLE
+           ELSE 0.0E0 END > {T_CLOSENESS} AS above_t
+    FROM cum GROUP BY 1, 2 ORDER BY 1, 2
     """
 
 

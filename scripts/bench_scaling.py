@@ -157,6 +157,7 @@ SF1_QUERIES = [
     # offsets as token_packing + a map-side sequence explode), the
     # t-closeness audit, and the bucketed-bloom decontamination path
     "token_packing_sequences", "customers_t_closeness",
+    "customers_t_closeness_emd",
     "token_packing", "docs_quality_token_weighted_filter",
     "docs_ppl_token_weighted_buckets", "benchmark_contamination_bloom",
     "dedup_simhash_recall", "media_simhash_recall", "events_mad_outliers",

@@ -173,6 +173,54 @@ def test_t_closeness_hand_computed(spark, tmp_path):
     assert b["above_t"] is True
 
 
+def test_t_closeness_emd_hand_computed(spark, tmp_path):
+    """Same 7-customer fixture, roles swapped: QI = (nation, segment),
+    sensitive = ordered band. Global bands: {0: 3, 1: 4} of 7, m=2.
+    Class (1,'A') = 3 members all in band 1: cum at band0 = 0*7-3*3 = -9,
+    at band1 = 0 -> EMD = 9/(1*3*7) = 3/7. Class (2,'A') = 1 member in
+    band 0: cum = 1*7-3*1 = 4 -> EMD = 4/7. Both above the 0.2 ceiling."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from komodo_data_spark.operators.pipeline_ops import (
+        customers_t_closeness_emd,
+    )
+
+    segs = [
+        (1, 1, 1500.0, "A"),
+        (2, 1, 1600.0, "A"),
+        (3, 1, 1700.0, "A"),
+        (4, 1, 1800.0, "B"),
+        (5, 2, 10.0, "A"),
+        (6, 2, 20.0, "B"),
+        (7, 2, 30.0, "C"),
+    ]
+    table = pa.table(
+        {
+            "c_custkey": pa.array([r[0] for r in segs], pa.int64()),
+            "c_name": pa.array([f"C#{r[0]}" for r in segs], pa.string()),
+            "c_nationkey": pa.array([r[1] for r in segs], pa.int32()),
+            "c_acctbal": pa.array([r[2] for r in segs], pa.float64()),
+            "c_mktsegment": pa.array([r[3] for r in segs], pa.string()),
+        }
+    )
+    d = tmp_path / "emd_sf"
+    d.mkdir()
+    pq.write_table(table, d / "customer.parquet")
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): r
+        for r in customers_t_closeness_emd(spark, str(d)).collect()
+    }
+    a = got[(1, "A")]
+    assert a["class_size"] == 3
+    assert abs(a["emd_distance"] - 3 / 7) < 1e-15
+    assert a["above_t"] is True
+    b = got[(2, "A")]
+    assert b["class_size"] == 1
+    assert abs(b["emd_distance"] - 4 / 7) < 1e-15
+    assert b["above_t"] is True
+
+
 def test_simhash64_signature_matches_python(spark):
     """The 64-bit packing (bit k = bit (k%4) of md5 hex digit (k//4+1))
     must equal a direct Python mirror — the same md5-portability contract
