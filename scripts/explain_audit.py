@@ -110,6 +110,7 @@ AUDITED = [
     "dedup_ngram_pairs_prefix",  # r9: prefix candidates + length/positional filters + intersect verify
     "token_packing_sequences",  # r9: two-stage offsets + map-side sequence explode
     "customers_t_closeness",  # r9: one corpus agg, broadcast global mix, integer TV
+    "customers_t_closeness_emd",  # r9: densified class x band cumsum, QI-bounded frames
 ]
 
 #: Python stages expected by design (Arrow-batched pandas ops); anything
