@@ -215,6 +215,9 @@ _PRIORITY: tuple[str, ...] = (
     "token_packing_sequences",  # NEW r9: fixed-SEQ_LEN sequence packing
     "customers_t_closeness",  # NEW r9: total-variation privacy audit
     "customers_t_closeness_emd",  # NEW r9 (late): ordered-band EMD audit
+    "dedup_minhash_oph",  # NEW r9: one-permutation MinHash (1 hash/posting)
+    "dedup_minhash_oph_recall",  # NEW r9: measured 1.00 on the truth slice
+    "text_kneser_ney_logprob",  # NEW r9: interpolated KN bigram LM scoring
     # --- (b) changed since last witness ---
     "dedup_simhash",  # r9: 64-bit shingle-feature signature, radius 7
     "dedup_simhash_recall",  # r9: new detector on the same sliced truth

