@@ -1384,6 +1384,7 @@ def registry():
             customers_k_anonymity,
             customers_k_anonymity_oracle(),
         ),
+        "docs_dp_release": (docs_dp_release, docs_dp_release_oracle()),
         "customers_l_diversity": (
             customers_l_diversity,
             customers_l_diversity_oracle(),
@@ -2978,6 +2979,112 @@ def customers_t_closeness_emd_oracle() -> str:
                / ((max(nb) - 1) * max(cls) * max(gtot))::DOUBLE
            ELSE 0.0E0 END > {T_CLOSENESS} AS above_t
     FROM cum GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+# --------------------------------------------------------------------------
+# Differentially-private histogram release
+# --------------------------------------------------------------------------
+
+#: Privacy budget for the released (source, lang) histogram. Each document
+#: contributes to exactly ONE cell, so the histogram's L1 sensitivity is 1
+#: and Laplace(1/epsilon) noise per cell gives epsilon-DP for the whole
+#: release (parallel composition).
+DP_EPSILON = 1.0
+
+#: Bits of the md5 used as the Laplace inverse-CDF's uniform. 52 = double's
+#: mantissa, so the integer -> double conversion is exact.
+_DP_UNIFORM_BITS = 52
+
+
+def _dp_laplace_noise(cell_key: F.Column) -> F.Column:
+    """Deterministic Laplace(1/DP_EPSILON) noise for a histogram cell,
+    derived from the cell key by inverse-CDF over an md5-uniform: the
+    engine-portable stand-in for a seeded RNG (same construction as the
+    repo's other hash-randomness: Gumbel keys in the DSIR sampler,
+    hash-bucket splits). u = (h + 0.5)/2^52 - 0.5 lies strictly inside
+    (-0.5, 0.5) — the +0.5 both centers the lattice and makes the ln
+    argument provably nonzero — and noise = -(1/eps)·sign(u)·ln(1-2|u|)
+    is the textbook Laplace inverse CDF.
+
+    DETERMINISTIC noise is a deliberate trade: re-running the release
+    never spends extra budget (the answer is always the same one draw),
+    at the cost that the draw is public given the key — callers needing
+    cryptographic DP swap one secret salt into the md5. What the operator
+    demonstrates (and the oracle checks) is the release mechanics:
+    noise-then-clamp, never post-processing the true counts.
+    """
+    h = F.conv(
+        F.substring(F.md5(cell_key), 1, _DP_UNIFORM_BITS // 4), 16, 10
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << _DP_UNIFORM_BITS)) - F.lit(0.5)
+    return (
+        F.lit(-1.0 / DP_EPSILON)
+        * F.signum(u)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+
+
+def docs_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epsilon-differentially-private release of the corpus composition
+    histogram — documents per (source, lang) with Laplace noise, rounded
+    and clamped at zero. The last rung of the privacy ladder
+    (``customers_k_anonymity`` -> ``customers_l_diversity`` ->
+    ``customers_t_closeness`` -> DP): the earlier audits *measure*
+    re-identification risk of a release; this one *mechanically bounds* it
+    for the most common data-sheet artifact, the composition table.
+
+    Scale design: one map-side-combinable count aggregate over the corpus;
+    the noise is a per-CELL codegen'd expression on the tiny histogram
+    frame (|sources| x |langs| rows), so the release costs exactly one
+    shuffle regardless of corpus size. Rounding to integers is part of the
+    mechanism (geometric-ish release), clamping at 0 is post-processing
+    and therefore free under DP.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    key = F.concat(
+        F.lit("dp|"),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.lit("|"),
+        F.coalesce(F.col("lang"), F.lit("")),
+    )
+    return counts.select(
+        "source",
+        "lang",
+        F.greatest(
+            F.round(F.col("n") + _dp_laplace_noise(key), 0), F.lit(0.0)
+        )
+        .cast("long")
+        .alias("n_released"),
+        F.lit(float(DP_EPSILON)).alias("epsilon"),
+    ).orderBy("source", "lang")
+
+
+def docs_dp_release_oracle() -> str:
+    two52 = float(1 << _DP_UNIFORM_BITS)
+    hexd = _DP_UNIFORM_BITS // 4
+    return f"""
+    WITH counts AS (
+      SELECT source, lang, count(*) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    keyed AS (
+      SELECT source, lang, n,
+             (CAST(CAST('0x' || substr(md5(
+                'dp|' || coalesce(source, '') || '|' || coalesce(lang, '')
+              ), 1, {hexd}) AS UBIGINT) AS DOUBLE) + 0.5) / {two52} - 0.5
+               AS u
+      FROM counts
+    )
+    SELECT source, lang,
+           CAST(greatest(
+             round(n + {-1.0 / DP_EPSILON} * sign(u) * ln(1.0 - 2.0 * abs(u))),
+             0.0
+           ) AS BIGINT) AS n_released,
+           {float(DP_EPSILON)} AS epsilon
+    FROM keyed
+    ORDER BY source, lang
     """
 
 

@@ -292,3 +292,63 @@ def test_simhash_pigeonhole_complete_at_radius7(spark):
         for r in simhash_multiprobe_pairs(sig).collect()
     }
     assert got_mp == want
+
+
+def test_dp_release_matches_python_laplace(spark, tmp_path):
+    """Hand-mirror of the deterministic Laplace mechanism: recompute the
+    md5-uniform inverse-CDF noise in plain Python for every cell, check
+    the released counts (including the round and the clamp-at-zero) match
+    the operator exactly."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from komodo_data_spark.operators.pipeline_ops import (
+        DP_EPSILON,
+        _DP_UNIFORM_BITS,
+        docs_dp_release,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(1, 8),
+            "text": ["t"] * 7,
+            # one big cell, one 1-doc cell (clamp candidate), one null lang
+            "lang": ["en", "en", "en", "en", "de", None, None],
+            "source": ["s1", "s1", "s1", "s1", "s2", "s3", "s3"],
+            "n_chars": [1] * 7,
+        }
+    )
+    sf = tmp_path / "dp_sf"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet")
+
+    def released(source, lang, n):
+        key = f"dp|{source or ''}|{lang or ''}"
+        h = int(hashlib.md5(key.encode()).hexdigest()[: _DP_UNIFORM_BITS // 4], 16)
+        u = (h + 0.5) / (1 << _DP_UNIFORM_BITS) - 0.5
+        noise = -(1.0 / DP_EPSILON) * math.copysign(1.0, u) * math.log(
+            1.0 - 2.0 * abs(u)
+        )
+        # Spark round(x, 0) is HALF_UP away from zero
+        import decimal
+
+        r = decimal.Decimal(n + noise).quantize(
+            0, rounding=decimal.ROUND_HALF_UP
+        )
+        return max(int(r), 0)
+
+    got = {
+        (r["source"], r["lang"]): (r["n_released"], r["epsilon"])
+        for r in docs_dp_release(spark, str(sf)).collect()
+    }
+    want = {
+        ("s1", "en"): 4,
+        ("s2", "de"): 1,
+        ("s3", None): 2,
+    }
+    assert set(got) == set(want)
+    for (src, lang), n in want.items():
+        assert got[(src, lang)] == (released(src, lang, n), DP_EPSILON)
+        assert got[(src, lang)][0] >= 0
