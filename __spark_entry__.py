@@ -219,6 +219,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_oph_recall",  # NEW r9: measured 1.00 on the truth slice
     "text_kneser_ney_logprob",  # NEW r9: interpolated KN bigram LM scoring
     "docs_dp_release",  # NEW r9: epsilon-DP composition histogram release
+    "events_ewma_hourly",  # NEW r9: dyadic-exact windowed EWMA monitor
     # --- (b) changed since last witness ---
     "dedup_simhash",  # r9: 64-bit shingle-feature signature, radius 7
     "dedup_simhash_recall",  # r9: new detector on the same sliced truth

@@ -198,7 +198,138 @@ def registry():
             events_value_percentiles_hist_oracle(),
         ),
         "events_hourly_acf": (events_hourly_acf, events_hourly_acf_oracle()),
+        "events_ewma_hourly": (
+            events_ewma_hourly,
+            events_ewma_hourly_oracle(),
+        ),
     }
+
+
+#: EWMA smoothing factor for the hourly event-rate monitor: s_h =
+#: EWMA_ALPHA*c_h + (1-EWMA_ALPHA)*s_{h-1}, seeded s_0 = c_0. 0.5 is a
+#: standard choice for hourly monitors (half-life = 1 hour) AND makes the
+#: whole computation DYADIC: every decay power is a power of two, so each
+#: term n_i*2^i is an exactly-representable double and the prefix sum is
+#: exact in ANY addition order — which is what makes the result
+#: bit-identical between Spark's sequential window sum and DuckDB's
+#: segment-tree one (measured: a non-dyadic alpha flips the gate's
+#: 9-significant-digit rounding on 1-ulp straddles).
+EWMA_ALPHA = 0.5
+
+
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the hourly event rate per
+    (event_type, UTC day) — the smoothing step under every ops-style
+    rate monitor (alerts fire on EWMA crossings, not raw spikes; cf.
+    ``events_cusum_changepoint`` which detects level shifts on the same
+    grid). Missing hours count as zero: the 24-slot grid per (type, day)
+    is densified first, because an EWMA over only-observed points silently
+    stretches its time constant across gaps.
+
+    Scale design — the recurrence is a LINEAR one, so it needs no
+    sequential scan: with b = 1-alpha,
+    s_h = b^h * (c_0 + alpha * sum_{i=1..h} c_i * b^(-i)),
+    i.e. one prefix sum over a bounded 24-row frame per (type, day). The
+    corpus-scale work is a single map-side-combinable count aggregate to
+    (type, day, hour) partials; the window runs on that tiny frame,
+    partitioned by (type, day) — thousands of independent 24-row frames,
+    never a global or per-type-unbounded sort. b^(-i) is bounded by
+    b^(-23) ~ 3.7e3 at alpha=0.3, so the rescaled prefix sum cannot
+    overflow doubles (the boundedness is WHY the frame is the day —
+    an unbounded-history EWMA would rescale by b^(-t) unboundedly; the
+    day reset is the standard monitoring convention anyway).
+    """
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy(
+        "event_type",
+        F.expr(f"ts_ms div {DAY_MS}").alias("day"),
+        F.expr(f"(ts_ms div {HOUR_MS}) % 24").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        c.select("event_type", "day")
+        .distinct()
+        .select(
+            "event_type",
+            "day",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("h"),
+        )
+    )
+    grid = spine.join(c, ["event_type", "day", "h"], "left").select(
+        "event_type",
+        "day",
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+    # The 24 decay powers are computed ONCE here in Python and injected as
+    # the same double literals into BOTH engines (Spark here, DuckDB in the
+    # oracle): JVM pow and C pow disagree in the last ulp for some
+    # exponents. With the dyadic EWMA_ALPHA the terms are exact integers
+    # scaled by powers of two, so the window sum is exact regardless of
+    # the engines' different accumulation orders (see EWMA_ALPHA note;
+    # exactness holds while n * 2^23 stays under 2^53 — i.e. per-cell
+    # hourly counts below ~10^9, far past any per-(type, day, hour) cell).
+    pow_b, inv_b = _ewma_power_tables()
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hidx = F.col("h").cast("int") + F.lit(1)
+    term = F.when(F.col("h") == 0, F.lit(0.0)).otherwise(
+        F.col("n") * F.element_at(F.array(*[F.lit(v) for v in inv_b]), hidx)
+    )
+    return grid.select(
+        "event_type",
+        (F.col("day") * F.lit(DAY_MS)).alias("day_ms"),
+        F.col("h").alias("hour"),
+        F.col("n").alias("n_events"),
+        (
+            F.element_at(F.array(*[F.lit(v) for v in pow_b]), hidx)
+            * (
+                F.first("n").over(w)
+                + F.lit(EWMA_ALPHA) * F.sum(term).over(w)
+            )
+        ).alias("ewma"),
+    )
+
+
+def _ewma_power_tables() -> tuple[list[float], list[float]]:
+    """(b^h, b^-h) for h in 0..23 — THE decay tables, shared verbatim by
+    the operator and its oracle so the engines cannot disagree."""
+    b = 1.0 - EWMA_ALPHA
+    return [b**h for h in range(24)], [b**-h for h in range(24)]
+
+
+def events_ewma_hourly_oracle() -> str:
+    pow_b, inv_b = _ewma_power_tables()
+    # ::DOUBLE per element — DuckDB parses bare decimal literals as
+    # DECIMAL(38) and the windowed decimal multiply overflows at sf0.1
+    pow_lit = "[" + ", ".join(f"{v!r}::DOUBLE" for v in pow_b) + "]"
+    inv_lit = "[" + ", ".join(f"{v!r}::DOUBLE" for v in inv_b) + "]"
+    return f"""
+    WITH c AS (
+      SELECT event_type, epoch_ms(ts) // {DAY_MS} AS day,
+             (epoch_ms(ts) // {HOUR_MS}) % 24 AS h, count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    spine AS (
+      SELECT event_type, day, unnest(range(0, 24)) AS h
+      FROM (SELECT DISTINCT event_type, day FROM c)
+    ),
+    grid AS (
+      SELECT s.event_type, s.day, s.h, coalesce(c.n, 0) AS n
+      FROM spine s LEFT JOIN c USING (event_type, day, h)
+    )
+    SELECT event_type, day * {DAY_MS} AS day_ms, h AS hour, n AS n_events,
+           {pow_lit}[h + 1] * (
+             first_value(n) OVER w
+             + {EWMA_ALPHA}::DOUBLE * sum(CASE WHEN h = 0 THEN 0.0::DOUBLE
+                                       ELSE n * {inv_lit}[h + 1] END) OVER w
+           ) AS ewma
+    FROM grid
+    WINDOW w AS (PARTITION BY event_type, day ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
 
 
 DAY_MS = 86_400_000

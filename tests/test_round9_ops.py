@@ -352,3 +352,45 @@ def test_dp_release_matches_python_laplace(spark, tmp_path):
     for (src, lang), n in want.items():
         assert got[(src, lang)] == (released(src, lang, n), DP_EPSILON)
         assert got[(src, lang)][0] >= 0
+
+
+def test_ewma_hourly_matches_sequential_recurrence(spark, tmp_path):
+    """The closed-form windowed EWMA must equal the literal sequential
+    recurrence s_h = a*c_h + (1-a)*s_{h-1} (s_0 = c_0) computed in plain
+    Python over the same zero-filled 24-slot grid, exactly (the dyadic
+    alpha makes every intermediate exact)."""
+    import pandas as pd
+
+    from komodo_data_spark.operators.timeseries import (
+        EWMA_ALPHA,
+        events_ewma_hourly,
+    )
+
+    # one type, one day: hours 0,1,3 (hour 2 missing -> counts as 0)
+    base = 1_706_313_600_000  # a UTC day boundary
+    rows = []
+    eid = 0
+    for h, n in [(0, 3), (1, 1), (3, 5)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, base + h * 3_600_000, 7, "click", 1.0, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts_ms", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf.pop("ts_ms"), unit="ms")
+    sf = tmp_path / "ewma_sf"
+    sf.mkdir()
+    pdf.to_parquet(sf / "events.parquet")
+
+    got = {
+        r["hour"]: r
+        for r in events_ewma_hourly(spark, str(sf)).collect()
+    }
+    counts = {0: 3, 1: 1, 3: 5}
+    s = None
+    for h in range(24):
+        c = counts.get(h, 0)
+        s = c if s is None else EWMA_ALPHA * c + (1 - EWMA_ALPHA) * s
+        assert got[h]["n_events"] == c
+        assert got[h]["ewma"] == s, (h, got[h]["ewma"], s)
+        assert got[h]["day_ms"] == base
