@@ -163,6 +163,11 @@ SF1_QUERIES = [
     "dedup_simhash_recall", "media_simhash_recall", "events_mad_outliers",
     "events_spearman_trend", "events_hourly_acf", "customers_l_diversity",
     "dedup_ngram_pairs_prefix",
+    # round-9 late additions: the one-permutation MinHash detector + its
+    # fixed-budget recall twin, the KN bigram-LM fit+score (the heaviest
+    # new corpus pass), the DP histogram release, and the EWMA grid
+    "dedup_minhash_oph", "dedup_minhash_oph_recall",
+    "text_kneser_ney_logprob", "docs_dp_release", "events_ewma_hourly",
 ]
 
 #: Third decade (sf1 -> sf10): the same set MINUS the saturation case.

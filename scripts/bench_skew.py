@@ -97,6 +97,15 @@ SKEW_QUERIES = (
     # as token_packing but fans out per sequence — the hot boilerplate's
     # token mass must not re-serialize the explode onto one task
     "token_packing_sequences",
+    # round 9 (late): the OPH signature's bin route hashes the SHINGLE,
+    # so a 20%-hot boilerplate shingle floods one (doc, bin) min — the
+    # grouped min must stay map-side combinable, and the band join's
+    # bucket occupancy must not collapse onto the hot docs
+    "dedup_minhash_oph",
+    # the KN fit's context/continuation aggregates key on the hot
+    # boilerplate's few bigram types; both are aggregates over the MODEL
+    # (types, not tokens) and must absorb the token-mass ridge map-side
+    "text_kneser_ney_logprob",
 )
 
 

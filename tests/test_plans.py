@@ -48,6 +48,29 @@ def test_minhash_lsh_uses_equi_joins_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_oph_uses_equi_joins_and_hashes_once(spark):
+    plan = plan_of(dedup.dedup_minhash_oph(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the whole point of OPH: the posting-scale projection evaluates ONE
+    # md5 over the shingle (bin route + rank share it); the classic
+    # signature's 12-per-posting md5 fan-out must not creep back in. The
+    # densification coalesce ladder runs on the per-DOC frame, whose maps
+    # are assembled from the single-hash mins — count md5 calls against
+    # the raw posting column 'g' in the plan text.
+    import re
+
+    oph_hashes = len(re.findall(r"md5\(cast\(concat\(oph\|", plan))
+    assert 1 <= oph_hashes <= 2  # one per candidate/verify branch; never 12
+
+
+def test_kneser_ney_is_aggregate_join_shaped(spark):
+    plan = plan_of(text_analysis.text_kneser_ney_logprob(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the one-row type total rides a broadcast, never a shuffle
+    assert "BroadcastExchange" in plan
+
+
 def test_simhash_uses_equi_joins_only(spark):
     plan = plan_of(dedup.dedup_simhash(spark, SF))
     assert "CartesianProduct" not in plan
