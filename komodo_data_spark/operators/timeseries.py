@@ -234,17 +234,33 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, day, hour) partials; the window runs on that tiny frame,
     partitioned by (type, day) — thousands of independent 24-row frames,
     never a global or per-type-unbounded sort. b^(-i) is bounded by
-    b^(-23) ~ 3.7e3 at alpha=0.3, so the rescaled prefix sum cannot
-    overflow doubles (the boundedness is WHY the frame is the day —
-    an unbounded-history EWMA would rescale by b^(-t) unboundedly; the
-    day reset is the standard monitoring convention anyway).
+    b^(-23) = 2^23 at the dyadic alpha, so the rescaled prefix sum stays
+    in doubles' exact-integer range (the boundedness is WHY the frame is
+    the day — an unbounded-history EWMA would rescale by b^(-t)
+    unboundedly; the day reset is the standard monitoring convention
+    anyway). Streaming twin: ``streaming/ewma_incremental.py`` keeps the
+    hourly partials as a sum-mergeable counter store and replays this
+    exact math at read time.
     """
-    ev = load_events(spark, sf_dir)
-    c = ev.groupBy(
+    return ewma_from_counts(hourly_counts(load_events(spark, sf_dir)))
+
+
+def hourly_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, day, h, n) hourly partials for an events frame — THE
+    count kernel, shared with the streaming counter store
+    (``streaming/ewma_incremental.py``) whose epochs sum-merge to exactly
+    these partials."""
+    return ev.groupBy(
         "event_type",
         F.expr(f"ts_ms div {DAY_MS}").alias("day"),
         F.expr(f"(ts_ms div {HOUR_MS}) % 24").alias("h"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def ewma_from_counts(c: DataFrame) -> DataFrame:
+    """Grid densification + closed-form EWMA over (event_type, day, h, n)
+    partials — the math half of ``events_ewma_hourly``, shared by the
+    streaming read so stream and batch cannot disagree."""
     spine = (
         c.select("event_type", "day")
         .distinct()

@@ -433,6 +433,21 @@ def main(argv: list[str] | None = None) -> int:
     batches17 = progress_rows(q17)
     report["pq_ann_index"] = {"batches": batches17, **flat_check(batches17)}
 
+    # --- stream 18: hourly EWMA counter store (reuses events stage) --------
+    from komodo_data_spark.streaming.ewma_incremental import (
+        start_incremental_ewma,
+    )
+
+    q18 = start_incremental_ewma(
+        spark, ev_src,
+        os.path.join(work, "ewma_store"),
+        os.path.join(work, "ckpt_ewma"),
+        max_files_per_trigger=1,
+    )
+    q18.awaitTermination()
+    batches18 = progress_rows(q18)
+    report["ewma_counter_store"] = {"batches": batches18, **flat_check(batches18)}
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",

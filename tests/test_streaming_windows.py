@@ -2747,3 +2747,73 @@ def test_k_anonymity_gate_crash_between_writes_replays_identically(
         for r in spark.read.parquet(rel).collect()
     }
     assert released2 == released
+
+
+def test_incremental_ewma_matches_batch_monitor(spark, sf_dir, tmp_path):
+    """Stream the events table through the hourly counter store: the EWMA
+    read from the store is BIT-equal to the batch events_ewma_hourly over
+    the same events (shared count kernel + shared dyadic math); replay
+    adds nothing; compaction folds epochs to the O(1) base without
+    changing any smoothed value."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.timeseries import events_ewma_hourly
+    from komodo_data_spark.sources.tables import load_events
+    from komodo_data_spark.streaming.ewma_incremental import (
+        compact_ewma_store,
+        read_ewma,
+        start_incremental_ewma,
+    )
+
+    ev_dir = str(tmp_path / "ewma_arrivals")
+    os.makedirs(ev_dir)
+    ev = load_events(spark, sf_dir)
+    for i in range(3):
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).filter(
+            F.col("event_id") % 3 == i
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"evstage{i}")
+        )
+        (src_file,) = glob.glob(str(tmp_path / f"evstage{i}" / "*.parquet"))
+        shutil.move(src_file, os.path.join(ev_dir, f"arrival{i}.parquet"))
+
+    store = str(tmp_path / "ewma_store")
+    ck = str(tmp_path / "ckpt_ewma")
+    start_incremental_ewma(spark, ev_dir, store, ck).awaitTermination()
+
+    def as_map(df):
+        return {
+            (r["event_type"], r["day_ms"], r["hour"]): (
+                r["n_events"],
+                r["ewma"],
+            )
+            for r in df.collect()
+        }
+
+    batch = as_map(events_ewma_hourly(spark, sf_dir))
+    inc = as_map(read_ewma(spark, store))
+    assert batch == inc  # bit-exact: dyadic alpha, shared kernels
+
+    # replay: same checkpoint, nothing re-counted
+    start_incremental_ewma(spark, ev_dir, store, ck).awaitTermination()
+    assert as_map(read_ewma(spark, store)) == inc
+
+    # compaction: epochs fold to the base, values unchanged
+    folded = compact_ewma_store(spark, store)
+    assert folded == 3
+    assert as_map(read_ewma(spark, store)) == inc
+
+    # empty store path: read yields an empty frame with the full schema
+    empty = read_ewma(spark, str(tmp_path / "ewma_store_never"))
+    assert empty.columns == [
+        "event_type",
+        "day_ms",
+        "hour",
+        "n_events",
+        "ewma",
+    ]
+    assert empty.count() == 0
