@@ -77,6 +77,89 @@ def text_token_stats_oracle() -> str:
     """
 
 
+#: Keep gate on NORMALIZED token entropy (H / ln(n_distinct), in [0, 1]):
+#: degenerate docs (one token repeated, templated spam) sit near 0, natural
+#: text near 1. Sized from the measured sf0.01 distribution (p1 ~ 0.93,
+#: p5 ~ 0.94 — this synthetic corpus is uniformly natural, so the gate
+#: trims only the degenerate tail, which is its job on a real crawl too).
+ENTROPY_NORM_MIN = 0.5
+
+
+def text_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy — the information-theoretic
+    quality signal next to the heuristic ratios (``text_quality_scores``)
+    and the repetition counters (``text_repetition_signals``): H =
+    -sum p_t ln p_t over the doc's own token frequencies, plus the
+    normalized form H / ln(n_distinct) that makes docs of different
+    lengths comparable. Low entropy = token mass concentrated on few
+    types (keyword stuffing, templated spam, degenerate generations) even
+    when the surface ratios look fine.
+
+    Scale design: the whole computation is ROW-LOCAL — no shuffle at all.
+    H is computed as ln(n) - (1/n)·sum_i ln(c_{tok_i}) where the sum runs
+    over the POSITIONAL token array (each occurrence contributes ln of
+    its token's in-doc count): the fold order is the row's own array
+    order, identical in both engines, so the oracle comparison never
+    meets hash-aggregation float reordering. The per-position count is an
+    O(len²) array filter, bounded by document length — codegen'd, no
+    Python. Docs with < 2 tokens get entropy 0 by convention.
+    """
+    d = _docs(spark, sf_dir).withColumn("toks", tokens())
+    n = F.size("toks")
+    nd = F.size(F.array_distinct("toks"))
+    # sum_i ln(count of toks[i] within toks) in position order
+    s = F.aggregate(
+        F.transform(
+            "toks",
+            lambda t: F.log(
+                F.size(F.filter("toks", lambda x: x == t)).cast("double")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    entropy = F.when(n >= 2, F.log(n.cast("double")) - s / n).otherwise(
+        F.lit(0.0)
+    )
+    norm = F.when(nd >= 2, entropy / F.log(nd.cast("double"))).otherwise(
+        F.lit(0.0)
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        entropy.alias("entropy"),
+        norm.alias("entropy_norm"),
+        (norm >= ENTROPY_NORM_MIN).alias("keep"),
+    )
+
+
+def text_entropy_stats_oracle() -> str:
+    t = sql_tokens()
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+             list_sum(list_transform(
+               toks, t -> ln(len(list_filter(toks, x -> x = t))::DOUBLE)
+             )) AS s
+      FROM d
+    ),
+    e AS (
+      SELECT doc_id, n, nd,
+             CASE WHEN n >= 2 THEN ln(n::DOUBLE) - s / n ELSE 0.0 END
+               AS entropy
+      FROM m
+    )
+    SELECT doc_id, n AS n_tokens, nd AS n_distinct_tokens, entropy,
+           CASE WHEN nd >= 2 THEN entropy / ln(nd::DOUBLE) ELSE 0.0 END
+             AS entropy_norm,
+           CASE WHEN nd >= 2 THEN entropy / ln(nd::DOUBLE) ELSE 0.0 END
+             >= {ENTROPY_NORM_MIN} AS keep
+    FROM e
+    """
+
+
 # --------------------------------------------------------------------------
 # quality scoring
 # --------------------------------------------------------------------------
@@ -1156,6 +1239,10 @@ def registry():
         "text_kneser_ney_logprob": (
             text_kneser_ney_logprob,
             text_kneser_ney_logprob_oracle(),
+        ),
+        "text_entropy_stats": (
+            text_entropy_stats,
+            text_entropy_stats_oracle(),
         ),
         "source_unigram_divergence": (
             source_unigram_divergence,

@@ -111,6 +111,10 @@ AUDITED = [
     "token_packing_sequences",  # r9: two-stage offsets + map-side sequence explode
     "customers_t_closeness",  # r9: one corpus agg, broadcast global mix, integer TV
     "customers_t_closeness_emd",  # r9: densified class x band cumsum, QI-bounded frames
+    "dedup_minhash_oph",  # r9: ONE md5/posting signature, shared band equi-join
+    "text_kneser_ney_logprob",  # r9: model-frame aggregates + 3 score joins
+    "docs_dp_release",  # r9: one count agg, per-cell codegen'd Laplace
+    "events_ewma_hourly",  # r9: count partials + bounded 24-row frames
 ]
 
 #: Python stages expected by design (Arrow-batched pandas ops); anything

@@ -123,6 +123,7 @@ def shuffled_sf_dir(tmp_path_factory) -> str:
 LAYOUT_SENSITIVE = [
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_oph",
     "dedup_clusters",
     "dedup_clusters_star",
     "customers_fuzzy_name_pairs",

@@ -467,3 +467,28 @@ def test_kneser_ney_matches_hand_computed_probs(spark, tmp_path):
     vocab_w = set(n1p_w)
     mass = sum(p_kn("a", w) for w in vocab_w)
     assert mass <= 1.0 + 1e-12
+
+
+def test_entropy_stats_hand_computed(spark, tmp_path):
+    """Three shapes: degenerate (one repeated token -> entropy 0, keep
+    False), uniform ("a b c d" -> H = ln 4, norm 1), and a skewed mix
+    recomputed with the plain-Python Shannon formula."""
+    import collections
+
+    texts = ["x x x x x", "a b c d", "a a a b"]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r["doc_id"]: r for r in T.text_entropy_stats(spark, sf).collect()}
+
+    assert rows[1]["entropy"] == 0.0
+    assert rows[1]["entropy_norm"] == 0.0
+    assert rows[1]["keep"] is False
+
+    assert abs(rows[2]["entropy"] - math.log(4)) < 1e-12
+    assert abs(rows[2]["entropy_norm"] - 1.0) < 1e-12
+    assert rows[2]["keep"] is True
+
+    c = collections.Counter(texts[2].split())
+    n = sum(c.values())
+    want = -sum(v / n * math.log(v / n) for v in c.values())
+    assert abs(rows[3]["entropy"] - want) < 1e-12
+    assert abs(rows[3]["entropy_norm"] - want / math.log(2)) < 1e-12
