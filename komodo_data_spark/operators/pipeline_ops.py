@@ -1385,6 +1385,10 @@ def registry():
             customers_k_anonymity_oracle(),
         ),
         "docs_dp_release": (docs_dp_release, docs_dp_release_oracle()),
+        "orders_dp_sum_release": (
+            orders_dp_sum_release,
+            orders_dp_sum_release_oracle(),
+        ),
         "customers_l_diversity": (
             customers_l_diversity,
             customers_l_diversity_oracle(),
@@ -2997,7 +3001,7 @@ DP_EPSILON = 1.0
 _DP_UNIFORM_BITS = 52
 
 
-def _dp_laplace_noise(cell_key: F.Column) -> F.Column:
+def _dp_laplace_noise(cell_key: F.Column, scale: float | None = None) -> F.Column:
     """Deterministic Laplace(1/DP_EPSILON) noise for a histogram cell,
     derived from the cell key by inverse-CDF over an md5-uniform: the
     engine-portable stand-in for a seeded RNG (same construction as the
@@ -3019,7 +3023,7 @@ def _dp_laplace_noise(cell_key: F.Column) -> F.Column:
     ).cast("double")
     u = (h + F.lit(0.5)) / F.lit(float(1 << _DP_UNIFORM_BITS)) - F.lit(0.5)
     return (
-        F.lit(-1.0 / DP_EPSILON)
+        F.lit(-(1.0 / DP_EPSILON if scale is None else scale))
         * F.signum(u)
         * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
     )
@@ -3059,6 +3063,80 @@ def docs_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_released"),
         F.lit(float(DP_EPSILON)).alias("epsilon"),
     ).orderBy("source", "lang")
+
+
+#: Per-record contribution clamp for the noisy-SUM release: one order's
+#: clamped total price. The clamp is what BOUNDS the query's sensitivity —
+#: without it one outlier order would force unbounded noise; C is chosen
+#: above TPC-H's o_totalprice ceiling (~600k at any SF), so on this data
+#: the clamp is a no-op and the mechanism is still formally epsilon-DP.
+DP_SUM_CLAMP = 600_000.0
+
+
+def orders_dp_sum_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epsilon-DP noisy SUM — total order revenue per order priority,
+    released with Laplace(C/epsilon) noise after clamping every order's
+    contribution to [0, C]. The second mechanism rung after the COUNT
+    histogram (``docs_dp_release``): sums have unbounded sensitivity
+    until each record's contribution is clamped, and the clamp-then-noise
+    order is the entire correctness of the mechanism (clamping the noisy
+    result instead would be post-processing a non-private value).
+
+    Scale design: the clamp is a codegen'd scalar on the scan; the sum is
+    one map-side-combinable aggregate — IN DECIMAL(18,2), which keeps the
+    corpus-scale accumulation exact (and engine-order-independent: a
+    double sum's value depends on hash-partition visit order, the
+    round-8 lesson behind every exact-sum op here); the noise is one
+    expression per released row on the |priorities|-row frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    clamped = F.least(
+        F.greatest(F.col("o_totalprice"), F.lit(0.0)),
+        F.lit(DP_SUM_CLAMP),
+    ).cast("decimal(18,2)")
+    sums = o.groupBy("o_orderpriority").agg(
+        F.sum(clamped).alias("s")
+    )
+    key = F.concat(
+        F.lit("dpsum|"), F.coalesce(F.col("o_orderpriority"), F.lit(""))
+    )
+    return sums.select(
+        "o_orderpriority",
+        (
+            F.col("s").cast("double")
+            + _dp_laplace_noise(key, scale=DP_SUM_CLAMP / DP_EPSILON)
+        ).alias("sum_released"),
+        F.lit(float(DP_EPSILON)).alias("epsilon"),
+        F.lit(DP_SUM_CLAMP).alias("clamp"),
+    ).orderBy("o_orderpriority")
+
+
+def orders_dp_sum_release_oracle() -> str:
+    two52 = float(1 << _DP_UNIFORM_BITS)
+    hexd = _DP_UNIFORM_BITS // 4
+    return f"""
+    WITH sums AS (
+      SELECT o_orderpriority,
+             sum(CAST(least(greatest(o_totalprice, 0.0), {DP_SUM_CLAMP})
+                      AS DECIMAL(18,2))) AS s
+      FROM orders GROUP BY o_orderpriority
+    ),
+    keyed AS (
+      SELECT o_orderpriority, s,
+             (CAST(CAST('0x' || substr(md5(
+                'dpsum|' || coalesce(o_orderpriority, '')
+              ), 1, {hexd}) AS UBIGINT) AS DOUBLE) + 0.5) / {two52} - 0.5
+               AS u
+      FROM sums
+    )
+    SELECT o_orderpriority,
+           s::DOUBLE + {-(DP_SUM_CLAMP / DP_EPSILON)!r}::DOUBLE
+             * sign(u) * ln(1.0 - 2.0 * abs(u)) AS sum_released,
+           {float(DP_EPSILON)} AS epsilon,
+           {DP_SUM_CLAMP!r} AS clamp
+    FROM keyed
+    ORDER BY o_orderpriority
+    """
 
 
 def docs_dp_release_oracle() -> str:

@@ -394,3 +394,53 @@ def test_ewma_hourly_matches_sequential_recurrence(spark, tmp_path):
         assert got[h]["n_events"] == c
         assert got[h]["ewma"] == s, (h, got[h]["ewma"], s)
         assert got[h]["day_ms"] == base
+
+
+def test_dp_sum_release_clamps_before_noise(spark, tmp_path):
+    """The clamp must apply PER RECORD before the sum: an outlier order
+    above the clamp contributes exactly DP_SUM_CLAMP, and the noise is the
+    hand-recomputed Laplace(C/eps) draw for the group key."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from komodo_data_spark.operators.pipeline_ops import (
+        DP_EPSILON,
+        DP_SUM_CLAMP,
+        _DP_UNIFORM_BITS,
+        orders_dp_sum_release,
+    )
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [1, 1, 2],
+            "o_orderstatus": ["F", "F", "O"],
+            "o_totalprice": [100.0, 2_000_000.0, -50.0],  # outlier + negative
+            "o_orderdate": ["1995-01-01"] * 3,
+            "o_orderpriority": ["1-URGENT", "1-URGENT", "1-URGENT"],
+            "o_clerk": ["c"] * 3,
+            "o_shippriority": [0] * 3,
+            "o_comment": ["x"] * 3,
+        }
+    )
+    sf = tmp_path / "dpsum_sf"
+    sf.mkdir()
+    orders.to_parquet(sf / "orders.parquet")
+
+    (row,) = orders_dp_sum_release(spark, str(sf)).collect()
+    clamped_sum = 100.0 + DP_SUM_CLAMP + 0.0
+
+    h = int(
+        hashlib.md5(b"dpsum|1-URGENT").hexdigest()[: _DP_UNIFORM_BITS // 4], 16
+    )
+    u = (h + 0.5) / (1 << _DP_UNIFORM_BITS) - 0.5
+    noise = (
+        -(DP_SUM_CLAMP / DP_EPSILON)
+        * math.copysign(1.0, u)
+        * math.log(1.0 - 2.0 * abs(u))
+    )
+    assert row["o_orderpriority"] == "1-URGENT"
+    assert abs(row["sum_released"] - (clamped_sum + noise)) < 1e-6
+    assert row["clamp"] == DP_SUM_CLAMP
