@@ -85,6 +85,139 @@ def text_token_stats_oracle() -> str:
 ENTROPY_NORM_MIN = 0.5
 
 
+#: Add-alpha mass for the frozen-model scorer's OOV handling: continuation
+#: probabilities are smoothed over seen types + ONE shared unseen bucket,
+#: so no scored bigram can hit probability zero.
+KN_OOV_ALPHA = 1.0
+
+
+def text_kneser_ney_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score EVERY document under a Kneser-Ney bigram model fit ONLY on
+    the train split — the frozen-model form of ``text_kneser_ney_logprob``
+    and the shape production perplexity filtering actually runs (CCNet
+    scores crawl text under a model fit on trusted text; fitting on the
+    text being scored leaks the filter). Fit/score share one split
+    definition with the engine's splitter (``pipeline_ops._split_col``),
+    so the leakage audit and this scorer can never disagree about what
+    "train" means.
+
+    Unseen events — impossible in the fit-on-self op, the whole point
+    here — back off by construction: an unseen (u, w) pair scores the
+    interpolation term alone; an unseen context u scores the continuation
+    probability alone; and continuation probabilities are add-alpha
+    smoothed over seen types plus one shared OOV bucket
+    ((N1+(.,w) + a) / (T + a*(V+1))), so every bigram gets positive mass
+    with exactly V+1 outcomes sharing the denominator.
+
+    Scale design: identical to the fit-on-self op (three model frames,
+    never collected; scoring joins are now LEFT joins) plus the split
+    predicate pushed to the fit's scan — a 100 TB score pass against a
+    frozen model reads the model frames, not the train corpus.
+    """
+    from komodo_data_spark.operators.dedup import _positional_grams
+    from komodo_data_spark.operators.pipeline_ops import _split_col
+    from komodo_data_spark.sources.tables import load_spread
+
+    d = load_spread(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "doc_id",
+            _split_col().alias("split"),
+            _positional_grams(tokens(), 2).alias("grams"),
+        )
+        .select("doc_id", "split", F.explode_outer("grams").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(
+            "doc_id",
+            "split",
+            F.substring_index("g", " ", 1).alias("u"),
+            F.substring_index("g", " ", -1).alias("w"),
+        )
+    )
+    fit = grams.filter(F.col("split") == "train")
+    model = fit.groupBy("u", "w").agg(F.count(F.lit(1)).alias("c"))
+    ctx = model.groupBy("u").agg(
+        F.sum("c").alias("c_u"), F.count(F.lit(1)).alias("n1p_u")
+    )
+    cont = model.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_w"))
+    totals = model.agg(
+        F.count(F.lit(1)).alias("t_types"),
+    ).crossJoin(cont.agg(F.count(F.lit(1)).alias("v_types")))
+    a = F.lit(KN_OOV_ALPHA)
+    pcont = (F.coalesce("n1p_w", F.lit(0)) + a) / (
+        F.col("t_types") + a * (F.col("v_types") + 1)
+    )
+    p = F.when(
+        F.col("c_u").isNotNull(),
+        F.greatest(
+            F.coalesce("c", F.lit(0)) - F.lit(KN_DISCOUNT), F.lit(0.0)
+        )
+        / F.col("c_u")
+        + F.lit(KN_DISCOUNT) * F.col("n1p_u") / F.col("c_u") * pcont,
+    ).otherwise(pcont)
+    return (
+        grams.join(model, ["u", "w"], "left")
+        .join(ctx, "u", "left")
+        .join(cont, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log(p)).alias("avg_logprob_kn"),
+        )
+    )
+
+
+def text_kneser_ney_apply_oracle() -> str:
+    from komodo_data_spark.operators.pipeline_ops import _sql_split_case
+
+    t = sql_tokens()
+    a = KN_OOV_ALPHA
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_sql_split_case()} AS split, {t} AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, split, toks[i] AS u, toks[i + 1] AS w
+      FROM d, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS q(i)
+    ),
+    model AS (
+      SELECT u, w, count(*) AS c FROM grams WHERE split = 'train'
+      GROUP BY u, w
+    ),
+    ctx AS (
+      SELECT u, sum(c) AS c_u, count(*) AS n1p_u FROM model GROUP BY u
+    ),
+    cont AS (SELECT w, count(*) AS n1p_w FROM model GROUP BY w),
+    ty AS (
+      SELECT (SELECT count(*) FROM model) AS t_types,
+             (SELECT count(*) FROM cont) AS v_types
+    ),
+    scored AS (
+      SELECT g.doc_id, g.split, count(*) AS n_bigrams,
+             avg(ln(
+               CASE WHEN ctx.c_u IS NOT NULL THEN
+                 greatest(coalesce(m.c, 0) - {KN_DISCOUNT}::DOUBLE, 0.0) / ctx.c_u
+                 + {KN_DISCOUNT}::DOUBLE * ctx.n1p_u / ctx.c_u
+                   * ((coalesce(cont.n1p_w, 0) + {a}::DOUBLE)
+                      / (ty.t_types + {a}::DOUBLE * (ty.v_types + 1)))
+               ELSE
+                 (coalesce(cont.n1p_w, 0) + {a}::DOUBLE)
+                   / (ty.t_types + {a}::DOUBLE * (ty.v_types + 1))
+               END
+             )) AS avg_logprob_kn
+      FROM grams g
+      LEFT JOIN model m USING (u, w)
+      LEFT JOIN ctx USING (u)
+      LEFT JOIN cont USING (w)
+      CROSS JOIN ty
+      GROUP BY g.doc_id, g.split
+    )
+    SELECT doc_id, split, n_bigrams, avg_logprob_kn FROM scored
+    """
+
+
 def text_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token-distribution entropy — the information-theoretic
     quality signal next to the heuristic ratios (``text_quality_scores``)
@@ -1243,6 +1376,10 @@ def registry():
         "text_entropy_stats": (
             text_entropy_stats,
             text_entropy_stats_oracle(),
+        ),
+        "text_kneser_ney_apply": (
+            text_kneser_ney_apply,
+            text_kneser_ney_apply_oracle(),
         ),
         "source_unigram_divergence": (
             source_unigram_divergence,

@@ -492,3 +492,63 @@ def test_entropy_stats_hand_computed(spark, tmp_path):
     want = -sum(v / n * math.log(v / n) for v in c.values())
     assert abs(rows[3]["entropy"] - want) < 1e-12
     assert abs(rows[3]["entropy_norm"] - want / math.log(2)) < 1e-12
+
+
+def test_kneser_ney_apply_oov_backoff(spark, tmp_path):
+    """Frozen-model scoring: non-train docs score under the train-split
+    model with positive probability for unseen pairs/contexts/words, and
+    every per-doc average matches a plain-Python mirror of the backoff
+    ladder (seen pair -> interpolated; unseen pair, seen context ->
+    continuation-interpolated; unseen context -> smoothed continuation)."""
+    import collections
+
+    from komodo_data_spark.operators.pipeline_ops import _split_col
+    from komodo_data_spark.sources.tables import load_table
+
+    # enough docs that the md5 split assigns some to train and some not
+    texts = [f"w{i} common mid common w{i} tail{i % 5}" for i in range(40)]
+    sf = _write_docs(tmp_path, texts)
+
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", _split_col().alias("split"))
+        .collect()
+    }
+    assert set(splits.values()) >= {"train"}  # sanity: a train split exists
+
+    D_, A_ = T.KN_DISCOUNT, T.KN_OOV_ALPHA
+    model = collections.Counter()
+    for doc_id, t in enumerate(texts, start=1):
+        if splits[doc_id] != "train":
+            continue
+        toks = t.split()
+        model.update(zip(toks, toks[1:]))
+    c_u, n1p_u, n1p_w = (
+        collections.Counter(),
+        collections.Counter(),
+        collections.Counter(),
+    )
+    for (u, w), c in model.items():
+        c_u[u] += c
+        n1p_u[u] += 1
+        n1p_w[w] += 1
+    t_types, v_types = len(model), len(n1p_w)
+
+    def p_apply(u, w):
+        pcont = (n1p_w.get(w, 0) + A_) / (t_types + A_ * (v_types + 1))
+        if u not in c_u:
+            return pcont
+        return max(model.get((u, w), 0) - D_, 0.0) / c_u[u] + (
+            D_ * n1p_u[u] / c_u[u] * pcont
+        )
+
+    rows = {
+        r["doc_id"]: r for r in T.text_kneser_ney_apply(spark, sf).collect()
+    }
+    for doc_id, t in enumerate(texts, start=1):
+        toks = t.split()
+        gs = list(zip(toks, toks[1:]))
+        want = sum(math.log(p_apply(u, w)) for u, w in gs) / len(gs)
+        assert rows[doc_id]["split"] == splits[doc_id]
+        assert abs(rows[doc_id]["avg_logprob_kn"] - want) < 1e-12
