@@ -1389,6 +1389,10 @@ def registry():
             orders_dp_sum_release,
             orders_dp_sum_release_oracle(),
         ),
+        "events_dp_mean_release": (
+            events_dp_mean_release,
+            events_dp_mean_release_oracle(),
+        ),
         "customers_l_diversity": (
             customers_l_diversity,
             customers_l_diversity_oracle(),
@@ -3136,6 +3140,99 @@ def orders_dp_sum_release_oracle() -> str:
            {DP_SUM_CLAMP!r} AS clamp
     FROM keyed
     ORDER BY o_orderpriority
+    """
+
+
+def events_dp_mean_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epsilon-DP noisy MEAN — average event value per event_type, built
+    from the two released primitives with the budget SPLIT between them:
+    a clamped noisy sum at epsilon/2 and a noisy count at epsilon/2, then
+    the ratio (post-processing, free). The third mechanism rung after
+    COUNT (``docs_dp_release``) and SUM (``orders_dp_sum_release``):
+    means are ratios of two sensitive quantities, and sequential
+    composition — not a fresh budget per numerator and denominator — is
+    what keeps the whole release at epsilon.
+
+    The value clamp reuses the engine's histogram domain
+    ([_HIST_LO, _HIST_HI] from events_analytics) so the audit surfaces
+    agree about what "the value range" is. The denominator is clamped at
+    1 after noising (post-processing) so the ratio is always defined.
+
+    Scale: one decimal-exact sum + count aggregate over the corpus; the
+    noise is two expressions per released row on the |types|-row frame.
+    """
+    from komodo_data_spark.operators.events_analytics import (
+        _HIST_HI,
+        _HIST_LO,
+    )
+    from komodo_data_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    clamped = F.least(
+        F.greatest(F.col("value"), F.lit(_HIST_LO)), F.lit(_HIST_HI)
+    ).cast("decimal(18,6)")
+    g = ev.groupBy("event_type").agg(
+        F.sum(clamped).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    key_s = F.concat(
+        F.lit("dpmean_s|"), F.coalesce(F.col("event_type"), F.lit(""))
+    )
+    key_n = F.concat(
+        F.lit("dpmean_n|"), F.coalesce(F.col("event_type"), F.lit(""))
+    )
+    half = DP_EPSILON / 2.0
+    noisy_s = F.col("s").cast("double") + _dp_laplace_noise(
+        key_s, scale=_HIST_HI / half
+    )
+    noisy_n = F.greatest(
+        F.col("n") + _dp_laplace_noise(key_n, scale=1.0 / half), F.lit(1.0)
+    )
+    return g.select(
+        "event_type",
+        (noisy_s / noisy_n).alias("mean_released"),
+        F.lit(float(DP_EPSILON)).alias("epsilon"),
+    ).orderBy("event_type")
+
+
+def events_dp_mean_release_oracle() -> str:
+    two52 = float(1 << _DP_UNIFORM_BITS)
+    hexd = _DP_UNIFORM_BITS // 4
+    from komodo_data_spark.operators.events_analytics import (
+        _HIST_HI,
+        _HIST_LO,
+    )
+
+    half = DP_EPSILON / 2.0
+
+    def u_of(prefix: str) -> str:
+        return (
+            f"(CAST(CAST('0x' || substr(md5("
+            f"'{prefix}|' || coalesce(event_type, '')"
+            f"), 1, {hexd}) AS UBIGINT) AS DOUBLE) + 0.5) / {two52} - 0.5"
+        )
+
+    return f"""
+    WITH g AS (
+      SELECT event_type,
+             sum(CAST(least(greatest(value, {_HIST_LO!r}), {_HIST_HI!r})
+                      AS DECIMAL(18,6))) AS s,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    ),
+    keyed AS (
+      SELECT event_type, s, n,
+             {u_of("dpmean_s")} AS us,
+             {u_of("dpmean_n")} AS un
+      FROM g
+    )
+    SELECT event_type,
+           (s::DOUBLE + {-(_HIST_HI / half)!r}::DOUBLE
+              * sign(us) * ln(1.0 - 2.0 * abs(us)))
+           / greatest(n + {-(1.0 / half)!r}::DOUBLE
+              * sign(un) * ln(1.0 - 2.0 * abs(un)), 1.0) AS mean_released,
+           {float(DP_EPSILON)} AS epsilon
+    FROM keyed
+    ORDER BY event_type
     """
 
 

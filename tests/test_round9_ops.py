@@ -444,3 +444,53 @@ def test_dp_sum_release_clamps_before_noise(spark, tmp_path):
     assert row["o_orderpriority"] == "1-URGENT"
     assert abs(row["sum_released"] - (clamped_sum + noise)) < 1e-6
     assert row["clamp"] == DP_SUM_CLAMP
+
+
+def test_dp_mean_release_budget_split_mirror(spark, tmp_path):
+    """The noisy mean must be the hand-recomputed ratio of the eps/2 noisy
+    clamped sum and the eps/2 noisy count (sequential composition), with
+    the denominator clamped at 1 AFTER noising."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from komodo_data_spark.operators.events_analytics import (
+        _HIST_HI,
+        _HIST_LO,
+    )
+    from komodo_data_spark.operators.pipeline_ops import (
+        DP_EPSILON,
+        _DP_UNIFORM_BITS,
+        events_dp_mean_release,
+    )
+
+    vals = [10.0, 250.0, -5.0]  # one above clamp, one below
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [1, 1, 2],
+            "event_type": ["view"] * 3,
+            "value": vals,
+            "props": ["{}"] * 3,
+        }
+    )
+    pdf["ts"] = pd.to_datetime([1_706_000_000_000] * 3, unit="ms")
+    sf = tmp_path / "dpmean_sf"
+    sf.mkdir()
+    pdf.to_parquet(sf / "events.parquet")
+
+    def lap(key, scale):
+        h = int(hashlib.md5(key.encode()).hexdigest()[: _DP_UNIFORM_BITS // 4], 16)
+        u = (h + 0.5) / (1 << _DP_UNIFORM_BITS) - 0.5
+        return -scale * math.copysign(1.0, u) * math.log(1.0 - 2.0 * abs(u))
+
+    half = DP_EPSILON / 2.0
+    s = sum(min(max(v, _HIST_LO), _HIST_HI) for v in vals)  # 10 + 100 + 0
+    n = len(vals)
+    want = (s + lap("dpmean_s|view", _HIST_HI / half)) / max(
+        n + lap("dpmean_n|view", 1.0 / half), 1.0
+    )
+    (row,) = events_dp_mean_release(spark, str(sf)).collect()
+    assert row["event_type"] == "view"
+    assert abs(row["mean_released"] - want) < 1e-9
