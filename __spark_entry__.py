@@ -224,6 +224,7 @@ _PRIORITY: tuple[str, ...] = (
     "orders_dp_sum_release",  # NEW r9: clamp-then-noise epsilon-DP sum
     "text_kneser_ney_apply",  # NEW r9: frozen-model KN scoring w/ OOV floor
     "events_dp_mean_release",  # NEW r9: budget-split epsilon-DP noisy mean
+    "text_textrank_keywords",  # NEW r9: co-occurrence-graph keyword rank
     # --- (b) changed since last witness ---
     "dedup_simhash",  # r9: 64-bit shingle-feature signature, radius 7
     "dedup_simhash_recall",  # r9: new detector on the same sliced truth

@@ -90,6 +90,153 @@ ENTROPY_NORM_MIN = 0.5
 #: so no scored bigram can hit probability zero.
 KN_OOV_ALPHA = 1.0
 
+#: TextRank geometry (Mihalcea & Tarau 2004, public method): damping,
+#: fixed iteration count (matching graph_pagerank's convention of a fixed
+#: unrolled power iteration), and the released keyword count.
+TEXTRANK_D = 0.85
+TEXTRANK_ITERS = 3
+TEXTRANK_K = 20
+
+
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank keywords: weighted PageRank over the word
+    co-occurrence graph (adjacent-token edges, stopwords and self-loops
+    dropped), top TEXTRANK_K words — the unsupervised keyword extractor
+    that complements the frequency-based ``text_tfidf_top_terms`` (TF-IDF
+    rewards rarity; TextRank rewards centrality in the co-occurrence
+    structure, which is why it surfaces topic words that appear in many
+    contexts rather than quirky rare tokens).
+
+    Scale design: the graph fold is one map-side-combinable pair count
+    (vocab²-bounded, corpus-independent after the fold); each power
+    iteration is the weighted-contribution join+aggregate of
+    ``graph_pagerank``, one shuffle per round over the EDGE table (vocab-
+    bounded, not corpus-bounded). Scores are released as integer
+    nano-units (round(pr·1e9) — the text_unigram_lm micro-nats
+    discipline), so the top-k selection and rank ties are decided on
+    integers and the cross-engine comparison never rides a float ulp.
+    """
+    from pyspark.sql import Window
+
+    from komodo_data_spark.operators.dedup import _positional_grams
+
+    d = _docs(spark, sf_dir).withColumn("toks", tokens())
+    stop = list(QUALITY_STOPWORDS)
+    pairs = (
+        d.select(_positional_grams(F.col("toks"), 2).alias("grams"))
+        .select(F.explode_outer("grams").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(
+            F.substring_index("g", " ", 1).alias("u"),
+            F.substring_index("g", " ", -1).alias("w"),
+        )
+        .filter(
+            (F.col("u") != F.col("w"))
+            & (F.col("u") != "")
+            & (F.col("w") != "")
+            & ~F.col("u").isin(stop)
+            & ~F.col("w").isin(stop)
+        )
+    )
+    und = (
+        pairs.select(
+            F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    directed = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "wt"
+    ).union(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "wt"))
+    wdeg = directed.groupBy("src").agg(F.sum("wt").alias("wdeg"))
+    n_nodes = wdeg.count()
+    if n_nodes == 0:
+        return spark.createDataFrame(
+            [], "rank int, word string, score_q bigint"
+        )
+    ranks = wdeg.select(
+        F.col("src").alias("word"), F.lit(1.0 / n_nodes).alias("pr")
+    )
+    for _ in range(TEXTRANK_ITERS):
+        contribs = (
+            directed.join(ranks, directed.src == ranks.word)
+            .join(wdeg, "src")
+            .select(
+                "dst", (F.col("pr") * F.col("wt") / F.col("wdeg")).alias("c")
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("word"),
+            (
+                F.lit((1.0 - TEXTRANK_D) / n_nodes)
+                + F.lit(TEXTRANK_D) * F.col("in_sum")
+            ).alias("pr"),
+        )
+    scored = ranks.select(
+        "word", F.round(F.col("pr") * F.lit(1e9), 0).cast("long").alias("score_q")
+    )
+    w_rank = Window.orderBy(F.col("score_q").desc(), F.col("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TEXTRANK_K)
+        .select("rank", "word", "score_q")
+    )
+
+
+def text_textrank_keywords_oracle() -> str:
+    t = sql_tokens()
+    stop = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    d = TEXTRANK_D
+    it_tpl = """
+    {name} AS (
+      SELECT dd.dst AS word,
+             CAST(1.0 - {d} AS DOUBLE) / any_value(n.n_nodes)
+               + CAST({d} AS DOUBLE)
+                 * sum(p.pr * dd.wt / g.wdeg) AS pr
+      FROM directed dd
+      JOIN {prev} p ON p.word = dd.src
+      JOIN wdeg g ON g.src = dd.src
+      CROSS JOIN n
+      GROUP BY dd.dst
+    )"""
+    its = ",".join(
+        it_tpl.format(name=f"it{i + 1}", prev=f"it{i}" if i else "pr0", d=d)
+        for i in range(TEXTRANK_ITERS)
+    )
+    return f"""
+    WITH docs AS (SELECT {t} AS toks FROM documents),
+    pairs AS (
+      SELECT toks[i] AS u, toks[i + 1] AS w
+      FROM docs, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS q(i)
+    ),
+    filt AS (
+      SELECT u, w FROM pairs
+      WHERE u <> w AND u <> '' AND w <> ''
+        AND u NOT IN ({stop}) AND w NOT IN ({stop})
+    ),
+    und AS (
+      SELECT least(u, w) AS a, greatest(u, w) AS b, count(*) AS wt
+      FROM filt GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT a AS src, b AS dst, wt FROM und
+      UNION ALL SELECT b, a, wt FROM und
+    ),
+    wdeg AS (SELECT src, sum(wt) AS wdeg FROM directed GROUP BY src),
+    n AS (SELECT count(*) AS n_nodes FROM wdeg),
+    pr0 AS (SELECT src AS word, 1.0::DOUBLE / n_nodes AS pr FROM wdeg, n),
+    {its}
+    SELECT row_number() OVER (
+             ORDER BY CAST(round(pr * 1e9) AS BIGINT) DESC, word
+           ) AS rank,
+           word, CAST(round(pr * 1e9) AS BIGINT) AS score_q
+    FROM it{TEXTRANK_ITERS}
+    QUALIFY rank <= {TEXTRANK_K}
+    ORDER BY rank
+    """
+
 
 def text_kneser_ney_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score EVERY document under a Kneser-Ney bigram model fit ONLY on
@@ -1380,6 +1527,10 @@ def registry():
         "text_kneser_ney_apply": (
             text_kneser_ney_apply,
             text_kneser_ney_apply_oracle(),
+        ),
+        "text_textrank_keywords": (
+            text_textrank_keywords,
+            text_textrank_keywords_oracle(),
         ),
         "source_unigram_divergence": (
             source_unigram_divergence,

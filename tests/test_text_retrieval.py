@@ -552,3 +552,27 @@ def test_kneser_ney_apply_oov_backoff(spark, tmp_path):
         want = sum(math.log(p_apply(u, w)) for u, w in gs) / len(gs)
         assert rows[doc_id]["split"] == splits[doc_id]
         assert abs(rows[doc_id]["avg_logprob_kn"] - want) < 1e-12
+
+
+def test_textrank_hand_computed_two_node_graph(spark, tmp_path):
+    """A two-word corpus ("alpha beta" repeated): the graph is one
+    symmetric edge, so both words keep pr = 1/2 through every iteration
+    (the uniform vector is stationary), score_q = round(0.5e9), and the
+    rank tie breaks lexicographically."""
+    sf = _write_docs(tmp_path, ["alpha beta", "beta alpha"])
+    rows = T.text_textrank_keywords(spark, sf).collect()
+    assert [(r["rank"], r["word"], r["score_q"]) for r in rows] == [
+        (1, "alpha", 500000000),
+        (2, "beta", 500000000),
+    ]
+
+
+def test_textrank_hub_outranks_leaves(spark, tmp_path):
+    """A star graph (hub adjacent to many leaves) must rank the hub
+    first — centrality, not frequency: every word here appears equally
+    often per edge."""
+    sf = _write_docs(tmp_path, [f"hub leaf{i}" for i in range(6)])
+    rows = T.text_textrank_keywords(spark, sf).collect()
+    assert rows[0]["word"] == "hub"
+    assert rows[0]["rank"] == 1
+    assert len(rows) == 7  # hub + 6 leaves, all under TEXTRANK_K
