@@ -221,6 +221,66 @@ def prefix_candidate_volume(pref: DataFrame) -> int:
     return int(row["v"] or 0)
 
 
+class CandidateVolumeError(RuntimeError):
+    """Generalized form of :class:`VocabularySaturationError` for every
+    candidate-generating equi-join detector (round-9 verdict ask #3): the
+    join's EXACT output volume Σ_key c_a(k)·c_b(k), measured by one
+    aggregate before the join runs, exceeded the detector's budget — an
+    adversarial-density input (all titles within the edit threshold, all
+    signatures sharing a segment) would otherwise be discovered by a full
+    shuffle disk mid-join instead of a classified refusal."""
+
+    def __init__(self, detector: str, estimate: int, budget: int, hint: str):
+        self.detector = detector
+        self.estimate = estimate
+        self.budget = budget
+        super().__init__(
+            f"{detector}: candidate-join volume estimate {estimate:,} "
+            f"exceeds budget {budget:,} — the join keys are saturated "
+            f"relative to the corpus, so candidate generation would "
+            f"degrade toward all-pairs; {hint}"
+        )
+
+
+def join_candidate_volume(
+    a: DataFrame, keys: list, b: DataFrame | None = None
+) -> int:
+    """EXACT output row count of the equi-join of ``a`` with ``b`` (self-
+    join when ``b`` is None) on ``keys``: Σ over key values of
+    c_a(k)·c_b(k). The generalized form of :func:`prefix_candidate_volume`
+    — per-side key histograms (map-side-combinable counts over frames the
+    detector's plan already builds) joined on the key and folded into one
+    scalar. Linear in the join INPUT, which is the whole point: the guard
+    pays O(n) to decide whether the join would pay O(n²)."""
+    ca = a.groupBy(*keys).agg(F.count(F.lit(1)).alias("ca"))
+    if b is None:
+        row = ca.agg(F.sum(F.col("ca") * F.col("ca")).alias("v")).first()
+    else:
+        cb = b.groupBy(*keys).agg(F.count(F.lit(1)).alias("cb"))
+        row = (
+            ca.join(cb, keys)
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("v"))
+            .first()
+        )
+    return int(row["v"] or 0)
+
+
+#: Candidate-volume budget for the SimHash segment equi-joins (both the
+#: pigeonhole and the multi-index-probe form). Same 2e9-row ceiling as
+#: PREFIX_CANDIDATE_BUDGET: comfortably above every measured benign
+#: landscape (the sf10 text detector's probe join emits ~4·17·n²/2¹⁷ ≈
+#: 3e8 candidates at 500k docs) and far below a shuffle-disk-filling
+#: degenerate one (all signatures equal ⇒ Σc² ≈ n_seg·n²).
+SIMHASH_CANDIDATE_BUDGET = 2_000_000_000
+
+#: Candidate-volume budget for the PassJoin deletion-neighborhood segment
+#: join in dedup_fuzzy_prefix. Benign landscape on the synthetic corpus:
+#: the (l, i, s) key multiplicity tracks true near-dup density (output-
+#: sized); degenerate landscape (every title within distance k of every
+#: other — a single hot segment key) is Σ ≈ 4·(2k+1)·n².
+FUZZY_CANDIDATE_BUDGET = 2_000_000_000
+
+
 def prefix_filtered_jaccard_pairs(
     posts: DataFrame,
     num: int,
@@ -895,30 +955,12 @@ def _simhash_signatures64(posts: DataFrame) -> DataFrame:
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_multiprobe_pairs(
-    sig: DataFrame, bits: int = SIMHASH_BITS, hmax: int = HAMMING_MAX
-) -> DataFrame:
-    """All (doc_i, doc_j, hamming<=hmax) pairs via MULTI-INDEX PROBING
-    (Manku et al., WWW 2007 — the production SimHash lookup): split the
-    signature into ceil((hmax+1)/2) WIDE segments; by pigeonhole some
-    segment of a qualifying pair carries <= 1 differing bit, so joining
-    one side's EXACT segment values against the other side's probe set
-    (exact value + every 1-bit flip) on (seg_id, seg_val) is complete.
-
-    Same output as :func:`simhash_pigeonhole_pairs`, different cost
-    geometry: 0-error pigeonholing needs hmax+1 NARROW segments (8 bits
-    at 64/7), whose random-collision floor is Σ bucket² ≈ 8·n²/2⁹ — the
-    reason the round-9 text detector stayed out of the sf10 decade. With
-    1-bit correction the segments widen to 16 bits: the probe side fans
-    out ~4·17 rows per doc (linear, shuffled once) while candidate
-    volume drops to ~4·17·n²/2¹⁷ — 15× fewer bit_count evaluations, and
-    the exact-hamming filter runs BEFORE the pair dedup so the distinct
-    shuffle only ever sees true pairs. Measured: the full detector runs
-    sf10 (500k docs) in 18.2 s on local[16] (2,686 truth-sized pairs,
-    sf1→sf10 time ratio 3.3), which put dedup_simhash back INSIDE the
-    third scaling decade the narrow-segment candidate floor had excluded
-    it from.
-    """
+def _simhash_multiprobe_frames(sig: DataFrame, bits: int, hmax: int):
+    """The multi-index-probe join's two sides: ``exact`` (one row per
+    (doc, segment) at the segment's exact value) and ``probes`` (exact
+    value + every 1-bit flip per segment). Shared by the join itself and
+    the candidate-volume estimate (operator guard + BENCH_SCALING
+    evidence), so the guard measures exactly the join it protects."""
     n_seg = (hmax + 2) // 2
     widths = [bits // n_seg] * n_seg
     widths[-1] += bits % n_seg
@@ -949,6 +991,73 @@ def simhash_multiprobe_pairs(
     probes = sig.select(
         "doc_id", "simhash", F.explode(F.array(*probe_cols)).alias("s")
     ).select("doc_id", "simhash", "s.seg_id", "s.seg_val")
+    return exact, probes
+
+
+def simhash_multiprobe_candidate_volume(
+    sig: DataFrame, bits: int = SIMHASH_BITS, hmax: int = HAMMING_MAX
+) -> int:
+    """Σ_key c_exact·c_probe for the multi-index probe join — the number
+    the operator guard compares against SIMHASH_CANDIDATE_BUDGET, exposed
+    for BENCH_SCALING's saturation-evidence block."""
+    exact, probes = _simhash_multiprobe_frames(sig, bits, hmax)
+    return join_candidate_volume(exact, ["seg_id", "seg_val"], probes)
+
+
+def simhash_multiprobe_pairs(
+    sig: DataFrame,
+    bits: int = SIMHASH_BITS,
+    hmax: int = HAMMING_MAX,
+    budget: int | None = SIMHASH_CANDIDATE_BUDGET,
+) -> DataFrame:
+    """All (doc_i, doc_j, hamming<=hmax) pairs via MULTI-INDEX PROBING
+    (Manku et al., WWW 2007 — the production SimHash lookup): split the
+    signature into ceil((hmax+1)/2) WIDE segments; by pigeonhole some
+    segment of a qualifying pair carries <= 1 differing bit, so joining
+    one side's EXACT segment values against the other side's probe set
+    (exact value + every 1-bit flip) on (seg_id, seg_val) is complete.
+
+    Same output as :func:`simhash_pigeonhole_pairs`, different cost
+    geometry: 0-error pigeonholing needs hmax+1 NARROW segments (8 bits
+    at 64/7), whose random-collision floor is Σ bucket² ≈ 8·n²/2⁹ — the
+    reason the round-9 text detector stayed out of the sf10 decade. With
+    1-bit correction the segments widen to 16 bits: the probe side fans
+    out ~4·17 rows per doc (linear, shuffled once) while candidate
+    volume drops to ~4·17·n²/2¹⁷ — 15× fewer bit_count evaluations, and
+    the exact-hamming filter runs BEFORE the pair dedup so the distinct
+    shuffle only ever sees true pairs. Measured: the full detector runs
+    sf10 (500k docs) in 18.2 s on local[16] (2,686 truth-sized pairs,
+    sf1→sf10 time ratio 3.3), which put dedup_simhash back INSIDE the
+    third scaling decade the narrow-segment candidate floor had excluded
+    it from.
+
+    VALIDITY BOUNDARY: segment selectivity assumes signature entropy. On
+    a degenerate corpus (near-identical documents ⇒ identical signatures
+    ⇒ one hot (seg_id, seg_val) bucket) the equi-join degrades toward
+    all-pairs×probe-fanout. When ``budget`` is set the EXACT join volume
+    Σ_key c_exact·c_probe is measured first (:func:`join_candidate_volume`
+    — the segment histograms are over the frames this plan builds anyway;
+    ``sig`` is cached so the signature aggregate is not paid twice) and
+    the detector refuses with :class:`CandidateVolumeError` instead of
+    filling the shuffle disk — the same refuse-predictably contract as
+    ``prefix_filtered_jaccard_pairs``.
+    """
+    if budget is not None:
+        sig = sig.cache()  # the estimate + both join sides read it
+    exact, probes = _simhash_multiprobe_frames(sig, bits, hmax)
+    if budget is not None:
+        est = join_candidate_volume(
+            exact, ["seg_id", "seg_val"], probes
+        )
+        if est > budget:
+            sig.unpersist()
+            raise CandidateVolumeError(
+                "simhash_multiprobe_pairs",
+                est,
+                budget,
+                "the signature space is degenerate (near-identical "
+                "documents); run exact dedup first or raise the budget",
+            )
     return (
         exact.alias("a")
         .join(probes.alias("b"), ["seg_id", "seg_val"])
@@ -987,7 +1096,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_pigeonhole_pairs(
-    sig: DataFrame, bits: int = SIMHASH_BITS, hmax: int = HAMMING_MAX
+    sig: DataFrame,
+    bits: int = SIMHASH_BITS,
+    hmax: int = HAMMING_MAX,
+    budget: int | None = SIMHASH_CANDIDATE_BUDGET,
 ) -> DataFrame:
     """All (doc_i, doc_j, hamming<=hmax) pairs from a (doc_id, simhash)
     frame WITHOUT an all-pairs join — the 0-error pigeonhole form, used
@@ -995,7 +1107,15 @@ def simhash_pigeonhole_pairs(
     radius 2 → 3 segments of 10-11 bits, selectivity ≥ 2¹⁰). The 64-bit
     radius-7 TEXT detector uses :func:`simhash_multiprobe_pairs` instead:
     at hmax=7 this form's segments narrow to 8 bits and its candidate
-    floor grows 2⁸× worse than the 1-bit-correction probe join."""
+    floor grows 2⁸× worse than the 1-bit-correction probe join.
+
+    When ``budget`` is set, the segment self-join's EXACT output volume
+    Σ_key c(k)² is measured first (one aggregate over the segs frame the
+    plan builds anyway; ``sig`` cached so the signature aggregate is paid
+    once) and the detector refuses with :class:`CandidateVolumeError` on
+    a degenerate signature distribution — all signatures agreeing on one
+    segment value turns this join all-pairs, the same failure mode the
+    prefix join's saturation guard classifies."""
     # Pigeonhole candidate generation: split the signature into
     # HAMMING_MAX+1 segments — ≤ HAMMING_MAX differing bits cannot touch all
     # segments, so every qualifying pair agrees on ≥ 1 segment. That turns
@@ -1016,9 +1136,22 @@ def simhash_pigeonhole_pairs(
             )
         )
         off += w
+    if budget is not None:
+        sig = sig.cache()  # estimate + join both read it
     segs = sig.select(
         "doc_id", "simhash", F.explode(F.array(*seg_cols)).alias("s")
     ).select("doc_id", "simhash", "s.seg_id", "s.seg_val")
+    if budget is not None:
+        est = join_candidate_volume(segs, ["seg_id", "seg_val"])
+        if est > budget:
+            sig.unpersist()
+            raise CandidateVolumeError(
+                "simhash_pigeonhole_pairs",
+                est,
+                budget,
+                "the signature space is degenerate (near-identical "
+                "payloads); run exact dedup first or raise the budget",
+            )
     cand = (
         segs.alias("a")
         .join(segs.alias("b"), ["seg_id", "seg_val"])
@@ -1398,24 +1531,22 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The three counts are scalar aggregates combined by broadcast cross
     join (1×1 frames).
     """
-    truth = dedup_embedding_pairs(spark, sf_dir).select("vec_i", "vec_j").cache()
-    lsh = dedup_embedding_lsh(spark, sf_dir).select("vec_i", "vec_j").cache()
-    hit = truth.join(lsh, ["vec_i", "vec_j"], "left_semi")
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
-    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit_pairs"))
-    return (
-        n_true.crossJoin(n_lsh)
-        .crossJoin(n_hit)
+    truth = (
+        dedup_embedding_pairs(spark, sf_dir)
         .select(
-            "n_true_pairs",
-            "n_lsh_pairs",
-            "n_hit_pairs",
-            F.when(
-                F.col("n_true_pairs") > 0,
-                F.col("n_hit_pairs").cast("double") / F.col("n_true_pairs"),
-            ).alias("recall"),
+            F.col("vec_i").alias("doc_i"), F.col("vec_j").alias("doc_j")
         )
+        .cache()
+    )
+    lsh = (
+        dedup_embedding_lsh(spark, sf_dir)
+        .select(
+            F.col("vec_i").alias("doc_i"), F.col("vec_j").alias("doc_j")
+        )
+        .cache()
+    )
+    return _detector_recall_counts(
+        truth, lsh, "n_lsh_pairs", release=(truth, lsh)
     )
 
 
@@ -1717,38 +1848,21 @@ FUZZY_MAX_DIST = 3
 _FUZZY_NSEG = FUZZY_MAX_DIST + 1  # PassJoin partitions
 
 
-def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy duplicate pairs by edit distance over the document "title"
-    (first 5 tokens): ALL pairs whose titles are within levenshtein <= 3 —
-    the record-linkage modality (typo'd titles, OCR noise) that token-set
-    methods (Jaccard/MinHash) miss entirely. Exact semantics: the PassJoin
-    candidate scheme below is COMPLETE for the threshold, unlike a
-    heuristic blocking key.
+def _passjoin_frames(d):
+    """The PassJoin segment join's two sides over a (doc_id, title)
+    frame: ``seg`` (the nseg partition segments of each title as the
+    SHORTER of a candidate pair, keyed by (title length, segment index,
+    segment substring)) and ``probe`` (every window of the matching
+    segment length within ±k of its source position — the pigeonhole
+    landing zone). Shared by the join and the candidate-volume estimate
+    (operator guard + BENCH_SCALING evidence).
 
-    Scale design — PassJoin partitioning (Li, Deng & Feng, ICDE 2011):
-    the previous (length-bucket, first-char) blocking key had BOUNDED
-    cardinality, so at 10x the corpus each block grew 10x and the
-    within-block pair count 100x — caught by the sf0.1→sf1 decade of
-    BENCH_SCALING (1.3 s → 98 s) and replaced. Now the shorter title of a
-    candidate pair is partitioned into k+1 = 4 segments; by pigeonhole,
-    ed <= k implies the longer title contains at least one segment
-    VERBATIM, within ±k of its source position. So the seg side emits 4
-    (len, seg_idx, substring) keys per row, the probe side emits <=
-    4*4*(2k+1) = 112 position-shifted window keys per row, and candidates
-    are an equi-join on a high-entropy key whose multiplicity tracks true
-    near-dup density instead of corpus size. Survivors are verified with
-    the THRESHOLDED 3-arg levenshtein (banded DP, early exit, -1 above
-    the bound).
-    """
+    The probe side is built as a 16-struct explode (l, i, start, n)
+    followed by a sequence explode for the ±k shift — one flat 112-struct
+    array blows janino's 64 KB generated-method limit and drops the whole
+    stage to interpreted evaluation (measured: the fallback was barely
+    faster than the quadratic blocking it replaces)."""
     k, nseg = FUZZY_MAX_DIST, _FUZZY_NSEG
-    # load_spread: the window-explode and the segment join below are the
-    # heavy stages; a single-row-group scan would run them on one task
-    d = load_spread(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat_ws(
-            " ", F.slice(tokens(), 1, FUZZY_PREFIX_TOKENS)
-        ).alias("title"),
-    )
     m = F.length("title")
 
     def seg_layout(l, i: int):
@@ -1761,8 +1875,6 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return start, seglen
 
-    # seg side: the 4 partition segments of each title (as the SHORTER of
-    # a candidate pair), keyed by (title length, segment index, segment)
     seg_structs = []
     for i in range(nseg):
         start, seglen = seg_layout(m, i)
@@ -1786,15 +1898,6 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(title, kk.q + 1, kk.n)").alias("s"),
         )
     )
-
-    # probe side: for each candidate shorter-length l = len(t) - loff and
-    # each segment index, every window of that segment's length within
-    # ±k of its source position (the pigeonhole landing zone). Built as a
-    # 16-struct explode (l, i, start, n) followed by a sequence explode
-    # for the ±k shift — one flat 112-struct array blows janino's 64 KB
-    # generated-method limit and drops the whole stage to interpreted
-    # evaluation (measured: the fallback was barely faster than the
-    # quadratic blocking it replaces).
     probe_structs = []
     for loff in range(0, k + 1):
         for i in range(nseg):
@@ -1839,6 +1942,88 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(title, q + 1, n)").alias("s"),
         )
     )
+    return seg, probe
+
+
+def fuzzy_prefix_candidate_volume(spark: SparkSession, sf_dir: str) -> int:
+    """Σ_key c_seg·c_probe for the PassJoin segment join — the number the
+    operator guard compares against FUZZY_CANDIDATE_BUDGET, exposed for
+    BENCH_SCALING's saturation-evidence block."""
+    from komodo_data_spark.sources.tables import load_spread
+
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(tokens(), 1, FUZZY_PREFIX_TOKENS)
+        ).alias("title"),
+    )
+    seg, probe = _passjoin_frames(d)
+    return join_candidate_volume(seg, ["l", "i", "s"], probe)
+
+
+def dedup_fuzzy_prefix(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int | None = FUZZY_CANDIDATE_BUDGET,
+) -> DataFrame:
+    """Fuzzy duplicate pairs by edit distance over the document "title"
+    (first 5 tokens): ALL pairs whose titles are within levenshtein <= 3 —
+    the record-linkage modality (typo'd titles, OCR noise) that token-set
+    methods (Jaccard/MinHash) miss entirely. Exact semantics: the PassJoin
+    candidate scheme below is COMPLETE for the threshold, unlike a
+    heuristic blocking key.
+
+    Scale design — PassJoin partitioning (Li, Deng & Feng, ICDE 2011):
+    the previous (length-bucket, first-char) blocking key had BOUNDED
+    cardinality, so at 10x the corpus each block grew 10x and the
+    within-block pair count 100x — caught by the sf0.1→sf1 decade of
+    BENCH_SCALING (1.3 s → 98 s) and replaced. Now the shorter title of a
+    candidate pair is partitioned into k+1 = 4 segments; by pigeonhole,
+    ed <= k implies the longer title contains at least one segment
+    VERBATIM, within ±k of its source position. So the seg side emits 4
+    (len, seg_idx, substring) keys per row, the probe side emits <=
+    4*4*(2k+1) = 112 position-shifted window keys per row, and candidates
+    are an equi-join on a high-entropy key whose multiplicity tracks true
+    near-dup density instead of corpus size. Survivors are verified with
+    the THRESHOLDED 3-arg levenshtein (banded DP, early exit, -1 above
+    the bound).
+
+    VALIDITY BOUNDARY: "high-entropy key" assumes title diversity. On an
+    adversarial-density corpus (every title within distance k of every
+    other — one template with tiny perturbations) every row lands in the
+    same few (l, i, s) neighborhood keys and the segment join degrades to
+    ~4·(2k+1)·n² rows. When ``budget`` (``FUZZY_CANDIDATE_BUDGET``) is
+    set, the join's EXACT output volume Σ_key c_seg·c_probe is measured
+    first (:func:`join_candidate_volume` — two key histograms over the
+    frames this plan already explodes; the title frame is cached so the
+    scan+tokenize is paid once) and the operator refuses with
+    :class:`CandidateVolumeError` instead of being discovered by a full
+    shuffle disk — closing the guard-uniformity gap round 9 named
+    (What's missing #2).
+    """
+    # load_spread: the window-explode and the segment join below are the
+    # heavy stages; a single-row-group scan would run them on one task
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(tokens(), 1, FUZZY_PREFIX_TOKENS)
+        ).alias("title"),
+    )
+    if budget is not None:
+        d = d.cache()  # estimate histograms + both join sides read it
+    seg, probe = _passjoin_frames(d)
+    if budget is not None:
+        est = join_candidate_volume(seg, ["l", "i", "s"], probe)
+        if est > budget:
+            d.unpersist()
+            raise CandidateVolumeError(
+                "dedup_fuzzy_prefix",
+                est,
+                budget,
+                "title space is adversarially dense (one template within "
+                "the edit threshold); dedup exact titles first or raise "
+                "the budget",
+            )
     # verify FIRST, deduplicate AFTER: a candidate pair surfaces once per
     # shared segment key, but the thresholded levenshtein (banded DP,
     # early exit, -1 above the bound) costs tens of ns on a ~30-char
@@ -2222,18 +2407,26 @@ def dedup_minhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _detector_recall_counts(
-    truth: DataFrame, det: DataFrame, det_col: str
+    truth: DataFrame, det: DataFrame, det_col: str, release: tuple = ()
 ) -> DataFrame:
     """Scalar recall frame from a truth pair set and a detector pair set
     (both (doc_i, doc_j) frames, both consumed twice — callers cache):
     |truth|, |detector|, |overlap|, recall = hit/true. The three counts
     are scalar aggregates combined by broadcast cross join (1×1 frames) —
-    the assembly every recall twin shares."""
+    the assembly every recall twin shares.
+
+    ``release``: cached frames the caller built for this eval (postings,
+    truth, detector). The scalar result is materialized EAGERLY here
+    (1-row localCheckpoint) and every frame in ``release`` is unpersisted
+    before returning, so a recall twin leaves no storage behind — in a
+    long-lived session repeated invocations previously accumulated every
+    eval's cached postings/pair frames until an external clearCache
+    (round-8 ADVICE #2 / round-9 verdict ask #2)."""
     hit = truth.join(det, ["doc_i", "doc_j"], "left_semi")
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     n_det = det.agg(F.count(F.lit(1)).alias(det_col))
     n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit_pairs"))
-    return (
+    out = (
         n_true.crossJoin(n_det)
         .crossJoin(n_hit)
         .select(
@@ -2246,6 +2439,11 @@ def _detector_recall_counts(
             ).alias("recall"),
         )
     )
+    if release:
+        out = out.localCheckpoint(eager=True)  # 1 row — forces the counts
+        for fr in release:
+            fr.unpersist()
+    return out
 
 
 def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2286,7 +2484,9 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_i", "doc_j")
         .cache()
     )
-    return _detector_recall_counts(truth, det, "n_simhash_pairs")
+    return _detector_recall_counts(
+        truth, det, "n_simhash_pairs", release=(posts, truth, det)
+    )
 
 
 def dedup_simhash_recall_oracle() -> str:
@@ -2348,7 +2548,9 @@ def dedup_minhash_oph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_i", "doc_j")
         .cache()
     )
-    return _detector_recall_counts(truth, det, "n_oph_pairs")
+    return _detector_recall_counts(
+        truth, det, "n_oph_pairs", release=(posts, truth, det)
+    )
 
 
 def dedup_minhash_oph_recall_oracle() -> str:
@@ -2437,7 +2639,9 @@ def _minhash_recall_from(posts: DataFrame) -> DataFrame:
     truth = _truth_pairs_from(posts).cache()
     cand = _band_candidates(bands_of(posts))
     lsh = _verify_jaccard(posts, cand).select("doc_i", "doc_j").cache()
-    return _detector_recall_counts(truth, lsh, "n_lsh_pairs")
+    return _detector_recall_counts(
+        truth, lsh, "n_lsh_pairs", release=(posts, truth, lsh)
+    )
 
 
 def _recall_oracle_ctes() -> str:

@@ -681,7 +681,9 @@ def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_i", "doc_j")
         .cache()
     )
-    return _detector_recall_counts(truth, det, "n_simhash_pairs")
+    return _detector_recall_counts(
+        truth, det, "n_simhash_pairs", release=(d, posts, truth, det)
+    )
 
 
 def media_simhash_recall_oracle() -> str:

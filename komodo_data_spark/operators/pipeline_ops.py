@@ -3005,7 +3005,11 @@ DP_EPSILON = 1.0
 _DP_UNIFORM_BITS = 52
 
 
-def _dp_laplace_noise(cell_key: F.Column, scale: float | None = None) -> F.Column:
+def _dp_laplace_noise(
+    cell_key: F.Column,
+    scale: float | None = None,
+    salt: str | None = None,
+) -> F.Column:
     """Deterministic Laplace(1/DP_EPSILON) noise for a histogram cell,
     derived from the cell key by inverse-CDF over an md5-uniform: the
     engine-portable stand-in for a seeded RNG (same construction as the
@@ -3015,15 +3019,27 @@ def _dp_laplace_noise(cell_key: F.Column, scale: float | None = None) -> F.Colum
     argument provably nonzero — and noise = -(1/eps)·sign(u)·ln(1-2|u|)
     is the textbook Laplace inverse CDF.
 
-    DETERMINISTIC noise is a deliberate trade: re-running the release
-    never spends extra budget (the answer is always the same one draw),
-    at the cost that the draw is public given the key — callers needing
-    cryptographic DP swap one secret salt into the md5. What the operator
-    demonstrates (and the oracle checks) is the release mechanics:
-    noise-then-clamp, never post-processing the true counts.
+    ``salt=None`` (the default) keeps the draw a pure function of the
+    PUBLIC cell key: re-running the release never spends extra budget
+    (the answer is always the same one draw), but any consumer can
+    recompute the draw and invert the release — the shipped guarantee is
+    release MECHANICS (noise-then-clamp, never post-processing true
+    counts), not cryptographic DP, and the epsilon column is nominal.
+    Passing a SECRET ``salt`` (mixed into the md5 ahead of the key) is
+    the cryptographic upgrade: the uniform becomes unpredictable to
+    anyone without the salt, so the Laplace guarantee holds against
+    outside consumers while determinism (and the no-budget re-release
+    property) is preserved for the salt holder. The three release ops
+    thread this knob through so production use is one config away; the
+    registry/oracle path pins the salt-free draws.
     """
+    salted = (
+        cell_key
+        if salt is None
+        else F.concat(F.lit(salt), F.lit("\x1f"), cell_key)
+    )
     h = F.conv(
-        F.substring(F.md5(cell_key), 1, _DP_UNIFORM_BITS // 4), 16, 10
+        F.substring(F.md5(salted), 1, _DP_UNIFORM_BITS // 4), 16, 10
     ).cast("double")
     u = (h + F.lit(0.5)) / F.lit(float(1 << _DP_UNIFORM_BITS)) - F.lit(0.5)
     return (
@@ -3033,35 +3049,71 @@ def _dp_laplace_noise(cell_key: F.Column, scale: float | None = None) -> F.Colum
     )
 
 
-def docs_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Declared PUBLIC release domain for the composition histogram. The DP
+#: guarantee of ``docs_dp_release`` is over THIS fixed grid, not over the
+#: data-derived support: releasing only non-empty cells would leak the
+#: exact true support set (under add/remove adjacency, a cell whose single
+#: record is the affected individual appears/disappears deterministically —
+#: unbounded loss; round-9 ADVICE). Densifying to the declared grid with
+#: noisy zeros makes cell PRESENCE data-independent, so parallel
+#: composition over cells genuinely gives epsilon-DP for the whole
+#: release. Records outside the grid are dropped from the release (the
+#: public domain defines what is published); production swaps in its own
+#: declared domain.
+DP_PUBLIC_SOURCES: tuple = tuple(f"src{i}" for i in range(20))
+DP_PUBLIC_LANGS: tuple = ("de", "en", "es", "fr", "zh")
+
+
+def docs_dp_release(
+    spark: SparkSession, sf_dir: str, salt: str | None = None
+) -> DataFrame:
     """epsilon-differentially-private release of the corpus composition
-    histogram — documents per (source, lang) with Laplace noise, rounded
-    and clamped at zero. The last rung of the privacy ladder
+    histogram — documents per (source, lang) over the DECLARED public
+    grid ``DP_PUBLIC_SOURCES x DP_PUBLIC_LANGS`` with Laplace noise,
+    rounded and clamped at zero. The last rung of the privacy ladder
     (``customers_k_anonymity`` -> ``customers_l_diversity`` ->
     ``customers_t_closeness`` -> DP): the earlier audits *measure*
     re-identification risk of a release; this one *mechanically bounds* it
     for the most common data-sheet artifact, the composition table.
 
+    Every grid cell is released — empty cells get Laplace(1/eps) noise
+    around zero — so the released support set carries no information
+    about the true support (see ``DP_PUBLIC_SOURCES``); ``salt`` is the
+    cryptographic-draw knob (see ``_dp_laplace_noise``).
+
     Scale design: one map-side-combinable count aggregate over the corpus;
-    the noise is a per-CELL codegen'd expression on the tiny histogram
-    frame (|sources| x |langs| rows), so the release costs exactly one
-    shuffle regardless of corpus size. Rounding to integers is part of the
-    mechanism (geometric-ish release), clamping at 0 is post-processing
-    and therefore free under DP.
+    the densify is a left join of the 100-row literal grid against the
+    tiny histogram frame; the noise is a per-CELL codegen'd expression on
+    that frame, so the release costs exactly one shuffle regardless of
+    corpus size. Rounding to integers is part of the mechanism
+    (geometric-ish release), clamping at 0 is post-processing and
+    therefore free under DP.
     """
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
-    key = F.concat(
-        F.lit("dp|"),
-        F.coalesce(F.col("source"), F.lit("")),
-        F.lit("|"),
-        F.coalesce(F.col("lang"), F.lit("")),
+    counts = (
+        d.filter(
+            F.col("source").isin(list(DP_PUBLIC_SOURCES))
+            & F.col("lang").isin(list(DP_PUBLIC_LANGS))
+        )
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    return counts.select(
+    grid = spark.createDataFrame(
+        [(s, lg) for s in DP_PUBLIC_SOURCES for lg in DP_PUBLIC_LANGS],
+        "source string, lang string",
+    )
+    dense = grid.join(counts, ["source", "lang"], "left").select(
+        "source", "lang", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    key = F.concat(
+        F.lit("dp|"), F.col("source"), F.lit("|"), F.col("lang")
+    )
+    return dense.select(
         "source",
         "lang",
         F.greatest(
-            F.round(F.col("n") + _dp_laplace_noise(key), 0), F.lit(0.0)
+            F.round(F.col("n") + _dp_laplace_noise(key, salt=salt), 0),
+            F.lit(0.0),
         )
         .cast("long")
         .alias("n_released"),
@@ -3077,7 +3129,9 @@ def docs_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 DP_SUM_CLAMP = 600_000.0
 
 
-def orders_dp_sum_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+def orders_dp_sum_release(
+    spark: SparkSession, sf_dir: str, salt: str | None = None
+) -> DataFrame:
     """epsilon-DP noisy SUM — total order revenue per order priority,
     released with Laplace(C/epsilon) noise after clamping every order's
     contribution to [0, C]. The second mechanism rung after the COUNT
@@ -3108,7 +3162,9 @@ def orders_dp_sum_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         (
             F.col("s").cast("double")
-            + _dp_laplace_noise(key, scale=DP_SUM_CLAMP / DP_EPSILON)
+            + _dp_laplace_noise(
+                key, scale=DP_SUM_CLAMP / DP_EPSILON, salt=salt
+            )
         ).alias("sum_released"),
         F.lit(float(DP_EPSILON)).alias("epsilon"),
         F.lit(DP_SUM_CLAMP).alias("clamp"),
@@ -3143,7 +3199,9 @@ def orders_dp_sum_release_oracle() -> str:
     """
 
 
-def events_dp_mean_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_dp_mean_release(
+    spark: SparkSession, sf_dir: str, salt: str | None = None
+) -> DataFrame:
     """epsilon-DP noisy MEAN — average event value per event_type, built
     from the two released primitives with the budget SPLIT between them:
     a clamped noisy sum at epsilon/2 and a noisy count at epsilon/2, then
@@ -3181,11 +3239,20 @@ def events_dp_mean_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dpmean_n|"), F.coalesce(F.col("event_type"), F.lit(""))
     )
     half = DP_EPSILON / 2.0
+    # Per-record sum sensitivity for contributions clamped to
+    # [_HIST_LO, _HIST_HI] under add/remove adjacency is
+    # max(|LO|, |HI|) — NOT _HIST_HI, which only coincides while the
+    # imported histogram domain keeps a nonnegative lower bound. Computed
+    # from both bounds so a future negative _HIST_LO cannot silently
+    # under-noise the release (round-9 ADVICE); the oracle shares the
+    # same Python-computed scale.
+    sum_sens = max(abs(_HIST_LO), abs(_HIST_HI))
     noisy_s = F.col("s").cast("double") + _dp_laplace_noise(
-        key_s, scale=_HIST_HI / half
+        key_s, scale=sum_sens / half, salt=salt
     )
     noisy_n = F.greatest(
-        F.col("n") + _dp_laplace_noise(key_n, scale=1.0 / half), F.lit(1.0)
+        F.col("n") + _dp_laplace_noise(key_n, scale=1.0 / half, salt=salt),
+        F.lit(1.0),
     )
     return g.select(
         "event_type",
@@ -3203,6 +3270,7 @@ def events_dp_mean_release_oracle() -> str:
     )
 
     half = DP_EPSILON / 2.0
+    sum_sens = max(abs(_HIST_LO), abs(_HIST_HI))
 
     def u_of(prefix: str) -> str:
         return (
@@ -3226,7 +3294,7 @@ def events_dp_mean_release_oracle() -> str:
       FROM g
     )
     SELECT event_type,
-           (s::DOUBLE + {-(_HIST_HI / half)!r}::DOUBLE
+           (s::DOUBLE + {-(sum_sens / half)!r}::DOUBLE
               * sign(us) * ln(1.0 - 2.0 * abs(us)))
            / greatest(n + {-(1.0 / half)!r}::DOUBLE
               * sign(un) * ln(1.0 - 2.0 * abs(un)), 1.0) AS mean_released,
@@ -3239,15 +3307,27 @@ def events_dp_mean_release_oracle() -> str:
 def docs_dp_release_oracle() -> str:
     two52 = float(1 << _DP_UNIFORM_BITS)
     hexd = _DP_UNIFORM_BITS // 4
+    srcs = ", ".join(f"('{s}')" for s in DP_PUBLIC_SOURCES)
+    langs = ", ".join(f"('{lg}')" for lg in DP_PUBLIC_LANGS)
     return f"""
-    WITH counts AS (
+    WITH raw AS (
       SELECT source, lang, count(*) AS n
       FROM documents GROUP BY source, lang
+    ),
+    grid AS (
+      SELECT s.source, l.lang
+      FROM (VALUES {srcs}) s(source)
+      CROSS JOIN (VALUES {langs}) l(lang)
+    ),
+    counts AS (
+      SELECT g.source, g.lang, coalesce(r.n, 0) AS n
+      FROM grid g LEFT JOIN raw r
+        ON r.source = g.source AND r.lang = g.lang
     ),
     keyed AS (
       SELECT source, lang, n,
              (CAST(CAST('0x' || substr(md5(
-                'dp|' || coalesce(source, '') || '|' || coalesce(lang, '')
+                'dp|' || source || '|' || lang
               ), 1, {hexd}) AS UBIGINT) AS DOUBLE) + 0.5) / {two52} - 0.5
                AS u
       FROM counts

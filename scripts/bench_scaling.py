@@ -168,6 +168,13 @@ SF1_QUERIES = [
     # new corpus pass), the DP histogram release, and the EWMA grid
     "dedup_minhash_oph", "dedup_minhash_oph_recall",
     "text_kneser_ney_logprob", "docs_dp_release", "events_ewma_hourly",
+    # round-10 additions: the batched BPE trainer (~TOPC merges per
+    # round), the trigram-KN fit+score pair (the deepest corpus pass in
+    # the LM ladder), and text_entropy_stats (row-local but per-row
+    # O(len·distinct) — benched so the row cost is measured, round-9
+    # ADVICE)
+    "text_bpe_merges_batched", "text_kneser_ney3_logprob",
+    "text_kneser_ney3_apply", "text_entropy_stats",
 ]
 
 #: Third decade (sf1 -> sf10): the same set MINUS the saturation case.
@@ -266,6 +273,31 @@ def main() -> int:
             "sf10_candidate_volume_estimate": est,
             "guard_budget": dedup.PREFIX_CANDIDATE_BUDGET,
             "guard_trips": est > dedup.PREFIX_CANDIDATE_BUDGET,
+        }
+        spark.catalog.clearCache()
+    if have_sf10:
+        # Round-10: the generalized guards (CandidateVolumeError) on the
+        # SimHash multi-index probe join and the PassJoin segment join —
+        # record the same estimate-vs-budget evidence at sf10 so the
+        # third decade documents that BOTH detectors stay far from their
+        # refusal boundary on this corpus (and exactly where that
+        # boundary sits).
+        from komodo_data_spark.operators import dedup
+
+        sig = dedup._simhash_signatures64(
+            dedup._doc_postings(spark, SF_XXL)
+        ).localCheckpoint(eager=True)
+        est_sh = dedup.simhash_multiprobe_candidate_volume(sig)
+        saturation_evidence["dedup_simhash"] = {
+            "sf10_candidate_volume_estimate": est_sh,
+            "guard_budget": dedup.SIMHASH_CANDIDATE_BUDGET,
+            "guard_trips": est_sh > dedup.SIMHASH_CANDIDATE_BUDGET,
+        }
+        est_fz = dedup.fuzzy_prefix_candidate_volume(spark, SF_XXL)
+        saturation_evidence["dedup_fuzzy_prefix"] = {
+            "sf10_candidate_volume_estimate": est_fz,
+            "guard_budget": dedup.FUZZY_CANDIDATE_BUDGET,
+            "guard_trips": est_fz > dedup.FUZZY_CANDIDATE_BUDGET,
         }
         spark.catalog.clearCache()
 
