@@ -115,6 +115,12 @@ AUDITED = [
     "text_kneser_ney_logprob",  # r9: model-frame aggregates + 3 score joins
     "docs_dp_release",  # r9: one count agg, per-cell codegen'd Laplace
     "events_ewma_hourly",  # r9: count partials + bounded 24-row frames
+    "text_bpe_merges_batched",  # r10: vocab-bounded rounds, topc-row wave joins
+    "text_kneser_ney3_logprob",  # r10: five type-level model aggs + 5 score joins
+    "text_kneser_ney3_apply",  # r10: frozen trigram model, LEFT score joins
+    "text_textrank_keywords",  # r10: TakeOrderedAndProject top-k (was 1-task window)
+    "text_entropy_stats",  # r10: zero-shuffle map pass, per-doc count map
+    "dedup_fuzzy_prefix",  # r10: PassJoin + linear volume-guard aggregates
 ]
 
 #: Python stages expected by design (Arrow-batched pandas ops); anything
