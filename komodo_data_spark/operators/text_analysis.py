@@ -987,6 +987,51 @@ def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("rank")
 
 
+def text_bpe_batched_train_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Apply the BATCHED-trained encoder to the corpus: per-document word
+    and post-merge token counts under the ~10-merges-per-round vocabulary
+    (77 merges at sf0.01 vs the exact trainer's 8) — the tokenizer-
+    economics twin of ``text_bpe_train_apply`` at realistic merge depth.
+    Application is the same broadcast join of the fitted
+    (word → n_symbols) table onto the exploded corpus tokens; only the
+    fit differs (see ``_bpe_fit_batched``)."""
+    toks, cur, _merges = _bpe_fit_batched(spark, sf_dir)
+    fitted = cur.select("word", F.size(_bpe_syms("w")).alias("n_syms"))
+    return (
+        toks.join(F.broadcast(fitted), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def text_bpe_batched_train_apply_oracle() -> str:
+    prefix = text_bpe_merges_batched_oracle().rsplit(
+        "SELECT row_number()", 1
+    )[0]
+    # the prefix ends after the last round's state CTE list; strip the
+    # trailing comma-joined SELECT and close with the fitted/apply tail
+    sep = "chr(1)"
+    sep2 = f"({sep}||{sep})"
+    return f"""
+    {prefix.rstrip()}
+    , fitted AS (
+      SELECT word,
+             len(string_split(trim(w, {sep}), {sep2})) AS n_syms
+      FROM s{BPE_BATCH_ROUNDS}
+    )
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(f.n_syms)::BIGINT AS n_bpe_tokens
+    FROM toks t JOIN fitted f USING (word)
+    GROUP BY t.doc_id
+    """
+
+
 def text_bpe_merges_batched_oracle(
     rounds: int = BPE_BATCH_ROUNDS,
     topc: int = BPE_BATCH_TOPC,
@@ -2167,6 +2212,10 @@ def registry():
         "text_bpe_merges_batched": (
             text_bpe_merges_batched,
             text_bpe_merges_batched_oracle(),
+        ),
+        "text_bpe_batched_train_apply": (
+            text_bpe_batched_train_apply,
+            text_bpe_batched_train_apply_oracle(),
         ),
         "text_unigram_lm": (
             text_unigram_lm,

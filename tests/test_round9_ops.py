@@ -298,7 +298,11 @@ def test_dp_release_matches_python_laplace(spark, tmp_path):
     """Hand-mirror of the deterministic Laplace mechanism: recompute the
     md5-uniform inverse-CDF noise in plain Python for every cell, check
     the released counts (including the round and the clamp-at-zero) match
-    the operator exactly."""
+    the operator exactly. Round-10 update: the release densifies over the
+    declared public grid (DP_PUBLIC_SOURCES x DP_PUBLIC_LANGS, noisy
+    zeros for empty cells — the support-set-leak fix), so the fixture
+    uses in-grid sources/langs, out-of-grid records are dropped, and the
+    full grid is asserted."""
     import hashlib
     import math
 
@@ -306,6 +310,8 @@ def test_dp_release_matches_python_laplace(spark, tmp_path):
 
     from komodo_data_spark.operators.pipeline_ops import (
         DP_EPSILON,
+        DP_PUBLIC_LANGS,
+        DP_PUBLIC_SOURCES,
         _DP_UNIFORM_BITS,
         docs_dp_release,
     )
@@ -314,9 +320,11 @@ def test_dp_release_matches_python_laplace(spark, tmp_path):
         {
             "doc_id": range(1, 8),
             "text": ["t"] * 7,
-            # one big cell, one 1-doc cell (clamp candidate), one null lang
+            # one big cell, one 1-doc cell (clamp candidate), one
+            # out-of-grid lang (dropped from the release)
             "lang": ["en", "en", "en", "en", "de", None, None],
-            "source": ["s1", "s1", "s1", "s1", "s2", "s3", "s3"],
+            "source": ["src1", "src1", "src1", "src1", "src2", "src3",
+                       "src3"],
             "n_chars": [1] * 7,
         }
     )
@@ -343,15 +351,15 @@ def test_dp_release_matches_python_laplace(spark, tmp_path):
         (r["source"], r["lang"]): (r["n_released"], r["epsilon"])
         for r in docs_dp_release(spark, str(sf)).collect()
     }
-    want = {
-        ("s1", "en"): 4,
-        ("s2", "de"): 1,
-        ("s3", None): 2,
-    }
-    assert set(got) == set(want)
-    for (src, lang), n in want.items():
-        assert got[(src, lang)] == (released(src, lang, n), DP_EPSILON)
-        assert got[(src, lang)][0] >= 0
+    # the WHOLE declared grid is released — cell presence is
+    # data-independent (src3's null-lang docs are out-of-grid: dropped)
+    grid = {(s, lg) for s in DP_PUBLIC_SOURCES for lg in DP_PUBLIC_LANGS}
+    assert set(got) == grid
+    true_counts = {("src1", "en"): 4, ("src2", "de"): 1}
+    for src, lg in grid:
+        n = true_counts.get((src, lg), 0)
+        assert got[(src, lg)] == (released(src, lg, n), DP_EPSILON)
+        assert got[(src, lg)][0] >= 0
 
 
 def test_ewma_hourly_matches_sequential_recurrence(spark, tmp_path):
