@@ -3098,9 +3098,23 @@ def docs_dp_release(
         .groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    grid = spark.createDataFrame(
-        [(s, lg) for s in DP_PUBLIC_SOURCES for lg in DP_PUBLIC_LANGS],
-        "source string, lang string",
+    # literal-array explode, not createDataFrame: the 100-row grid stays a
+    # JVM-side codegen'd plan (a Python-RDD grid measured ~2 s of one-time
+    # py4j/serialization cost per cold call in the bench)
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(s) for s in DP_PUBLIC_SOURCES])
+            ).alias("source")
+        )
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.array(*[F.lit(lg) for lg in DP_PUBLIC_LANGS])
+                ).alias("lang")
+            )
+        )
     )
     dense = grid.join(counts, ["source", "lang"], "left").select(
         "source", "lang", F.coalesce(F.col("n"), F.lit(0)).alias("n")
