@@ -214,6 +214,9 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 _PRIORITY: tuple[str, ...] = (
     # --- (a) NEW in round 10 ---
     "text_bpe_merges_batched",  # NEW r10: 3-wave disjoint batched trainer
+    "text_bpe_batched_train_apply",  # NEW r10: apply twin at 77-merge depth
+    "text_bpe_encode",  # NEW r10: materialized token stream (doc,pos,sym)
+    "text_bpe_packed_sequences",  # NEW r10: packed training-batch layout
     "text_kneser_ney3_logprob",  # NEW r10: trigram KN, recursive backoff
     "text_kneser_ney3_apply",  # NEW r10: frozen trigram KN w/ OOV floor
     # --- (b) changed in round 10 ---

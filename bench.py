@@ -52,6 +52,11 @@ WARMUP_QUERIES = (
     # composes BOTH heavy detector pipelines (exact + LSH) plus its own
     # join codegen on top
     "dedup_minhash_recall",
+    # r10: the batched BPE fit (8 fixed rounds — scale-independent class
+    # identity, so the cheap-sf warm-up covers the timed run) and the
+    # trigram-KN model+score joins
+    "text_bpe_merges_batched",
+    "text_kneser_ney3_logprob",
 )
 
 #: Iterative queries whose ROUND COUNT grows with scale: a sf0.001 warm-up

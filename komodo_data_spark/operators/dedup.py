@@ -2480,7 +2480,11 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = _doc_postings(spark, sf_dir).filter(gate).cache()
     truth = _truth_pairs_from(posts).cache()
     det = (
-        simhash_multiprobe_pairs(_simhash_signatures64(posts))
+        # budget=None: the eval slice is fixed-size (~RECALL_SAMPLE_TARGET
+        # docs), so the volume guard would only add an estimate pass and
+        # an internal sig cache this twin never releases; the guard has
+        # its own trip tests and runs on the production detector
+        simhash_multiprobe_pairs(_simhash_signatures64(posts), budget=None)
         .select("doc_i", "doc_j")
         .cache()
     )

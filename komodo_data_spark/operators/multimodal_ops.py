@@ -673,10 +673,12 @@ def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     det = (
+        # budget=None: fixed-size eval slice — see dedup_simhash_recall
         simhash_pigeonhole_pairs(
             _simhash_signatures(d),
             bits=MEDIA_SIMHASH_BITS,
             hmax=MEDIA_HAMMING_MAX,
+            budget=None,
         )
         .select("doc_i", "doc_j")
         .cache()

@@ -1032,6 +1032,199 @@ def text_bpe_batched_train_apply_oracle() -> str:
     """
 
 
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual TOKEN STREAM under the batched-trained BPE vocabulary:
+    one row per emitted token, addressed (doc_id, pos, sym_pos, token) —
+    word position in the document, symbol position within the word. This
+    is the artifact a training pipeline exports (the counts twins price
+    packing; this materializes the sequences they price), and joined to
+    ``token_packing_sequences``'s offsets it becomes real packed input.
+
+    Scale design: the fit is ``_bpe_fit_batched`` (vocab-bounded rounds);
+    encoding is a broadcast join of the fitted (word → symbol array)
+    table onto the position-preserving corpus explode, then one more
+    posexplode — all map-side after the join, ordering carried by
+    explicit (pos, sym_pos) columns rather than any sort. Words
+    containing the separator byte are excluded from training AND
+    encoding (the documented ``_BPE_SEP`` contract).
+    """
+    toks_unused, cur, _merges = _bpe_fit_batched(spark, sf_dir)
+    fitted = cur.select("word", _bpe_syms("w").alias("syms"))
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(tokens()).alias("pos", "word"))
+        .filter(
+            (F.length("word") > 0) & ~F.col("word").contains(_BPE_SEP)
+        )
+    )
+    return (
+        d.join(F.broadcast(fitted), "word")
+        .select(
+            "doc_id",
+            "pos",
+            F.posexplode("syms").alias("sym_pos", "token"),
+        )
+    )
+
+
+def text_bpe_encode_oracle() -> str:
+    t = sql_tokens()
+    sep = "chr(1)"
+    sep2 = f"({sep}||{sep})"
+    prefix = text_bpe_merges_batched_oracle().rsplit(
+        "SELECT row_number()", 1
+    )[0]
+    return f"""
+    {prefix.rstrip()}
+    , fitted AS (
+      SELECT word, string_split(trim(w, {sep}), {sep2}) AS syms
+      FROM s{BPE_BATCH_ROUNDS}
+    ),
+    posed AS (
+      SELECT doc_id, i - 1 AS pos, toks[i] AS word
+      FROM (SELECT doc_id, {t} AS toks FROM documents),
+           unnest(range(1, len(toks) + 1)) AS u(i)
+      WHERE length(toks[i]) > 0 AND position({sep} IN toks[i]) = 0
+    )
+    SELECT p.doc_id, p.pos, j - 1 AS sym_pos, f.syms[j] AS token
+    FROM posed p
+    JOIN fitted f USING (word),
+         unnest(range(1, len(f.syms) + 1)) AS v(j)
+    """
+
+
+def text_bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the tokenizer pipeline: the corpus's BPE token stream
+    packed into fixed-PACK_SEQ_LEN training sequences — one row per
+    token, addressed ``(lang, seq_id, seq_pos, doc_id, token)``. This
+    composes the two halves the registry prices separately:
+    ``text_bpe_encode`` materializes the tokens,
+    ``token_packing_sequences`` computes where whitespace-token slices
+    land — here the REAL (BPE) tokens land in their actual packed
+    positions, which is literally the training-batch input layout.
+
+    Semantics: within a language, docs lie end-to-end in doc_id order
+    (token order inside a doc = (word pos, symbol pos)); the stream is
+    cut every PACK_SEQ_LEN tokens; token with per-doc index i of a doc
+    whose language-stream start offset is s sits at
+    seq_id = (s+i) div L, seq_pos = (s+i) mod L. All integer arithmetic.
+
+    Scale design: the fit is vocab-bounded (``_bpe_fit_batched``);
+    encoding is a broadcast join + posexplode; the per-doc token index
+    is a window PARTITIONED BY doc_id (parallel — never a global sort);
+    doc start offsets use ``token_packing_sequences``'s two-stage
+    range-partitioned prefix sum (per-(lang, pid) partials + a broadcast
+    offsets frame — no per-language single-task window at any corpus
+    size; the oracle's plain per-lang window sum is value-identical).
+    The final seq/pos assignment is pure map-side arithmetic.
+    """
+    from pyspark.sql import Window
+
+    from komodo_data_spark.operators.pipeline_ops import (
+        _PACK_PARTITIONS,
+        PACK_SEQ_LEN,
+    )
+
+    _toks, cur, _merges = _bpe_fit_batched(spark, sf_dir)
+    fitted = cur.select("word", _bpe_syms("w").alias("syms"))
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            "lang", "doc_id", F.posexplode(tokens()).alias("pos", "word")
+        )
+        .filter(
+            (F.length("word") > 0) & ~F.col("word").contains(_BPE_SEP)
+        )
+        .join(F.broadcast(fitted), "word")
+    )
+    stream = d.select(
+        "lang",
+        "doc_id",
+        "pos",
+        F.posexplode("syms").alias("sym_pos", "token"),
+    )
+    w_tok = Window.partitionBy("doc_id").orderBy("pos", "sym_pos")
+    stream = stream.withColumn("tok_idx", F.row_number().over(w_tok) - 1)
+    counts = (
+        d.select("lang", "doc_id", F.size("syms").alias("n_syms"))
+        .groupBy("lang", "doc_id")
+        .agg(F.sum("n_syms").alias("n_toks"))
+        .repartitionByRange(_PACK_PARTITIONS, "lang", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wo = (
+        Window.partitionBy("lang")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        counts.groupBy("lang", "pid")
+        .agg(F.sum("n_toks").alias("p_sum"))
+        .withColumn("offset", F.coalesce(F.sum("p_sum").over(wo), F.lit(0)))
+        .select("lang", "pid", "offset")
+    )
+    wd = (
+        Window.partitionBy("pid", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    started = (
+        counts.join(F.broadcast(offsets), ["lang", "pid"])
+        .withColumn(
+            "s",
+            F.col("offset")
+            + F.coalesce(F.sum("n_toks").over(wd), F.lit(0)),
+        )
+        .select("doc_id", "s")
+    )
+    L = PACK_SEQ_LEN
+    return (
+        stream.join(started, "doc_id")
+        .withColumn("g", F.col("s") + F.col("tok_idx"))
+        .select(
+            "lang",
+            F.expr(f"g div {L}").cast("long").alias("seq_id"),
+            (F.col("g") % L).cast("long").alias("seq_pos"),
+            "doc_id",
+            "token",
+        )
+    )
+
+
+def text_bpe_packed_sequences_oracle() -> str:
+    from komodo_data_spark.operators.pipeline_ops import PACK_SEQ_LEN
+
+    enc = text_bpe_encode_oracle()
+    L = PACK_SEQ_LEN
+    return f"""
+    WITH enc AS MATERIALIZED (
+      SELECT e.*, d.lang,
+             row_number() OVER (
+               PARTITION BY e.doc_id ORDER BY e.pos, e.sym_pos
+             ) - 1 AS tok_idx
+      FROM ({enc}) e JOIN documents d USING (doc_id)
+    ),
+    counts AS (
+      SELECT lang, doc_id, count(*) AS n_toks FROM enc
+      GROUP BY lang, doc_id
+    ),
+    started AS (
+      SELECT doc_id,
+             coalesce(sum(n_toks) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS s
+      FROM counts
+    )
+    SELECT e.lang,
+           ((st.s + e.tok_idx) // {L})::BIGINT AS seq_id,
+           ((st.s + e.tok_idx) % {L})::BIGINT AS seq_pos,
+           e.doc_id, e.token
+    FROM enc e JOIN started st USING (doc_id)
+    """
+
+
 def text_bpe_merges_batched_oracle(
     rounds: int = BPE_BATCH_ROUNDS,
     topc: int = BPE_BATCH_TOPC,
@@ -1747,6 +1940,77 @@ def _grams3(d) -> DataFrame:
     )
 
 
+def _kn3_count_frames(d: DataFrame):
+    """The two TOKEN-count frames the trigram-KN model derives from — m3
+    = c(u,v,w) trigram counts, m2 = c2(u2,w) bigram counts — from a
+    documents frame. These are the ONLY corpus-sized aggregates in the
+    model, and they are ADDITIVE (sum-mergeable across document
+    batches), which is what makes the incremental counter-store twin
+    (streaming/kn3_incremental.py) exact: fold per-batch counts, derive
+    the same model."""
+    from komodo_data_spark.operators.dedup import _positional_grams
+
+    g3 = _grams3(d)
+    m3 = g3.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c"))
+    g2 = (
+        d.select(_positional_grams(tokens(), 2).alias("grams"))
+        .select(F.explode_outer("grams").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(
+            F.substring_index("g", " ", 1).alias("u2"),
+            F.substring_index("g", " ", -1).alias("w"),
+        )
+    )
+    m2 = g2.groupBy("u2", "w").agg(F.count(F.lit(1)).alias("c2"))
+    return m3, m2
+
+
+def _kn3_score(g3: DataFrame, m3: DataFrame, m2: DataFrame) -> DataFrame:
+    """Score a doc-trigram frame (doc_id, u, v, w) under the interpolated
+    trigram-KN model derived from the (m3, m2) count frames — the shared
+    kernel of the batch fit-on-self op and the streaming counter-store
+    read path. All derived frames are TYPE-level aggregates over the
+    model; joins are inner (callers guarantee every scored event was
+    counted)."""
+    ctx3 = m3.groupBy("u", "v").agg(
+        F.sum("c").alias("c_uv"), F.count(F.lit(1)).alias("n1p_uv")
+    )
+    m2c = m3.groupBy("v", "w").agg(F.count(F.lit(1)).alias("n1p_vw"))
+    ctx2 = m2c.groupBy("v").agg(
+        F.sum("n1p_vw").alias("t_v"), F.count(F.lit(1)).alias("n1p_v")
+    )
+    cont = m2.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_w"))
+    types = m2.agg(F.count(F.lit(1)).alias("t_types"))
+    d_ = F.lit(KN_DISCOUNT)
+    # fully left-associative like the oracle SQL (same ulp discipline as
+    # the bigram op): ...*n1p_w/t_types, NOT ...*(n1p_w/t_types)
+    p2 = (
+        F.greatest(F.col("n1p_vw") - d_, F.lit(0.0)) / F.col("t_v")
+        + d_
+        * F.col("n1p_v")
+        / F.col("t_v")
+        * F.col("n1p_w")
+        / F.col("t_types")
+    )
+    p3 = (
+        F.greatest(F.col("c") - d_, F.lit(0.0)) / F.col("c_uv")
+        + d_ * F.col("n1p_uv") / F.col("c_uv") * p2
+    )
+    return (
+        g3.join(m3, ["u", "v", "w"])
+        .join(ctx3, ["u", "v"])
+        .join(m2c, ["v", "w"])
+        .join(ctx2, "v")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.avg(F.log(p3)).alias("avg_logprob_kn3"),
+        )
+    )
+
+
 def text_kneser_ney3_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score each document under an interpolated TRIGRAM Kneser-Ney LM fit
     on the corpus itself — completing the LM ladder to KenLM parity
@@ -1778,60 +2042,11 @@ def text_kneser_ney3_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     every event). Arithmetic is codegen'd with left-to-right order
     mirrored in the oracle.
     """
-    from komodo_data_spark.operators.dedup import _positional_grams
     from komodo_data_spark.sources.tables import load_spread
 
     d = load_spread(spark, sf_dir, "documents")
-    g3 = _grams3(d)
-    m3 = g3.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c"))
-    ctx3 = m3.groupBy("u", "v").agg(
-        F.sum("c").alias("c_uv"), F.count(F.lit(1)).alias("n1p_uv")
-    )
-    m2c = m3.groupBy("v", "w").agg(F.count(F.lit(1)).alias("n1p_vw"))
-    ctx2 = m2c.groupBy("v").agg(
-        F.sum("n1p_vw").alias("t_v"), F.count(F.lit(1)).alias("n1p_v")
-    )
-    # bottom rung: the bigram model's continuation unigram (see docstring)
-    g2 = (
-        d.select("doc_id", _positional_grams(tokens(), 2).alias("grams"))
-        .select(F.explode_outer("grams").alias("g"))
-        .filter(F.col("g").isNotNull())
-        .select(
-            F.substring_index("g", " ", 1).alias("u2"),
-            F.substring_index("g", " ", -1).alias("w"),
-        )
-    )
-    m2 = g2.groupBy("u2", "w").agg(F.count(F.lit(1)).alias("c2"))
-    cont = m2.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_w"))
-    types = m2.agg(F.count(F.lit(1)).alias("t_types"))
-    d_ = F.lit(KN_DISCOUNT)
-    # fully left-associative like the oracle SQL (same ulp discipline as
-    # the bigram op): ...*n1p_w/t_types, NOT ...*(n1p_w/t_types)
-    p2 = (
-        F.greatest(F.col("n1p_vw") - d_, F.lit(0.0)) / F.col("t_v")
-        + d_
-        * F.col("n1p_v")
-        / F.col("t_v")
-        * F.col("n1p_w")
-        / F.col("t_types")
-    )
-    p3 = (
-        F.greatest(F.col("c") - d_, F.lit(0.0)) / F.col("c_uv")
-        + d_ * F.col("n1p_uv") / F.col("c_uv") * p2
-    )
-    scored = (
-        g3.join(m3, ["u", "v", "w"])
-        .join(ctx3, ["u", "v"])
-        .join(m2c, ["v", "w"])
-        .join(ctx2, "v")
-        .join(cont, "w")
-        .crossJoin(F.broadcast(types))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.avg(F.log(p3)).alias("avg_logprob_kn3"),
-        )
-    )
+    m3, m2 = _kn3_count_frames(d)
+    scored = _kn3_score(_grams3(d), m3, m2)
     return scored.select(
         "doc_id",
         "n_trigrams",
@@ -2216,6 +2431,14 @@ def registry():
         "text_bpe_batched_train_apply": (
             text_bpe_batched_train_apply,
             text_bpe_batched_train_apply_oracle(),
+        ),
+        "text_bpe_encode": (
+            text_bpe_encode,
+            text_bpe_encode_oracle(),
+        ),
+        "text_bpe_packed_sequences": (
+            text_bpe_packed_sequences,
+            text_bpe_packed_sequences_oracle(),
         ),
         "text_unigram_lm": (
             text_unigram_lm,

@@ -448,6 +448,21 @@ def main(argv: list[str] | None = None) -> int:
     batches18 = progress_rows(q18)
     report["ewma_counter_store"] = {"batches": batches18, **flat_check(batches18)}
 
+    # --- stream 19: trigram-KN counter store (reuses docs stage) -----------
+    from komodo_data_spark.streaming.kn3_incremental import (
+        start_incremental_kn3,
+    )
+
+    q19 = start_incremental_kn3(
+        spark, docs_src,
+        os.path.join(work, "kn3_store"),
+        os.path.join(work, "ckpt_kn3"),
+        max_files_per_trigger=1,
+    )
+    q19.awaitTermination()
+    batches19 = progress_rows(q19)
+    report["kn3_counter_store"] = {"batches": batches19, **flat_check(batches19)}
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",

@@ -275,6 +275,39 @@ def test_bpe_batched_round_accepts_only_disjoint(spark):
     ]
 
 
+def test_bpe_packed_sequences_invariants(spark, sf_dir):
+    """The packed token stream is a bijection onto the encode stream, and
+    within each language every sequence except the last is exactly
+    PACK_SEQ_LEN tokens with positions 0..L-1 each used once."""
+    from collections import Counter
+
+    from komodo_data_spark.operators.pipeline_ops import PACK_SEQ_LEN
+    from komodo_data_spark.operators.text_analysis import (
+        text_bpe_encode,
+        text_bpe_packed_sequences,
+    )
+
+    packed = text_bpe_packed_sequences(spark, sf_dir).collect()
+    n_enc = text_bpe_encode(spark, sf_dir).count()
+    assert len(packed) == n_enc  # every token placed exactly once
+    per_seq = Counter((r["lang"], r["seq_id"]) for r in packed)
+    last = {}
+    for lang, seq in per_seq:
+        last[lang] = max(last.get(lang, -1), seq)
+    for (lang, seq), n in per_seq.items():
+        if seq < last[lang]:
+            assert n == PACK_SEQ_LEN, (lang, seq, n)
+        assert n <= PACK_SEQ_LEN
+    # positions within a sequence are 0..n-1, each exactly once
+    pos_sets = {}
+    for r in packed:
+        pos_sets.setdefault((r["lang"], r["seq_id"]), []).append(
+            r["seq_pos"]
+        )
+    for key, ps in pos_sets.items():
+        assert sorted(ps) == list(range(len(ps))), key
+
+
 # ---------------------------------------------------------------------------
 # trigram Kneser-Ney (round-9 verdict ask #5)
 # ---------------------------------------------------------------------------

@@ -2817,3 +2817,83 @@ def test_incremental_ewma_matches_batch_monitor(spark, sf_dir, tmp_path):
         "ewma",
     ]
     assert empty.count() == 0
+
+
+def test_incremental_kn3_matches_batch_scorer(spark, sf_dir, tmp_path):
+    """Stream the documents table through the trigram-KN counter store:
+    scoring the same corpus from the folded store equals the batch
+    text_kneser_ney3_logprob (identical integer model frames via the
+    shared count kernel; per-doc avg(ln p) pinned at 1e-12 relative —
+    float-sum order is the only freedom). Replay adds nothing; compaction
+    folds epochs without changing any score; an empty store scores an
+    empty frame with the full schema."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.text_analysis import (
+        text_kneser_ney3_logprob,
+    )
+    from komodo_data_spark.streaming.kn3_incremental import (
+        compact_kn3_store,
+        read_kn3_scores,
+        start_incremental_kn3,
+    )
+
+    docs_dir = str(tmp_path / "kn3_arrivals")
+    os.makedirs(docs_dir)
+    for i in range(3):
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+            F.col("doc_id") % 3 == i
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"docstage{i}")
+        )
+        (src_file,) = glob.glob(str(tmp_path / f"docstage{i}" / "*.parquet"))
+        shutil.move(src_file, os.path.join(docs_dir, f"arrival{i}.parquet"))
+
+    store = str(tmp_path / "kn3_store")
+    ck = str(tmp_path / "ckpt_kn3")
+    start_incremental_kn3(spark, docs_dir, store, ck).awaitTermination()
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def as_map(df):
+        return {
+            r["doc_id"]: (r["n_trigrams"], r["avg_logprob_kn3"])
+            for r in df.collect()
+        }
+
+    batch = as_map(
+        text_kneser_ney3_logprob(spark, sf_dir).select(
+            "doc_id", "n_trigrams", "avg_logprob_kn3"
+        )
+    )
+    inc = as_map(read_kn3_scores(spark, store, docs))
+    assert set(batch) == set(inc)
+    for k in batch:
+        assert batch[k][0] == inc[k][0]
+        assert inc[k][1] == pytest.approx(batch[k][1], rel=1e-12)
+
+    # replay: same checkpoint, nothing re-counted
+    start_incremental_kn3(spark, docs_dir, store, ck).awaitTermination()
+    inc2 = as_map(read_kn3_scores(spark, store, docs))
+    assert set(inc2) == set(inc)
+    for k in inc:
+        assert inc2[k][1] == pytest.approx(inc[k][1], rel=1e-12)
+
+    # compaction: epochs fold to the O(1) base, scores unchanged
+    folded = compact_kn3_store(spark, store)
+    assert folded == 3
+    inc3 = as_map(read_kn3_scores(spark, store, docs))
+    assert set(inc3) == set(inc)
+    for k in inc:
+        assert inc3[k][1] == pytest.approx(inc[k][1], rel=1e-12)
+
+    # empty store path: empty scored frame, full schema
+    empty = read_kn3_scores(
+        spark, str(tmp_path / "kn3_never_written"), docs
+    )
+    assert empty.columns == ["doc_id", "n_trigrams", "avg_logprob_kn3"]
+    assert empty.count() == 0
