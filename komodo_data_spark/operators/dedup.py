@@ -1095,6 +1095,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_multiprobe_pairs(sig)
 
 
+def _simhash_pigeonhole_segs(sig: DataFrame, widths: list) -> DataFrame:
+    """The pigeonhole join's segment frame — one (doc_id, simhash,
+    seg_id, seg_val) row per segment. Shared by the join and its
+    candidate-volume estimate (operator guard + BENCH_SCALING
+    evidence)."""
+    seg_cols, off = [], 0
+    for sid, w in enumerate(widths):
+        seg_cols.append(
+            F.struct(
+                F.lit(sid).alias("seg_id"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("seg_val"),
+            )
+        )
+        off += w
+    return sig.select(
+        "doc_id", "simhash", F.explode(F.array(*seg_cols)).alias("s")
+    ).select("doc_id", "simhash", "s.seg_id", "s.seg_val")
+
+
+def simhash_pigeonhole_candidate_volume(
+    sig: DataFrame, bits: int = SIMHASH_BITS, hmax: int = HAMMING_MAX
+) -> int:
+    """Σ_key c(k)² for the pigeonhole segment self-join — the number the
+    operator guard compares against SIMHASH_CANDIDATE_BUDGET, exposed
+    for BENCH_SCALING's saturation-evidence block."""
+    n_seg = hmax + 1
+    widths = [bits // n_seg] * n_seg
+    widths[-1] += bits % n_seg
+    return join_candidate_volume(
+        _simhash_pigeonhole_segs(sig, widths), ["seg_id", "seg_val"]
+    )
+
+
 def simhash_pigeonhole_pairs(
     sig: DataFrame,
     bits: int = SIMHASH_BITS,
@@ -1125,22 +1160,9 @@ def simhash_pigeonhole_pairs(
     n_seg = hmax + 1
     widths = [bits // n_seg] * n_seg
     widths[-1] += bits % n_seg
-    seg_cols, off = [], 0
-    for sid, w in enumerate(widths):
-        seg_cols.append(
-            F.struct(
-                F.lit(sid).alias("seg_id"),
-                F.shiftright(F.col("simhash"), off)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("seg_val"),
-            )
-        )
-        off += w
     if budget is not None:
         sig = sig.cache()  # estimate + join both read it
-    segs = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*seg_cols)).alias("s")
-    ).select("doc_id", "simhash", "s.seg_id", "s.seg_val")
+    segs = _simhash_pigeonhole_segs(sig, widths)
     if budget is not None:
         est = join_candidate_volume(segs, ["seg_id", "seg_val"])
         if est > budget:

@@ -175,6 +175,10 @@ SF1_QUERIES = [
     # ADVICE)
     "text_bpe_merges_batched", "text_kneser_ney3_logprob",
     "text_kneser_ney3_apply", "text_entropy_stats",
+    # round-10 late additions: the materialized token stream and its
+    # packed-sequence layout (corpus-linear explodes + the two-stage
+    # offsets; first measured in the round-11 scaling run)
+    "text_bpe_encode", "text_bpe_packed_sequences",
 ]
 
 #: Third decade (sf1 -> sf10): the same set MINUS the saturation case.
@@ -195,6 +199,19 @@ SF10_EXCLUDE = {
     # engine cost — real corpora have unbounded Zipfian vocabularies
     # (documented on the operator).
     "dedup_ngram_pairs_prefix",
+    # Round-10: both newly-GUARDED detectors now REFUSE at sf10 on this
+    # corpus with classified CandidateVolumeError — the refuse-predictably
+    # contract working (measured r10: PassJoin estimate 4.44e9 > 2e9
+    # budget on the 31-word title space; media pigeonhole estimate
+    # 3.49e9 > 2e9 on the near-degenerate byte-4-gram signatures of the
+    # same vocabulary). Their estimates are recorded alongside the
+    # prefix join's in sf10_saturation_evidence below; both ran the
+    # sf1 decade under the ordinary gates. In round 9 (pre-guard) these
+    # exact joins RAN at sf10 — dedup_fuzzy_prefix billed ~100 s for its
+    # 4.4e9-candidate pass; the guard converts that cliff into an error
+    # that names its own magnitude.
+    "dedup_fuzzy_prefix",
+    "media_simhash_pairs",
 }
 
 
@@ -229,6 +246,10 @@ def main() -> int:
                 pass
             spark.catalog.clearCache()
 
+    from komodo_data_spark.operators.dedup import CandidateVolumeError
+
+    guard_refusals: dict = {}
+
     def timed(sf_dir: str, names=None) -> tuple[dict[str, float], dict[str, int]]:
         out: dict[str, float] = {}
         rows: dict[str, int] = {}
@@ -238,6 +259,22 @@ def main() -> int:
             try:
                 rows[name] = fn(spark, sf_dir).count()
                 out[name] = round(time.perf_counter() - t0, 4)
+            except CandidateVolumeError as exc:
+                # the guard refusing IS the designed outcome on an
+                # adversarial-density scale — classify it, don't flag it
+                # as an engine failure (round-10; in practice the known
+                # refusal scales are SF10_EXCLUDEd with evidence, so this
+                # path is the honest fallback for a NEW refusal)
+                print(
+                    f"bench_scaling: {name} guard-refused at {sf_dir}: {exc}",
+                    file=sys.stderr,
+                )
+                guard_refusals.setdefault(name, {})[sf_dir] = {
+                    "estimate": exc.estimate,
+                    "budget": exc.budget,
+                }
+                out[name] = -2.0
+                rows[name] = -1
             except Exception as exc:
                 print(f"bench_scaling: {name} failed at {sf_dir}: {exc}",
                       file=sys.stderr)
@@ -299,6 +336,24 @@ def main() -> int:
             "guard_budget": dedup.FUZZY_CANDIDATE_BUDGET,
             "guard_trips": est_fz > dedup.FUZZY_CANDIDATE_BUDGET,
         }
+        from komodo_data_spark.operators import multimodal_ops as mm
+        from komodo_data_spark.sources.tables import load_table
+        from pyspark.sql import functions as F
+
+        media_sig = dedup._simhash_signatures(
+            load_table(spark, SF_XXL, "documents")
+            .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+            .withColumn("toks", mm._media_gram_toks())
+            .filter(F.size("toks") > 0)
+        )
+        est_mp = dedup.simhash_pigeonhole_candidate_volume(
+            media_sig, bits=mm.MEDIA_SIMHASH_BITS, hmax=mm.MEDIA_HAMMING_MAX
+        )
+        saturation_evidence["media_simhash_pairs"] = {
+            "sf10_candidate_volume_estimate": est_mp,
+            "guard_budget": dedup.SIMHASH_CANDIDATE_BUDGET,
+            "guard_trips": est_mp > dedup.SIMHASH_CANDIDATE_BUDGET,
+        }
         spark.catalog.clearCache()
 
     def norm_ratio(t_hi, n_hi, t_lo, n_lo):
@@ -314,10 +369,12 @@ def main() -> int:
         ts, tl = t_small[name], t_large[name]
         ratio = round(tl / ts, 2) if ts > 0 and tl >= 0 else None
         queries[name] = {"t_sf0.01": ts, "t_sf0.1": tl, "ratio": ratio}
-        if ts < 0 or tl < 0:
+        if (ts < 0 and ts != -2.0) or (tl < 0 and tl != -2.0):
             # a query that errors at either scale (an OOM only at sf0.1 is
             # the exact superlinear signature this gate exists to catch)
-            # must FLAG, not silently fall out of the ratio math
+            # must FLAG, not silently fall out of the ratio math;
+            # -2.0 = classified guard refusal, recorded in
+            # guard_refusals instead
             flagged.append(name)
         elif ratio is not None and ratio > RATIO_GATE and (
             ts > T01_FLOOR or tl > T_ABS_CEILING
@@ -343,7 +400,7 @@ def main() -> int:
                 if nr1 is not None and nr1 > NORM_RATIO_GATE \
                         and name not in flagged:
                     flagged.append(name)
-            if txl < 0 and name not in flagged:
+            if txl < 0 and txl != -2.0 and name not in flagged:
                 flagged.append(name)
             elif ratio1 is not None and ratio1 > RATIO_GATE and (
                 tl > T01_FLOOR or txl > T_SF1_CEILING
@@ -364,7 +421,7 @@ def main() -> int:
                 if nr10 is not None and nr10 > NORM_RATIO_GATE \
                         and name not in flagged:
                     flagged.append(name)
-            if txxl < 0 and name not in flagged:
+            if txxl < 0 and txxl != -2.0 and name not in flagged:
                 flagged.append(name)
             elif ratio10 is not None and ratio10 > RATIO_GATE and (
                 txl > T01_FLOOR or txxl > T_SF10_CEILING
@@ -400,6 +457,7 @@ def main() -> int:
         "n_sf10_queries": len(t_xxl),
         "sf10_excluded": sorted(SF10_EXCLUDE),
         "sf10_saturation_evidence": saturation_evidence,
+        "guard_refusals": guard_refusals,
         "top_ratios_sf10": dict(top_sf10),
         "n_queries": len(queries),
         "n_flagged": len(flagged),
