@@ -95,6 +95,27 @@ OUTPUT_QUADRATIC_BY_DATA = {
 #: false-flag pressure from noise floors.
 NORM_RATIO_GATE = 10.0
 
+#: Round-10 sibling of OUTPUT_QUADRATIC_BY_DATA for detectors whose COST
+#: (not output) is quadratic by data density: the prefix-Jaccard join's
+#: candidate volume on this saturating synthetic vocabulary grows ~126x
+#: per decade (Σ df_prefix²: 5.0e5 → 6.3e7 → 6.8e9) while its OUTPUT
+#: stays near-linear (256 → 464 pairs sf0.1→sf1), so neither the raw
+#: time-ratio gate (43–195 s at sf1 across rig epochs — it straddles
+#: 20x) nor the per-emitted-row form fits. The honest invariant is
+#: seconds per CANDIDATE — the very number the operator's runtime guard
+#: estimates — which must stay decade-flat; on healthy data it strictly
+#: DEFLATES (per-candidate cost amortizes). The volumes are measured by
+#: the same one-aggregate estimate the guard runs
+#: (dedup.prefix_candidate_volume) and recorded next to the times.
+CANDIDATE_COST_BY_DATA = {
+    "dedup_ngram_pairs_prefix": "candidate volume (Σ df_prefix², the"
+    " guard's own estimate) grows ~126x per decade on the saturated"
+    " 31-word vocabulary while output stays near-linear (256 → 464"
+    " pairs); gated on seconds-per-candidate staying decade-flat, and"
+    " bounded above by the operator's 2e9-candidate refusal guard"
+    " (trips at sf10, evidence below)",
+}
+
 #: shuffle-heavy set for the second decade: the BENCH_SKEW queries +
 #: the composed evals (sampled/bounded production modes only) + the
 #: heaviest TPC-H joins and graph ops from BENCH_DETAIL.
@@ -356,6 +377,20 @@ def main() -> int:
         }
         spark.catalog.clearCache()
 
+    # candidate volumes for the CANDIDATE_COST_BY_DATA gate: the same
+    # one-aggregate estimate the operator guard runs, at both decade ends
+    cand_vol: dict = {}
+    if have_sf1 and any(n in qs for n in CANDIDATE_COST_BY_DATA):
+        from komodo_data_spark.operators import dedup as _dd
+
+        for sfd, key in ((SF_LARGE, "sf0.1"), (SF_XL, "sf1")):
+            posts = _dd._doc_postings(spark, sfd).cache()
+            cand_vol[key] = _dd.prefix_candidate_volume(
+                _dd._prefix_postings(posts, 7, 10)
+            )
+            posts.unpersist()
+        spark.catalog.clearCache()
+
     def norm_ratio(t_hi, n_hi, t_lo, n_lo):
         """Per-emitted-row time ratio across a decade (output-quadratic
         gate); None when either side lacks positive time and rows."""
@@ -400,11 +435,24 @@ def main() -> int:
                 if nr1 is not None and nr1 > NORM_RATIO_GATE \
                         and name not in flagged:
                     flagged.append(name)
+            if name in CANDIDATE_COST_BY_DATA and cand_vol:
+                queries[name]["gate_exempt"] = CANDIDATE_COST_BY_DATA[name]
+                queries[name]["cand_sf0.1"] = cand_vol["sf0.1"]
+                queries[name]["cand_sf1"] = cand_vol["sf1"]
+                ncand = norm_ratio(
+                    txl, cand_vol["sf1"], tl, cand_vol["sf0.1"]
+                )
+                queries[name]["norm_ratio_per_candidate_sf1"] = ncand
+                if ncand is not None and ncand > NORM_RATIO_GATE \
+                        and name not in flagged:
+                    flagged.append(name)
             if txl < 0 and txl != -2.0 and name not in flagged:
                 flagged.append(name)
             elif ratio1 is not None and ratio1 > RATIO_GATE and (
                 tl > T01_FLOOR or txl > T_SF1_CEILING
-            ) and name not in flagged and name not in OUTPUT_QUADRATIC_BY_DATA:
+            ) and name not in flagged \
+                    and name not in OUTPUT_QUADRATIC_BY_DATA \
+                    and name not in CANDIDATE_COST_BY_DATA:
                 flagged.append(name)
         if name in t_xxl:
             # third decade: sf1 -> sf10 under the same gate
