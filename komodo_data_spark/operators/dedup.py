@@ -215,7 +215,11 @@ def prefix_candidate_volume(pref: DataFrame) -> int:
     row = (
         pref.groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).alias("v"))
+        # double, not bigint: one hot key with >~3e9 rows per side would
+        # wrap a bigint product under non-ANSI Spark and fail the guard
+        # OPEN on exactly the degenerate input it exists for; this is a
+        # threshold check, so double precision (exact to 2^53) is fine
+        .agg(F.sum(F.col("c").cast("double") * F.col("c")).alias("v"))
         .first()
     )
     return int(row["v"] or 0)
@@ -252,17 +256,26 @@ def join_candidate_volume(
     detector's plan already builds) joined on the key and folded into one
     scalar. Linear in the join INPUT, which is the whole point: the guard
     pays O(n) to decide whether the join would pay O(n²)."""
-    ca = a.groupBy(*keys).agg(F.count(F.lit(1)).alias("ca"))
-    if b is None:
-        row = ca.agg(F.sum(F.col("ca") * F.col("ca")).alias("v")).first()
-    else:
-        cb = b.groupBy(*keys).agg(F.count(F.lit(1)).alias("cb"))
-        row = (
-            ca.join(cb, keys)
-            .agg(F.sum(F.col("ca") * F.col("cb")).alias("v"))
-            .first()
-        )
+    row = _candidate_volume_frame(a, keys, b).first()
     return int(row["v"] or 0)
+
+
+def _candidate_volume_frame(
+    a: DataFrame, keys: list, b: DataFrame | None = None
+) -> DataFrame:
+    """The 1-row (v double) estimate frame behind
+    :func:`join_candidate_volume`. Counts are cast to DOUBLE before the
+    multiply/sum: a single hot key with >~3e9 rows per side wraps a
+    bigint product silently under non-ANSI Spark, turning the estimate
+    negative and failing the guard OPEN on exactly the adversarial
+    density it exists to refuse (round-10 ADVICE). The guard is a
+    threshold check, so double (exact to 2^53, monotone far beyond) is
+    sufficient."""
+    ca = a.groupBy(*keys).agg(F.count(F.lit(1)).cast("double").alias("ca"))
+    if b is None:
+        return ca.agg(F.sum(F.col("ca") * F.col("ca")).alias("v"))
+    cb = b.groupBy(*keys).agg(F.count(F.lit(1)).cast("double").alias("cb"))
+    return ca.join(cb, keys).agg(F.sum(F.col("ca") * F.col("cb")).alias("v"))
 
 
 #: Candidate-volume budget for the SimHash segment equi-joins (both the

@@ -855,6 +855,22 @@ BPE_BATCH_TOPC = 32
 BPE_BATCH_WAVES = 3
 
 
+def _bpe_conflicts(z: str, x: str):
+    """True when candidates aliased ``z`` and ``x`` cannot safely apply in
+    the same replace pass: they share an operand symbol (one replace
+    destroys the other's matches), or one's OUTPUT equals the other's
+    operand (('th','e')→'the' manufactures fresh matches for ('the','r')
+    mid-pass — operand-disjoint yet non-commutative)."""
+    za, zb = F.col(f"{z}.a"), F.col(f"{z}.b")
+    xa, xb = F.col(f"{x}.a"), F.col(f"{x}.b")
+    zout, xout = F.concat(za, zb), F.concat(xa, xb)
+    return (
+        (za == xa) | (za == xb) | (zb == xa) | (zb == xb)
+        | (zout == xa) | (zout == xb)
+        | (xout == za) | (xout == zb)
+    )
+
+
 def _bpe_fit_batched(
     spark: SparkSession,
     sf_dir: str,
@@ -866,19 +882,28 @@ def _bpe_fit_batched(
     all survivors in one replace pass. Returns
     (toks, cur, merges(rank, a, b)).
 
-    Why disjoint-only is exact PER ROUND: a merge (a, b) → ``ab`` rewrites
-    the wrapped form ``·a··b·`` → ``·ab·``. For two merges sharing no
-    symbol, neither replace can create, destroy, or overlap an occurrence
-    of the other's pattern (the pattern names only its own two symbols,
-    and the fresh symbol ``ab`` is distinct from both of the other's), so
-    the replaces COMMUTE and one combined pass equals any sequential
-    order — the collect_list order below being nondeterministic is
-    therefore harmless. What batching trades away vs the exact trainer is
-    only the COUNT REFRESH between accepted merges: candidate k's weight
-    was computed before candidates 1..k-1 applied (the standard batched-
-    tokenizer trade, cf. the tokenizers library's train batching).
+    Why conflict-free is exact PER ROUND: a merge (a, b) → ``ab`` rewrites
+    the wrapped form ``·a··b·`` → ``·ab·``. A replace can interact with
+    another candidate's pattern in exactly two ways: by DESTROYING an
+    occurrence of a shared operand symbol, or by CREATING occurrences of
+    its own OUTPUT symbol ``ab`` that the other candidate's pattern then
+    names as an operand (e.g. ('th','e') → 'the' feeding ('the','r') —
+    operand-disjoint, yet the first replace manufactures new matches for
+    the second, so they do not commute). The conflict predicate therefore
+    rejects a candidate that shares an operand with a higher-ranked one
+    OR whose output equals a higher-ranked candidate's operand OR whose
+    operand equals a higher-ranked candidate's output. For two candidates
+    passing that predicate, neither replace can create, destroy, or
+    overlap an occurrence of the other's pattern, so the replaces COMMUTE
+    and one combined pass equals any sequential order. Belt-and-braces,
+    the apply fold below still sorts the accepted merges by rank before
+    folding so Spark and the oracle fold in the same deterministic order.
+    What batching trades away vs the exact trainer is only the COUNT
+    REFRESH between accepted merges: candidate k's weight was computed
+    before candidates 1..k-1 applied (the standard batched-tokenizer
+    trade, cf. the tokenizers library's train batching).
 
-    Acceptance is ``BPE_BATCH_WAVES`` passes of "disjoint from every
+    Acceptance is ``BPE_BATCH_WAVES`` passes of "conflict-free vs every
     higher-ranked candidate in the remaining window": wave 1 alone is
     conservative (a candidate conflicting only with candidates that were
     THEMSELVES rejected is lost — hot early symbols reject most of the
@@ -887,8 +912,8 @@ def _bpe_fit_batched(
     is one tiny anti-join both engines express identically — a fixed
     unrolled approximation of the sequential greedy scan that needs no
     driver-side collect (the repo's no-collect-in-operators rule) — and
-    the union stays pairwise disjoint by construction, preserving the
-    exactness argument above.
+    the union stays pairwise conflict-free by construction, preserving
+    the exactness argument above.
 
     Scale design: identical to ``_bpe_fit`` — one corpus pass builds the
     weighted vocabulary, every round after that is vocab-bounded; the
@@ -903,14 +928,7 @@ def _bpe_fit_batched(
     toks, cur = _bpe_corpus_vocab(spark, sf_dir)
     sep = _BPE_SEP
 
-    def shares_symbol(z, x):
-        return (
-            (F.col(f"{z}.a") == F.col(f"{x}.a"))
-            | (F.col(f"{z}.a") == F.col(f"{x}.b"))
-            | (F.col(f"{z}.b") == F.col(f"{x}.a"))
-            | (F.col(f"{z}.b") == F.col(f"{x}.b"))
-        )
-
+    conflicts = _bpe_conflicts
     merge_frames = []
     for r in range(rounds):
         wt = _bpe_pair_weights(cur)
@@ -925,9 +943,7 @@ def _bpe_fit_batched(
         acc = None
         remaining = top
         for _wave in range(BPE_BATCH_WAVES):
-            conflict = (F.col("y.rk") < F.col("x.rk")) & shares_symbol(
-                "y", "x"
-            )
+            conflict = (F.col("y.rk") < F.col("x.rk")) & conflicts("y", "x")
             w = (
                 remaining.alias("x")
                 .join(remaining.alias("y"), conflict, "left_anti")
@@ -935,16 +951,23 @@ def _bpe_fit_batched(
             )
             acc = w if acc is None else acc.unionByName(w)
             # accepted candidates conflict with themselves, so one
-            # shares-symbol anti-join against the accepted set drops both
+            # conflicts anti-join against the accepted set drops both
             # the accepted rows and everything they block
             remaining = (
                 remaining.alias("x")
-                .join(acc.alias("z"), shares_symbol("z", "x"), "left_anti")
+                .join(acc.alias("z"), conflicts("z", "x"), "left_anti")
                 .select("a", "b", "rk")
             )
         acc = acc.localCheckpoint(eager=True)  # ≤ topc rows; apply + table
         merge_frames.append(acc.withColumn("round", F.lit(r)))
-        ms = acc.select(F.collect_list(F.struct("a", "b")).alias("ms"))
+        # array_sort on (rk, a, b) structs orders by rk: both engines fold
+        # the accepted merges in rank order (collect_list alone is
+        # nondeterministic)
+        ms = acc.select(
+            F.array_sort(F.collect_list(F.struct("rk", "a", "b"))).alias(
+                "ms"
+            )
+        )
         cur = (
             cur.crossJoin(F.broadcast(ms))
             .withColumn(
@@ -1241,9 +1264,14 @@ def text_bpe_merges_batched_oracle(
     sep2 = f"({sep}||{sep})"
 
     def shares(z: str, x: str) -> str:
+        # operand overlap OR output↔operand equality (cascade conflicts:
+        # ('th','e')→'the' feeding ('the','r')) — mirrors the Spark
+        # trainer's conflicts() exactly
         return (
             f"({z}.a = {x}.a OR {z}.a = {x}.b "
-            f"OR {z}.b = {x}.a OR {z}.b = {x}.b)"
+            f"OR {z}.b = {x}.a OR {z}.b = {x}.b "
+            f"OR ({z}.a || {z}.b) IN ({x}.a, {x}.b) "
+            f"OR ({x}.a || {x}.b) IN ({z}.a, {z}.b))"
         )
 
     parts = []

@@ -242,28 +242,30 @@ def test_bpe_batched_reaches_depth_and_is_disjoint_per_round(spark, sf_dir):
 
 
 def test_bpe_batched_round_accepts_only_disjoint(spark):
-    """Hand-pinned conflict window: candidates sharing a symbol with a
-    higher-ranked candidate are rejected, disjoint ones kept."""
-    from pyspark.sql import Window
+    """Hand-pinned conflict window using the REAL predicate: candidates
+    sharing a symbol with a higher-ranked candidate are rejected, as are
+    output↔operand cascades (round-10 ADVICE: ('th','e')→'the' feeding
+    ('the','r') is operand-disjoint yet non-commutative); truly
+    independent candidates are kept."""
+    from komodo_data_spark.operators.text_analysis import _bpe_conflicts
 
     # simulate one round's accept rule on a fixed candidate frame
     top = spark.createDataFrame(
         [
             ("a", "b", 100, 1),
-            ("b", "c", 90, 2),   # conflicts with rk1 (shares b)
-            ("d", "e", 80, 3),   # disjoint -> accepted
-            ("e", "f", 70, 4),   # conflicts with rk3 (shares e)
-            ("g", "a", 60, 5),   # conflicts with rk1 (shares a)
-            ("h", "i", 50, 6),   # disjoint -> accepted
+            ("b", "c", 90, 2),    # conflicts with rk1 (shares b)
+            ("d", "e", 80, 3),    # disjoint -> accepted
+            ("e", "f", 70, 4),    # conflicts with rk3 (shares e)
+            ("g", "a", 60, 5),    # conflicts with rk1 (shares a)
+            ("h", "i", 50, 6),    # disjoint -> accepted
+            ("ab", "x", 45, 7),   # rk1's OUTPUT 'ab' is its operand
+            ("y", "z", 40, 8),    # disjoint -> accepted
+            ("w", "hi", 35, 9),   # rk6's OUTPUT 'hi' is its operand
+            ("yz", "q", 30, 10),  # ITS operand is rk8's output 'yz'
         ],
         "a string, b string, wt long, rk int",
     )
-    conflict = (F.col("y.rk") < F.col("x.rk")) & (
-        (F.col("y.a") == F.col("x.a"))
-        | (F.col("y.a") == F.col("x.b"))
-        | (F.col("y.b") == F.col("x.a"))
-        | (F.col("y.b") == F.col("x.b"))
-    )
+    conflict = (F.col("y.rk") < F.col("x.rk")) & _bpe_conflicts("y", "x")
     acc = (
         top.alias("x")
         .join(top.alias("y"), conflict, "left_anti")
@@ -271,7 +273,7 @@ def test_bpe_batched_round_accepts_only_disjoint(spark):
         .collect()
     )
     assert sorted((r["a"], r["b"]) for r in acc) == [
-        ("a", "b"), ("d", "e"), ("h", "i")
+        ("a", "b"), ("d", "e"), ("h", "i"), ("y", "z")
     ]
 
 
