@@ -266,16 +266,29 @@ def _candidate_volume_frame(
     """The 1-row (v double) estimate frame behind
     :func:`join_candidate_volume`. Counts are cast to DOUBLE before the
     multiply/sum: a single hot key with >~3e9 rows per side wraps a
-    bigint product silently under non-ANSI Spark, turning the estimate
-    negative and failing the guard OPEN on exactly the adversarial
-    density it exists to refuse (round-10 ADVICE). The guard is a
-    threshold check, so double (exact to 2^53, monotone far beyond) is
-    sufficient."""
-    ca = a.groupBy(*keys).agg(F.count(F.lit(1)).cast("double").alias("ca"))
+    bigint product silently under non-ANSI Spark (and crashes under
+    ANSI), turning the estimate negative and failing the guard OPEN on
+    exactly the adversarial density it exists to refuse (round-10
+    ADVICE). The guard is a threshold check, so double (exact to 2^53,
+    monotone far beyond) is sufficient.
+
+    The two-sided form is ONE shuffle, not two-histograms-plus-a-join:
+    both sides union with a side tag and a single hash aggregate yields
+    (c_a, c_b) per key (round-10 verdict ask #3 — the guard pre-pass was
+    paying ~1.7 s of its ~1.7 s overhead rebuilding per-key counts)."""
     if b is None:
+        ca = a.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("double").alias("ca")
+        )
         return ca.agg(F.sum(F.col("ca") * F.col("ca")).alias("v"))
-    cb = b.groupBy(*keys).agg(F.count(F.lit(1)).cast("double").alias("cb"))
-    return ca.join(cb, keys).agg(F.sum(F.col("ca") * F.col("cb")).alias("v"))
+    u = a.select(
+        *keys, F.lit(1).alias("na"), F.lit(0).alias("nb")
+    ).unionByName(b.select(*keys, F.lit(0).alias("na"), F.lit(1).alias("nb")))
+    c = u.groupBy(*keys).agg(
+        F.sum("na").cast("double").alias("ca"),
+        F.sum("nb").cast("double").alias("cb"),
+    )
+    return c.agg(F.sum(F.col("ca") * F.col("cb")).alias("v"))
 
 
 #: Candidate-volume budget for the SimHash segment equi-joins (both the
@@ -1056,14 +1069,18 @@ def simhash_multiprobe_pairs(
     ``prefix_filtered_jaccard_pairs``.
     """
     if budget is not None:
-        sig = sig.cache()  # the estimate + both join sides read it
+        # eager localCheckpoint, not cache(): the estimate and both join
+        # sides read the materialized signatures, and the blocks are
+        # released by the ContextCleaner when the frame is GC'd — a
+        # cache() here outlived every successful invocation in a
+        # long-lived session (round-10 ADVICE)
+        sig = sig.localCheckpoint(eager=True)
     exact, probes = _simhash_multiprobe_frames(sig, bits, hmax)
     if budget is not None:
         est = join_candidate_volume(
             exact, ["seg_id", "seg_val"], probes
         )
         if est > budget:
-            sig.unpersist()
             raise CandidateVolumeError(
                 "simhash_multiprobe_pairs",
                 est,
@@ -1174,12 +1191,14 @@ def simhash_pigeonhole_pairs(
     widths = [bits // n_seg] * n_seg
     widths[-1] += bits % n_seg
     if budget is not None:
-        sig = sig.cache()  # estimate + join both read it
+        # eager localCheckpoint, not cache(): estimate + join read the
+        # materialized signatures; blocks are GC-released (no cache left
+        # behind by successful runs — round-10 ADVICE)
+        sig = sig.localCheckpoint(eager=True)
     segs = _simhash_pigeonhole_segs(sig, widths)
     if budget is not None:
         est = join_candidate_volume(segs, ["seg_id", "seg_val"])
         if est > budget:
-            sig.unpersist()
             raise CandidateVolumeError(
                 "simhash_pigeonhole_pairs",
                 est,
@@ -2045,12 +2064,15 @@ def dedup_fuzzy_prefix(
         ).alias("title"),
     )
     if budget is not None:
-        d = d.cache()  # estimate histograms + both join sides read it
+        # eager localCheckpoint, not cache(): the estimate and both join
+        # sides read the materialized (doc_id, title) frame; blocks are
+        # GC-released so successful runs leave no cache behind
+        # (round-10 ADVICE)
+        d = d.localCheckpoint(eager=True)
     seg, probe = _passjoin_frames(d)
     if budget is not None:
         est = join_candidate_volume(seg, ["l", "i", "s"], probe)
         if est > budget:
-            d.unpersist()
             raise CandidateVolumeError(
                 "dedup_fuzzy_prefix",
                 est,
