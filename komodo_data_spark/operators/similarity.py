@@ -1386,6 +1386,31 @@ def _ivfpq_fit(spark: SparkSession, sf_dir: str):
     return cells, picked.select("vec_id", "cell_id"), cents, codes
 
 
+def _ivfpq_fit_shared(spark: SparkSession, sf_dir: str):
+    """``_ivfpq_fit`` memoized per session (round-10 verdict ask #5):
+    ``knn_ivfpq_adc`` and ``knn_ivfpq_recall`` consume the SAME index —
+    one fit, both queries. The model frames (cells, codebooks) are
+    already checkpointed by the fit; the index frames (assignments,
+    codes) are checkpointed here so the second consumer re-reads the
+    built index instead of re-running coarse assignment + residual
+    coding — the in-session form of what ``publish_ivfpq_model`` +
+    the PQ store do across sessions. The fit is deterministic in
+    sf_dir (fixed init, fixed iterations), so a memo hit is
+    frame-identical to a refit."""
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        cells, picked, cents, codes = _ivfpq_fit(spark, sf_dir)
+        return (
+            cells,
+            picked.localCheckpoint(eager=True),
+            cents,
+            codes.localCheckpoint(eager=True),
+        )
+
+    return session_model(spark, "ivfpq", (sf_dir,), fit)
+
+
 def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN search — the production-standard composed index: probe
     the query's IVF_PROBES nearest coarse cells, ADC-score only their
@@ -1406,7 +1431,7 @@ def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_CELLS rows); nothing corpus-sized shuffles except the (vec_id)-keyed
     code reassembly that any PQ store pays once at build time.
     """
-    cells, assigned, cents, codes = _ivfpq_fit(spark, sf_dir)
+    cells, assigned, cents, codes = _ivfpq_fit_shared(spark, sf_dir)
     rrec = (
         codes.join(F.broadcast(cents), ["m", "cid"])
         .groupBy("vec_id")

@@ -643,16 +643,23 @@ def _bpe_syms(w) -> "F.Column":
     )
 
 
+def _bpe_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus word stream (doc_id, word) every BPE consumer reads —
+    one scan + explode, separator-byte words excluded (the documented
+    ``_BPE_SEP`` contract)."""
+    d = _docs(spark, sf_dir).select("doc_id", tokens().alias("toks"))
+    return exploded(d, F.col("toks"), "word", "doc_id").filter(
+        (F.length("word") > 0) & ~F.col("word").contains(_BPE_SEP)
+    )
+
+
 def _bpe_corpus_vocab(spark: SparkSession, sf_dir: str):
     """The one corpus-sized BPE stage, shared by the exact and batched
     trainers: explode tokens, build the weighted word vocabulary
     (localCheckpointed — without this the unrolled rounds re-run the
     corpus explode per round, measured 15 s → 1.3 s at sf0.1), and wrap
     each word into its symbol-string form. Returns (toks, cur)."""
-    d = _docs(spark, sf_dir).select("doc_id", tokens().alias("toks"))
-    toks = exploded(d, F.col("toks"), "word", "doc_id").filter(
-        (F.length("word") > 0) & ~F.col("word").contains(_BPE_SEP)
-    )
+    toks = _bpe_corpus_tokens(spark, sf_dir)
     vocab = (
         toks.groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -998,6 +1005,126 @@ def _bpe_fit_batched(
     return toks, cur, merges
 
 
+def _bpe_fit_shared(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = BPE_BATCH_ROUNDS,
+    topc: int = BPE_BATCH_TOPC,
+):
+    """(cur, merges) of the batched fit, ONE fit per session (round-10
+    verdict ask #1): the trainer is deterministic in (sf_dir, geometry),
+    so the four registry consumers (merge table, train_apply, encode,
+    packed sequences) share the memoized model frames instead of
+    re-running the ~10 s fit each — a real pipeline trains once and
+    applies everywhere. Both frames are already materialized: ``cur``
+    (types-bounded) by the fit's final-round localCheckpoint, ``merges``
+    (≤ rounds·topc rows) checkpointed here. Cross-session sharing is the
+    parquet form: :func:`text_bpe_publish` / :func:`text_bpe_apply_published`."""
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        _toks, cur, merges = _bpe_fit_batched(spark, sf_dir, rounds, topc)
+        return cur, merges.localCheckpoint(eager=True)
+
+    return session_model(
+        spark,
+        "bpe_batched",
+        (sf_dir, rounds, topc, BPE_BATCH_WAVES),
+        fit,
+    )
+
+
+def _bpe_merges_store_path(model_path: str) -> str:
+    import os
+
+    return os.path.join(model_path, "merges")
+
+
+def text_bpe_publish(
+    spark: SparkSession, sf_dir: str, model_path: str
+) -> None:
+    """Freeze the batched-BPE tokenizer trained on ``sf_dir``: a
+    scan-heavy fit followed by a TINY parquet write — the merge table
+    (rank, a, b), ≤ rounds·topc rows — mirroring
+    ``publish_ivfpq_model`` (streaming/ann_pq_incremental.py). The merge
+    table IS the model: every consumer re-derives the fitted vocabulary
+    by folding the merges in rank order (see
+    :func:`_bpe_apply_merge_table`), exactly how published BPE encoders
+    (the tokenizers library's merges.txt) apply."""
+    _cur, merges = _bpe_fit_shared(spark, sf_dir)
+    merges.write.mode("overwrite").parquet(_bpe_merges_store_path(model_path))
+
+
+def read_bpe_model(spark: SparkSession, model_path: str) -> DataFrame:
+    """The published merge table (rank, a, b) — tiny, meant to be
+    broadcast by every consumer."""
+    return spark.read.parquet(_bpe_merges_store_path(model_path))
+
+
+def _bpe_apply_merge_table(vocab: DataFrame, merges: DataFrame) -> DataFrame:
+    """Apply a (rank, a, b) merge table to a wrapped-word vocabulary:
+    one broadcast of the rank-sorted merge structs folded over each
+    word's symbol string. Sequential rank-order application reproduces
+    the trainer's final vocabulary EXACTLY: within a round the accepted
+    set is pairwise conflict-free (no shared operands, no
+    output↔operand cascades — ``_bpe_conflicts``), so the one combined
+    pass the trainer ran equals this sequential fold restricted to that
+    round, and rounds compose in order. Pinned by
+    tests/test_round11_ops."""
+    sep = _BPE_SEP
+    ms = merges.select(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rank").alias("rk"), "a", "b"))
+        ).alias("ms")
+    )
+    return (
+        vocab.crossJoin(F.broadcast(ms))
+        .withColumn(
+            "w",
+            F.aggregate(
+                "ms",
+                F.col("w"),
+                lambda w, m: F.replace(
+                    w,
+                    F.concat(
+                        F.lit(sep), m["a"], F.lit(sep * 2), m["b"],
+                        F.lit(sep),
+                    ),
+                    F.concat(F.lit(sep), m["a"], m["b"], F.lit(sep)),
+                ),
+            ),
+        )
+        .drop("ms")
+    )
+
+
+def text_bpe_apply_published(
+    spark: SparkSession, sf_dir: str, model_path: str
+) -> DataFrame:
+    """``text_bpe_batched_train_apply``'s output against a PUBLISHED
+    frozen tokenizer — the cross-session production form: no fit, one
+    corpus scan, the merge fold, the broadcast apply join. Fails fast
+    with the store-precondition error when the model was never
+    published (``require_store``, same contract as the ANN PQ store)."""
+    from komodo_data_spark.streaming.stores import require_store
+
+    require_store(
+        spark, _bpe_merges_store_path(model_path), "BPE merge table"
+    )
+    merges = read_bpe_model(spark, model_path)
+    toks, vocab = _bpe_corpus_vocab(spark, sf_dir)
+    cur = _bpe_apply_merge_table(vocab, merges)
+    fitted = cur.select("word", F.size(_bpe_syms("w")).alias("n_syms"))
+    return (
+        toks.join(F.broadcast(fitted), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batched trainer's merge table — (rank, a, b) in acceptance
     order. Same artifact shape as ``text_bpe_merges`` but learned at
@@ -1006,7 +1133,7 @@ def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer IS the exact trainer (one candidate, no conflicts, count
     refresh between every merge) — pinned by
     tests/test_round10_ops equivalence."""
-    _toks, _cur, merges = _bpe_fit_batched(spark, sf_dir)
+    _cur, merges = _bpe_fit_shared(spark, sf_dir)
     return merges.orderBy("rank")
 
 
@@ -1019,8 +1146,10 @@ def text_bpe_batched_train_apply(
     economics twin of ``text_bpe_train_apply`` at realistic merge depth.
     Application is the same broadcast join of the fitted
     (word → n_symbols) table onto the exploded corpus tokens; only the
-    fit differs (see ``_bpe_fit_batched``)."""
-    toks, cur, _merges = _bpe_fit_batched(spark, sf_dir)
+    fit differs (``_bpe_fit_shared`` — one fit per session, shared with
+    the merge-table/encode/packed consumers)."""
+    toks = _bpe_corpus_tokens(spark, sf_dir)
+    cur, _merges = _bpe_fit_shared(spark, sf_dir)
     fitted = cur.select("word", F.size(_bpe_syms("w")).alias("n_syms"))
     return (
         toks.join(F.broadcast(fitted), "word")
@@ -1063,15 +1192,16 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing; this materializes the sequences they price), and joined to
     ``token_packing_sequences``'s offsets it becomes real packed input.
 
-    Scale design: the fit is ``_bpe_fit_batched`` (vocab-bounded rounds);
-    encoding is a broadcast join of the fitted (word → symbol array)
-    table onto the position-preserving corpus explode, then one more
-    posexplode — all map-side after the join, ordering carried by
-    explicit (pos, sym_pos) columns rather than any sort. Words
-    containing the separator byte are excluded from training AND
-    encoding (the documented ``_BPE_SEP`` contract).
+    Scale design: the fit is ``_bpe_fit_shared`` (vocab-bounded rounds,
+    one fit per session shared across the BPE family); encoding is a
+    broadcast join of the fitted (word → symbol array) table onto the
+    position-preserving corpus explode, then one more posexplode — all
+    map-side after the join, ordering carried by explicit
+    (pos, sym_pos) columns rather than any sort. Words containing the
+    separator byte are excluded from training AND encoding (the
+    documented ``_BPE_SEP`` contract).
     """
-    toks_unused, cur, _merges = _bpe_fit_batched(spark, sf_dir)
+    cur, _merges = _bpe_fit_shared(spark, sf_dir)
     fitted = cur.select("word", _bpe_syms("w").alias("syms"))
     d = (
         _docs(spark, sf_dir)
@@ -1132,7 +1262,8 @@ def text_bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose language-stream start offset is s sits at
     seq_id = (s+i) div L, seq_pos = (s+i) mod L. All integer arithmetic.
 
-    Scale design: the fit is vocab-bounded (``_bpe_fit_batched``);
+    Scale design: the fit is vocab-bounded (``_bpe_fit_shared`` — one
+    fit per session shared across the BPE family);
     encoding is a broadcast join + posexplode; the per-doc token index
     is a window PARTITIONED BY doc_id (parallel — never a global sort);
     doc start offsets use ``token_packing_sequences``'s two-stage
@@ -1148,7 +1279,7 @@ def text_bpe_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         PACK_SEQ_LEN,
     )
 
-    _toks, cur, _merges = _bpe_fit_batched(spark, sf_dir)
+    cur, _merges = _bpe_fit_shared(spark, sf_dir)
     fitted = cur.select("word", _bpe_syms("w").alias("syms"))
     d = (
         _docs(spark, sf_dir)

@@ -55,7 +55,7 @@ from komodo_data_spark.operators.similarity import (
     IVF_PROBES,
     TOP_K,
     _cos_pre,
-    _ivfpq_fit,
+    _ivfpq_fit_shared,
     _nrm,
     _pq_subvectors,
     _sqdist,
@@ -80,7 +80,7 @@ def publish_ivfpq_model(
     geometry: coarse cells (cid, ce) and residual codebooks (m, cid, ce).
     Both frames are model-sized (KMEANS_K and PQ_M·IVFPQ_K rows), so the
     publish is a scan-heavy fit with a tiny write."""
-    cells, _, cents, _ = _ivfpq_fit(spark, sf_dir)
+    cells, _, cents, _ = _ivfpq_fit_shared(spark, sf_dir)
     cells.write.mode("overwrite").parquet(_cells_path(model_path))
     cents.write.mode("overwrite").parquet(_codebooks_path(model_path))
 

@@ -54,3 +54,80 @@ def test_candidate_volume_double_fold_survives_int64_wrap(spark):
         F.sum(F.col("ca").cast("double") * F.col("cb")).alias("v")
     ).first()["v"]
     assert ok == pytest.approx(1.6e19)
+
+
+# ---------------------------------------------------------------------------
+# shared model fits: BPE publish/apply + session memo (round-10 verdict
+# asks #1 and #5)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_fit_shared_memoizes(spark, sf_dir):
+    """Two calls in one session return the SAME materialized frames — the
+    four registry consumers share one fit."""
+    from komodo_data_spark.operators.text_analysis import _bpe_fit_shared
+
+    a = _bpe_fit_shared(spark, sf_dir)
+    b = _bpe_fit_shared(spark, sf_dir)
+    assert a[0] is b[0] and a[1] is b[1]
+
+
+def test_bpe_published_apply_equals_refit(spark, sf_dir, tmp_path):
+    """publish → apply_published reproduces the in-session train_apply
+    exactly: the merge table IS the model."""
+    from komodo_data_spark.operators.text_analysis import (
+        text_bpe_apply_published,
+        text_bpe_batched_train_apply,
+        text_bpe_publish,
+    )
+
+    mp = str(tmp_path / "bpe_model")
+    text_bpe_publish(spark, sf_dir, mp)
+    pub = sorted(
+        map(tuple, text_bpe_apply_published(spark, sf_dir, mp).collect())
+    )
+    ref = sorted(
+        map(tuple, text_bpe_batched_train_apply(spark, sf_dir).collect())
+    )
+    assert pub == ref
+
+
+def test_bpe_apply_published_requires_store(spark, sf_dir, tmp_path):
+    """Missing model store fails fast with the precondition error, same
+    contract as the ANN PQ store."""
+    from komodo_data_spark.operators.text_analysis import (
+        text_bpe_apply_published,
+    )
+
+    with pytest.raises(RuntimeError, match="never been published"):
+        text_bpe_apply_published(spark, sf_dir, str(tmp_path / "missing"))
+
+
+def test_bpe_merge_fold_reproduces_trainer_vocab(spark, sf_dir):
+    """Folding the published merge table in rank order over the RAW
+    wrapped vocabulary reproduces the trainer's final vocabulary exactly
+    — the conflict-free-per-round property that makes a merge list a
+    complete model (and what the cascade-conflict predicate protects)."""
+    from komodo_data_spark.operators.text_analysis import (
+        _bpe_apply_merge_table,
+        _bpe_corpus_vocab,
+        _bpe_fit_shared,
+    )
+
+    cur, merges = _bpe_fit_shared(spark, sf_dir)
+    _toks, vocab = _bpe_corpus_vocab(spark, sf_dir)
+    folded = _bpe_apply_merge_table(vocab, merges)
+    a = sorted((r["word"], r["w"]) for r in cur.select("word", "w").collect())
+    b = sorted(
+        (r["word"], r["w"]) for r in folded.select("word", "w").collect()
+    )
+    assert a == b
+
+
+def test_ivfpq_fit_shared_memoizes(spark, sf_dir):
+    """knn_ivfpq_adc and knn_ivfpq_recall consume one index build."""
+    from komodo_data_spark.operators.similarity import _ivfpq_fit_shared
+
+    a = _ivfpq_fit_shared(spark, sf_dir)
+    b = _ivfpq_fit_shared(spark, sf_dir)
+    assert all(x is y for x, y in zip(a, b))
