@@ -69,6 +69,44 @@ WARMUP_AT_BENCH_SF = (
 )
 
 
+def _host_sample() -> dict:
+    """One host-contention sample (round-10 verdict ask #7): cumulative
+    steal jiffies + total jiffies from /proc/stat and the 1-min loadavg.
+    The bench rig is a multi-tenant guest — the r9 1.45× envelope cost
+    two rounds of triage before being pinned on hypervisor steal bursts
+    (BASELINE.md "Round-9→10 bench-envelope triage") — so every bench
+    run now records its own contention evidence."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        vals = [int(v) for v in parts[1:]]
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        return {
+            "jiffies_total": sum(vals),
+            "jiffies_steal": vals[7] if len(vals) > 7 else 0,
+            "load1": load1,
+        }
+    except OSError:  # non-Linux dev box: telemetry absent, bench still runs
+        return {}
+
+
+def _host_report(pre: dict, post: dict) -> dict:
+    """steal%% over the run plus the pre/post 1-min loadavg, and the
+    contaminated-run flag (criterion in BASELINE.md: >=1%% of CPU time
+    stolen by the hypervisor during the run)."""
+    if not pre or not post:
+        return {}
+    dt = max(1, post["jiffies_total"] - pre["jiffies_total"])
+    steal_pct = round(
+        100.0 * (post["jiffies_steal"] - pre["jiffies_steal"]) / dt, 3
+    )
+    return {
+        "steal_pct": steal_pct,
+        "load1_pre": pre["load1"],
+        "load1_post": post["load1"],
+        "contaminated": steal_pct >= 1.0,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -110,6 +148,7 @@ def main() -> int:
                 pass
             spark.catalog.clearCache()
 
+    host_pre = _host_sample()
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
@@ -124,6 +163,7 @@ def main() -> int:
         # storage, and the 131-query run can't accumulate memory pressure.
         spark.catalog.clearCache()
 
+    host = _host_report(host_pre, _host_sample())
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 4)
     failed = sorted(n for n, v in timings.items() if v < 0)
@@ -143,6 +183,7 @@ def main() -> int:
         "n_queries": len(timings),
         "n_failed": len(failed),
         "failed": failed,
+        "host": host,
         "queries": timings,
     }
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -180,6 +221,7 @@ def main() -> int:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": len(failed),
+                "host": host,
                 "detail": "BENCH_DETAIL.json",
             }
         )

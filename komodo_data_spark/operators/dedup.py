@@ -1249,6 +1249,106 @@ def simhash_pigeonhole_pairs(
     )
 
 
+#: Per-(seg_id, seg_val) bucket occupancy cap for the DEGRADED-BUT-RUNNING
+#: pigeonhole twin. Σ over kept buckets of c² ≤ cap·Σc = cap·n_seg·n — a
+#: LINEAR candidate bound at any corpus size, so the capped form runs the
+#: decades where the exact form's guard refuses (round-10 verdict ask #2).
+SIMHASH_SEG_CAP = 256
+
+
+def simhash_pigeonhole_pairs_capped(
+    sig: DataFrame,
+    bits: int = SIMHASH_BITS,
+    hmax: int = HAMMING_MAX,
+    key_cap: int = SIMHASH_SEG_CAP,
+) -> DataFrame:
+    """Degraded-but-running twin of :func:`simhash_pigeonhole_pairs`
+    (round-10 verdict ask #2): segment buckets holding more than
+    ``key_cap`` signatures are DROPPED before the self-join, bounding
+    candidate volume at cap·n_seg·n (linear) instead of Σc² (quadratic
+    on a degenerate signature distribution) — so this form runs at sf10
+    where the exact form refuses with `CandidateVolumeError`, returning
+    the high-confidence subset (`dedup_ngram_pairs_capped` semantics).
+
+    What the cap costs: pairs whose ONLY agreeing segments are hot
+    buckets. Survivors are verified with the exact Hamming distance, so
+    precision is unchanged — every emitted pair is a true
+    hamming<=hmax pair and the capped output is a SUBSET of the exact
+    detector's (the recall twin measures the gap). Pair dedup is the
+    min-hamming aggregate (not the first-agree filter: a pair's first
+    agreeing segment may be a dropped hot bucket while a later rare
+    one emitted it)."""
+    n_seg = hmax + 1
+    widths = [bits // n_seg] * n_seg
+    widths[-1] += bits % n_seg
+    # checkpoint: the bucket histogram + both join sides read the segs
+    segs = _simhash_pigeonhole_segs(sig, widths).localCheckpoint(eager=True)
+    ok = (
+        segs.groupBy("seg_id", "seg_val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= key_cap)
+        .select("seg_id", "seg_val")
+    )
+    sr = segs.join(ok, ["seg_id", "seg_val"], "left_semi")
+    return (
+        sr.alias("a")
+        .join(sr.alias("b"), ["seg_id", "seg_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= hmax)
+        .groupBy(
+            F.col("a.doc_id").alias("doc_i"),
+            F.col("b.doc_id").alias("doc_j"),
+        )
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
+def sql_pigeonhole_capped_pairs(
+    sig_cte: str, bits: int, hmax: int, key_cap: int
+) -> str:
+    """DuckDB twin of :func:`simhash_pigeonhole_pairs_capped` over a CTE
+    named ``sig_cte`` with (doc_id, simhash): unrolled segment VALUES,
+    bucket-occupancy filter, self-join, exact-Hamming verify, min-hamming
+    pair dedup."""
+    n_seg = hmax + 1
+    widths = [bits // n_seg] * n_seg
+    widths[-1] += bits % n_seg
+    offs, off = [], 0
+    for w in widths:
+        offs.append(off)
+        off += w
+    vals = ", ".join(
+        f"({sid}, {offs[sid]}, {widths[sid]})" for sid in range(n_seg)
+    )
+    return f"""
+    seg AS (
+      SELECT doc_id, simhash, t.seg_id,
+             (simhash >> t.o) & ((1::BIGINT << t.w) - 1) AS seg_val
+      FROM {sig_cte}, (VALUES {vals}) AS t(seg_id, o, w)
+    ),
+    ok AS (
+      SELECT seg_id, seg_val FROM seg
+      GROUP BY seg_id, seg_val HAVING count(*) <= {key_cap}
+    ),
+    sr AS (
+      SELECT seg.* FROM seg SEMI JOIN ok
+        ON seg.seg_id = ok.seg_id AND seg.seg_val = ok.seg_val
+    )
+    SELECT doc_i, doc_j, min(hamming) AS hamming FROM (
+      SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sr a JOIN sr b
+        ON a.seg_id = b.seg_id AND a.seg_val = b.seg_val
+       AND a.doc_id < b.doc_id
+    ) WHERE hamming <= {hmax}
+    GROUP BY doc_i, doc_j
+    """
+
+
 def _sql_simhash64_sig() -> str:
     """DuckDB twin of :func:`_simhash_signatures64` over the 3-gram shingle
     postings: one md5 per (doc, shingle), 64 per-bit vote sums, majority
@@ -1874,6 +1974,14 @@ def registry():
             dedup_embedding_recall_oracle(),
         ),
         "dedup_fuzzy_prefix": (dedup_fuzzy_prefix, dedup_fuzzy_prefix_oracle()),
+        "dedup_fuzzy_prefix_capped": (
+            dedup_fuzzy_prefix_capped,
+            dedup_fuzzy_prefix_capped_oracle(),
+        ),
+        "dedup_fuzzy_capped_recall": (
+            dedup_fuzzy_capped_recall,
+            dedup_fuzzy_capped_recall_oracle(),
+        ),
         "dedup_substring_spans": (
             dedup_substring_spans,
             dedup_substring_spans_oracle(),
@@ -2123,6 +2231,187 @@ def dedup_fuzzy_prefix_oracle() -> str:
       ON a.doc_id < b.doc_id
      AND abs(length(a.title) - length(b.title)) <= {FUZZY_MAX_DIST}
     WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_DIST}
+    """
+
+
+#: Per-(l, i, s) key occupancy cap (each side) for the degraded-but-
+#: running PassJoin twin. With both sides capped, Σ c_seg·c_probe over
+#: kept keys ≤ cap·Σc_seg = cap·4n — linear at any corpus size (the
+#: exact form's sf10 estimate on this corpus is 4.4e9 > the 2e9 budget).
+FUZZY_KEY_CAP = 64
+
+
+def dedup_fuzzy_prefix_capped(
+    spark: SparkSession, sf_dir: str, key_cap: int = FUZZY_KEY_CAP
+) -> DataFrame:
+    """Degraded-but-running twin of :func:`dedup_fuzzy_prefix` (round-10
+    verdict ask #2): PassJoin segment keys whose occupancy exceeds
+    ``key_cap`` on EITHER side are dropped before the candidate join,
+    bounding candidates at cap·4n (linear) instead of the Σ c_seg·c_probe
+    that trips the exact form's guard at sf10 — this form runs every
+    decade and returns the high-confidence subset
+    (``dedup_ngram_pairs_capped`` semantics).
+
+    What the cap costs: pairs whose EVERY shared segment key is hot —
+    mass-duplicated title templates (which the cheap exact-title dedup
+    pass catches first in a real pipeline) and ultra-common short-title
+    fragments. Survivors are verified with the exact thresholded
+    levenshtein, so precision is unchanged and the output is a SUBSET of
+    the exact detector's; ``dedup_fuzzy_capped_recall`` measures the gap.
+    """
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(tokens(), 1, FUZZY_PREFIX_TOKENS)
+        ).alias("title"),
+    )
+    # checkpoint: the key histogram + both join sides read the titles
+    d = d.localCheckpoint(eager=True)
+    seg, probe = _passjoin_frames(d)
+    keys = ["l", "i", "s"]
+    u = seg.select(
+        *keys, F.lit(1).alias("na"), F.lit(0).alias("nb")
+    ).unionByName(
+        probe.select(*keys, F.lit(0).alias("na"), F.lit(1).alias("nb"))
+    )
+    ok = (
+        u.groupBy(*keys)
+        .agg(F.sum("na").alias("ca"), F.sum("nb").alias("cb"))
+        .filter((F.col("ca") <= key_cap) & (F.col("cb") <= key_cap))
+        .select(*keys)
+    )
+    seg_r = seg.join(ok, keys, "left_semi")
+    probe_r = probe.join(ok, keys, "left_semi")
+    return (
+        seg_r.alias("a")
+        .join(probe_r.alias("b"), keys)
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_i"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_j"),
+            F.levenshtein(
+                F.col("a.title"), F.col("b.title"), FUZZY_MAX_DIST
+            ).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+        .distinct()
+    )
+
+
+def dedup_fuzzy_prefix_capped_oracle(key_cap: int = FUZZY_KEY_CAP) -> str:
+    """Unlike the exact form (whose oracle is the levenshtein DEFINITION
+    — the candidate scheme is complete so the scheme is invisible), the
+    cap is PART of the semantics, so this oracle mirrors the PassJoin
+    key construction: same segment layout arithmetic, same ±k probe
+    windows, same both-sides occupancy filter, then the exact verify."""
+    t = sql_tokens()
+    nseg, k = _FUZZY_NSEG, FUZZY_MAX_DIST
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+        array_to_string(({t})[1:{FUZZY_PREFIX_TOKENS}], ' ') AS title
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, title, length(title) AS l, i,
+        substr(title,
+          (i * (length(title) // {nseg})
+             + greatest(0, i - ({nseg} - length(title) % {nseg})))::INT + 1,
+          ((length(title) // {nseg})
+             + CASE WHEN i >= {nseg} - length(title) % {nseg}
+                    THEN 1 ELSE 0 END)::INT
+        ) AS s
+      FROM d, unnest(range(0, {nseg})) AS ti(i)
+    ),
+    probe AS (
+      SELECT doc_id, title, l, i, substr(title, q::INT + 1, n::INT) AS s
+      FROM (
+        SELECT doc_id, title, length(title) - loff AS l, i,
+               (i * ((length(title) - loff) // {nseg})
+                  + greatest(0, i - ({nseg} - (length(title) - loff)
+                                              % {nseg}))
+                  + delta) AS q,
+               ((length(title) - loff) // {nseg}
+                  + CASE WHEN i >= {nseg} - (length(title) - loff) % {nseg}
+                         THEN 1 ELSE 0 END) AS n
+        FROM d,
+             unnest(range(0, {k + 1})) AS tl(loff),
+             unnest(range(0, {nseg})) AS ti(i),
+             unnest(range(-{k}, {k + 1})) AS td(delta)
+      )
+      WHERE l >= 0 AND q >= 0 AND q + n <= length(title)
+    ),
+    kc AS (
+      SELECT l, i, s,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+      FROM (SELECT l, i, s, 0 AS side FROM seg
+            UNION ALL SELECT l, i, s, 1 AS side FROM probe)
+      GROUP BY l, i, s
+    ),
+    ok AS (SELECT l, i, s FROM kc
+           WHERE ca <= {key_cap} AND cb <= {key_cap}),
+    cand AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_i,
+                      greatest(a.doc_id, b.doc_id) AS doc_j
+      FROM (SELECT seg.* FROM seg SEMI JOIN ok
+              ON seg.l = ok.l AND seg.i = ok.i AND seg.s = ok.s) a
+      JOIN (SELECT probe.* FROM probe SEMI JOIN ok
+              ON probe.l = ok.l AND probe.i = ok.i AND probe.s = ok.s) b
+        ON a.l = b.l AND a.i = b.i AND a.s = b.s
+       AND a.doc_id <> b.doc_id
+    )
+    SELECT DISTINCT doc_i, doc_j,
+           levenshtein(da.title, db.title) AS edit_dist
+    FROM cand
+    JOIN d da ON da.doc_id = doc_i
+    JOIN d db ON db.doc_id = doc_j
+    WHERE levenshtein(da.title, db.title) <= {FUZZY_MAX_DIST}
+    """
+
+
+def dedup_fuzzy_capped_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the PassJoin key cap costs, measured: the capped detector's
+    pairs are a SUBSET of the exact detector's (same levenshtein verify,
+    fewer candidate keys), so recall = |capped| / |exact| prices the cap
+    directly. An EVAL op: it runs the exact form too, so it lives in the
+    decades where the exact form still runs (<= sf1 on this corpus); the
+    capped DETECTOR alone is the sf10 path. The cap-sweep artifact
+    (scripts/recall_vs_cap.py → RECALL_VS_CAP.json) extends this single
+    point to the recall-vs-budget curve."""
+    truth = dedup_fuzzy_prefix(spark, sf_dir).select("doc_i", "doc_j").cache()
+    det = (
+        dedup_fuzzy_prefix_capped(spark, sf_dir)
+        .select("doc_i", "doc_j")
+        .cache()
+    )
+    return _detector_recall_counts(
+        truth, det, "n_capped_pairs", release=(truth, det)
+    )
+
+
+def dedup_fuzzy_capped_recall_oracle() -> str:
+    return f"""
+    WITH truth AS (
+      SELECT doc_i, doc_j FROM ({dedup_fuzzy_prefix_oracle()})
+    ),
+    det AS (
+      SELECT doc_i, doc_j FROM ({dedup_fuzzy_prefix_capped_oracle()})
+    ),
+    hit AS (
+      SELECT t.doc_i, t.doc_j FROM truth t
+      WHERE EXISTS (
+        SELECT 1 FROM det d
+        WHERE d.doc_i = t.doc_i AND d.doc_j = t.doc_j
+      )
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM det) AS n_capped_pairs,
+           (SELECT count(*) FROM hit) AS n_hit_pairs,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN (SELECT count(*) FROM hit)::DOUBLE
+                     / (SELECT count(*) FROM truth)
+                ELSE NULL END AS recall
     """
 
 

@@ -291,6 +291,14 @@ def registry():
             media_simhash_recall,
             media_simhash_recall_oracle(),
         ),
+        "media_simhash_pairs_capped": (
+            media_simhash_pairs_capped,
+            media_simhash_pairs_capped_oracle(),
+        ),
+        "media_simhash_capped_recall": (
+            media_simhash_capped_recall,
+            media_simhash_capped_recall_oracle(),
+        ),
     }
 
 
@@ -501,6 +509,12 @@ MEDIA_GRAM = 4  # byte n-gram width for the frame-content fingerprint
 MEDIA_SIMHASH_BITS = 32
 MEDIA_HAMMING_MAX = 2
 
+#: Segment-bucket occupancy cap for the degraded-but-running media twin
+#: (`media_simhash_pairs_capped`): candidates bounded at cap·n_seg·n —
+#: linear, so the capped form runs the sf10 decade where the exact
+#: form's guard refuses (3.5e9 estimated candidates on this corpus).
+MEDIA_SEG_CAP = 256
+
 
 def media_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-duplicate media pairs — the fuzzy upgrade of
@@ -563,12 +577,15 @@ def _media_gram_toks():
     )
 
 
-def media_simhash_pairs_oracle() -> str:
+def _media_sig_ctes() -> str:
+    """The shared oracle CTE chain ending in ``sig`` (doc_id, simhash) —
+    frame grid, byte 4-grams, 32-bit SimHash — consumed by the exact
+    pairs oracle, the capped pairs oracle, and the recall twins."""
     from komodo_data_spark.functions.text_features import sql_simhash
 
     sh = sql_simhash("grams", MEDIA_SIMHASH_BITS)
     return f"""
-    WITH d AS (
+    d AS (
       SELECT doc_id, text,
              ceil(length(text) / {FRAME_BYTES}.0)::BIGINT AS n_frames
       FROM documents WHERE text IS NOT NULL AND length(text) > 0
@@ -587,11 +604,106 @@ def media_simhash_pairs_oracle() -> str:
     sig AS (
       SELECT doc_id, {sh} AS simhash
       FROM (SELECT doc_id, list(gram) AS grams FROM gr GROUP BY doc_id)
-    )
+    )"""
+
+
+def media_simhash_pairs_oracle() -> str:
+    return f"""
+    WITH {_media_sig_ctes()}
     SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {MEDIA_HAMMING_MAX}
+    """
+
+
+def media_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degraded-but-running twin of ``media_simhash_pairs`` (round-10
+    verdict ask #2): same 32-bit frame-gram signatures, pairs from the
+    CAPPED pigeonhole join (`dedup.simhash_pigeonhole_pairs_capped`) —
+    segment buckets above MEDIA_SEG_CAP occupancy are dropped, bounding
+    candidates at cap·3n (linear) where the exact form's guard refuses
+    at sf10 (3.5e9 estimated candidates on this corpus). Survivors are
+    verified with the exact Hamming distance, so the output is a subset
+    of the exact detector's; ``media_simhash_capped_recall`` measures
+    the gap."""
+    from komodo_data_spark.operators.dedup import (
+        _simhash_signatures,
+        simhash_pigeonhole_pairs_capped,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    sig = _simhash_signatures(
+        d.withColumn("toks", _media_gram_toks()).filter(F.size("toks") > 0)
+    )
+    return simhash_pigeonhole_pairs_capped(
+        sig,
+        bits=MEDIA_SIMHASH_BITS,
+        hmax=MEDIA_HAMMING_MAX,
+        key_cap=MEDIA_SEG_CAP,
+    )
+
+
+def media_simhash_pairs_capped_oracle() -> str:
+    from komodo_data_spark.operators.dedup import sql_pigeonhole_capped_pairs
+
+    body = sql_pigeonhole_capped_pairs(
+        "sig", MEDIA_SIMHASH_BITS, MEDIA_HAMMING_MAX, MEDIA_SEG_CAP
+    )
+    return f"""
+    WITH {_media_sig_ctes()},
+    {body}
+    """
+
+
+def media_simhash_capped_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What the media segment-bucket cap costs, measured: the capped
+    detector's pairs are a subset of the exact pigeonhole detector's
+    (same signatures, same Hamming verify), so
+    recall = |capped| / |exact| prices the cap directly. An EVAL op —
+    it runs the exact form too, so it lives in the decades where the
+    exact form still runs; the capped detector alone is the sf10 path.
+    The cap-sweep artifact (scripts/recall_vs_cap.py →
+    RECALL_VS_CAP.json) extends this point to the full curve."""
+    from komodo_data_spark.operators.dedup import _detector_recall_counts
+
+    truth = media_simhash_pairs(spark, sf_dir).select("doc_i", "doc_j").cache()
+    det = (
+        media_simhash_pairs_capped(spark, sf_dir)
+        .select("doc_i", "doc_j")
+        .cache()
+    )
+    return _detector_recall_counts(
+        truth, det, "n_capped_pairs", release=(truth, det)
+    )
+
+
+def media_simhash_capped_recall_oracle() -> str:
+    return f"""
+    WITH truth AS (
+      SELECT doc_i, doc_j FROM ({media_simhash_pairs_oracle()})
+    ),
+    det AS (
+      SELECT doc_i, doc_j FROM ({media_simhash_pairs_capped_oracle()})
+    ),
+    hit AS (
+      SELECT t.doc_i, t.doc_j FROM truth t
+      WHERE EXISTS (
+        SELECT 1 FROM det d
+        WHERE d.doc_i = t.doc_i AND d.doc_j = t.doc_j
+      )
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM det) AS n_capped_pairs,
+           (SELECT count(*) FROM hit) AS n_hit_pairs,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN (SELECT count(*) FROM hit)::DOUBLE
+                     / (SELECT count(*) FROM truth)
+                ELSE NULL END AS recall
     """
 
 

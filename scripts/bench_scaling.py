@@ -116,6 +116,95 @@ CANDIDATE_COST_BY_DATA = {
     " (trips at sf10, evidence below)",
 }
 
+def norm_ratio(t_hi, n_hi, t_lo, n_lo):
+    """Per-emitted-row (or per-candidate) time ratio across a decade;
+    None when either side lacks positive time and rows."""
+    if None in (t_hi, t_lo, n_hi, n_lo):
+        return None
+    if min(t_hi, t_lo) <= 0 or min(n_hi, n_lo) <= 0:
+        return None
+    return round((t_hi / n_hi) / (t_lo / n_lo), 2)
+
+
+def classify_flags(queries: dict, cand_vol: dict) -> list:
+    """The ONE decade-gate classification ladder, shared by the live
+    bench (main below) and scripts/reflag_scaling.py (round-10 ADVICE:
+    the reflag script hand-duplicated this and the copies would drift,
+    silently reclassifying stored artifacts under stale rules).
+
+    Operates on the per-query dicts AFTER the time/ratio/rows/norm
+    fields are filled in (the live bench computes them from fresh
+    measurements; reflag reads them from the stored artifact). Mutates
+    the gate-exempt bookkeeping fields for the candidate-cost gate and
+    returns the sorted flag list. ``-2.0`` is the classified-guard-
+    refusal sentinel: recorded in guard_refusals, never flagged."""
+    flagged = []
+    for name, q in queries.items():
+        ts, tl = q["t_sf0.01"], q["t_sf0.1"]
+        ratio = q.get("ratio")
+        if (ts < 0 and ts != -2.0) or (tl < 0 and tl != -2.0):
+            # a query that errors at either scale (an OOM only at sf0.1
+            # is the exact superlinear signature this gate exists to
+            # catch) must FLAG, not silently fall out of the ratio math
+            flagged.append(name)
+        elif ratio is not None and ratio > RATIO_GATE and (
+            ts > T01_FLOOR or tl > T_ABS_CEILING
+        ):
+            # the absolute ceiling catches a quadratic op with a small
+            # constant (0.1 s → 30 s, ratio 300) that the noise floor
+            # would otherwise wave through (review finding)
+            flagged.append(name)
+        if "t_sf1" in q:
+            # second decade: sf0.1 → sf1 under the same gate
+            txl = q["t_sf1"]
+            ratio1 = q.get("ratio_sf1")
+            if name in OUTPUT_QUADRATIC_BY_DATA:
+                q["gate_exempt"] = OUTPUT_QUADRATIC_BY_DATA[name]
+                # the exemption is from the TIME ratio only: seconds per
+                # emitted row must still stay decade-flat
+                nr1 = q.get("norm_ratio_sf1")
+                if nr1 is not None and nr1 > NORM_RATIO_GATE \
+                        and name not in flagged:
+                    flagged.append(name)
+            if name in CANDIDATE_COST_BY_DATA and cand_vol:
+                q["gate_exempt"] = CANDIDATE_COST_BY_DATA[name]
+                q["cand_sf0.1"] = cand_vol["sf0.1"]
+                q["cand_sf1"] = cand_vol["sf1"]
+                ncand = norm_ratio(
+                    txl, cand_vol["sf1"], tl, cand_vol["sf0.1"]
+                )
+                q["norm_ratio_per_candidate_sf1"] = ncand
+                if ncand is not None and ncand > NORM_RATIO_GATE \
+                        and name not in flagged:
+                    flagged.append(name)
+            if txl < 0 and txl != -2.0 and name not in flagged:
+                flagged.append(name)
+            elif ratio1 is not None and ratio1 > RATIO_GATE and (
+                tl > T01_FLOOR or txl > T_SF1_CEILING
+            ) and name not in flagged \
+                    and name not in OUTPUT_QUADRATIC_BY_DATA \
+                    and name not in CANDIDATE_COST_BY_DATA:
+                flagged.append(name)
+        if "t_sf10" in q:
+            # third decade: sf1 -> sf10 under the same gate
+            txxl = q["t_sf10"]
+            txl = q.get("t_sf1", -1.0)
+            ratio10 = q.get("ratio_sf10")
+            if name in OUTPUT_QUADRATIC_BY_DATA:
+                nr10 = q.get("norm_ratio_sf10")
+                if nr10 is not None and nr10 > NORM_RATIO_GATE \
+                        and name not in flagged:
+                    flagged.append(name)
+            if txxl < 0 and txxl != -2.0 and name not in flagged:
+                flagged.append(name)
+            elif ratio10 is not None and ratio10 > RATIO_GATE and (
+                txl > T01_FLOOR or txxl > T_SF10_CEILING
+            ) and name not in flagged \
+                    and name not in OUTPUT_QUADRATIC_BY_DATA:
+                flagged.append(name)
+    return sorted(set(flagged))
+
+
 #: shuffle-heavy set for the second decade: the BENCH_SKEW queries +
 #: the composed evals (sampled/bounded production modes only) + the
 #: heaviest TPC-H joins and graph ops from BENCH_DETAIL.
@@ -200,6 +289,12 @@ SF1_QUERIES = [
     # packed-sequence layout (corpus-linear explodes + the two-stage
     # offsets; first measured in the round-11 scaling run)
     "text_bpe_encode", "text_bpe_packed_sequences",
+    # round-11: the degraded-but-running capped twins of the two sf10
+    # guard-refusers — candidate volume bounded at cap·keys_per_row·n
+    # (linear by construction), so THESE run the third decade where the
+    # exact forms refuse (round-10 verdict ask #2); recall vs the exact
+    # forms is 1.0 at sf0.1 at the default caps (RECALL_VS_CAP.json)
+    "dedup_fuzzy_prefix_capped", "media_simhash_pairs_capped",
 ]
 
 #: Third decade (sf1 -> sf10): the same set MINUS the saturation case.
@@ -391,90 +486,35 @@ def main() -> int:
             posts.unpersist()
         spark.catalog.clearCache()
 
-    def norm_ratio(t_hi, n_hi, t_lo, n_lo):
-        """Per-emitted-row time ratio across a decade (output-quadratic
-        gate); None when either side lacks positive time and rows."""
-        if min(t_hi, t_lo) <= 0 or min(n_hi, n_lo) <= 0:
-            return None
-        return round((t_hi / n_hi) / (t_lo / n_lo), 2)
-
     queries = {}
-    flagged = []
     for name in qs:
         ts, tl = t_small[name], t_large[name]
         ratio = round(tl / ts, 2) if ts > 0 and tl >= 0 else None
         queries[name] = {"t_sf0.01": ts, "t_sf0.1": tl, "ratio": ratio}
-        if (ts < 0 and ts != -2.0) or (tl < 0 and tl != -2.0):
-            # a query that errors at either scale (an OOM only at sf0.1 is
-            # the exact superlinear signature this gate exists to catch)
-            # must FLAG, not silently fall out of the ratio math;
-            # -2.0 = classified guard refusal, recorded in
-            # guard_refusals instead
-            flagged.append(name)
-        elif ratio is not None and ratio > RATIO_GATE and (
-            ts > T01_FLOOR or tl > T_ABS_CEILING
-        ):
-            # the absolute ceiling catches a quadratic op with a small
-            # constant (0.1 s → 30 s, ratio 300) that the noise floor
-            # would otherwise wave through (review finding)
-            flagged.append(name)
         if name in t_xl:
-            # second decade: sf0.1 → sf1 under the same gate
             txl = t_xl[name]
-            ratio1 = round(txl / tl, 2) if tl > 0 and txl >= 0 else None
             queries[name]["t_sf1"] = txl
-            queries[name]["ratio_sf1"] = ratio1
+            queries[name]["ratio_sf1"] = (
+                round(txl / tl, 2) if tl > 0 and txl >= 0 else None
+            )
             if name in OUTPUT_QUADRATIC_BY_DATA:
-                queries[name]["gate_exempt"] = OUTPUT_QUADRATIC_BY_DATA[name]
                 queries[name]["rows_sf1"] = r_xl.get(name, -1)
-                nr1 = norm_ratio(txl, r_xl.get(name, -1),
-                                 tl, r_large.get(name, -1))
-                queries[name]["norm_ratio_sf1"] = nr1
-                # the exemption is from the TIME ratio only: seconds per
-                # emitted row must still stay decade-flat
-                if nr1 is not None and nr1 > NORM_RATIO_GATE \
-                        and name not in flagged:
-                    flagged.append(name)
-            if name in CANDIDATE_COST_BY_DATA and cand_vol:
-                queries[name]["gate_exempt"] = CANDIDATE_COST_BY_DATA[name]
-                queries[name]["cand_sf0.1"] = cand_vol["sf0.1"]
-                queries[name]["cand_sf1"] = cand_vol["sf1"]
-                ncand = norm_ratio(
-                    txl, cand_vol["sf1"], tl, cand_vol["sf0.1"]
+                queries[name]["norm_ratio_sf1"] = norm_ratio(
+                    txl, r_xl.get(name, -1), tl, r_large.get(name, -1)
                 )
-                queries[name]["norm_ratio_per_candidate_sf1"] = ncand
-                if ncand is not None and ncand > NORM_RATIO_GATE \
-                        and name not in flagged:
-                    flagged.append(name)
-            if txl < 0 and txl != -2.0 and name not in flagged:
-                flagged.append(name)
-            elif ratio1 is not None and ratio1 > RATIO_GATE and (
-                tl > T01_FLOOR or txl > T_SF1_CEILING
-            ) and name not in flagged \
-                    and name not in OUTPUT_QUADRATIC_BY_DATA \
-                    and name not in CANDIDATE_COST_BY_DATA:
-                flagged.append(name)
         if name in t_xxl:
-            # third decade: sf1 -> sf10 under the same gate
             txxl = t_xxl[name]
             txl = t_xl.get(name, -1.0)
-            ratio10 = round(txxl / txl, 2) if txl > 0 and txxl >= 0 else None
             queries[name]["t_sf10"] = txxl
-            queries[name]["ratio_sf10"] = ratio10
+            queries[name]["ratio_sf10"] = (
+                round(txxl / txl, 2) if txl > 0 and txxl >= 0 else None
+            )
             if name in OUTPUT_QUADRATIC_BY_DATA:
                 queries[name]["rows_sf10"] = r_xxl.get(name, -1)
-                nr10 = norm_ratio(txxl, r_xxl.get(name, -1),
-                                  txl, r_xl.get(name, -1))
-                queries[name]["norm_ratio_sf10"] = nr10
-                if nr10 is not None and nr10 > NORM_RATIO_GATE \
-                        and name not in flagged:
-                    flagged.append(name)
-            if txxl < 0 and txxl != -2.0 and name not in flagged:
-                flagged.append(name)
-            elif ratio10 is not None and ratio10 > RATIO_GATE and (
-                txl > T01_FLOOR or txxl > T_SF10_CEILING
-            ) and name not in flagged and name not in OUTPUT_QUADRATIC_BY_DATA:
-                flagged.append(name)
+                queries[name]["norm_ratio_sf10"] = norm_ratio(
+                    txxl, r_xxl.get(name, -1), txl, r_xl.get(name, -1)
+                )
+    flagged = classify_flags(queries, cand_vol)
 
     top = sorted(
         ((n, q["ratio"]) for n, q in queries.items() if q["ratio"]),

@@ -58,67 +58,9 @@ def main() -> int:
             posts.unpersist()
             spark.catalog.clearCache()
 
-    def norm_ratio(t_hi, n_hi, t_lo, n_lo):
-        if None in (t_hi, t_lo, n_hi, n_lo):
-            return None
-        if min(t_hi, t_lo) <= 0 or min(n_hi, n_lo) <= 0:
-            return None
-        return round((t_hi / n_hi) / (t_lo / n_lo), 2)
+    flagged = bs.classify_flags(queries, cand_vol)
 
-    flagged = []
-    for name, q in queries.items():
-        ts, tl = q["t_sf0.01"], q["t_sf0.1"]
-        if (ts < 0 and ts != -2.0) or (tl < 0 and tl != -2.0):
-            flagged.append(name)
-        elif q.get("ratio") is not None and q["ratio"] > bs.RATIO_GATE and (
-            ts > bs.T01_FLOOR or tl > bs.T_ABS_CEILING
-        ):
-            flagged.append(name)
-        if "t_sf1" in q:
-            txl = q["t_sf1"]
-            ratio1 = q.get("ratio_sf1")
-            if name in bs.OUTPUT_QUADRATIC_BY_DATA:
-                nr1 = q.get("norm_ratio_sf1")
-                if nr1 is not None and nr1 > bs.NORM_RATIO_GATE \
-                        and name not in flagged:
-                    flagged.append(name)
-            if name in bs.CANDIDATE_COST_BY_DATA and cand_vol:
-                q["gate_exempt"] = bs.CANDIDATE_COST_BY_DATA[name]
-                q["cand_sf0.1"] = cand_vol["sf0.1"]
-                q["cand_sf1"] = cand_vol["sf1"]
-                ncand = norm_ratio(
-                    txl, cand_vol["sf1"], tl, cand_vol["sf0.1"]
-                )
-                q["norm_ratio_per_candidate_sf1"] = ncand
-                if ncand is not None and ncand > bs.NORM_RATIO_GATE \
-                        and name not in flagged:
-                    flagged.append(name)
-            if txl < 0 and txl != -2.0 and name not in flagged:
-                flagged.append(name)
-            elif ratio1 is not None and ratio1 > bs.RATIO_GATE and (
-                tl > bs.T01_FLOOR or txl > bs.T_SF1_CEILING
-            ) and name not in flagged \
-                    and name not in bs.OUTPUT_QUADRATIC_BY_DATA \
-                    and name not in bs.CANDIDATE_COST_BY_DATA:
-                flagged.append(name)
-        if "t_sf10" in q:
-            txxl = q["t_sf10"]
-            txl = q.get("t_sf1", -1.0)
-            ratio10 = q.get("ratio_sf10")
-            if name in bs.OUTPUT_QUADRATIC_BY_DATA:
-                nr10 = q.get("norm_ratio_sf10")
-                if nr10 is not None and nr10 > bs.NORM_RATIO_GATE \
-                        and name not in flagged:
-                    flagged.append(name)
-            if txxl < 0 and txxl != -2.0 and name not in flagged:
-                flagged.append(name)
-            elif ratio10 is not None and ratio10 > bs.RATIO_GATE and (
-                txl > bs.T01_FLOOR or txxl > bs.T_SF10_CEILING
-            ) and name not in flagged \
-                    and name not in bs.OUTPUT_QUADRATIC_BY_DATA:
-                flagged.append(name)
-
-    doc["flagged"] = sorted(set(flagged))
+    doc["flagged"] = flagged
     doc["n_flagged"] = len(doc["flagged"])
     doc["reflagged_from"] = "same-session measurements; classification " \
         "re-run under the round-10 gate set (guard refusals + " \

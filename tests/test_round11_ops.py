@@ -131,3 +131,159 @@ def test_ivfpq_fit_shared_memoizes(spark, sf_dir):
     a = _ivfpq_fit_shared(spark, sf_dir)
     b = _ivfpq_fit_shared(spark, sf_dir)
     assert all(x is y for x, y in zip(a, b))
+
+
+# ---------------------------------------------------------------------------
+# capped degraded-but-running twins (round-10 verdict ask #2)
+# ---------------------------------------------------------------------------
+
+
+def test_pigeonhole_capped_runs_where_exact_refuses(spark):
+    """On the degenerate all-identical-signature input the exact
+    pigeonhole form refuses (CandidateVolumeError); the capped twin
+    RUNS, dropping the hot buckets — 0 pairs here, since every bucket
+    is one hot key — instead of melting down."""
+    from komodo_data_spark.operators.dedup import (
+        CandidateVolumeError,
+        simhash_pigeonhole_pairs,
+        simhash_pigeonhole_pairs_capped,
+    )
+
+    sig = spark.createDataFrame(
+        [(i, 0x0F0F0F0F) for i in range(100)],
+        "doc_id long, simhash long",
+    )
+    with pytest.raises(CandidateVolumeError):
+        simhash_pigeonhole_pairs(sig, bits=32, hmax=2, budget=1000)
+    out = simhash_pigeonhole_pairs_capped(
+        sig, bits=32, hmax=2, key_cap=50
+    ).collect()
+    assert out == []
+
+
+def test_pigeonhole_capped_subset_and_equal_below_cap(spark):
+    """Below the cap the capped twin equals the exact form exactly; the
+    capped output is always a subset."""
+    from komodo_data_spark.operators.dedup import (
+        simhash_pigeonhole_pairs,
+        simhash_pigeonhole_pairs_capped,
+    )
+
+    rows = [(i, 0b1010 << (i % 3)) for i in range(12)]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    exact = sorted(
+        map(
+            tuple,
+            simhash_pigeonhole_pairs(
+                sig, bits=32, hmax=2, budget=None
+            ).collect(),
+        )
+    )
+    capped = sorted(
+        map(
+            tuple,
+            simhash_pigeonhole_pairs_capped(
+                sig, bits=32, hmax=2, key_cap=1000
+            ).collect(),
+        )
+    )
+    assert capped == exact
+
+
+def test_fuzzy_capped_subset_of_exact(spark, sf_dir):
+    """Capped PassJoin pairs ⊆ exact pairs on the real corpus, and at the
+    default cap the sf0.001 corpus loses nothing."""
+    from komodo_data_spark.operators.dedup import (
+        dedup_fuzzy_prefix,
+        dedup_fuzzy_prefix_capped,
+    )
+
+    exact = {
+        (r["doc_i"], r["doc_j"])
+        for r in dedup_fuzzy_prefix(spark, sf_dir).collect()
+    }
+    capped = {
+        (r["doc_i"], r["doc_j"])
+        for r in dedup_fuzzy_prefix_capped(spark, sf_dir).collect()
+    }
+    assert capped <= exact
+    assert capped == exact  # default cap does not bite at sf0.001
+
+
+def test_fuzzy_capped_drops_hot_template(spark, tmp_path):
+    """A mass-duplicated title template saturates every PassJoin key; the
+    capped form runs and returns only the pairs supported by a rare key
+    (here: none), while a small cap-respecting cluster survives."""
+    import pandas as pd
+
+    docs = [(i, "the same exact title words here") for i in range(200)]
+    docs += [(1000, "unique zebra quartz title one"),
+             (1001, "unique zebra quartz title two")]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+            "lang": "en",
+            "source": "s",
+        }
+    )
+    sf = str(tmp_path / "sfx")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    pdf.to_parquet(os.path.join(sf, "documents.parquet"))
+    from komodo_data_spark.operators.dedup import dedup_fuzzy_prefix_capped
+
+    out = {
+        (r["doc_i"], r["doc_j"])
+        for r in dedup_fuzzy_prefix_capped(spark, sf, key_cap=16).collect()
+    }
+    assert (1000, 1001) in out
+    assert all(i >= 1000 for i, _ in out)  # hot-template pairs dropped
+
+
+def test_bpe_batched_depth_grows_linearly_in_rounds(spark, tmp_path):
+    """Depth demonstration (round-10 verdict ask #4): on a diverse-
+    vocabulary corpus the per-round conflict-free acceptance holds
+    STEADY as rounds grow (measured ~4.5/round at topc=8: 14/28/43
+    merges at 3/6/10 rounds — early rounds are inherently below the
+    topc ceiling because every candidate is a pair over the 26-letter
+    symbol space, so operand sharing is dense regardless of word
+    diversity), i.e. merge depth is LINEAR in rounds at a multiple of
+    the exact trainer's 1/round — which is what makes 32k merges
+    reachable in ~thousands of rounds rather than 32k."""
+    import os
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(8)) for _ in range(400)
+    ]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(40)))
+        for i in range(60)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+            "lang": "en",
+            "source": "s",
+        }
+    )
+    sf = str(tmp_path / "sfdiverse")
+    os.makedirs(sf, exist_ok=True)
+    pdf.to_parquet(os.path.join(sf, "documents.parquet"))
+    from komodo_data_spark.operators.text_analysis import _bpe_fit_batched
+
+    topc = 8
+    _t, _c, m3 = _bpe_fit_batched(spark, sf, rounds=3, topc=topc)
+    _t, _c, m6 = _bpe_fit_batched(spark, sf, rounds=6, topc=topc)
+    n3, n6 = m3.count(), m6.count()
+    # ≥ 4× the exact trainer's depth per round, and near-linear growth
+    # (per-round acceptance does not collapse as the vocabulary evolves)
+    assert n3 >= 4 * 3, n3
+    assert n6 >= int(1.8 * n3), (n3, n6)
