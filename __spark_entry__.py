@@ -205,41 +205,41 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 
 # The driver records correctness rows for the FIRST 50 registry entries in
 # registration order. Rotation is COMPLETE (cumulative driver-witnessed
-# coverage reached 236/236 by r9), so the window re-witnesses at HEAD:
+# coverage reached 242/242 by r10), so the window re-witnesses at HEAD:
 # (a) this round's additions, (b) every query whose implementation changed
 # since its last witness, (c) the bench-triage anchors, (d) family anchors
 # across the whole operator surface. Queries outside the window keep their
 # oracle pairing and are verified by the judge's full scripts/check.py
 # re-run.
 _PRIORITY: tuple[str, ...] = (
-    # --- (a) NEW in round 10 ---
-    "text_bpe_merges_batched",  # NEW r10: 3-wave disjoint batched trainer
-    "text_bpe_batched_train_apply",  # NEW r10: apply twin at 77-merge depth
-    "text_bpe_encode",  # NEW r10: materialized token stream (doc,pos,sym)
-    "text_bpe_packed_sequences",  # NEW r10: packed training-batch layout
-    "text_kneser_ney3_logprob",  # NEW r10: trigram KN, recursive backoff
-    "text_kneser_ney3_apply",  # NEW r10: frozen trigram KN w/ OOV floor
-    # --- (b) changed in round 10 ---
-    "docs_dp_release",  # r10: densified over the declared public grid
-    "orders_dp_sum_release",  # r10: salt knob threaded through
-    "events_dp_mean_release",  # r10: max(|lo|,|hi|) sum sensitivity + salt
-    "text_entropy_stats",  # r10: per-doc count map (O(len*distinct))
-    "text_textrank_keywords",  # r10: TakeOrdered top-k + shared teleport
-    "dedup_simhash",  # r10: candidate-volume guard on the probe join
-    "dedup_simhash_recall",  # r10: eager counts + cache release
-    "media_simhash_pairs",  # r10: guard on the pigeonhole join
-    "media_simhash_recall",  # r10: eager counts + cache release
-    "dedup_fuzzy_prefix",  # r10: PassJoin candidate-volume guard
-    "dedup_minhash_recall",  # r10: cache release via shared helper
-    "dedup_minhash_recall_sampled",  # r10: same shared-helper path
-    "dedup_minhash_oph_recall",  # r10: cache release via shared helper
-    "dedup_embedding_recall",  # r10: refit onto the shared helper
-    # --- (c) bench-triage anchors (BASELINE.md round-9->10 triage) ---
-    "text_bpe_merges",  # unchanged code; r9's 3.3x reading = host burst
-    "docs_stratified_sample",  # unchanged code; same variance verdict
-    "dedup_minhash_oph",
-    "knn_ivfpq_adc",
-    "dedup_ngram_pairs_prefix",
+    # --- (a) NEW in round 11 ---
+    "dedup_fuzzy_prefix_capped",  # NEW r11: capped PassJoin (sf10 path)
+    "dedup_fuzzy_capped_recall",  # NEW r11: cap loss vs exact detector
+    "media_simhash_pairs_capped",  # NEW r11: capped pigeonhole (sf10 path)
+    "media_simhash_capped_recall",  # NEW r11: cap loss vs exact detector
+    # --- (b) changed in round 11 ---
+    "text_bpe_merges_batched",  # r11: cascade-conflict predicate + rk fold
+    "text_bpe_batched_train_apply",  # r11: shared session fit
+    "text_bpe_encode",  # r11: shared session fit
+    "text_bpe_packed_sequences",  # r11: shared session fit
+    "knn_ivfpq_adc",  # r11: shared session index build
+    "knn_ivfpq_recall",  # r11: consumes the shared index build
+    "dedup_fuzzy_prefix",  # r11: fused guard (one-shuffle estimate,
+    #                        localCheckpoint instead of cache)
+    "dedup_simhash",  # r11: fused guard + signature checkpoint
+    "media_simhash_pairs",  # r11: same fused-guard path (pigeonhole)
+    "dedup_ngram_pairs_prefix",  # r11: double-typed volume estimate
+    "dedup_ngram_pairs_capped",  # anchor for the capped-semantics family
+    "dedup_simhash_recall",  # r11: detector side took the fused guard
+    "media_simhash_recall",  # r11: same
+    # --- (c) bench anchors (shared-fit effect lands here) ---
+    "text_bpe_merges",  # exact trainer: unchanged, the batched oracle twin
+    "text_kneser_ney3_logprob",
+    "text_kneser_ney3_apply",
+    "text_entropy_stats",
+    "dedup_minhash_recall_sampled",
+    "dedup_minhash_oph_recall",
+    "dedup_embedding_recall",
     # --- (d) family anchors, re-witnessed at HEAD ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -268,8 +268,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality_scores",
-    "text_kneser_ney_logprob",
-    "text_bpe_train_apply",
     "knn_brute_force",
     "media_resize",
     "graph_kcore",
