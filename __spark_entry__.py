@@ -222,6 +222,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_batched_train_apply",  # r11: shared session fit
     "text_bpe_encode",  # r11: shared session fit
     "text_bpe_packed_sequences",  # r11: shared session fit
+    "text_bpe_published_apply",  # NEW r11: store roundtrip, published≡refit
     "knn_ivfpq_adc",  # r11: shared session index build
     "knn_ivfpq_recall",  # r11: consumes the shared index build
     "dedup_fuzzy_prefix",  # r11: fused guard (one-shuffle estimate,

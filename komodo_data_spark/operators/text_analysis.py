@@ -1125,6 +1125,30 @@ def text_bpe_apply_published(
     )
 
 
+def text_bpe_published_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing roundtrip of the PUBLISH path: freeze the merge
+    table to a session-scoped store (`text_bpe_publish` — tiny parquet
+    write), then apply THROUGH the store (`text_bpe_apply_published`:
+    require_store gate, read, rank-order fold). The oracle is
+    `text_bpe_batched_train_apply`'s — published ≡ refit is thereby
+    hash-checked in the correctness gate itself, not only pinned in
+    pytest. The store path is per-application under the system temp dir
+    (a registry query cannot take a model_path argument), overwritten
+    on each publish; a production pipeline passes a durable path to the
+    same two functions."""
+    import os
+    import tempfile
+
+    model_path = os.path.join(
+        tempfile.gettempdir(),
+        "komodo_bpe_model",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.abspath(sf_dir)),
+    )
+    text_bpe_publish(spark, sf_dir, model_path)
+    return text_bpe_apply_published(spark, sf_dir, model_path)
+
+
 def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batched trainer's merge table — (rank, a, b) in acceptance
     order. Same artifact shape as ``text_bpe_merges`` but learned at
@@ -2589,6 +2613,12 @@ def registry():
         ),
         "text_bpe_batched_train_apply": (
             text_bpe_batched_train_apply,
+            text_bpe_batched_train_apply_oracle(),
+        ),
+        "text_bpe_published_apply": (
+            text_bpe_published_apply,
+            # published ≡ refit: the store roundtrip must hash-match the
+            # in-session train_apply oracle exactly
             text_bpe_batched_train_apply_oracle(),
         ),
         "text_bpe_encode": (

@@ -121,6 +121,10 @@ AUDITED = [
     "text_textrank_keywords",  # r10: TakeOrderedAndProject top-k (was 1-task window)
     "text_entropy_stats",  # r10: zero-shuffle map pass, per-doc count map
     "dedup_fuzzy_prefix",  # r10: PassJoin + linear volume-guard aggregates
+    "dedup_fuzzy_prefix_capped",  # r11: occupancy-filtered keys, linear bound
+    "media_simhash_pairs_capped",  # r11: capped pigeonhole, min-hamming dedup
+    "text_bpe_encode",  # r11: shared session fit + broadcast apply join
+    "knn_ivfpq_recall",  # r11: consumes the shared index build
 ]
 
 #: Python stages expected by design (Arrow-batched pandas ops); anything

@@ -235,3 +235,18 @@ def test_pii_redact_is_single_codegen_projection(spark):
     assert "Join" not in plan
     assert "HashAggregate" not in plan
     assert "EvalPython" not in plan
+
+
+def test_capped_twins_use_equi_joins_only(spark):
+    """The degraded-but-running capped detectors (round-11) keep the
+    candidate generation an equi-join: no cartesian/nested-loop shapes
+    anywhere in either plan."""
+    from komodo_data_spark.operators import multimodal_ops
+
+    for df in (
+        dedup.dedup_fuzzy_prefix_capped(spark, SF),
+        multimodal_ops.media_simhash_pairs_capped(spark, SF),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
