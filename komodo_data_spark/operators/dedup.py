@@ -2378,13 +2378,58 @@ def dedup_fuzzy_capped_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     decades where the exact form still runs (<= sf1 on this corpus); the
     capped DETECTOR alone is the sf10 path. The cap-sweep artifact
     (scripts/recall_vs_cap.py → RECALL_VS_CAP.json) extends this single
-    point to the recall-vs-budget curve."""
-    truth = dedup_fuzzy_prefix(spark, sf_dir).select("doc_i", "doc_j").cache()
-    det = (
-        dedup_fuzzy_prefix_capped(spark, sf_dir)
-        .select("doc_i", "doc_j")
-        .cache()
+    point to the recall-vs-budget curve.
+
+    Cost: ONE title scan/checkpoint feeds both detectors (the exact and
+    capped joins read the same seg/probe frames; running the two
+    registry queries separately would pay the scan, the explode, and
+    the exact form's guard pre-pass twice)."""
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(tokens(), 1, FUZZY_PREFIX_TOKENS)
+        ).alias("title"),
+    ).localCheckpoint(eager=True)
+    seg, probe = _passjoin_frames(d)
+    keys = ["l", "i", "s"]
+
+    def pairs(seg_s, probe_s):
+        return (
+            seg_s.alias("a")
+            .join(probe_s.alias("b"), keys)
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_i"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_j"),
+                F.levenshtein(
+                    F.col("a.title"), F.col("b.title"), FUZZY_MAX_DIST
+                ).alias("edit_dist"),
+            )
+            .filter(F.col("edit_dist") >= 0)
+            .select("doc_i", "doc_j")
+            .distinct()
+        )
+
+    # guard skipped (budget=None twin semantics): this eval runs in the
+    # decades where the exact registry form runs, and ITS guard evidence
+    # is recorded there
+    truth = pairs(seg, probe).cache()
+    u = seg.select(
+        *keys, F.lit(1).alias("na"), F.lit(0).alias("nb")
+    ).unionByName(
+        probe.select(*keys, F.lit(0).alias("na"), F.lit(1).alias("nb"))
     )
+    ok = (
+        u.groupBy(*keys)
+        .agg(F.sum("na").alias("ca"), F.sum("nb").alias("cb"))
+        .filter(
+            (F.col("ca") <= FUZZY_KEY_CAP) & (F.col("cb") <= FUZZY_KEY_CAP)
+        )
+        .select(*keys)
+    )
+    det = pairs(
+        seg.join(ok, keys, "left_semi"), probe.join(ok, keys, "left_semi")
+    ).cache()
     return _detector_recall_counts(
         truth, det, "n_capped_pairs", release=(truth, det)
     )

@@ -668,12 +668,40 @@ def media_simhash_capped_recall(
     it runs the exact form too, so it lives in the decades where the
     exact form still runs; the capped detector alone is the sf10 path.
     The cap-sweep artifact (scripts/recall_vs_cap.py →
-    RECALL_VS_CAP.json) extends this point to the full curve."""
-    from komodo_data_spark.operators.dedup import _detector_recall_counts
+    RECALL_VS_CAP.json) extends this point to the full curve.
 
-    truth = media_simhash_pairs(spark, sf_dir).select("doc_i", "doc_j").cache()
+    Cost: the SIGNATURES (the expensive md5-vote aggregate) are computed
+    once and checkpointed; the exact pigeonhole join and the capped join
+    both read them (running the two registry queries separately would
+    pay the signature pass twice plus the exact form's guard)."""
+    from komodo_data_spark.operators.dedup import (
+        _detector_recall_counts,
+        _simhash_signatures,
+        simhash_pigeonhole_pairs,
+        simhash_pigeonhole_pairs_capped,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    sig = _simhash_signatures(
+        d.withColumn("toks", _media_gram_toks()).filter(F.size("toks") > 0)
+    ).localCheckpoint(eager=True)
+    # guard skipped (budget=None twin semantics): eval op, see the fuzzy
+    # capped recall's note
+    truth = (
+        simhash_pigeonhole_pairs(
+            sig, bits=MEDIA_SIMHASH_BITS, hmax=MEDIA_HAMMING_MAX,
+            budget=None,
+        )
+        .select("doc_i", "doc_j")
+        .cache()
+    )
     det = (
-        media_simhash_pairs_capped(spark, sf_dir)
+        simhash_pigeonhole_pairs_capped(
+            sig, bits=MEDIA_SIMHASH_BITS, hmax=MEDIA_HAMMING_MAX,
+            key_cap=MEDIA_SEG_CAP,
+        )
         .select("doc_i", "doc_j")
         .cache()
     )
