@@ -1125,6 +1125,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_multiprobe_pairs(sig)
 
 
+def pigeonhole_widths(bits: int, hmax: int) -> list:
+    """The hmax+1 segment widths of a ``bits``-bit signature (pigeonhole:
+    <= hmax differing bits cannot touch every segment) — shared by the
+    batch joins, the capped twin, and the incremental streaming
+    detector so all three split signatures identically."""
+    n_seg = hmax + 1
+    widths = [bits // n_seg] * n_seg
+    widths[-1] += bits % n_seg
+    return widths
+
+
 def _simhash_pigeonhole_segs(sig: DataFrame, widths: list) -> DataFrame:
     """The pigeonhole join's segment frame — one (doc_id, simhash,
     seg_id, seg_val) row per segment. Shared by the join and its
@@ -1152,9 +1163,7 @@ def simhash_pigeonhole_candidate_volume(
     """Σ_key c(k)² for the pigeonhole segment self-join — the number the
     operator guard compares against SIMHASH_CANDIDATE_BUDGET, exposed
     for BENCH_SCALING's saturation-evidence block."""
-    n_seg = hmax + 1
-    widths = [bits // n_seg] * n_seg
-    widths[-1] += bits % n_seg
+    widths = pigeonhole_widths(bits, hmax)
     return join_candidate_volume(
         _simhash_pigeonhole_segs(sig, widths), ["seg_id", "seg_val"]
     )
@@ -1187,9 +1196,7 @@ def simhash_pigeonhole_pairs(
     # the quadratic nested-loop into an equi-join on (segment_id, value),
     # which Catalyst plans as a shuffled hash join: linear scan + one
     # shuffle, candidates verified with the exact Hamming distance.
-    n_seg = hmax + 1
-    widths = [bits // n_seg] * n_seg
-    widths[-1] += bits % n_seg
+    widths = pigeonhole_widths(bits, hmax)
     if budget is not None:
         # eager localCheckpoint, not cache(): estimate + join read the
         # materialized signatures; blocks are GC-released (no cache left
@@ -1229,7 +1236,7 @@ def simhash_pigeonhole_pairs(
         )
 
     first_agree = F.lit(False)
-    for sid in range(n_seg):
+    for sid in range(len(widths)):
         earlier_all_differ = F.lit(True)
         for s in range(sid):
             earlier_all_differ = earlier_all_differ & (
@@ -1278,9 +1285,7 @@ def simhash_pigeonhole_pairs_capped(
     min-hamming aggregate (not the first-agree filter: a pair's first
     agreeing segment may be a dropped hot bucket while a later rare
     one emitted it)."""
-    n_seg = hmax + 1
-    widths = [bits // n_seg] * n_seg
-    widths[-1] += bits % n_seg
+    widths = pigeonhole_widths(bits, hmax)
     # checkpoint: the bucket histogram + both join sides read the segs
     segs = _simhash_pigeonhole_segs(sig, widths).localCheckpoint(eager=True)
     ok = (
@@ -1314,15 +1319,13 @@ def sql_pigeonhole_capped_pairs(
     named ``sig_cte`` with (doc_id, simhash): unrolled segment VALUES,
     bucket-occupancy filter, self-join, exact-Hamming verify, min-hamming
     pair dedup."""
-    n_seg = hmax + 1
-    widths = [bits // n_seg] * n_seg
-    widths[-1] += bits % n_seg
+    widths = pigeonhole_widths(bits, hmax)
     offs, off = [], 0
     for w in widths:
         offs.append(off)
         off += w
     vals = ", ".join(
-        f"({sid}, {offs[sid]}, {widths[sid]})" for sid in range(n_seg)
+        f"({sid}, {offs[sid]}, {widths[sid]})" for sid in range(len(widths))
     )
     return f"""
     seg AS (

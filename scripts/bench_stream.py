@@ -463,6 +463,24 @@ def main(argv: list[str] | None = None) -> int:
     batches19 = progress_rows(q19)
     report["kn3_counter_store"] = {"batches": batches19, **flat_check(batches19)}
 
+    # --- stream 20: capped-SimHash media near-dup store (reuses docs) ------
+    from komodo_data_spark.streaming.simhash_incremental import (
+        start_incremental_simhash,
+    )
+
+    q20 = start_incremental_simhash(
+        spark, docs_src,
+        os.path.join(work, "simhash_seg_store"),
+        os.path.join(work, "simhash_pairs"),
+        os.path.join(work, "ckpt_simhash"),
+        max_files_per_trigger=1,
+    )
+    q20.awaitTermination()
+    batches20 = progress_rows(q20)
+    report["capped_simhash_store"] = {
+        "batches": batches20, **flat_check(batches20)
+    }
+
     flagged = sorted(k for k, v in report.items() if v["flagged"])
     out = {
         "metric": "streaming_per_batch_trigger_ms",

@@ -2897,3 +2897,151 @@ def test_incremental_kn3_matches_batch_scorer(spark, sf_dir, tmp_path):
     )
     assert empty.columns == ["doc_id", "n_trigrams", "avg_logprob_kn3"]
     assert empty.count() == 0
+
+
+def test_incremental_simhash_matches_batch_capped(spark, sf_dir, tmp_path):
+    """Streaming incremental capped-SimHash detection: payloads arrive
+    file by file; the union of verified pairs across batches equals the
+    batch capped detector over the full corpus (no segment bucket
+    crosses the cap mid-stream on this corpus, so the probe-time cap
+    decisions match the batch's global ones)."""
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.operators.multimodal_ops import (
+        media_simhash_pairs_capped,
+    )
+    from komodo_data_spark.sources.tables import load_table
+    from komodo_data_spark.streaming.simhash_incremental import (
+        pairs_from_store,
+        start_incremental_simhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "docs_arrivals"
+    src.mkdir()
+    for i in range(3):
+        docs.filter(
+            F.coalesce(F.pmod("doc_id", F.lit(3)), F.lit(0)) == i
+        ).coalesce(1).write.parquet(str(src / f"arrival_{i}.parquet_dir"))
+    import glob as _glob
+    import shutil
+
+    for i, part in enumerate(
+        sorted(_glob.glob(str(src / "*" / "part-*.parquet")))
+    ):
+        shutil.copy(part, str(src / f"file_{i}.parquet"))
+    for d in _glob.glob(str(src / "*.parquet_dir")):
+        shutil.rmtree(d)
+
+    store = str(tmp_path / "seg_store")
+    pairs = str(tmp_path / "sim_pairs")
+    ck = str(tmp_path / "ckpt_inc_simhash")
+    q = start_incremental_simhash(spark, str(src), store, pairs, ck)
+    q.awaitTermination()
+
+    got = {
+        (r["doc_i"], r["doc_j"], r["hamming"])
+        for r in pairs_from_store(spark, pairs).collect()
+    }
+    exp = {
+        (r["doc_i"], r["doc_j"], r["hamming"])
+        for r in media_simhash_pairs_capped(spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert got  # non-vacuous: the corpus has planted near-dup payloads
+
+
+def test_incremental_simhash_hot_bucket_is_monotone(spark, tmp_path):
+    """A bucket that crosses the cap mid-stream stops producing NEW
+    pairs but keeps the pairs it emitted while cold — detections are
+    never retracted by a template later going viral (whereas the batch
+    capped detector over the final corpus returns nothing: its global
+    occupancy is over the cap)."""
+    from komodo_data_spark.operators.multimodal_ops import _media_gram_toks
+    from komodo_data_spark.operators.dedup import _simhash_signatures
+    from komodo_data_spark.streaming.simhash_incremental import (
+        detect_batch,
+        pairs_from_store,
+    )
+    from pyspark.sql import functions as F
+
+    text = "the same viral template payload body repeated " * 4
+    store = str(tmp_path / "seg_store")
+    pairs = str(tmp_path / "sim_pairs")
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, text) for i in ids], "doc_id long, text string"
+        )
+
+    # epoch 0: two copies — occupancy 2 <= cap, pair emitted
+    detect_batch(spark, batch([1, 2]), 0, store, pairs, key_cap=4)
+    # epoch 1: the template goes viral — occupancy 2 + 10 > cap, skipped
+    detect_batch(spark, batch(range(100, 110)), 1, store, pairs, key_cap=4)
+    got = {
+        (r["doc_i"], r["doc_j"], r["hamming"])
+        for r in pairs_from_store(spark, pairs).collect()
+    }
+    assert got == {(1, 2, 0)}
+    # and the batch capped detector over the SAME final corpus is empty
+    from komodo_data_spark.operators.dedup import (
+        simhash_pigeonhole_pairs_capped,
+    )
+    from komodo_data_spark.operators.multimodal_ops import (
+        MEDIA_HAMMING_MAX,
+        MEDIA_SIMHASH_BITS,
+    )
+
+    all_docs = batch([1, 2] + list(range(100, 110))).withColumn(
+        "toks", _media_gram_toks()
+    )
+    assert (
+        simhash_pigeonhole_pairs_capped(
+            _simhash_signatures(all_docs),
+            bits=MEDIA_SIMHASH_BITS,
+            hmax=MEDIA_HAMMING_MAX,
+            key_cap=4,
+        ).count()
+        == 0
+    )
+
+
+def test_incremental_simhash_compaction_preserves_occupancy(
+    spark, tmp_path
+):
+    """The DISTINCT fold preserves per-key occupancy exactly (each doc
+    contributes each seg_id once), so cap decisions after compaction
+    match before."""
+    from komodo_data_spark.streaming.simhash_incremental import (
+        compact_seg_store,
+        detect_batch,
+    )
+
+    store = str(tmp_path / "seg_store")
+    pairs = str(tmp_path / "sim_pairs")
+    docs = spark.createDataFrame(
+        [(i, f"payload body {i} with distinct words {i*7}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    detect_batch(spark, docs, 0, store, pairs, key_cap=64)
+    before = sorted(
+        map(
+            tuple,
+            spark.read.parquet(store)
+            .groupBy("seg_id", "seg_val")
+            .count()
+            .collect(),
+        )
+    )
+    folded = compact_seg_store(spark, store)
+    assert folded >= 1
+    after = sorted(
+        map(
+            tuple,
+            spark.read.parquet(store)
+            .groupBy("seg_id", "seg_val")
+            .count()
+            .collect(),
+        )
+    )
+    assert before == after
