@@ -637,6 +637,27 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     return centroids, assign(centroids)
 
 
+def _kmeans_fit_shared(spark: SparkSession, sf_dir: str):
+    """``_kmeans_fit`` memoized per session: three consumers
+    (``kmeans_clusters``, ``dedup_semantic``, ``_ivfpq_fit``) each
+    re-ran the Lloyd chain over the same corpus. The fit is
+    deterministic in sf_dir (first-K init, fixed iterations), so the
+    memoized (centroids, assignment) checkpoints are frame-identical to
+    a refit; both frames are the standard build-once index artifacts
+    (centroids KMEANS_K rows; the assignment one narrow row per
+    vector)."""
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        centroids, assigned = _kmeans_fit(spark, sf_dir)
+        return (
+            centroids.localCheckpoint(eager=True),
+            assigned.localCheckpoint(eager=True),
+        )
+
+    return session_model(spark, "kmeans", (sf_dir,), fit)
+
+
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means over the embeddings (k=4, 2 fixed Lloyd iterations,
     deterministic init = the first k vectors) — the iterative-numeric
@@ -649,7 +670,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: cluster sizes + centroid norm (scalar digest of the centroid,
     engine-portable for the oracle).
     """
-    centroids, assigned = _kmeans_fit(spark, sf_dir)
+    centroids, assigned = _kmeans_fit_shared(spark, sf_dir)
     sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return (
         centroids.join(sizes, "cid", "left")
@@ -730,11 +751,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    _, assigned = _kmeans_fit(spark, sf_dir)
-    # hub frame consumed by TWO branches (pandas prune + output join):
-    # truncate lineage so the Lloyd fit runs once, not once per branch
-    # (SURVEY §4 lesson (c); halves this query's exchange count)
-    assigned = assigned.localCheckpoint(eager=True)
+    # hub frame consumed by TWO branches (pandas prune + output join);
+    # the shared fit's checkpoint already truncates lineage so the Lloyd
+    # chain runs once per SESSION, not per branch or per query
+    # (SURVEY §4 lesson (c))
+    _, assigned = _kmeans_fit_shared(spark, sf_dir)
 
     def cluster_pairs(key, pdf):
         ids = pdf["vec_id"].to_numpy()
@@ -1360,20 +1381,12 @@ def _ivfpq_fit(spark: SparkSession, sf_dir: str):
     corpus shuffle; the residual explode is map-side; the residual
     codebook rounds inherit ``_pq_lloyd``'s broadcast shape.
     """
-    cells = _kmeans_fit(spark, sf_dir)[0].localCheckpoint(eager=True)
-    v = _vectors(spark, sf_dir)
-    picked = (
-        v.crossJoin(F.broadcast(cells))
-        .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(
-                    _sqdist(F.col("e"), F.col("ce")).alias("d"),
-                    F.col("cid").alias("cid"),
-                )
-            )["cid"].alias("cell_id"),
-            F.first("e").alias("e"),
-        )
+    # the shared fit's final assignment IS the coarse quantization this
+    # index needs (same argmin expression over the same fitted cells), so
+    # the corpus crossJoin+argmin is not re-run here
+    cells, assigned = _kmeans_fit_shared(spark, sf_dir)
+    picked = assigned.select(
+        "vec_id", F.col("cid").alias("cell_id"), "e"
     )
     resid = picked.join(
         F.broadcast(cells), F.col("cell_id") == F.col("cid")

@@ -659,12 +659,21 @@ def _bpe_corpus_vocab(spark: SparkSession, sf_dir: str):
     (localCheckpointed — without this the unrolled rounds re-run the
     corpus explode per round, measured 15 s → 1.3 s at sf0.1), and wrap
     each word into its symbol-string form. Returns (toks, cur)."""
+    from komodo_data_spark.operators.model_memo import session_model
+
     toks = _bpe_corpus_tokens(spark, sf_dir)
-    vocab = (
-        toks.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
+
+    def build():
+        return (
+            toks.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+
+    # memoized per session: the weighted vocabulary is input prep shared
+    # by the exact trainer, the batched trainer, and the published-model
+    # appliers — deterministic in sf_dir, so a memo hit ≡ a rebuild
+    vocab = session_model(spark, "bpe_vocab", (sf_dir,), build)
     return toks, vocab.withColumn("w", _bpe_wrapped(F.col("word")))
 
 

@@ -287,3 +287,24 @@ def test_bpe_batched_depth_grows_linearly_in_rounds(spark, tmp_path):
     # (per-round acceptance does not collapse as the vocabulary evolves)
     assert n3 >= 4 * 3, n3
     assert n6 >= int(1.8 * n3), (n3, n6)
+
+
+def test_kmeans_fit_shared_memoizes_and_feeds_ivfpq(spark, sf_dir):
+    """kmeans_clusters, dedup_semantic, and the IVFPQ build consume one
+    Lloyd fit; the IVFPQ coarse assignment IS the fit's final
+    assignment (same argmin expression over the same cells)."""
+    from komodo_data_spark.operators.similarity import (
+        _ivfpq_fit,
+        _kmeans_fit_shared,
+    )
+
+    a = _kmeans_fit_shared(spark, sf_dir)
+    b = _kmeans_fit_shared(spark, sf_dir)
+    assert a[0] is b[0] and a[1] is b[1]
+    cells, picked, _cents, _codes = _ivfpq_fit(spark, sf_dir)
+    assert cells is a[0]
+    got = sorted(
+        (r["vec_id"], r["cell_id"]) for r in picked.collect()
+    )
+    exp = sorted((r["vec_id"], r["cid"]) for r in a[1].collect())
+    assert got == exp
