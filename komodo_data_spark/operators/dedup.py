@@ -693,20 +693,44 @@ def dedup_ngram_pairs_capped_oracle() -> str:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard —
+    read through the session memo, so the detection runs once however
+    many of its seven consumers (this query, the clustering family,
+    split leakage, keeper selection, source overlap, corpus splits)
+    execute in a session."""
+    return minhash_pairs_shared(spark, sf_dir)
+
+
+def minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair list, ONE detection per session: six
+    downstream consumers (the clustering family, split leakage, keeper
+    selection, source overlap, corpus splits) each re-ran the full
+    MinHash pipeline — and each left its own `.cache()` behind. The
+    detection is deterministic in sf_dir and its output is pairs-sized
+    (≪ corpus), so the memoized eager checkpoint is both tiny and
+    frame-identical to a re-detection; the postings cache the pipeline
+    needs internally is released once the checkpoint materializes.
 
     Candidate generation joins on (band_id, band_hash) — expected O(1)
-    occupancy per bucket, so the join is linear, not quadratic. Verification
-    recomputes exact Jaccard only for candidates (semi-join pruned).
-    """
-    posts = _doc_postings(spark, sf_dir).cache()
-    # Signature via explode + codegen'd min-aggregates: md5 is evaluated once
-    # per (seed, shingle) either way, but the expression-form (functions.
-    # text_features.minhash) runs 12 interpreted higher-order array_min
-    # passes per row; the grouped form is one shuffle on doc_id and ~4×
-    # faster at sf0.1. Values are identical.
-    # verify candidates with exact Jaccard over the postings (count-join)
-    return _verify_jaccard(posts, _band_candidates(bands_of(posts)))
+    occupancy per bucket, so the join is linear, not quadratic;
+    verification recomputes exact Jaccard only for candidates
+    (semi-join pruned). Signature via explode + codegen'd
+    min-aggregates: md5 is evaluated once per (seed, shingle) either
+    way, but the expression-form (functions.text_features.minhash) runs
+    12 interpreted higher-order array_min passes per row; the grouped
+    form is one shuffle on doc_id and ~4× faster at sf0.1. Values are
+    identical."""
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def detect():
+        posts = _doc_postings(spark, sf_dir).cache()
+        pairs = _verify_jaccard(
+            posts, _band_candidates(bands_of(posts))
+        ).localCheckpoint(eager=True)
+        posts.unpersist()
+        return pairs
+
+    return session_model(spark, "minhash_pairs", (sf_dir,), detect)
 
 
 def dedup_minhash_lsh_oracle() -> str:
@@ -2477,7 +2501,7 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost: the pair list is violation-bounded; the doc→source join
     broadcast-hashes the (tiny) pair side against the narrow projection.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = minhash_pairs_shared(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     enriched = (
         pairs.join(

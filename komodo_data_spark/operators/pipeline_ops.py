@@ -128,12 +128,12 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the MinHash pair list (bucketed candidate join, not all-pairs)
     joined twice against the doc->split projection — two broadcast-sized
     probes at any scale, since pairs ≪ corpus."""
-    from komodo_data_spark.operators.dedup import dedup_minhash_lsh
+    from komodo_data_spark.operators.dedup import minhash_pairs_shared
 
     splits = load_table(spark, sf_dir, "documents").select(
         "doc_id", _split_col().alias("split")
     )
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = minhash_pairs_shared(spark, sf_dir)
     return (
         pairs.join(
             splits.select(
@@ -185,9 +185,10 @@ def docs_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     math. The leakage probe joins the pair list twice against the
     doc→split projection — two broadcast-sized probes at any scale.
     """
-    from komodo_data_spark.operators.dedup import dedup_minhash_lsh
+    from komodo_data_spark.operators.dedup import minhash_pairs_shared
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_i", "doc_j").cache()
+    # the shared detection is already checkpointed (no per-query cache)
+    pairs = minhash_pairs_shared(spark, sf_dir).select("doc_i", "doc_j")
     # one-directional pairs, like the sibling _cc_star callers: the star
     # rounds symmetrize internally, so pre-flipping would only double the
     # rows into the first distinct/shuffle
@@ -769,12 +770,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     no label changed. Rounds ≤ component diameter (near-dup components are
     tiny cliques in practice; _CC_MAX_ROUNDS is a safety cap).
     """
-    from komodo_data_spark.operators.dedup import dedup_minhash_lsh
+    from komodo_data_spark.operators.dedup import minhash_pairs_shared
 
-    # cache the pair list BEFORE the symmetric union: union's two branches
-    # are separate subtrees, so an uncached pairs frame would run the whole
-    # MinHash pipeline twice.
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_i", "doc_j").cache()
+    # the shared detection is checkpointed, so the symmetric union's two
+    # branches read materialized pairs instead of running MinHash twice
+    pairs = minhash_pairs_shared(spark, sf_dir).select("doc_i", "doc_j")
     edges = (
         pairs.union(
             pairs.select(
@@ -953,9 +953,9 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm — identical output (same oracle), O(log n) rounds instead of
     O(diameter), the variant to reach for when components can be long
     chains rather than near-dup cliques."""
-    from komodo_data_spark.operators.dedup import dedup_minhash_lsh
+    from komodo_data_spark.operators.dedup import minhash_pairs_shared
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_i", "doc_j")
+    pairs = minhash_pairs_shared(spark, sf_dir).select("doc_i", "doc_j")
     labels, _rounds = _cc_star(
         pairs.select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst"))
     )
