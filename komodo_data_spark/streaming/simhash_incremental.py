@@ -41,8 +41,10 @@ map-side-combinable count over the same store scan. The cap bounds the
 per-key probe cost at cap·|batch keys| regardless of how degenerate
 history's signature distribution becomes. Writes are epoch-idempotent
 (each epoch's own partition, dynamic overwrite — the
-streaming/sketches.py pattern), so at-least-once replay cannot
-double-count occupancy or duplicate output rows.
+streaming/sketches.py pattern), and the history read excludes the
+current epoch's partition (``epoch_id < epoch``), so at-least-once
+replay cannot double-count occupancy (batch + its own stored copy) or
+duplicate output rows.
 """
 
 from __future__ import annotations
@@ -103,7 +105,19 @@ def detect_batch(
         sig, pigeonhole_widths(MEDIA_SIMHASH_BITS, MEDIA_HAMMING_MAX)
     ).localCheckpoint()  # occupancy count + both joins + store write
     try:
-        store = spark.read.parquet(store_path).select(*SEG_STORE_COLS)
+        # Exclude this epoch's own partition (and any later one) from the
+        # history view: after a store write that committed but whose
+        # checkpoint did not, the replayed batch would otherwise see its
+        # own segment rows AS history — doubling occupancy for its keys
+        # (flipping true occupancy in (cap/2, cap] over the cap) and then
+        # dynamically overwriting the epoch's pairs partition with the
+        # smaller post-flip set, silently losing verified pairs. The base
+        # partition (epoch_id=-1) and all strictly-earlier epochs remain.
+        store = (
+            spark.read.parquet(store_path)
+            .filter(F.col("epoch_id") < int(epoch_id))
+            .select(*SEG_STORE_COLS)
+        )
     except AnalysisException as exc:
         # ONLY the empty-store shapes mean "no history yet"; any other
         # read failure must propagate so foreachBatch retries the epoch
@@ -199,7 +213,16 @@ def compact_seg_store(spark: SparkSession, store_path: str) -> int:
     each document contributes each seg_id EXACTLY ONCE, so the DISTINCT
     fold preserves per-key occupancy exactly — future cap decisions and
     probes see the same key multiset (pinned by test). Run while the
-    detection stream is paused."""
+    detection stream is paused.
+
+    ``keep_max_epoch=True`` because this store is occupancy-driven (NOT
+    monotone): only the highest epoch can belong to an uncommitted batch,
+    and folding it into the base would let its replay re-write the epoch
+    partition while the base still holds the folded copy — per-key
+    occupancy inflated until the next compaction, spurious cap refusals
+    meanwhile (the ``compact_band_store`` crash-window rationale)."""
     from komodo_data_spark.streaming.stores import compact_distinct_store
 
-    return compact_distinct_store(spark, store_path, list(SEG_STORE_COLS))
+    return compact_distinct_store(
+        spark, store_path, list(SEG_STORE_COLS), keep_max_epoch=True
+    )

@@ -3011,7 +3011,11 @@ def test_incremental_simhash_compaction_preserves_occupancy(
 ):
     """The DISTINCT fold preserves per-key occupancy exactly (each doc
     contributes each seg_id once), so cap decisions after compaction
-    match before."""
+    match before — and the highest epoch (the only one that can belong
+    to an uncommitted batch) is kept OUT of the fold, so its replay
+    cannot leave rows in both base and epoch partitions."""
+    import os
+
     from komodo_data_spark.streaming.simhash_incremental import (
         compact_seg_store,
         detect_batch,
@@ -3019,11 +3023,18 @@ def test_incremental_simhash_compaction_preserves_occupancy(
 
     store = str(tmp_path / "seg_store")
     pairs = str(tmp_path / "sim_pairs")
-    docs = spark.createDataFrame(
-        [(i, f"payload body {i} with distinct words {i*7}") for i in range(8)],
-        "doc_id long, text string",
-    )
-    detect_batch(spark, docs, 0, store, pairs, key_cap=64)
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [
+                (i, f"payload body {i} with distinct words {i*7}")
+                for i in range(lo, hi)
+            ],
+            "doc_id long, text string",
+        )
+
+    detect_batch(spark, batch(0, 8), 0, store, pairs, key_cap=64)
+    detect_batch(spark, batch(8, 12), 1, store, pairs, key_cap=64)
     before = sorted(
         map(
             tuple,
@@ -3034,7 +3045,10 @@ def test_incremental_simhash_compaction_preserves_occupancy(
         )
     )
     folded = compact_seg_store(spark, store)
-    assert folded >= 1
+    # only epoch 0 folds; epoch 1 (max — possibly uncommitted) is kept
+    assert folded == 1
+    assert not os.path.isdir(os.path.join(store, "epoch_id=0"))
+    assert os.path.isdir(os.path.join(store, "epoch_id=1"))
     after = sorted(
         map(
             tuple,
@@ -3045,3 +3059,49 @@ def test_incremental_simhash_compaction_preserves_occupancy(
         )
     )
     assert before == after
+
+
+def test_incremental_simhash_replay_does_not_double_count(spark, tmp_path):
+    """At-least-once replay: after a store write whose checkpoint commit
+    failed, the epoch replays. The replayed batch must NOT see its own
+    stored segment rows as history — that would double its keys'
+    occupancy (flipping true occupancy in (cap/2, cap] over the cap) and
+    dynamically overwrite the epoch's pairs partition with the
+    post-flip (empty) set, silently losing verified pairs."""
+    from komodo_data_spark.streaming.simhash_incremental import (
+        detect_batch,
+        pairs_from_store,
+    )
+
+    text = "the same near dup template payload body repeated " * 4
+    store = str(tmp_path / "seg_store")
+    pairs = str(tmp_path / "sim_pairs")
+    batch = spark.createDataFrame(
+        [(i, text) for i in (1, 2, 3)], "doc_id long, text string"
+    )
+    expected = {(1, 2, 0), (1, 3, 0), (2, 3, 0)}
+
+    # first attempt: occupancy 3 <= cap 4, all three pairs emitted
+    detect_batch(spark, batch, 0, store, pairs, key_cap=4)
+    got1 = {
+        (r["doc_i"], r["doc_j"], r["hamming"])
+        for r in pairs_from_store(spark, pairs).collect()
+    }
+    assert got1 == expected
+    # replay of the SAME epoch (checkpoint commit lost): occupancy must
+    # still read 3 (batch only), not 3 + 3 (batch + its stored copy)
+    detect_batch(spark, batch, 0, store, pairs, key_cap=4)
+    got2 = {
+        (r["doc_i"], r["doc_j"], r["hamming"])
+        for r in pairs_from_store(spark, pairs).collect()
+    }
+    assert got2 == expected
+    # and a genuinely LATER epoch does see epoch 0 as history: 3 store
+    # + 1 batch = 4 <= cap, so the new doc pairs with all three
+    late = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    detect_batch(spark, late, 1, store, pairs, key_cap=4)
+    got3 = {
+        (r["doc_i"], r["doc_j"], r["hamming"])
+        for r in pairs_from_store(spark, pairs).collect()
+    }
+    assert got3 == expected | {(1, 9, 0), (2, 9, 0), (3, 9, 0)}
