@@ -135,6 +135,45 @@ def test_pq_recall_against_exact_topk(spark, tmp_path):
         assert abs(got[qid]["recall"] - hits / len(truth)) < 1e-12
 
 
+def test_pq_published_equals_refit(spark, tmp_path):
+    """Cross-session contract: searching through a PUBLISHED frozen
+    codebook (publish → require_store → read → broadcast encode + ADC)
+    returns row-for-row what the in-session fit returns — the codebook
+    IS the model, and `_pq_assign` is the one encoding expression both
+    paths share. Also pins the require_store precondition and the
+    session memo (one Lloyd fit for adc + recall + publish)."""
+    import pytest
+
+    from komodo_data_spark.operators.similarity import (
+        _pq_fit_shared,
+        knn_pq_adc,
+        knn_pq_apply_published,
+        publish_pq_model,
+    )
+
+    rng = np.random.default_rng(23)
+    mat = rng.standard_normal((24, 64)).astype(np.float32)
+    d = _write_embeddings(tmp_path, mat, name="pqp_sf")
+    model = str(tmp_path / "pq_model")
+
+    # unpublished store fails fast at the gate, not mid-query
+    with pytest.raises(RuntimeError, match="never been published"):
+        knn_pq_apply_published(spark, d, model)
+
+    refit = {tuple(r) for r in knn_pq_adc(spark, d).collect()}
+    publish_pq_model(spark, d, model)
+    published = {
+        tuple(r) for r in knn_pq_apply_published(spark, d, model).collect()
+    }
+    assert published == refit
+    assert published  # non-vacuous
+
+    # the memo hands every consumer the SAME checkpointed frames
+    f1 = _pq_fit_shared(spark, d)
+    f2 = _pq_fit_shared(spark, d)
+    assert f1[0] is f2[0] and f1[1] is f2[1]
+
+
 def _write_docs(tmp_path, rows, name="dsir_sf"):
     pdf = pd.DataFrame(
         {
