@@ -355,9 +355,12 @@ def prefix_filtered_jaccard_pairs(
     join would re-multiply every candidate by its |set| postings:
     measured 5.8 s vs ~2 s on the media-gram truth's 827k candidates at
     sf0.1). Callers cache ``posts`` (consumed by df, sizes, prefix, and
-    the array reassembly); the prefix frame is cached here when the
-    guard is on (estimate + candidate join both read it) — per-invocation
-    caches, cleared between queries by the sweep harnesses.
+    the array reassembly); the prefix frame is eager-localCheckpointed
+    here when the guard is on (estimate + candidate join both read it) —
+    blocks are GC-released when the result frame dies, never a
+    session-lifetime CacheManager entry (the guarded-detector idiom of
+    the simhash/fuzzy families; pinned by
+    test_dedup_detectors_leave_no_persistent_blocks).
 
     VALIDITY BOUNDARY (the round-8 sf10 catch): prefix selectivity
     assumes the gram space dwarfs the corpus. On a saturated vocabulary
@@ -373,10 +376,9 @@ def prefix_filtered_jaccard_pairs(
     """
     pref = _prefix_postings(posts, num, den)
     if budget is not None:
-        pref = pref.cache()
+        pref = pref.localCheckpoint(eager=True)
         est = prefix_candidate_volume(pref)
         if est > budget:
-            pref.unpersist()
             if fallback == "df_cap":
                 return _df_capped_pairs(posts, num / den)
             raise VocabularySaturationError(est, budget)
@@ -528,15 +530,19 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Carry each side's set size on the exploded rows: the pair groupBy can
     # then compute Jaccard directly (first(n) is constant within a group),
-    # avoiding two extra joins back to a sizes frame. Cache the FLAT form —
-    # see _doc_postings for why the array form is the wrong thing to cache.
+    # avoiding two extra joins back to a sizes frame. Materialize the FLAT
+    # form — see _doc_postings for why the array form is the wrong one.
+    # Lazy localCheckpoint, not cache(): checkpointed blocks are released
+    # by the ContextCleaner when the result frame is GC'd, where a cache()
+    # entry stays in the CacheManager for the session's lifetime (pinned
+    # by test_dedup_detectors_leave_no_persistent_blocks).
     e = exploded(
         _doc_shingles(spark, sf_dir),
         F.col("sh"),
         "g",
         "doc_id",
         F.size("sh").alias("n_sh"),
-    ).cache()
+    ).localCheckpoint(eager=False)
     return (
         e.alias("a")
         .join(e.alias("b"), "g")
@@ -589,7 +595,8 @@ def dedup_ngram_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquadratic because the answer itself is dense (SF10_EXCLUDE entry,
     bench_scaling.py).
     """
-    posts = _doc_postings(spark, sf_dir).cache()
+    # lazy localCheckpoint: GC-released, unlike a session-lifetime cache()
+    posts = _doc_postings(spark, sf_dir).localCheckpoint(eager=False)
     return prefix_filtered_jaccard_pairs(posts, 7, 10)
 
 
@@ -661,7 +668,9 @@ def dedup_ngram_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate shingles that dominate the join volume on real corpora.
     """
     return _df_capped_pairs(
-        _doc_postings(spark, sf_dir).cache(), JACCARD_THRESHOLD
+        # lazy localCheckpoint: GC-released, unlike a session-lifetime cache
+        _doc_postings(spark, sf_dir).localCheckpoint(eager=False),
+        JACCARD_THRESHOLD,
     )
 
 
@@ -876,7 +885,8 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     full corpus (256 vs 255 at sf0.1 — both exact-verified, the delta is
     banding luck on sub-threshold candidates).
     """
-    posts = _doc_postings(spark, sf_dir).cache()
+    # lazy localCheckpoint: GC-released, unlike a session-lifetime cache()
+    posts = _doc_postings(spark, sf_dir).localCheckpoint(eager=False)
     cand = _band_candidates(_bands_from_sig(_oph_signature(posts)))
     return _verify_jaccard(posts, cand)
 
@@ -3135,7 +3145,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment needs no new shuffle shape, only a different normalizer
     (|S_i| instead of the union).
     """
-    e = _doc_postings(spark, sf_dir).cache()
+    # lazy localCheckpoint: GC-released, unlike a session-lifetime cache()
+    e = _doc_postings(spark, sf_dir).localCheckpoint(eager=False)
     rare = (
         e.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))

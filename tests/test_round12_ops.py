@@ -1,0 +1,79 @@
+"""Round-12 pins: storage hygiene of the dedup detector family.
+
+Round-11 verdict ask #3: the remaining ``.cache()`` hubs in the dedup
+family (``dedup_ngram_pairs``'s exploded shingles and the
+``_doc_postings`` consumers without a ``release=`` path) accumulated one
+CacheManager entry per invocation for the session's lifetime. They are
+now lazy localCheckpoints, whose blocks the ContextCleaner releases once
+the Python result frame is GC'd — so repeated invocations in a
+long-lived session keep the persisted-block count at a constant steady
+state (the ``scripts/bpe_depth.py`` ``persistent_rdds_after`` assertion,
+applied to the dedup family).
+"""
+
+from __future__ import annotations
+
+import gc
+
+
+def _persistent_rdd_count(spark) -> int:
+    gc.collect()  # flush dead Python frames -> py4j releases the JVM refs
+    return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+
+def _cache_manager_size(spark) -> int:
+    """Entries in the SQL CacheManager — where ``.cache()`` registers a
+    plan for the SESSION's lifetime (nothing evicts it but an explicit
+    unpersist/clearCache). localCheckpoint never touches it."""
+    return spark._jsparkSession.sharedState().cacheManager().cachedData().size()
+
+
+def test_dedup_detectors_leave_no_persistent_blocks(spark, sf_dir):
+    """10 repeated invocations of each converted detector in ONE session
+    leave storage at a constant steady state. Two pins:
+
+    1. The CacheManager gains ZERO entries — the exact leak signature of
+       the old ``.cache()`` sites was one never-evicted entry per
+       detector per invocation (+50 over this test). Jitter-free: only
+       an explicit cache() can grow it.
+    2. The persistent-RDD count stays bounded by ~one batch's worth of
+       in-flight checkpoint blocks: a finished batch's blocks are
+       released by the ContextCleaner during the NEXT batch's activity
+       (weak-ref discovery rides the JVM GCs that allocation pressure
+       triggers; an idle session drains slowly — measured ~17 in-flight
+       after 120 bench queries, scripts/triage_checkpoint_accumulation.py).
+       With the cache() leak this reading was ≥ 50 and growing."""
+    from komodo_data_spark.operators.dedup import (
+        dedup_containment_pairs,
+        dedup_minhash_oph,
+        dedup_ngram_pairs,
+        dedup_ngram_pairs_capped,
+        dedup_ngram_pairs_prefix,
+    )
+
+    detectors = (
+        dedup_ngram_pairs,
+        dedup_ngram_pairs_prefix,
+        dedup_ngram_pairs_capped,
+        dedup_minhash_oph,
+        dedup_containment_pairs,
+    )
+
+    def rounds(n):
+        for _ in range(n):
+            for fn in detectors:
+                assert fn(spark, sf_dir).count() >= 0
+
+    cm_before = _cache_manager_size(spark)
+    rounds(5)
+    rounds(5)
+    cm_after = _cache_manager_size(spark)
+    assert cm_after == cm_before, (
+        f"CacheManager grew {cm_before} -> {cm_after} over 50 detector "
+        f"invocations — a .cache() without unpersist in the dedup family"
+    )
+    in_flight = _persistent_rdd_count(spark)
+    assert in_flight <= 40, (
+        f"{in_flight} persistent RDDs after 50 detector invocations — "
+        f"checkpoint blocks are accumulating beyond one batch's worth"
+    )
