@@ -205,74 +205,68 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 
 # The driver records correctness rows for the FIRST 50 registry entries in
 # registration order. Rotation is COMPLETE (cumulative driver-witnessed
-# coverage reached 242/242 by r10), so the window re-witnesses at HEAD:
-# (a) this round's additions, (b) every query whose implementation changed
-# since its last witness, (c) the bench-triage anchors, (d) family anchors
-# across the whole operator surface. Queries outside the window keep their
-# oracle pairing and are verified by the judge's full scripts/check.py
-# re-run.
+# coverage reached the full registry by r11), so the r12 window targets
+# FRESHNESS (verdict ask #7): (a) this round's addition + every query whose
+# implementation changed this round, (b) the 42 queries with the OLDEST
+# last-witnessed round (r02-r04 per CORRECTNESS_r02..r11) so the staleness
+# tail stays bounded. Queries outside the window keep their oracle pairing
+# and are verified by the judge's full scripts/check.py re-run.
 _PRIORITY: tuple[str, ...] = (
-    # --- (a) NEW in round 11 ---
-    "dedup_fuzzy_prefix_capped",  # NEW r11: capped PassJoin (sf10 path)
-    "dedup_fuzzy_capped_recall",  # NEW r11: cap loss vs exact detector
-    "media_simhash_pairs_capped",  # NEW r11: capped pigeonhole (sf10 path)
-    "media_simhash_capped_recall",  # NEW r11: cap loss vs exact detector
-    # --- (b) changed in round 11 ---
-    "text_bpe_merges_batched",  # r11: cascade-conflict predicate + rk fold
-    "text_bpe_batched_train_apply",  # r11: shared session fit
-    "text_bpe_encode",  # r11: shared session fit
-    "text_bpe_packed_sequences",  # r11: shared session fit
-    "text_bpe_published_apply",  # NEW r11: store roundtrip, published≡refit
-    "knn_ivfpq_adc",  # r11: shared session index build
-    "knn_ivfpq_recall",  # r11: consumes the shared index build
-    "dedup_fuzzy_prefix",  # r11: fused guard (one-shuffle estimate,
-    #                        localCheckpoint instead of cache)
-    "dedup_simhash",  # r11: fused guard + signature checkpoint
-    "media_simhash_pairs",  # r11: same fused-guard path (pigeonhole)
-    "dedup_ngram_pairs_prefix",  # r11: double-typed volume estimate
-    "dedup_ngram_pairs_capped",  # anchor for the capped-semantics family
-    "dedup_simhash_recall",  # r11: detector side took the fused guard
-    "media_simhash_recall",  # r11: same
-    # --- (c) bench anchors (shared-fit effect lands here) ---
-    "text_bpe_merges",  # exact trainer: unchanged, the batched oracle twin
-    "text_kneser_ney3_logprob",
-    "text_kneser_ney3_apply",
-    "text_entropy_stats",
-    "dedup_minhash_recall_sampled",
-    "dedup_minhash_oph_recall",
-    "dedup_embedding_recall",
-    # --- (d) family anchors, re-witnessed at HEAD ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q9_product_profit",
-    "q13_customer_order_histogram",
-    "q19_banded_revenue",
-    "customer_year_setops",
-    "lineitem_price_tiers_bucketed",
-    "nation_revenue_share",
-    "interaction_counts",
-    "user_activity",
-    "user_energy_events",
-    "user_copresence",
-    "event_pattern",
-    "funnel_conversion",
-    "retention_cohorts",
-    "events_transition_matrix",
-    "events_ewma_hourly",
-    "event_sessions",
-    "split_leakage_pairs",
-    "docs_temperature_mix",
-    "cdc_apply_changes",
-    "customers_t_closeness",
-    "dedup_clusters",
-    "token_packing_sequences",
-    "dedup_exact",
-    "dedup_minhash_lsh",
+    # --- (a) NEW / changed in round 12 ---
+    "knn_pq_published_adc",  # NEW r12: flat-PQ publish roundtrip
+    "knn_pq_adc",  # r12: shared session codebook fit
+    "knn_pq_recall",  # r12: consumes the shared fit
+    "dedup_ngram_pairs",  # r12: hub cache -> lazy localCheckpoint
+    "dedup_ngram_pairs_prefix",  # r12: same + guarded prefix checkpoint
+    "dedup_ngram_pairs_capped",  # r12: same
+    "dedup_minhash_oph",  # r12: same
+    "dedup_containment_pairs",  # r12: same
+    # --- (b) stalest driver witnesses, oldest round first ---
+    # last witnessed r02:
+    "customers_every_year",
+    "events_distinct_users_two_stage",
+    "events_props_variant",
+    "events_user_trend",
+    "events_value_anomalies",
+    "events_value_histogram",
+    "lineitem_price_tiers",
+    "q11_important_suppliers",
+    "q16_supplier_part_counts",
+    "supplier_part_distinct_approx",  # rows-only (sketch; exact twin paired)
+    "supplier_part_distinct_exact",
+    "user_click_purchase_reconcile",
+    "user_state_history",
+    # last witnessed r03:
+    "corpus_prepare",
+    "customers_with_orders",
+    "dedup_embedding_pairs",
+    "dedup_semantic",
+    "doc_chunks",
+    "graph_pagerank",
+    "knn_ivf_multiprobe",
+    "knn_lsh_signbits",
+    "media_audio_energy",
+    "media_frame_samples",
+    "profile_orders",
+    "text_bpe_token_estimate",
+    "text_fingerprints",
     "text_quality_scores",
+    "text_repetition_signals",
+    "text_tfidf_top_terms",
+    "url_canonical_dedup",
+    # last witnessed r04:
+    "corpus_clean",
+    "customers_fuzzy_name_pairs",
+    "dedup_clusters_best_keeper",
+    "dedup_clusters_star",
+    "dedup_source_overlap",
+    "dedup_substring_scrub",
+    "embeddings_vector_stats",
+    "events_pivot_daily",
+    "graph_components",
+    "kmeans_clusters",
     "knn_brute_force",
-    "media_resize",
-    "graph_kcore",
-    "udtf_sentences",
+    "knn_lsh_recall",
 )
 
 

@@ -17,6 +17,13 @@ query's first timed run is noise-level.
 The final line is kept compact (< ~1500 chars: totals + top-10 slowest) so
 it survives the driver's output-tail truncation; the full per-query timing
 map is written to ``BENCH_DETAIL.json`` at the repo root.
+
+Host-contention policy: the rig is a multi-tenant guest (BASELINE.md
+"Round-9→10 bench-envelope triage"), so each timed pass records steal%%
+and loadavg; a contaminated pass (steal_pct >= 1.0) is retried once after
+``SPARK_GRAFT_CONTAM_BACKOFF_S`` (default 120 s), and if both attempts
+are contaminated the artifact carries ``headline_valid: false`` — a
+flagged total is an upper bound, never a headline.
 """
 
 from __future__ import annotations
@@ -107,6 +114,25 @@ def _host_report(pre: dict, post: dict) -> dict:
     }
 
 
+def _timed_sweep(spark, qs, sf_dir: str) -> tuple[dict[str, float], dict]:
+    """One full timed pass over the registry with host telemetry."""
+    host_pre = _host_sample()
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # keep the harness alive; flag the query
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+        # Operators cache intermediates (shingle sets, edge lists); drop
+        # them so no query is billed for - or sped up by - another's
+        # storage, and the 131-query run can't accumulate memory pressure.
+        spark.catalog.clearCache()
+    return timings, _host_report(host_pre, _host_sample())
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -148,22 +174,42 @@ def main() -> int:
                 pass
             spark.catalog.clearCache()
 
-    host_pre = _host_sample()
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # keep the harness alive; flag the query
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
-        # Operators cache intermediates (shingle sets, edge lists); drop
-        # them so no query is billed for - or sped up by - another's
-        # storage, and the 131-query run can't accumulate memory pressure.
-        spark.catalog.clearCache()
-
-    host = _host_report(host_pre, _host_sample())
+    # Contamination is self-correcting (round-11 verdict ask #2): a run the
+    # telemetry flags (steal_pct >= 1.0, BASELINE.md criterion) is retried
+    # ONCE after a backoff; if the retry is also contaminated, the faster
+    # attempt is published with headline_valid=false so the round record
+    # can't silently promote an upper bound to a headline (the r11 455 s
+    # artifact was exactly that). A clean retry replaces the first attempt.
+    timings, host = _timed_sweep(spark, qs, sf_dir)
+    attempts = [
+        {
+            "total": round(sum(v for v in timings.values() if v >= 0), 4),
+            "host": host,
+        }
+    ]
+    if host.get("contaminated"):
+        backoff = float(os.environ.get("SPARK_GRAFT_CONTAM_BACKOFF_S", "120"))
+        print(
+            f"bench: contaminated run (steal_pct={host.get('steal_pct')}, "
+            f"load1_pre={host.get('load1_pre')}) — retrying once after "
+            f"{backoff:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(backoff)
+        timings2, host2 = _timed_sweep(spark, qs, sf_dir)
+        attempts.append(
+            {
+                "total": round(
+                    sum(v for v in timings2.values() if v >= 0), 4
+                ),
+                "host": host2,
+            }
+        )
+        if not host2.get("contaminated") or (
+            attempts[1]["total"] <= attempts[0]["total"]
+        ):
+            timings, host = timings2, host2
+    headline_valid = not host.get("contaminated", False)
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 4)
     failed = sorted(n for n, v in timings.items() if v < 0)
@@ -184,6 +230,8 @@ def main() -> int:
         "n_failed": len(failed),
         "failed": failed,
         "host": host,
+        "headline_valid": headline_valid,
+        "attempts": attempts,
         "queries": timings,
     }
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -222,6 +270,8 @@ def main() -> int:
                 "n_queries": len(timings),
                 "n_failed": len(failed),
                 "host": host,
+                "headline_valid": headline_valid,
+                "n_attempts": len(attempts),
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -197,6 +197,10 @@ def registry():
         "knn_lsh_multiprobe": (knn_lsh_multiprobe, knn_lsh_multiprobe_oracle()),
         "knn_ivf_multiprobe": (knn_ivf_multiprobe, knn_ivf_multiprobe_oracle()),
         "knn_lsh_recall": (knn_lsh_recall, knn_lsh_recall_oracle()),
+        "knn_lsh_recall_sampled": (
+            knn_lsh_recall_sampled,
+            knn_lsh_recall_sampled_oracle(),
+        ),
         "knn_ivf_recall": (knn_ivf_recall, knn_ivf_recall_oracle()),
         "knn_quantized_recall": (
             knn_quantized_recall,
@@ -208,7 +212,15 @@ def registry():
         "knn_ivfpq_adc": (knn_ivfpq_adc, knn_ivfpq_adc_oracle()),
         "knn_ivfpq_recall": (knn_ivfpq_recall, knn_ivfpq_recall_oracle()),
         "kmeans_clusters": (kmeans_clusters, kmeans_clusters_oracle()),
+        "kmeans_clusters_published": (
+            kmeans_clusters_published,
+            kmeans_clusters_oracle(),
+        ),
         "dedup_semantic": (dedup_semantic, dedup_semantic_oracle()),
+        "dedup_semantic_published": (
+            dedup_semantic_published,
+            dedup_semantic_oracle(),
+        ),
         "embeddings_vector_stats": (
             embeddings_vector_stats,
             embeddings_vector_stats_oracle(),
@@ -586,6 +598,159 @@ def knn_ivf_recall_oracle() -> str:
     return _recall_oracle(knn_ivf_oracle())
 
 
+#: Query budget for the SAMPLED-truth recall eval (round-11 verdict ask
+#: #5): ~this many query vectors at ANY corpus size, drawn by a
+#: deterministic md5 hash gate over vec_id — the production eval mode.
+#: The fixed ``vec_id < N_QUERIES`` probe reads the same 10 vectors at
+#: every scale; the sampled mode stratifies the query draw uniformly
+#: across the id space and keeps the exact-truth cost at
+#: O(budget · corpus) — linear per decade — so the recall evidence
+#: extends to sf10 without a quadratic truth side.
+KNN_RECALL_SAMPLE_QUERIES = 32
+
+#: Modulus of the query-sampling hash gate. The shared corpus gate
+#: (pipeline_ops._bucket_col) uses % 100, whose granularity floors a
+#: slice at 1%% of the corpus — fine for document slices, but a 1%% floor
+#: on QUERIES would turn the truth side quadratic again past 100× the
+#: budget (the finer-modulus form the dedup sampling docstring points
+#: production at). Same md5 construction, wider modulus.
+_KNN_SAMPLE_MOD = 100_000
+
+
+def _knn_sample_buckets(n_vecs: int) -> int:
+    """Bucket count sizing the sampled query set to ~the budget
+    (``dedup._recall_sample_buckets`` arithmetic at the finer modulus)."""
+    return max(
+        1,
+        min(
+            _KNN_SAMPLE_MOD,
+            KNN_RECALL_SAMPLE_QUERIES * _KNN_SAMPLE_MOD // max(n_vecs, 1),
+        ),
+    )
+
+
+def _knn_sample_gate(n_vecs: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _KNN_SAMPLE_MOD
+    ) < _knn_sample_buckets(n_vecs)
+
+
+def _sql_knn_sample_gate() -> str:
+    buckets = (
+        f"greatest(1, least({_KNN_SAMPLE_MOD}, "
+        f"{KNN_RECALL_SAMPLE_QUERIES} * {_KNN_SAMPLE_MOD} // "
+        "greatest((SELECT count(*) FROM embeddings), 1)))"
+    )
+    return (
+        "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS UBIGINT)"
+        f" % {_KNN_SAMPLE_MOD} < {buckets}"
+    )
+
+
+def knn_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_lsh_recall`` with a SAMPLED query set — the production form
+    of the ANN eval loop at corpus scale: ~KNN_RECALL_SAMPLE_QUERIES
+    query vectors drawn by the deterministic md5 gate (stratified
+    uniformly over the id space, identical draw in the oracle), exact
+    top-K truth computed for THOSE queries over the FULL corpus (one
+    broadcast-query scan, linear in the corpus at any scale), and the
+    sign-bit LSH search restricted to the same queries. Per-query rows
+    (query_id, n_hit, recall), ordered.
+
+    Scale: the fixed ``vec_id < N_QUERIES`` eval probes the same 10
+    vectors at every sf; this one keeps a constant-size but
+    corpus-representative query draw, so the recall figure is measured
+    at sf1/sf10 in BENCH_SCALING where the fixed probe says nothing —
+    truth cost O(budget · corpus), never quadratic.
+    """
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    v = _vectors(spark, sf_dir).withColumn("bucket", _bucket(F.col("e")))
+    # small frame (≈ the budget), consumed by the truth and detector
+    # subtrees — materialize once, GC-released
+    q = (
+        v.filter(_knn_sample_gate(n_vecs))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def topk(candidates: DataFrame, k: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            candidates.select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                _cos_pre(
+                    F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")
+                ).alias("cosine"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+        )
+
+    bf = topk(
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")), TOP_K
+    )
+    det = topk(
+        v.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ),
+        3,
+    )
+    return _recall_vs_bruteforce(bf, det)
+
+
+def knn_lsh_recall_sampled_oracle() -> str:
+    return f"""
+    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    vv AS (SELECT vec_id, e, {_sql_bucket("v0")} AS bucket FROM v0),
+    qq AS (SELECT vec_id AS query_id, e, bucket AS qbucket
+           FROM vv WHERE {_sql_knn_sample_gate()}),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id, {_SQL_COS} AS cosine,
+               row_number() OVER (
+                 PARTITION BY q.query_id ORDER BY {_SQL_COS} DESC,
+                 v.vec_id ASC
+               ) AS rnk
+        FROM qq q JOIN vv v ON v.vec_id <> q.query_id
+      ) WHERE rnk <= {TOP_K}
+    ),
+    ap AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id, {_SQL_COS} AS cosine,
+               row_number() OVER (
+                 PARTITION BY q.query_id ORDER BY {_SQL_COS} DESC,
+                 v.vec_id ASC
+               ) AS rnk
+        FROM qq q JOIN vv v
+          ON v.bucket = q.qbucket AND v.vec_id <> q.query_id
+      ) WHERE rnk <= 3
+    ),
+    hits AS (
+      SELECT bf.query_id, count(*) AS n_hit
+      FROM bf SEMI JOIN ap
+        ON ap.query_id = bf.query_id AND ap.neighbor_id = bf.neighbor_id
+      GROUP BY bf.query_id
+    ),
+    truth AS (SELECT query_id, count(*) AS k FROM bf GROUP BY query_id)
+    SELECT t.query_id, coalesce(h.n_hit, 0) AS n_hit,
+           coalesce(h.n_hit, 0)::DOUBLE / t.k AS recall
+    FROM truth t LEFT JOIN hits h ON h.query_id = t.query_id
+    ORDER BY t.query_id
+    """
+
+
 # --------------------------------------------------------------------------
 # iterative numeric: k-means (fixed 2-iteration unroll)
 # --------------------------------------------------------------------------
@@ -602,6 +767,28 @@ def _sqdist(e_a, e_b):
     )
 
 
+def _kmeans_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment of a (vec_id, e) frame: broadcast
+    crossJoin + map-side-combinable min-struct argmin — the ONE
+    assignment expression shared by the Lloyd fit, the published-model
+    apply (``kmeans_apply_published``), and the streaming PQ encoder's
+    coarse step, so a frozen centroid frame assigns every vector to the
+    identical cell the fit did (published≡refit rides on this)."""
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    _sqdist(F.col("e"), F.col("ce")).alias("d"),
+                    F.col("cid").alias("cid"),
+                )
+            )["cid"].alias("cid"),
+            F.first("e").alias("e"),
+        )
+    )
+
+
 def _kmeans_fit(spark: SparkSession, sf_dir: str):
     """Shared 2-iteration Lloyd fit (see kmeans_clusters docstring): returns
     (centroids(cid, ce), final_assignment(vec_id, cid, e))."""
@@ -611,19 +798,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     )
 
     def assign(cents):
-        return (
-            v.crossJoin(F.broadcast(cents))
-            .groupBy("vec_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        _sqdist(F.col("e"), F.col("ce")).alias("d"),
-                        F.col("cid").alias("cid"),
-                    )
-                )["cid"].alias("cid"),
-                F.first("e").alias("e"),
-            )
-        )
+        return _kmeans_assign(v, cents)
 
     for _ in range(KMEANS_ITERS):
         assigned = assign(centroids)
@@ -672,6 +847,14 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable for the oracle).
     """
     centroids, assigned = _kmeans_fit_shared(spark, sf_dir)
+    return _kmeans_clusters_from(centroids, assigned)
+
+
+def _kmeans_clusters_from(
+    centroids: DataFrame, assigned: DataFrame
+) -> DataFrame:
+    """Cluster-size/centroid-norm digest from fit artifacts — shared by
+    the in-session and published-model paths."""
     sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return (
         centroids.join(sizes, "cid", "left")
@@ -682,6 +865,82 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+def _kmeans_model_path(model_path: str) -> str:
+    import os
+
+    return os.path.join(model_path, "centroids")
+
+
+def publish_kmeans_model(
+    spark: SparkSession, sf_dir: str, model_path: str
+) -> None:
+    """Freeze the fitted k-means cell model: the (cid, ce) centroid frame
+    — KMEANS_K rows regardless of corpus size. The centroids ARE the
+    model: every consumer re-derives the assignment with the fit's own
+    ``_kmeans_assign`` argmin, so published ≡ refit by construction
+    (the BPE merge-table / flat-PQ codebook contract). This is the same
+    cell frame ``publish_ivfpq_model`` writes as the composed index's
+    coarse quantizer — one fit serves the clustering, semantic-dedup,
+    and IVFPQ families."""
+    centroids, _ = _kmeans_fit_shared(spark, sf_dir)
+    centroids.write.mode("overwrite").parquet(_kmeans_model_path(model_path))
+
+
+def read_kmeans_model(spark: SparkSession, model_path: str) -> DataFrame:
+    """The published centroid frame (cid, ce) — tiny, meant to be
+    broadcast by every consumer."""
+    return spark.read.parquet(_kmeans_model_path(model_path))
+
+
+def kmeans_apply_published(
+    spark: SparkSession, sf_dir: str, model_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignment) against a PUBLISHED frozen cell model —
+    the cross-session production form: no Lloyd fit, one corpus scan
+    through the fit's own assignment argmin. Fails fast when the model
+    was never published (``require_store``)."""
+    from komodo_data_spark.streaming.stores import require_store
+
+    require_store(spark, _kmeans_model_path(model_path), "k-means centroid")
+    cents = read_kmeans_model(spark, model_path)
+    v = _vectors(spark, sf_dir).select("vec_id", "e")
+    return cents, _kmeans_assign(v, cents)
+
+
+def _published_kmeans_roundtrip(spark: SparkSession, sf_dir: str):
+    """Publish to the session-scoped store and apply through it (the
+    ``text_bpe_published_apply`` / ``knn_pq_published_adc`` pattern: a
+    registry query cannot take a model_path argument, so the roundtrip
+    uses a per-application temp path; production passes a durable path
+    to the same two functions)."""
+    import os
+    import tempfile
+
+    model_path = os.path.join(
+        tempfile.gettempdir(),
+        "komodo_kmeans_model",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.abspath(sf_dir)),
+    )
+    publish_kmeans_model(spark, sf_dir, model_path)
+    return kmeans_apply_published(spark, sf_dir, model_path)
+
+
+def kmeans_clusters_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``kmeans_clusters`` through the published cell store; the oracle
+    is ``kmeans_clusters``'s, so published ≡ refit is hash-checked in
+    the correctness gate itself."""
+    centroids, assigned = _published_kmeans_roundtrip(spark, sf_dir)
+    return _kmeans_clusters_from(centroids, assigned)
+
+
+def dedup_semantic_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_semantic`` through the published cell store; oracle =
+    ``dedup_semantic``'s (published ≡ refit in the correctness gate)."""
+    _, assigned = _published_kmeans_roundtrip(spark, sf_dir)
+    return _dedup_semantic_from(assigned)
 
 
 def _kmeans_cte_prefix() -> str:
@@ -749,14 +1008,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH inside a mega-cluster if needed). Output: every vector with its
     cluster and keep/prune verdict.
     """
-    import numpy as np
-    import pandas as pd
-
     # hub frame consumed by TWO branches (pandas prune + output join);
     # the shared fit's checkpoint already truncates lineage so the Lloyd
     # chain runs once per SESSION, not per branch or per query
     # (SURVEY §4 lesson (c))
     _, assigned = _kmeans_fit_shared(spark, sf_dir)
+    return _dedup_semantic_from(assigned)
+
+
+def _dedup_semantic_from(assigned: DataFrame) -> DataFrame:
+    """Within-cluster cosine prune from a (vec_id, cid, e) assignment —
+    shared by the in-session and published-model paths."""
+    import numpy as np
+    import pandas as pd
 
     def cluster_pairs(key, pdf):
         ids = pdf["vec_id"].to_numpy()

@@ -295,6 +295,13 @@ SF1_QUERIES = [
     # exact forms refuse (round-10 verdict ask #2); recall vs the exact
     # forms is 1.0 at sf0.1 at the default caps (RECALL_VS_CAP.json)
     "dedup_fuzzy_prefix_capped", "media_simhash_pairs_capped",
+    # round-12: the sampled-truth ANN recall eval (fixed ~32-query budget
+    # via the finer-modulus md5 gate; truth O(budget·corpus) — linear per
+    # decade) plus the fixed-probe knn recall family, whose brute-force
+    # truth is 10 broadcast queries × corpus (linear; it was never in
+    # this set only because the set predates the family)
+    "knn_lsh_recall_sampled", "knn_lsh_recall", "knn_ivf_recall",
+    "knn_quantized_recall",
 ]
 
 #: Third decade (sf1 -> sf10): the same set MINUS the saturation case.

@@ -250,3 +250,77 @@ def test_capped_twins_use_equi_joins_only(spark):
         plan = plan_of(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# broadcast-ceiling degradation (round-11 verdict ask #4): at sf0.01 every
+# unhinted join broadcasts, so PLANS.md shows zero sort-merge joins — these
+# pins prove the big joins degrade to SMJ (never BroadcastNestedLoop) when
+# the small side outgrows the broadcast ceiling, by disabling auto-broadcast
+# outright, and that AQE's skew handling stays armed underneath.
+# --------------------------------------------------------------------------
+
+import contextlib as _ctx
+
+
+@_ctx.contextmanager
+def _no_auto_broadcast(spark):
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_minhash_band_join_degrades_to_sort_merge(spark):
+    """The LSH band self-join and the verify joins are all equi-joins, so
+    with the broadcast ceiling gone they must plan as SortMergeJoin — a
+    BroadcastNestedLoopJoin here would mean a join lost its equi keys and
+    the detector went quadratic at exactly the scale where broadcast
+    stops being available. Built from the pipeline pieces directly: the
+    registry query reads the session memo's materialized checkpoint,
+    whose plan is a scan."""
+    with _no_auto_broadcast(spark):
+        posts = dedup._doc_postings(spark, SF)
+        pairs = dedup._verify_jaccard(
+            posts, dedup._band_candidates(dedup.bands_of(posts))
+        )
+        plan = plan_of(pairs)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_uid_join_degrades_to_sort_merge(spark):
+    """benchmark_contamination: the hit-count join back on the unique row
+    key must degrade to SortMergeJoin without auto-broadcast; the
+    benchmark-shingle probe join stays a broadcast-hash join because that
+    side is EXPLICITLY hinted (benchmark sets are tiny by design; the
+    beyond-broadcast path is the bloom twin)."""
+    from komodo_data_spark.operators import pipeline_ops
+
+    with _no_auto_broadcast(spark):
+        plan = plan_of(pipeline_ops.benchmark_contamination(spark, SF))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" in plan  # the hinted probe join survives
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_fact_join_degrades_to_sort_merge_with_aqe_skew_armed(spark):
+    """The unhinted orders⋈lineitem fact join in q3 must plan as
+    SortMergeJoin when auto-broadcast is off (the hinted customer dim
+    keeps its broadcast), and the AQE skew-join machinery that would
+    split a skewed fact partition at runtime stays enabled under the
+    threshold override."""
+    with _no_auto_broadcast(spark):
+        plan = plan_of(relational.q3_shipping_priority(spark, SF))
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert (
+            spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        )
+    assert "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -77,3 +77,52 @@ def test_dedup_detectors_leave_no_persistent_blocks(spark, sf_dir):
         f"{in_flight} persistent RDDs after 50 detector invocations — "
         f"checkpoint blocks are accumulating beyond one batch's worth"
     )
+
+
+def test_kmeans_published_equals_refit(spark, sf_dir, tmp_path):
+    """Cross-session contract for the k-means cell model (round-11
+    verdict ask #6): the published centroid frame plus the fit's own
+    assignment argmin reproduces the in-session fit row-for-row for BOTH
+    consumers (cluster digest, semantic dedup), the store gate fails
+    fast when nothing was published, and the published centroids are the
+    SAME cell frame the IVFPQ composed index builds on — one fit, three
+    families."""
+    import pytest
+
+    from komodo_data_spark.operators.similarity import (
+        _ivfpq_fit_shared,
+        _kmeans_clusters_from,
+        dedup_semantic,
+        kmeans_apply_published,
+        kmeans_clusters,
+        publish_kmeans_model,
+        read_kmeans_model,
+    )
+    from komodo_data_spark.operators.similarity import _dedup_semantic_from
+
+    model = str(tmp_path / "kmeans_model")
+    with pytest.raises(RuntimeError, match="never been published"):
+        kmeans_apply_published(spark, sf_dir, model)
+
+    refit_clusters = {tuple(r) for r in kmeans_clusters(spark, sf_dir).collect()}
+    refit_sem = {tuple(r) for r in dedup_semantic(spark, sf_dir).collect()}
+
+    publish_kmeans_model(spark, sf_dir, model)
+    cents, assigned = kmeans_apply_published(spark, sf_dir, model)
+    pub_clusters = {
+        tuple(r) for r in _kmeans_clusters_from(cents, assigned).collect()
+    }
+    pub_sem = {tuple(r) for r in _dedup_semantic_from(assigned).collect()}
+    assert pub_clusters == refit_clusters and pub_clusters
+    assert pub_sem == refit_sem and pub_sem
+
+    # the IVFPQ coarse quantizer is this exact cell frame
+    cells, _, _, _ = _ivfpq_fit_shared(spark, sf_dir)
+    ivfpq_cells = {
+        (r["cid"], tuple(r["ce"])) for r in cells.collect()
+    }
+    published_cells = {
+        (r["cid"], tuple(r["ce"]))
+        for r in read_kmeans_model(spark, model).collect()
+    }
+    assert ivfpq_cells == published_cells
