@@ -1486,9 +1486,6 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucket first (dedup_embedding_lsh below): candidate volume drops
     2^bits-fold and the same per-bucket matmul applies.
     """
-    import numpy as np
-    import pandas as pd
-
     # NULL vectors cannot be near anything (their cosine is NULL, which
     # never clears the threshold — same in the oracle); drop them BEFORE
     # the pandas stage, where np.stack over a None would kill the task
@@ -1497,6 +1494,16 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
     )
+    return _embedding_pairs_from(v)
+
+
+def _embedding_pairs_from(v: DataFrame) -> DataFrame:
+    """The exact block-pair triangle join over a (vec_id, embedding)
+    frame — shared by the full-corpus operator and the fixed-budget
+    sampled recall eval."""
+    import numpy as np
+    import pandas as pd
+
     B = EMB_BLOCKS
     blk = F.pmod(F.hash("vec_id"), F.lit(B))
     left = v.withColumn("bi", blk).withColumn(
@@ -1574,9 +1581,6 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors the bucket restriction exactly (routing never changes
     the result set), so correctness is deterministic.
     """
-    import numpy as np
-    import pandas as pd
-
     # NULL vectors cannot be near anything (their cosine is NULL, which
     # never clears the threshold — same in the oracle); drop them BEFORE
     # the pandas stage, where np.stack over a None would kill the task.
@@ -1588,6 +1592,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
     )
+    return _embedding_lsh_from(v)
+
+
+def _embedding_lsh_from(v: DataFrame) -> DataFrame:
+    """The occupancy-routed sign-bit-bucket detector over a
+    (vec_id, embedding) frame — shared by the full-corpus operator and
+    the fixed-budget sampled recall eval."""
+    import numpy as np
+    import pandas as pd
+
     bkt = F.lit(0)
     for i in range(EMB_LSH_BITS):
         bkt = bkt + F.when(
@@ -1739,6 +1753,93 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _detector_recall_counts(
         truth, lsh, "n_lsh_pairs", release=(truth, lsh)
     )
+
+
+#: Vector budget for the SAMPLED embedding recall eval: the exact truth
+#: is O(budget²) at ANY corpus size (the full eval's block-pair truth is
+#: O(n²) — 73 s at sf10 and growing quadratically). Drawn by the shared
+#: md5 gate at the finer sampling modulus so the draw stays below 1% of
+#: the corpus past 100× the budget.
+EMB_RECALL_SAMPLE_VECS = 1000
+_EMB_SAMPLE_MOD = 100_000
+
+
+def _emb_sample_buckets(n_vecs: int) -> int:
+    return max(
+        1,
+        min(
+            _EMB_SAMPLE_MOD,
+            EMB_RECALL_SAMPLE_VECS * _EMB_SAMPLE_MOD // max(n_vecs, 1),
+        ),
+    )
+
+
+def dedup_embedding_recall_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dedup_embedding_recall`` on a deterministic fixed-budget slice
+    of the vectors — the production eval mode (the
+    ``dedup_minhash_recall_sampled`` contract, embedding side): ~
+    EMB_RECALL_SAMPLE_VECS vectors via the shared md5 gate, exact
+    block-pair truth and the sign-bit detector both restricted to the
+    slice, so the quadratic truth stays CONSTANT across scaling decades
+    while the detector side keeps its production plan shape. Same
+    one-row (n_true_pairs, n_lsh_pairs, n_hit_pairs, recall) digest."""
+    from komodo_data_spark.operators.pipeline_ops import _bucket_col
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    gate = _bucket_col(F.col("vec_id"), mod=_EMB_SAMPLE_MOD) < (
+        _emb_sample_buckets(n_vecs)
+    )
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .filter(gate)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=False)  # truth + detector read the slice
+    )
+    truth = (
+        _embedding_pairs_from(v)
+        .select(F.col("vec_i").alias("doc_i"), F.col("vec_j").alias("doc_j"))
+        .cache()
+    )
+    det = (
+        _embedding_lsh_from(v)
+        .select(F.col("vec_i").alias("doc_i"), F.col("vec_j").alias("doc_j"))
+        .cache()
+    )
+    return _detector_recall_counts(
+        truth, det, "n_lsh_pairs", release=(truth, det)
+    )
+
+
+def dedup_embedding_recall_sampled_oracle() -> str:
+    from komodo_data_spark.operators.pipeline_ops import _sql_bucket
+
+    buckets = (
+        f"greatest(1, least({_EMB_SAMPLE_MOD}, "
+        f"{EMB_RECALL_SAMPLE_VECS} * {_EMB_SAMPLE_MOD} // "
+        "greatest((SELECT count(*) FROM main.embeddings), 1)))"
+    )
+    return f"""
+    WITH embeddings AS (SELECT * FROM main.embeddings WHERE
+      {_sql_bucket('vec_id', mod=_EMB_SAMPLE_MOD)} < {buckets}),
+    truth AS ({dedup_embedding_pairs_oracle()}),
+    lsh AS ({dedup_embedding_lsh_oracle()}),
+    hit AS (
+      SELECT t.vec_i, t.vec_j FROM truth t
+      WHERE EXISTS (
+        SELECT 1 FROM lsh l WHERE l.vec_i = t.vec_i AND l.vec_j = t.vec_j
+      )
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM lsh) AS n_lsh_pairs,
+           (SELECT count(*) FROM hit) AS n_hit_pairs,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN (SELECT count(*) FROM hit)::DOUBLE
+                     / (SELECT count(*) FROM truth)
+                ELSE NULL END AS recall
+    """
 
 
 def dedup_embedding_recall_oracle() -> str:
@@ -2009,6 +2110,10 @@ def registry():
         "dedup_embedding_recall": (
             dedup_embedding_recall,
             dedup_embedding_recall_oracle(),
+        ),
+        "dedup_embedding_recall_sampled": (
+            dedup_embedding_recall_sampled,
+            dedup_embedding_recall_sampled_oracle(),
         ),
         "dedup_fuzzy_prefix": (dedup_fuzzy_prefix, dedup_fuzzy_prefix_oracle()),
         "dedup_fuzzy_prefix_capped": (

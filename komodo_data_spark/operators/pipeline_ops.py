@@ -48,15 +48,18 @@ _TRAIN_END = 80  # bucket < 80  -> train
 _VAL_END = 90  # 80..89       -> val; 90..99 -> test
 
 
-def _bucket_col(key: F.Column | None = None) -> F.Column:
-    # first 8 md5 hex digits -> int -> % 100. Portable: DuckDB twin is
-    # CAST('0x' || substr(md5(...),1,8) AS UBIGINT) % 100. ``key``
+def _bucket_col(key: F.Column | None = None, mod: int = 100) -> F.Column:
+    # first 8 md5 hex digits -> int -> % mod. Portable: DuckDB twin is
+    # CAST('0x' || substr(md5(...),1,8) AS UBIGINT) % mod. ``key``
     # defaults to doc_id; split-by-cluster hashes the cluster unit instead.
+    # ``mod`` defaults to the %100 split/slice granularity; fixed-budget
+    # SAMPLING gates pass a finer modulus so the draw can stay below 1%
+    # of the corpus (the quadratic-truth evals' requirement).
     key = F.col("doc_id") if key is None else key
     return (
         F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
         .cast("long")
-        % 100
+        % mod
     )
 
 
@@ -71,13 +74,13 @@ def _split_col(key: F.Column | None = None) -> F.Column:
     )
 
 
-def _sql_bucket(key: str = "doc_id") -> str:
+def _sql_bucket(key: str = "doc_id", mod: int = 100) -> str:
     """DuckDB twin of _bucket_col — THE hash-bucket definition in SQL.
     Shared by the split oracles here and by the sampled-eval oracle in
     ``dedup`` so a Spark-side gate and its oracle can never disagree."""
     return (
         f"CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8) AS UBIGINT)"
-        " % 100"
+        f" % {mod}"
     )
 
 

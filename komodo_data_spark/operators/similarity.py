@@ -630,23 +630,22 @@ def _knn_sample_buckets(n_vecs: int) -> int:
 
 
 def _knn_sample_gate(n_vecs: int) -> Column:
-    return (
-        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % _KNN_SAMPLE_MOD
-    ) < _knn_sample_buckets(n_vecs)
+    from komodo_data_spark.operators.pipeline_ops import _bucket_col
+
+    return _bucket_col(F.col("vec_id"), mod=_KNN_SAMPLE_MOD) < (
+        _knn_sample_buckets(n_vecs)
+    )
 
 
 def _sql_knn_sample_gate() -> str:
+    from komodo_data_spark.operators.pipeline_ops import _sql_bucket
+
     buckets = (
         f"greatest(1, least({_KNN_SAMPLE_MOD}, "
         f"{KNN_RECALL_SAMPLE_QUERIES} * {_KNN_SAMPLE_MOD} // "
         "greatest((SELECT count(*) FROM embeddings), 1)))"
     )
-    return (
-        "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS UBIGINT)"
-        f" % {_KNN_SAMPLE_MOD} < {buckets}"
-    )
+    return f"{_sql_bucket('vec_id', mod=_KNN_SAMPLE_MOD)} < {buckets}"
 
 
 def knn_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -302,6 +302,10 @@ SF1_QUERIES = [
     # this set only because the set predates the family)
     "knn_lsh_recall_sampled", "knn_lsh_recall", "knn_ivf_recall",
     "knn_quantized_recall",
+    # round-12: the fixed-budget embedding recall eval — O(budget²) truth
+    # at any corpus size, where the full eval's block-pair truth is O(n²)
+    # (73 s at sf10 and growing quadratically)
+    "dedup_embedding_recall_sampled",
 ]
 
 #: Third decade (sf1 -> sf10): the same set MINUS the saturation case.
