@@ -431,7 +431,8 @@ def media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream; the frame stream itself is cached rather than re-run because
     its producer is a Python stage (the one part worth not paying twice).
     """
-    frames = media_frame_samples(spark, sf_dir).cache()
+    # lazy localCheckpoint: GC-released, unlike a session-lifetime cache()
+    frames = media_frame_samples(spark, sf_dir).localCheckpoint(eager=False)
     dup = (
         frames.groupBy("frame_md5")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))

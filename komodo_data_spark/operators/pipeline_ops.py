@@ -206,7 +206,8 @@ def docs_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("label", F.col("doc_id")).alias("unit"),
         )
         .withColumn("split", _split_col(F.col("unit")))
-        .cache()
+        # lazy localCheckpoint: GC-released, not a session-lifetime cache
+        .localCheckpoint(eager=False)
     )
     leaks = (
         pairs.join(
@@ -786,7 +787,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("doc_i", "src")
         .withColumnRenamed("doc_j", "dst")
-        .cache()
+        # lazy localCheckpoint: GC-released, not a session-lifetime cache
+        .localCheckpoint(eager=False)
     )
     # Round 0 fused into initialization: with label(v) = v initially, one
     # propagation round is exactly min(self, neighbors) — a plain aggregate

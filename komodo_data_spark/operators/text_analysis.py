@@ -2753,7 +2753,8 @@ def boilerplate_ngrams_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from komodo_data_spark.operators.dedup import _doc_postings
 
-    posts = _doc_postings(spark, sf_dir, n=5).cache()
+    # lazy localCheckpoint: GC-released, unlike a session-lifetime cache()
+    posts = _doc_postings(spark, sf_dir, n=5).localCheckpoint(eager=False)
     top = (
         posts.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df_exact"))
@@ -3110,9 +3111,10 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         # tiny (bounded by |rare| * cap²) and consumed twice — the doc
-        # semi-join and the dot-product join; cache so the shingle
-        # candidate pipeline runs once.
-        .cache()
+        # semi-join and the dot-product join; lazy localCheckpoint so the
+        # shingle candidate pipeline runs once and the blocks are
+        # GC-released (a cache() entry outlives the query).
+        .localCheckpoint(eager=False)
     )
     cand_docs = (
         cand.select(F.col("doc_i").alias("doc_id"))
@@ -3146,9 +3148,10 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
         # candidate-bounded (|cand docs| × terms-per-doc) and consumed by
-        # the norm aggregate plus both sides of the pair join — cache so
-        # the semi-join + explode + df join run once.
-        .cache()
+        # the norm aggregate plus both sides of the pair join — lazy
+        # localCheckpoint so the semi-join + explode + df join run once,
+        # GC-released.
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
@@ -3401,11 +3404,13 @@ def _nb_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ONE tokenize+explode+shuffle pass feeds labels, vocabulary, training
     # counts, and scoring alike
-    counts = _doc_term_counts(spark, sf_dir).cache()
+    # lazy localCheckpoints: GC-released, unlike session-lifetime caches
+    counts = _doc_term_counts(spark, sf_dir).localCheckpoint(eager=False)
     labels = (
         _rule_flags_from_counts(counts)
         .select("doc_id", F.col("keep").cast("int").alias("label"))
-        .cache()  # tiny per-doc frame, consumed by three branches
+        # tiny per-doc frame, consumed by three branches
+        .localCheckpoint(eager=False)
     )
     tf = counts.withColumnRenamed("c", "tf")
     # vocabulary: top terms by document frequency, deterministic tie-break.

@@ -26,7 +26,10 @@ KEY_COLS = ["window_start_ms", "event_type"]
 
 def upsert_rollup(spark: SparkSession, batch_df: DataFrame, rollup_path: str) -> None:
     """Idempotent keyed upsert of one micro-batch into the rollup store."""
-    changed = batch_df.dropDuplicates(KEY_COLS).cache()
+    # eager localCheckpoint, not cache(): consumed by the antijoin keys and
+    # the union in the same batch, then GC-released at function exit — a
+    # cache() entry per micro-batch accumulates for the life of the stream
+    changed = batch_df.dropDuplicates(KEY_COLS).localCheckpoint(eager=True)
     if os.path.exists(rollup_path):
         existing = spark.read.parquet(rollup_path)
         kept = existing.join(changed.select(KEY_COLS), KEY_COLS, "left_anti")

@@ -65,6 +65,7 @@ def test_dedup_detectors_leave_no_persistent_blocks(spark, sf_dir):
                 assert fn(spark, sf_dir).count() >= 0
 
     cm_before = _cache_manager_size(spark)
+    rdd_before = _persistent_rdd_count(spark)
     rounds(5)
     rounds(5)
     cm_after = _cache_manager_size(spark)
@@ -72,11 +73,51 @@ def test_dedup_detectors_leave_no_persistent_blocks(spark, sf_dir):
         f"CacheManager grew {cm_before} -> {cm_after} over 50 detector "
         f"invocations — a .cache() without unpersist in the dedup family"
     )
+    # relative to the pre-test reading: in a full-suite session other
+    # tests' in-flight blocks sit in the baseline, and the 50 invocations
+    # here may add at most ~one batch's worth of not-yet-collected
+    # checkpoints (the cache() leak added 50 never-collected entries)
     in_flight = _persistent_rdd_count(spark)
-    assert in_flight <= 40, (
-        f"{in_flight} persistent RDDs after 50 detector invocations — "
-        f"checkpoint blocks are accumulating beyond one batch's worth"
+    assert in_flight <= rdd_before + 40, (
+        f"persistent RDDs grew {rdd_before} -> {in_flight} over 50 "
+        f"detector invocations — checkpoint blocks are accumulating "
+        f"beyond one batch's worth"
     )
+
+
+def test_converted_hub_queries_leave_no_cache_entries(spark, sf_dir):
+    """The multi-consumer hub frames OUTSIDE the dedup family (TF-IDF
+    candidate/weight frames, the NB model's count/label frames, the CM
+    sketch postings, media frame samples, split-by-cluster assignment,
+    cluster edges) are lazy localCheckpoints too — one invocation each
+    must add ZERO CacheManager entries. Every remaining ``.cache()`` in
+    the package is either released on success (``release=`` /
+    explicit unpersist) or scoped to a memoized fit that unpersists."""
+    from komodo_data_spark.operators.multimodal_ops import media_frame_dedup
+    from komodo_data_spark.operators.pipeline_ops import (
+        dedup_clusters,
+        docs_split_by_cluster,
+    )
+    from komodo_data_spark.operators.text_analysis import (
+        boilerplate_ngrams_cm,
+        text_nb_calibration,
+        text_nb_quality_classifier,
+        text_tfidf_cosine_pairs,
+    )
+
+    queries = (
+        text_tfidf_cosine_pairs,
+        text_nb_quality_classifier,
+        text_nb_calibration,
+        boilerplate_ngrams_cm,
+        media_frame_dedup,
+        docs_split_by_cluster,
+        dedup_clusters,
+    )
+    cm_before = _cache_manager_size(spark)
+    for fn in queries:
+        assert fn(spark, sf_dir).count() >= 0
+    assert _cache_manager_size(spark) == cm_before
 
 
 def test_kmeans_published_equals_refit(spark, sf_dir, tmp_path):
