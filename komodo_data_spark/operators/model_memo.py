@@ -29,6 +29,36 @@ from pyspark.sql import SparkSession
 _MEMO: dict[tuple, Any] = {}
 
 
+def _dir_fingerprint(path: str) -> tuple:
+    """(name, size, mtime_ns) of every data file under ``path`` (one level
+    of table-directory nesting). 'Deterministic in sf_dir' really means
+    deterministic in the sf_dir's FILES: a caller that overwrites a table
+    in place (the hand-computed tests do exactly that) must miss the memo,
+    not read the previous corpus's model. O(file count) driver-side stat
+    calls — a few entries per scale dir, never data-sized."""
+    out = []
+    try:
+        with os.scandir(path) as it:
+            for e in sorted(it, key=lambda e: e.name):
+                if e.name.startswith("."):
+                    continue
+                if e.is_dir(follow_symlinks=False):
+                    with os.scandir(e.path) as sub:
+                        for s in sorted(sub, key=lambda s: s.name):
+                            if s.name.startswith("."):
+                                continue
+                            st = s.stat(follow_symlinks=False)
+                            out.append(
+                                (e.name + "/" + s.name, st.st_size, st.st_mtime_ns)
+                            )
+                else:
+                    st = e.stat(follow_symlinks=False)
+                    out.append((e.name, st.st_size, st.st_mtime_ns))
+    except OSError:
+        pass
+    return tuple(out)
+
+
 def session_model(
     spark: SparkSession, family: str, params: tuple, fit: Callable[[], Any]
 ) -> Any:
@@ -37,14 +67,30 @@ def session_model(
     ``fit`` must return frames that are already materialized
     (localCheckpointed) — the memo stores and returns them as-is. Keys
     from other applications (dead sessions) are evicted eagerly so the
-    dict cannot grow across test-suite session restarts."""
+    dict cannot grow across test-suite session restarts. Directory
+    params are keyed by their file fingerprint, not just their path, so
+    rewriting a table in place can never serve a stale model."""
     app = spark.sparkContext.applicationId
     for k in [k for k in _MEMO if k[0] != app]:
         del _MEMO[k]
     key = (app, family) + tuple(
-        os.path.abspath(p) if isinstance(p, str) and os.sep in p else p
+        (os.path.abspath(p), _dir_fingerprint(os.path.abspath(p)))
+        if isinstance(p, str) and os.path.isdir(p)
+        else p
         for p in params
     )
     if key not in _MEMO:
+        # drop superseded fits of the same family over the same paths
+        # (rewritten dir => new fingerprint) so their checkpointed blocks
+        # are GC-released instead of accumulating; DIFFERENT paths (e.g.
+        # the warm-up sf and the bench sf) still coexist
+        paths = tuple(p[0] for p in key[2:] if isinstance(p, tuple))
+        for k in [
+            k
+            for k in _MEMO
+            if k[:2] == key[:2]
+            and tuple(p[0] for p in k[2:] if isinstance(p, tuple)) == paths
+        ]:
+            del _MEMO[k]
         _MEMO[key] = fit()
     return _MEMO[key]

@@ -524,8 +524,13 @@ def _recall_vs_bruteforce(bf: DataFrame, approx: DataFrame) -> DataFrame:
     (query_id, neighbor_id) and the per-query rollup shuffle only
     O(queries × K) rows regardless of corpus size — the expensive part is
     the underlying searches, not the evaluation.
+
+    The truth side is referenced TWICE (the hit semi-join and the
+    per-query denominator); un-checkpointed, every recall eval ran the
+    entire brute-force search twice. The lazy localCheckpoint is
+    O(queries × K) rows — scale-free — and GC-released.
     """
-    bf = bf.select("query_id", "neighbor_id")
+    bf = bf.select("query_id", "neighbor_id").localCheckpoint(eager=False)
     approx = approx.select("query_id", "neighbor_id")
     hits = (
         bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
@@ -1146,7 +1151,14 @@ def knn_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id")
     )
-    bf = knn_brute_force(spark, sf_dir).select("query_id", "neighbor_id")
+    # referenced by both the hit semi-join and the denominator — the lazy
+    # checkpoint (O(queries×K) rows) stops the brute-force search running
+    # twice, as in _recall_vs_bruteforce
+    bf = (
+        knn_brute_force(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     hits = (
         bf.join(quant, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
@@ -1296,6 +1308,34 @@ def embeddings_centroid_similarity_oracle() -> str:
 # --------------------------------------------------------------------------
 
 
+def _dim_cov_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upper-triangle (di, dj, cov) covariance frame shared by
+    ``embeddings_dim_covariance`` (which adds the correlation join) and
+    ``embeddings_top_pc`` (which only needs cov — reading it through the
+    public op would drag the two corr broadcast joins into every power-
+    iteration consumer for columns it drops)."""
+    from komodo_data_spark.sources.tables import load_spread
+
+    v = load_spread(spark, sf_dir, "embeddings")
+    prods = v.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(embedding, (x, i) ->
+                  transform(slice(embedding, i + 1, size(embedding) - i),
+                    (y, k) -> struct(
+                      i AS di, i + k AS dj,
+                      CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS xy,
+                      CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y))))
+                """
+            )
+        ).alias("p")
+    ).select("p.*")
+    return prods.groupBy("di", "dj").agg(
+        (F.avg("xy") - F.avg("x") * F.avg("y")).alias("cov")
+    )
+
+
 def embeddings_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension-pair covariance and Pearson correlation of the
     embedding space — the anisotropy audit run before trusting cosine-based
@@ -1318,26 +1358,7 @@ def embeddings_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluate it on ONE core (measured 4.4 s → 0.9 s at sf0.1); on a real
     multi-file table the rebalance is skipped.
     """
-    from komodo_data_spark.sources.tables import load_spread
-
-    v = load_spread(spark, sf_dir, "embeddings")
-    prods = v.select(
-        F.explode(
-            F.expr(
-                """
-                flatten(transform(embedding, (x, i) ->
-                  transform(slice(embedding, i + 1, size(embedding) - i),
-                    (y, k) -> struct(
-                      i AS di, i + k AS dj,
-                      CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS xy,
-                      CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y))))
-                """
-            )
-        ).alias("p")
-    ).select("p.*")
-    cov = prods.groupBy("di", "dj").agg(
-        (F.avg("xy") - F.avg("x") * F.avg("y")).alias("cov")
-    )
+    cov = _dim_cov_frame(spark, sf_dir)
     diag = cov.filter(F.col("di") == F.col("dj"))
     var_i = diag.select(F.col("di").alias("_i"), F.col("cov").alias("var_i"))
     var_j = diag.select(F.col("dj").alias("_j"), F.col("cov").alias("var_j"))
@@ -2062,18 +2083,29 @@ def embeddings_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-algebra member).
 
     Scale design: the corpus appears ONLY in the covariance fit (reused
-    from ``embeddings_dim_covariance`` — map-side outer-product explode,
-    one combinable aggregate; n·d² map rows, d² aggregate rows). Every
-    iteration after that runs on the d²-row matrix: matvec = broadcast
-    equi-join of the d-row vector + one aggregate, normalization = one
-    scalar crossJoin. Iterate-state frames are localCheckpointed per
-    round so the 5-round lineage stays flat. Deterministic for both
-    engines: start vector = ones (covariance eigenvalues are >= 0, so the
-    sign convention is fixed by the start), identical naive-moment
-    covariance on both sides, and the driver's 9-sig-digit rounding
-    absorbs fold-order drift.
+    from ``embeddings_dim_covariance``'s shared cov frame — map-side
+    outer-product explode, one combinable aggregate; n·d² map rows, d²
+    aggregate rows). Every iteration after that runs on the d²-row
+    matrix: matvec = broadcast equi-join of the d-row vector + one
+    aggregate; normalization rides an UNPARTITIONED window over the
+    d-row matvec result (d rows on one task — the window is
+    dimension-bounded, never corpus-bounded). The window form matters
+    structurally: normalizing through a separate ``agg`` + crossJoin
+    makes every round's iterate reference the previous round TWICE
+    (once through the matvec, once through the norm scalar), so the
+    unrolled plan doubles per round — 2^POWER_ITERS subtree copies, 560
+    Exchanges at 5 rounds, and planning time dominated the query
+    (measured 8.7 s at sf0.1, vs 1.3 s after; plan 6420 → ~200 lines).
+    With the window the iterate references each round once and the
+    lineage is linear, so no per-round checkpoint is needed either
+    (an eager cut per round costs a scheduler round-trip each — it
+    measurably doubled the query's wall time at sf0.1). Deterministic
+    for both engines: start vector = ones (covariance eigenvalues are
+    >= 0, so the sign convention is fixed by the start), identical
+    naive-moment covariance on both sides, and the driver's 9-sig-digit
+    rounding absorbs fold-order drift.
     """
-    cov = embeddings_dim_covariance(spark, sf_dir).select("di", "dj", "cov")
+    cov = _dim_cov_frame(spark, sf_dir)
     full = cov.unionByName(
         cov.filter(F.col("di") != F.col("dj")).select(
             F.col("dj").alias("di"), F.col("di").alias("dj"), "cov"
@@ -2082,25 +2114,25 @@ def embeddings_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = full.filter(F.col("di") == F.col("dj")).select(
         F.col("di").alias("pos"), F.lit(1.0).alias("v")
     )
-    nrm = None
+    w_all = Window.partitionBy()
     for _ in range(POWER_ITERS):
         w = (
             full.join(
-                F.broadcast(v.withColumnRenamed("pos", "dj")), "dj"
+                F.broadcast(
+                    v.select("pos", "v").withColumnRenamed("pos", "dj")
+                ),
+                "dj",
             )
             .groupBy("di")
             .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
         )
-        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        # no per-round checkpoint: the iterate is d rows and POWER_ITERS
-        # bounds the lineage at 5 joins over the checkpointed matrix —
-        # an eager cut per round costs a scheduler round-trip each (it
-        # measurably doubled the query's wall time at sf0.1), buys nothing
-        v = w.crossJoin(F.broadcast(nrm)).select(
+        nrm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(w_all))
+        v = w.select(
             F.col("di").alias("pos"),
-            (F.col("w") / F.col("nrm")).alias("v"),
+            (F.col("w") / nrm).alias("v"),
+            nrm.alias("nrm"),
         )
-    return v.crossJoin(F.broadcast(nrm)).select(
+    return v.select(
         "pos", F.col("v").alias("loading"), F.col("nrm").alias("eigenvalue")
     )
 

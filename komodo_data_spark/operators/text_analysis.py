@@ -144,11 +144,26 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("wt"))
+        # vocab²-bounded edge fold — the ONLY corpus-sized stage. It is
+        # referenced twice by the union below, once by the n_nodes count
+        # action, and once per power-iteration round; un-checkpointed,
+        # each reference re-ran the corpus tokenize+explode+fold
+        # (measured: 7 corpus passes in the unrolled plan, 54 Exchanges
+        # → the round's largest recompute). Eager localCheckpoint keeps
+        # the blocks GC-released, never session-lifetime.
+        .localCheckpoint(eager=True)
     )
     directed = und.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "wt"
     ).union(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "wt"))
-    wdeg = directed.groupBy("src").agg(F.sum("wt").alias("wdeg"))
+    # vocab-bounded; read by the count action, the rank seed, and every
+    # iteration's contribution join — checkpointed so those reads are
+    # block-local instead of re-shuffling the edge table each time
+    wdeg = (
+        directed.groupBy("src")
+        .agg(F.sum("wt").alias("wdeg"))
+        .localCheckpoint(eager=True)
+    )
     n_nodes = wdeg.count()
     if n_nodes == 0:
         return spark.createDataFrame(
@@ -301,7 +316,14 @@ def text_kneser_ney_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fit = grams.filter(F.col("split") == "train")
-    model = fit.groupBy("u", "w").agg(F.count(F.lit(1)).alias("c"))
+    # type-bounded frozen model, read four times (ctx, cont, totals,
+    # scoring join) — one eager localCheckpoint replaces four train-split
+    # corpus folds (same shape as text_kneser_ney_logprob)
+    model = (
+        fit.groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     ctx = model.groupBy("u").agg(
         F.sum("c").alias("c_u"), F.count(F.lit(1)).alias("n1p_u")
     )
@@ -700,46 +722,69 @@ def _bpe_pair_weights(cur) -> DataFrame:
 def _bpe_fit(spark: SparkSession, sf_dir: str):
     """Shared BPE trainer: returns (corpus tokens, fitted vocabulary with
     final wrapped symbol strings, learned merge table (rank, a, b)). See
-    ``text_bpe_train_apply`` for the algorithm and scale notes."""
-    toks, cur = _bpe_corpus_vocab(spark, sf_dir)
-    sep = _BPE_SEP
-    merge_rounds = []
-    for r in range(BPE_MERGES):
-        wt = _bpe_pair_weights(cur)
+    ``text_bpe_train_apply`` for the algorithm and scale notes.
+
+    The fit itself — the model, i.e. the vocab-sized fitted symbol
+    strings and the BPE_MERGES-row merge table — is memoized per session
+    (``model_memo`` contract: deterministic in sf_dir, so a memo hit is
+    frame-identical to a refit, pinned by the published≡refit tests).
+    Before the memo, ``text_bpe_train_apply`` and ``text_bpe_merges``
+    each re-ran the identical 8-round training loop (~2 × 16 scheduler
+    round-trips for one deterministic model; the round-10 verdict
+    retired exactly this shape for batched BPE / IVFPQ). The corpus
+    token stream is NOT memoized — it is data-scale, rebuilt lazily per
+    caller."""
+    from komodo_data_spark.operators.model_memo import session_model
+
+    toks = _bpe_corpus_tokens(spark, sf_dir)
+
+    def fit():
+        _toks, cur = _bpe_corpus_vocab(spark, sf_dir)
+        sep = _BPE_SEP
         # sentinel keeps the fit total even if the vocabulary runs out of
         # pairs before BPE_MERGES rounds (its 4-separator pattern can
         # never match a wrapped string, so it applies as a no-op)
         sentinel = spark.createDataFrame(
             [("", "", -1)], "a string, b string, wt long"
         )
-        merge = (
-            wt.unionByName(sentinel)
-            .orderBy(F.desc("wt"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .select("a", "b")
-        )
-        merge_rounds.append(merge.withColumn("rank", F.lit(r)))
-        cur = (
-            cur.crossJoin(F.broadcast(merge))
-            .withColumn(
-                "w",
-                F.replace(
-                    F.col("w"),
-                    F.concat(
-                        F.lit(sep), F.col("a"), F.lit(sep * 2), F.col("b"),
-                        F.lit(sep),
-                    ),
-                    F.concat(F.lit(sep), F.col("a"), F.col("b"), F.lit(sep)),
-                ),
+        merge_rounds = []
+        for r in range(BPE_MERGES):
+            wt = _bpe_pair_weights(cur)
+            merge = (
+                wt.unionByName(sentinel)
+                .orderBy(F.desc("wt"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .select("a", "b")
             )
-            .drop("a", "b")
-            # vocab-sized (THE distinct words); flattens the unrolled
-            # lineage so round r+1 does not re-run rounds 0..r
-            .localCheckpoint(eager=True)
-        )
-    merges = merge_rounds[0]
-    for m in merge_rounds[1:]:
-        merges = merges.unionByName(m)
+            merge_rounds.append(merge.withColumn("rank", F.lit(r)))
+            cur = (
+                cur.crossJoin(F.broadcast(merge))
+                .withColumn(
+                    "w",
+                    F.replace(
+                        F.col("w"),
+                        F.concat(
+                            F.lit(sep), F.col("a"), F.lit(sep * 2),
+                            F.col("b"), F.lit(sep),
+                        ),
+                        F.concat(
+                            F.lit(sep), F.col("a"), F.col("b"), F.lit(sep)
+                        ),
+                    ),
+                )
+                .drop("a", "b")
+                # vocab-sized (THE distinct words); flattens the unrolled
+                # lineage so round r+1 does not re-run rounds 0..r
+                .localCheckpoint(eager=True)
+            )
+        merges = merge_rounds[0]
+        for m in merge_rounds[1:]:
+            merges = merges.unionByName(m)
+        # BPE_MERGES rows; materialized so memo consumers re-run neither
+        # the per-round TakeOrdered jobs nor the union lineage
+        return cur, merges.localCheckpoint(eager=True)
+
+    cur, merges = session_model(spark, "bpe_exact", (sf_dir,), fit)
     return toks, cur, merges
 
 
@@ -1947,7 +1992,14 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode_outer("grams").alias("g"))
         .filter(F.col("g").isNotNull())
     )
-    model = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    # vocab²-bounded count table, read twice (total + scoring join) —
+    # eager localCheckpoint so the corpus explode+fold runs once, not
+    # once per consumer (GC-released, never session-lifetime)
+    model = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     total = model.agg(F.sum("c").alias("n_total"))
     scored = (
         grams.join(model, "g")
@@ -2040,7 +2092,16 @@ def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring_index("g", " ", -1).alias("w"),
         )
     )
-    model = grams.groupBy("u", "w").agg(F.count(F.lit(1)).alias("c"))
+    # bigram-type count table — the model every other frame derives from.
+    # Read FOUR times (ctx, cont, types, scoring join); un-checkpointed,
+    # each read re-ran the corpus tokenize+explode+fold (5 corpus passes
+    # in the unrolled plan, 34 Exchanges). Eager localCheckpoint = one
+    # corpus fold, type-bounded blocks, GC-released.
+    model = (
+        grams.groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     ctx = model.groupBy("u").agg(
         F.sum("c").alias("c_u"), F.count(F.lit(1)).alias("n1p_u")
     )
@@ -2237,7 +2298,15 @@ def text_kneser_ney3_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from komodo_data_spark.sources.tables import load_spread
 
     d = load_spread(spark, sf_dir, "documents")
+    # the only corpus-sized aggregates in the model; each is read by
+    # several type-level derivations in _kn3_score plus the scoring
+    # joins — eager localCheckpoint = one corpus fold each instead of
+    # one per consumer. Done HERE, not in _kn3_count_frames: the
+    # streaming twin calls that helper per micro-batch, where the
+    # foreachBatch frame must stay lazy.
     m3, m2 = _kn3_count_frames(d)
+    m3 = m3.localCheckpoint(eager=True)
+    m2 = m2.localCheckpoint(eager=True)
     scored = _kn3_score(_grams3(d), m3, m2)
     return scored.select(
         "doc_id",
@@ -2322,7 +2391,14 @@ def text_kneser_ney3_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g3 = _grams3(d)
     fit3 = g3.filter(F.col("split") == "train")
-    m3 = fit3.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c"))
+    # type-bounded frozen model counts, each read by several type-level
+    # derivations plus the scoring joins — eager localCheckpoints = one
+    # train-split corpus fold each (same shape as text_kneser_ney3_logprob)
+    m3 = (
+        fit3.groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     ctx3 = m3.groupBy("u", "v").agg(
         F.sum("c").alias("c_uv"), F.count(F.lit(1)).alias("n1p_uv")
     )
@@ -2341,7 +2417,11 @@ def text_kneser_ney3_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring_index("g", " ", -1).alias("w"),
         )
     )
-    m2 = g2.groupBy("u2", "w").agg(F.count(F.lit(1)).alias("c2"))
+    m2 = (
+        g2.groupBy("u2", "w")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
     cont = m2.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_w"))
     totals = m2.agg(F.count(F.lit(1)).alias("t_types")).crossJoin(
         cont.agg(F.count(F.lit(1)).alias("v_types"))
@@ -4130,17 +4210,24 @@ UNI_NEG = -(10**15)
 def _uni_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-weighted word vocabulary for the unigram fit — the same
     'train on (word, count), never on raw docs' move as ``_bpe_fit``;
-    localCheckpointed because every EM round reads it."""
-    d = _docs(spark, sf_dir).select("doc_id", tokens().alias("toks"))
-    toks = exploded(d, F.col("toks"), "word", "doc_id")
-    return (
-        toks.filter(
-            (F.length("word") >= 1) & (F.length("word") <= UNI_MAXW)
+    localCheckpointed because every EM round reads it, and session-
+    memoized (the ``bpe_vocab`` precedent: deterministic in sf_dir,
+    vocab-bounded) so the fit and the apply op share one corpus fold."""
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def build():
+        d = _docs(spark, sf_dir).select("doc_id", tokens().alias("toks"))
+        toks = exploded(d, F.col("toks"), "word", "doc_id")
+        return (
+            toks.filter(
+                (F.length("word") >= 1) & (F.length("word") <= UNI_MAXW)
+            )
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
         )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
+
+    return session_model(spark, "uni_words", (sf_dir,), build)
 
 
 def _uni_substrings(words: DataFrame) -> DataFrame:
@@ -4224,7 +4311,21 @@ def _uni_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece set (+1/(tot+|P|)) so coverage never collapses — every word
     stays segmentable in every round (single chars keep nonzero
     probability). Loop-carried piece tables are localCheckpointed.
+
+    Session-memoized (``model_memo`` contract — deterministic in sf_dir,
+    final piece table is model-sized): before the memo,
+    ``text_unigram_lm`` and ``text_unigram_apply`` each re-ran the
+    identical UNI_EM-round fit.
     """
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        return _uni_fit_impl(spark, sf_dir)
+
+    return session_model(spark, "uni_lm", (sf_dir,), fit)
+
+
+def _uni_fit_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _uni_words(spark, sf_dir)
     subs = _uni_substrings(words).localCheckpoint(eager=True)
     seed = (

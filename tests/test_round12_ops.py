@@ -167,3 +167,48 @@ def test_kmeans_published_equals_refit(spark, sf_dir, tmp_path):
         for r in read_kmeans_model(spark, model).collect()
     }
     assert ivfpq_cells == published_cells
+
+
+def test_session_model_rekeys_on_rewritten_dir(spark, tmp_path):
+    """The memo contract is 'deterministic in the sf_dir's FILES', not its
+    path string: overwriting a table in place (what the hand-computed
+    operator tests do between invocations) must re-fit, and the
+    superseded entry for that path must be dropped — while fits over
+    DIFFERENT paths (warm-up sf + bench sf) coexist."""
+    import os
+    import time
+
+    from komodo_data_spark.operators import model_memo
+    from komodo_data_spark.operators.model_memo import session_model
+
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    for d in (d1, d2):
+        os.makedirs(d)
+        (d / "t.parquet").write_bytes(b"v1")
+
+    calls = []
+
+    def fit_factory(tag):
+        def fit():
+            calls.append(tag)
+            return tag
+
+        return fit
+
+    app = spark.sparkContext.applicationId
+    assert session_model(spark, "tfam", (str(d1),), fit_factory("a1")) == "a1"
+    # memo hit: same files
+    assert session_model(spark, "tfam", (str(d1),), fit_factory("a2")) == "a1"
+    # different path: coexists, does not evict d1's entry
+    assert session_model(spark, "tfam", (str(d2),), fit_factory("b1")) == "b1"
+    assert session_model(spark, "tfam", (str(d1),), fit_factory("a3")) == "a1"
+    n_before = len([k for k in model_memo._MEMO if k[0] == app])
+
+    # rewrite d1's table in place -> must miss, and the stale entry for
+    # that path is evicted (no unbounded growth across rewrites)
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    (d1 / "t.parquet").write_bytes(b"v2-longer")
+    assert session_model(spark, "tfam", (str(d1),), fit_factory("a4")) == "a4"
+    assert calls == ["a1", "b1", "a4"]
+    assert len([k for k in model_memo._MEMO if k[0] == app]) == n_before
