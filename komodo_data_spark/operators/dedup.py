@@ -527,44 +527,63 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole shingle expression serially in the scan task (measured 6 s
     of the 8 s total at sf0.1). Empty-shingle docs are harmless: explode
     emits nothing for them and candidates only arise from inner joins.
+
+    The detection is read through the session memo
+    (``_ngram_exact_pairs_shared``): ``dedup_minhash_recall`` scores its
+    banding loss against exactly this pair set, so the two queries share
+    one checkpointed detection per session.
     """
-    # Carry each side's set size on the exploded rows: the pair groupBy can
-    # then compute Jaccard directly (first(n) is constant within a group),
-    # avoiding two extra joins back to a sizes frame. Materialize the FLAT
-    # form — see _doc_postings for why the array form is the wrong one.
-    # Lazy localCheckpoint, not cache(): checkpointed blocks are released
-    # by the ContextCleaner when the result frame is GC'd, where a cache()
-    # entry stays in the CacheManager for the session's lifetime (pinned
-    # by test_dedup_detectors_leave_no_persistent_blocks).
-    e = exploded(
-        _doc_shingles(spark, sf_dir),
-        F.col("sh"),
-        "g",
-        "doc_id",
-        F.size("sh").alias("n_sh"),
-    ).localCheckpoint(eager=False)
-    return (
-        e.alias("a")
-        .join(e.alias("b"), "g")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+    return _ngram_exact_pairs_shared(spark, sf_dir)
+
+
+def _ngram_exact_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact all-pairs shingle-Jaccard detection
+    (doc_i, doc_j, jaccard), ONE self-join per session — read by
+    ``dedup_ngram_pairs`` and as the ground-truth side of
+    ``dedup_minhash_recall``."""
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        # Carry each side's set size on the exploded rows: the pair
+        # groupBy can then compute Jaccard directly (first(n) is constant
+        # within a group), avoiding two extra joins back to a sizes
+        # frame. Materialize the FLAT form — see _doc_postings for why
+        # the array form is the wrong one. Lazy localCheckpoint: blocks
+        # are released by the ContextCleaner when the result frame is
+        # GC'd (pinned by test_dedup_detectors_leave_no_persistent_blocks).
+        e = exploded(
+            _doc_shingles(spark, sf_dir),
+            F.col("sh"),
+            "g",
+            "doc_id",
+            F.size("sh").alias("n_sh"),
+        ).localCheckpoint(eager=False)
+        return (
+            e.alias("a")
+            .join(e.alias("b"), "g")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_i"),
+                F.col("b.doc_id").alias("doc_j"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("common"),
+                F.first("a.n_sh").alias("n_i"),
+                F.first("b.n_sh").alias("n_j"),
+            )
+            .select(
+                "doc_i",
+                "doc_j",
+                (
+                    F.col("common").cast("double")
+                    / (F.col("n_i") + F.col("n_j") - F.col("common"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .localCheckpoint(eager=True)
         )
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.first("a.n_sh").alias("n_i"),
-            F.first("b.n_sh").alias("n_j"),
-        )
-        .select(
-            "doc_i",
-            "doc_j",
-            (
-                F.col("common").cast("double")
-                / (F.col("n_i") + F.col("n_j") - F.col("common"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+
+    return session_model(spark, "ngram_exact_pairs", (sf_dir,), fit)
 
 
 def dedup_ngram_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2265,6 +2284,73 @@ def fuzzy_prefix_candidate_volume(spark: SparkSession, sf_dir: str) -> int:
     return join_candidate_volume(seg, ["l", "i", "s"], probe)
 
 
+def _fuzzy_titles_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, title) frame every PassJoin consumer explodes, ONE
+    scan+tokenize per session (eager checkpoint through the session
+    memo): the exact detector, the capped twin, and the recall eval each
+    re-ran the scan, the tokenizer, and the title slice."""
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        return (
+            load_spread(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.concat_ws(
+                    " ", F.slice(tokens(), 1, FUZZY_PREFIX_TOKENS)
+                ).alias("title"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return session_model(spark, "fuzzy_titles", (sf_dir,), fit)
+
+
+def _fuzzy_exact_pairs_shared(
+    spark: SparkSession, sf_dir: str, budget: int | None
+) -> DataFrame:
+    """The exact PassJoin pair list (doc_i, doc_j, edit_dist), ONE
+    detection per session — read by ``dedup_fuzzy_prefix`` and as the
+    truth side of ``dedup_fuzzy_capped_recall`` (the eval scores the
+    detection the registry already ran; it does not re-detect). The
+    candidate-volume guard runs inside the fit with the caller's budget,
+    so a trip raises without memoizing anything."""
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        d = _fuzzy_titles_shared(spark, sf_dir)
+        seg, probe = _passjoin_frames(d)
+        if budget is not None:
+            est = join_candidate_volume(seg, ["l", "i", "s"], probe)
+            if est > budget:
+                raise CandidateVolumeError(
+                    "dedup_fuzzy_prefix",
+                    est,
+                    budget,
+                    "title space is adversarially dense (one template "
+                    "within the edit threshold); dedup exact titles first "
+                    "or raise the budget",
+                )
+        # verify FIRST, deduplicate AFTER — see dedup_fuzzy_prefix's note
+        return (
+            seg.alias("a")
+            .join(probe.alias("b"), ["l", "i", "s"])
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_i"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_j"),
+                F.levenshtein(
+                    F.col("a.title"), F.col("b.title"), FUZZY_MAX_DIST
+                ).alias("edit_dist"),
+            )
+            .filter(F.col("edit_dist") >= 0)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return session_model(spark, "fuzzy_exact_pairs", (sf_dir, budget), fit)
+
+
 def dedup_fuzzy_prefix(
     spark: SparkSession,
     sf_dir: str,
@@ -2299,59 +2385,26 @@ def dedup_fuzzy_prefix(
     ~4·(2k+1)·n² rows. When ``budget`` (``FUZZY_CANDIDATE_BUDGET``) is
     set, the join's EXACT output volume Σ_key c_seg·c_probe is measured
     first (:func:`join_candidate_volume` — two key histograms over the
-    frames this plan already explodes; the title frame is cached so the
-    scan+tokenize is paid once) and the operator refuses with
+    frames this plan already explodes; the title frame is checkpointed
+    so the scan+tokenize is paid once) and the operator refuses with
     :class:`CandidateVolumeError` instead of being discovered by a full
     shuffle disk — closing the guard-uniformity gap round 9 named
     (What's missing #2).
+
+    Verify-first note (the join lives in ``_fuzzy_exact_pairs_shared``):
+    a candidate pair surfaces once per shared segment key, but the
+    thresholded levenshtein (banded DP, early exit, -1 above the bound)
+    costs tens of ns on a ~30-char title — far cheaper than shuffling
+    the raw candidate stream through a distinct. Running it as the join
+    residual keeps the whole candidate pass in one stage, and the
+    distinct then shuffles only TRUE pairs (output-sized, not
+    candidate-sized). The detection is read through the session memo
+    keyed by (sf_dir, budget), so the recall eval and repeated
+    invocations reuse one checkpointed pair list; load_spread inside the
+    shared title fit spreads the window-explode and segment join across
+    tasks (a single-row-group scan would run them on one).
     """
-    # load_spread: the window-explode and the segment join below are the
-    # heavy stages; a single-row-group scan would run them on one task
-    d = load_spread(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat_ws(
-            " ", F.slice(tokens(), 1, FUZZY_PREFIX_TOKENS)
-        ).alias("title"),
-    )
-    if budget is not None:
-        # eager localCheckpoint, not cache(): the estimate and both join
-        # sides read the materialized (doc_id, title) frame; blocks are
-        # GC-released so successful runs leave no cache behind
-        # (round-10 ADVICE)
-        d = d.localCheckpoint(eager=True)
-    seg, probe = _passjoin_frames(d)
-    if budget is not None:
-        est = join_candidate_volume(seg, ["l", "i", "s"], probe)
-        if est > budget:
-            raise CandidateVolumeError(
-                "dedup_fuzzy_prefix",
-                est,
-                budget,
-                "title space is adversarially dense (one template within "
-                "the edit threshold); dedup exact titles first or raise "
-                "the budget",
-            )
-    # verify FIRST, deduplicate AFTER: a candidate pair surfaces once per
-    # shared segment key, but the thresholded levenshtein (banded DP,
-    # early exit, -1 above the bound) costs tens of ns on a ~30-char
-    # title — far cheaper than shuffling the raw candidate stream through
-    # a distinct. Running it as the join residual keeps the whole
-    # candidate pass in one stage, and the distinct then shuffles only
-    # TRUE pairs (output-sized, not candidate-sized).
-    return (
-        seg.alias("a")
-        .join(probe.alias("b"), ["l", "i", "s"])
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_i"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_j"),
-            F.levenshtein(
-                F.col("a.title"), F.col("b.title"), FUZZY_MAX_DIST
-            ).alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") >= 0)
-        .distinct()
-    )
+    return _fuzzy_exact_pairs_shared(spark, sf_dir, budget)
 
 
 def dedup_fuzzy_prefix_oracle() -> str:
@@ -2400,44 +2453,56 @@ def dedup_fuzzy_prefix_capped(
     fragments. Survivors are verified with the exact thresholded
     levenshtein, so precision is unchanged and the output is a SUBSET of
     the exact detector's; ``dedup_fuzzy_capped_recall`` measures the gap.
+    The detection is read through the session memo keyed by
+    (sf_dir, key_cap) — the recall eval, the cap-sweep harness, and
+    repeated invocations reuse one checkpointed pair list per cap, and
+    the title frame underneath is shared with the exact detector
+    (``_fuzzy_titles_shared``).
     """
-    d = load_spread(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat_ws(
-            " ", F.slice(tokens(), 1, FUZZY_PREFIX_TOKENS)
-        ).alias("title"),
-    )
-    # checkpoint: the key histogram + both join sides read the titles
-    d = d.localCheckpoint(eager=True)
-    seg, probe = _passjoin_frames(d)
-    keys = ["l", "i", "s"]
-    u = seg.select(
-        *keys, F.lit(1).alias("na"), F.lit(0).alias("nb")
-    ).unionByName(
-        probe.select(*keys, F.lit(0).alias("na"), F.lit(1).alias("nb"))
-    )
-    ok = (
-        u.groupBy(*keys)
-        .agg(F.sum("na").alias("ca"), F.sum("nb").alias("cb"))
-        .filter((F.col("ca") <= key_cap) & (F.col("cb") <= key_cap))
-        .select(*keys)
-    )
-    seg_r = seg.join(ok, keys, "left_semi")
-    probe_r = probe.join(ok, keys, "left_semi")
-    return (
-        seg_r.alias("a")
-        .join(probe_r.alias("b"), keys)
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_i"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_j"),
-            F.levenshtein(
-                F.col("a.title"), F.col("b.title"), FUZZY_MAX_DIST
-            ).alias("edit_dist"),
+    return _fuzzy_capped_pairs_shared(spark, sf_dir, key_cap)
+
+
+def _fuzzy_capped_pairs_shared(
+    spark: SparkSession, sf_dir: str, key_cap: int
+) -> DataFrame:
+    """The capped PassJoin pair list, ONE detection per session per cap —
+    read by ``dedup_fuzzy_prefix_capped`` and as the detector side of
+    ``dedup_fuzzy_capped_recall``."""
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        seg, probe = _passjoin_frames(_fuzzy_titles_shared(spark, sf_dir))
+        keys = ["l", "i", "s"]
+        u = seg.select(
+            *keys, F.lit(1).alias("na"), F.lit(0).alias("nb")
+        ).unionByName(
+            probe.select(*keys, F.lit(0).alias("na"), F.lit(1).alias("nb"))
         )
-        .filter(F.col("edit_dist") >= 0)
-        .distinct()
-    )
+        ok = (
+            u.groupBy(*keys)
+            .agg(F.sum("na").alias("ca"), F.sum("nb").alias("cb"))
+            .filter((F.col("ca") <= key_cap) & (F.col("cb") <= key_cap))
+            .select(*keys)
+        )
+        seg_r = seg.join(ok, keys, "left_semi")
+        probe_r = probe.join(ok, keys, "left_semi")
+        return (
+            seg_r.alias("a")
+            .join(probe_r.alias("b"), keys)
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_i"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_j"),
+                F.levenshtein(
+                    F.col("a.title"), F.col("b.title"), FUZZY_MAX_DIST
+                ).alias("edit_dist"),
+            )
+            .filter(F.col("edit_dist") >= 0)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return session_model(spark, "fuzzy_capped_pairs", (sf_dir, key_cap), fit)
 
 
 def dedup_fuzzy_prefix_capped_oracle(key_cap: int = FUZZY_KEY_CAP) -> str:
@@ -2522,59 +2587,23 @@ def dedup_fuzzy_capped_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scripts/recall_vs_cap.py → RECALL_VS_CAP.json) extends this single
     point to the recall-vs-budget curve.
 
-    Cost: ONE title scan/checkpoint feeds both detectors (the exact and
-    capped joins read the same seg/probe frames; running the two
-    registry queries separately would pay the scan, the explode, and
-    the exact form's guard pre-pass twice)."""
-    d = load_spread(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat_ws(
-            " ", F.slice(tokens(), 1, FUZZY_PREFIX_TOKENS)
-        ).alias("title"),
-    ).localCheckpoint(eager=True)
-    seg, probe = _passjoin_frames(d)
-    keys = ["l", "i", "s"]
-
-    def pairs(seg_s, probe_s):
-        return (
-            seg_s.alias("a")
-            .join(probe_s.alias("b"), keys)
-            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-            .select(
-                F.least("a.doc_id", "b.doc_id").alias("doc_i"),
-                F.greatest("a.doc_id", "b.doc_id").alias("doc_j"),
-                F.levenshtein(
-                    F.col("a.title"), F.col("b.title"), FUZZY_MAX_DIST
-                ).alias("edit_dist"),
-            )
-            .filter(F.col("edit_dist") >= 0)
-            .select("doc_i", "doc_j")
-            .distinct()
-        )
-
-    # guard skipped (budget=None twin semantics): this eval runs in the
-    # decades where the exact registry form runs, and ITS guard evidence
-    # is recorded there
-    truth = pairs(seg, probe).cache()
-    u = seg.select(
-        *keys, F.lit(1).alias("na"), F.lit(0).alias("nb")
-    ).unionByName(
-        probe.select(*keys, F.lit(0).alias("na"), F.lit(1).alias("nb"))
+    Cost: both pair sets are read through the session memo
+    (``_fuzzy_exact_pairs_shared`` / ``_fuzzy_capped_pairs_shared``,
+    which share one title scan/checkpoint underneath) — the eval scores
+    the detections the registry queries already ran instead of
+    re-running the explode and both joins itself, and the three recall
+    counts are output-sized scans over the checkpointed pair lists. The
+    exact side's candidate-volume guard runs inside the shared fit, so
+    this eval inherits the registry refusal semantics (it previously
+    skipped the guard; anywhere the guard trips, the exact join
+    underneath was never runnable anyway)."""
+    truth = _fuzzy_exact_pairs_shared(
+        spark, sf_dir, FUZZY_CANDIDATE_BUDGET
+    ).select("doc_i", "doc_j")
+    det = _fuzzy_capped_pairs_shared(spark, sf_dir, FUZZY_KEY_CAP).select(
+        "doc_i", "doc_j"
     )
-    ok = (
-        u.groupBy(*keys)
-        .agg(F.sum("na").alias("ca"), F.sum("nb").alias("cb"))
-        .filter(
-            (F.col("ca") <= FUZZY_KEY_CAP) & (F.col("cb") <= FUZZY_KEY_CAP)
-        )
-        .select(*keys)
-    )
-    det = pairs(
-        seg.join(ok, keys, "left_semi"), probe.join(ok, keys, "left_semi")
-    ).cache()
-    return _detector_recall_counts(
-        truth, det, "n_capped_pairs", release=(truth, det)
-    )
+    return _detector_recall_counts(truth, det, "n_capped_pairs")
 
 
 def dedup_fuzzy_capped_recall_oracle() -> str:
@@ -2886,8 +2915,18 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     executable form of that mode), never the full corpus; the LSH side is
     the linear production path. The three counts are scalar aggregates
     combined by broadcast cross join (1×1 frames).
+
+    Both sides are read through the session memo: the truth IS
+    ``dedup_ngram_pairs``' detection (``_ngram_exact_pairs_shared``) and
+    the detector IS ``dedup_minhash_lsh``'s (``minhash_pairs_shared``) —
+    both verify with exact Jaccard at the same threshold, so the pair
+    sets are identical to re-detections (which is exactly what the
+    composed oracle runs) and the eval itself is three output-sized
+    count scans over the checkpointed pair lists.
     """
-    return _minhash_recall_from(_doc_postings(spark, sf_dir))
+    truth = _ngram_exact_pairs_shared(spark, sf_dir).select("doc_i", "doc_j")
+    det = minhash_pairs_shared(spark, sf_dir).select("doc_i", "doc_j")
+    return _detector_recall_counts(truth, det, "n_lsh_pairs")
 
 
 #: Sampled recall eval's slice budget in DOCUMENTS (not a fraction): the
@@ -2927,16 +2966,48 @@ def dedup_minhash_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_recall_sample_buckets` from one column-pruned count, so the
     slice doc budget — and the eval's quadratic term — stays constant as
     the corpus grows, stable across engines and retries; the oracle
-    applies the IDENTICAL gate (same integer arithmetic in SQL)."""
+    applies the IDENTICAL gate (same integer arithmetic in SQL).
+
+    The sliced postings and the exact-Jaccard truth are read through the
+    session memo (``_recall_slice_shared``): the three text recall twins
+    (this one, ``dedup_simhash_recall``, ``dedup_minhash_oph_recall``)
+    score DIFFERENT detectors against the SAME slice and truth, which
+    previously re-derived both per query."""
+    posts, truth = _recall_slice_shared(spark, sf_dir)
+    lsh = (
+        _verify_jaccard(posts, _band_candidates(bands_of(posts)))
+        .select("doc_i", "doc_j")
+        .cache()
+    )
+    return _detector_recall_counts(truth, lsh, "n_lsh_pairs", release=(lsh,))
+
+
+def _recall_slice_shared(
+    spark: SparkSession,
+    sf_dir: str,
+    target: int = RECALL_SAMPLE_TARGET_DOCS,
+) -> tuple:
+    """(sliced postings, exact-Jaccard truth pairs) for the deterministic
+    hash-bucket eval slice, ONE derivation per session (eager
+    checkpoints through the session memo): every text recall twin gates
+    the same ~``target``-doc slice and self-joins the same quadratic
+    ground truth — only the DETECTOR under evaluation differs."""
+    from komodo_data_spark.operators.model_memo import session_model
     from komodo_data_spark.operators.pipeline_ops import _bucket_col
 
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    # The gate is on doc_id only, so it commutes with shingling: Catalyst
-    # pushes it below the explode to the scan side of the postings frame.
-    posts = _doc_postings(spark, sf_dir).filter(
-        _bucket_col() < _recall_sample_buckets(n_docs)
-    )
-    return _minhash_recall_from(posts)
+    def fit():
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        # The gate is on doc_id only, so it commutes with shingling:
+        # Catalyst pushes it below the explode to the scan side.
+        posts = (
+            _doc_postings(spark, sf_dir)
+            .filter(_bucket_col() < _recall_sample_buckets(n_docs, target))
+            .localCheckpoint(eager=True)
+        )
+        truth = _truth_pairs_from(posts).localCheckpoint(eager=True)
+        return posts, truth
+
+    return session_model(spark, "recall_slice", (sf_dir, target), fit)
 
 
 def _detector_recall_counts(
@@ -2995,23 +3066,18 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs on the deterministic hash-bucket slice of
     ``dedup_minhash_recall_sampled`` (fixed ~RECALL_SAMPLE_TARGET_DOCS doc
     budget at any corpus size — the quadratic truth stays constant across
-    the scaling decades); truth and detector consume ONE cached postings
-    frame (the signature is an aggregate over the same shingle postings
-    the truth self-joins — the unigram detector needed its own tokenize
-    pass). Caches are per-invocation; the sweep harnesses (bench.py,
-    scripts/check.py) clear the Spark cache between queries.
+    the scaling decades); the sliced postings and the truth come from the
+    session memo shared by all three text recall twins
+    (``_recall_slice_shared`` — the signature is an aggregate over the
+    same shingle postings the truth self-joins; the unigram detector
+    needed its own tokenize pass).
 
     Measured with the 64-bit shingle signature at radius 7: recall
     0.89/1.00/0.89 at sf0.001/0.01/0.1 with 62 emitted pairs vs 70 true
     on the sf0.1 slice — against 0.50 and 157,521 for the unigram design
     on the same truth (the ask of round-8 verdict #1).
     """
-    from komodo_data_spark.operators.pipeline_ops import _bucket_col
-
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    gate = _bucket_col() < _recall_sample_buckets(n_docs)
-    posts = _doc_postings(spark, sf_dir).filter(gate).cache()
-    truth = _truth_pairs_from(posts).cache()
+    posts, truth = _recall_slice_shared(spark, sf_dir)
     det = (
         # budget=None: the eval slice is fixed-size (~RECALL_SAMPLE_TARGET
         # docs), so the volume guard would only add an estimate pass and
@@ -3022,7 +3088,7 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     return _detector_recall_counts(
-        truth, det, "n_simhash_pairs", release=(posts, truth, det)
+        truth, det, "n_simhash_pairs", release=(det,)
     )
 
 
@@ -3065,19 +3131,11 @@ def dedup_minhash_oph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Runs on the deterministic hash-bucket slice (fixed
     ~RECALL_SAMPLE_TARGET_DOCS doc budget at any corpus size, the
-    quadratic truth stays constant across the scaling decades). Caches are
-    per-invocation; the sweep harnesses clear the Spark cache between
-    queries.
+    quadratic truth stays constant across the scaling decades); the
+    sliced postings and the truth come from the session memo shared by
+    all three text recall twins (``_recall_slice_shared``).
     """
-    from komodo_data_spark.operators.pipeline_ops import _bucket_col
-
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    posts = (
-        _doc_postings(spark, sf_dir)
-        .filter(_bucket_col() < _recall_sample_buckets(n_docs))
-        .cache()
-    )
-    truth = _truth_pairs_from(posts).cache()
+    posts, truth = _recall_slice_shared(spark, sf_dir)
     det = (
         _verify_jaccard(
             posts, _band_candidates(_bands_from_sig(_oph_signature(posts)))
@@ -3085,9 +3143,7 @@ def dedup_minhash_oph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_i", "doc_j")
         .cache()
     )
-    return _detector_recall_counts(
-        truth, det, "n_oph_pairs", release=(posts, truth, det)
-    )
+    return _detector_recall_counts(truth, det, "n_oph_pairs", release=(det,))
 
 
 def dedup_minhash_oph_recall_oracle() -> str:
@@ -3123,8 +3179,10 @@ def _truth_pairs_from(
 ) -> DataFrame:
     """Exact-Jaccard ground-truth pairs from a flat (doc_id, g) postings
     frame — the dedup_ngram_pairs shape (ONE postings self-join whose
-    pair-aggregate yields common counts directly; see the note in
-    ``_minhash_recall_from``). Shared by the text recall twins (3-gram
+    pair-aggregate yields common counts directly — never a candidate
+    distinct followed by re-joining the postings; that shape
+    re-multiplies every pair by its shingles and measured 2.5x slower).
+    Shared by the text recall twins (3-gram
     shingle postings at JACCARD_THRESHOLD) and the media twin (byte-4-gram
     postings at its own threshold)."""
     sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -3157,27 +3215,6 @@ def _truth_pairs_from(
             >= threshold
         )
         .select("doc_i", "doc_j")
-    )
-
-
-def _minhash_recall_from(posts: DataFrame) -> DataFrame:
-    # Fused form of the two detectors: both consume the SAME cached
-    # postings frame (one tokenize+shingle pass instead of two), and both
-    # verify with _verify_jaccard at the same threshold, so the outputs
-    # are identical to running dedup_ngram_pairs / dedup_minhash_lsh
-    # separately (which is exactly what the composed oracle does).
-    # Each pair frame is then consumed twice (scalar count + semi-join),
-    # so both are cached too.
-    posts = posts.cache()
-    # ground truth in the dedup_ngram_pairs shape: ONE postings self-join
-    # whose pair-aggregate yields the common counts directly (never a
-    # candidate distinct followed by re-joining the postings — that shape
-    # re-multiplies every pair by its shingles and measured 2.5x slower)
-    truth = _truth_pairs_from(posts).cache()
-    cand = _band_candidates(bands_of(posts))
-    lsh = _verify_jaccard(posts, cand).select("doc_i", "doc_j").cache()
-    return _detector_recall_counts(
-        truth, lsh, "n_lsh_pairs", release=(posts, truth, lsh)
     )
 
 

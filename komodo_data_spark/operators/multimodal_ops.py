@@ -517,6 +517,75 @@ MEDIA_HAMMING_MAX = 2
 MEDIA_SEG_CAP = 256
 
 
+def _media_sigs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus (doc_id, simhash) frame-gram signature frame, ONE
+    vote aggregate per session: the expensive part of every media
+    SimHash query is the md5-per-gram exploded-vote aggregate over the
+    whole corpus, and three registry queries (exact pairs, capped pairs,
+    the capped-recall eval) each re-ran it. The signature is
+    deterministic in sf_dir, so the memoized eager checkpoint is
+    frame-identical to a re-aggregation (same ``session_model`` contract
+    as ``dedup.minhash_pairs_shared``)."""
+    from komodo_data_spark.operators.dedup import _simhash_signatures
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+        )
+        return _simhash_signatures(
+            d.withColumn("toks", _media_gram_toks()).filter(
+                F.size("toks") > 0
+            )
+        ).localCheckpoint(eager=True)
+
+    return session_model(spark, "media_simhash_sigs", (sf_dir,), fit)
+
+
+def _media_exact_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact pigeonhole pair list (doc_i, doc_j, hamming), ONE join
+    per session — read by ``media_simhash_pairs`` and as the truth side
+    of ``media_simhash_capped_recall`` (a real pipeline evaluates the
+    detection it ran, it does not re-detect for the eval). The guard
+    (candidate-volume budget) runs inside the fit, so whichever consumer
+    triggers the detection gets the registry refusal semantics."""
+    from komodo_data_spark.operators.dedup import simhash_pigeonhole_pairs
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        return simhash_pigeonhole_pairs(
+            _media_sigs_shared(spark, sf_dir),
+            bits=MEDIA_SIMHASH_BITS,
+            hmax=MEDIA_HAMMING_MAX,
+        ).localCheckpoint(eager=True)
+
+    return session_model(spark, "media_simhash_exact_pairs", (sf_dir,), fit)
+
+
+def _media_capped_pairs_shared(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The capped pigeonhole pair list, ONE join per session — read by
+    ``media_simhash_pairs_capped`` and as the detector side of
+    ``media_simhash_capped_recall``."""
+    from komodo_data_spark.operators.dedup import (
+        simhash_pigeonhole_pairs_capped,
+    )
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        return simhash_pigeonhole_pairs_capped(
+            _media_sigs_shared(spark, sf_dir),
+            bits=MEDIA_SIMHASH_BITS,
+            hmax=MEDIA_HAMMING_MAX,
+            key_cap=MEDIA_SEG_CAP,
+        ).localCheckpoint(eager=True)
+
+    return session_model(
+        spark, "media_simhash_capped_pairs", (sf_dir, MEDIA_SEG_CAP), fit
+    )
+
+
 def media_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-duplicate media pairs — the fuzzy upgrade of
     ``media_frame_dedup``, which catches only byte-identical frames and
@@ -536,22 +605,11 @@ def media_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the ``_simhash_signatures`` exploded-vote form, md5 computed once
     per gram); the only shuffles are the vote aggregate and the
     segment-key candidate join — the text detector's plan, pointed at
-    frame bytes.
+    frame bytes. Signatures and the pair join are read through the
+    session memo (``_media_exact_pairs_shared``), so the detection runs
+    once however many of its three consumers execute in a session.
     """
-    from komodo_data_spark.operators.dedup import (
-        _simhash_signatures,
-        simhash_pigeonhole_pairs,
-    )
-
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    )
-    sig = _simhash_signatures(
-        d.withColumn("toks", _media_gram_toks()).filter(F.size("toks") > 0)
-    )
-    return simhash_pigeonhole_pairs(
-        sig, bits=MEDIA_SIMHASH_BITS, hmax=MEDIA_HAMMING_MAX
-    )
+    return _media_exact_pairs_shared(spark, sf_dir)
 
 
 def _media_gram_toks():
@@ -627,24 +685,9 @@ def media_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf10 (3.5e9 estimated candidates on this corpus). Survivors are
     verified with the exact Hamming distance, so the output is a subset
     of the exact detector's; ``media_simhash_capped_recall`` measures
-    the gap."""
-    from komodo_data_spark.operators.dedup import (
-        _simhash_signatures,
-        simhash_pigeonhole_pairs_capped,
-    )
-
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    )
-    sig = _simhash_signatures(
-        d.withColumn("toks", _media_gram_toks()).filter(F.size("toks") > 0)
-    )
-    return simhash_pigeonhole_pairs_capped(
-        sig,
-        bits=MEDIA_SIMHASH_BITS,
-        hmax=MEDIA_HAMMING_MAX,
-        key_cap=MEDIA_SEG_CAP,
-    )
+    the gap. Signatures and the capped join are read through the session
+    memo (``_media_capped_pairs_shared``)."""
+    return _media_capped_pairs_shared(spark, sf_dir)
 
 
 def media_simhash_pairs_capped_oracle() -> str:
@@ -671,44 +714,20 @@ def media_simhash_capped_recall(
     The cap-sweep artifact (scripts/recall_vs_cap.py →
     RECALL_VS_CAP.json) extends this point to the full curve.
 
-    Cost: the SIGNATURES (the expensive md5-vote aggregate) are computed
-    once and checkpointed; the exact pigeonhole join and the capped join
-    both read them (running the two registry queries separately would
-    pay the signature pass twice plus the exact form's guard)."""
-    from komodo_data_spark.operators.dedup import (
-        _detector_recall_counts,
-        _simhash_signatures,
-        simhash_pigeonhole_pairs,
-        simhash_pigeonhole_pairs_capped,
-    )
+    Cost: both pair sets are read through the session memo
+    (``_media_exact_pairs_shared`` / ``_media_capped_pairs_shared``) —
+    the eval scores the detections the registry queries already ran
+    instead of re-running signature aggregate and both joins itself; the
+    memoized frames are eager checkpoints, so the three recall counts
+    are output-sized scans. The exact side's candidate-volume guard runs
+    inside the shared fit, so this eval inherits the registry refusal
+    semantics (it previously skipped the guard; at any scale where the
+    guard trips, the exact join underneath was never runnable anyway)."""
+    from komodo_data_spark.operators.dedup import _detector_recall_counts
 
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    )
-    sig = _simhash_signatures(
-        d.withColumn("toks", _media_gram_toks()).filter(F.size("toks") > 0)
-    ).localCheckpoint(eager=True)
-    # guard skipped (budget=None twin semantics): eval op, see the fuzzy
-    # capped recall's note
-    truth = (
-        simhash_pigeonhole_pairs(
-            sig, bits=MEDIA_SIMHASH_BITS, hmax=MEDIA_HAMMING_MAX,
-            budget=None,
-        )
-        .select("doc_i", "doc_j")
-        .cache()
-    )
-    det = (
-        simhash_pigeonhole_pairs_capped(
-            sig, bits=MEDIA_SIMHASH_BITS, hmax=MEDIA_HAMMING_MAX,
-            key_cap=MEDIA_SEG_CAP,
-        )
-        .select("doc_i", "doc_j")
-        .cache()
-    )
-    return _detector_recall_counts(
-        truth, det, "n_capped_pairs", release=(truth, det)
-    )
+    truth = _media_exact_pairs_shared(spark, sf_dir).select("doc_i", "doc_j")
+    det = _media_capped_pairs_shared(spark, sf_dir).select("doc_i", "doc_j")
+    return _detector_recall_counts(truth, det, "n_capped_pairs")
 
 
 def media_simhash_capped_recall_oracle() -> str:

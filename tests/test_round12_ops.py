@@ -212,3 +212,87 @@ def test_session_model_rekeys_on_rewritten_dir(spark, tmp_path):
     assert session_model(spark, "tfam", (str(d1),), fit_factory("a4")) == "a4"
     assert calls == ["a1", "b1", "a4"]
     assert len([k for k in model_memo._MEMO if k[0] == app]) == n_before
+
+
+def test_detection_shares_are_memo_hits_and_self_consistent(spark, sf_dir):
+    """The round-12 detection shares: each registry detector and its
+    recall eval read ONE memoized pair list per session, and the eval's
+    scalar counts agree exactly with the detections it claims to score.
+
+    1. Memo-hit pin: a second invocation of each shared detector returns
+       the SAME checkpointed frame object (no re-detection).
+    2. Consistency pin: every recall eval's n_true / n_detector columns
+       equal the corresponding registry queries' own counts — the eval
+       scores the detection that actually ran, so the pair (detector,
+       eval) cannot drift apart.
+    """
+    from komodo_data_spark.operators.dedup import (
+        dedup_fuzzy_capped_recall,
+        dedup_fuzzy_prefix,
+        dedup_fuzzy_prefix_capped,
+        dedup_minhash_lsh,
+        dedup_minhash_recall,
+        dedup_ngram_pairs,
+    )
+    from komodo_data_spark.operators.multimodal_ops import (
+        media_simhash_capped_recall,
+        media_simhash_pairs,
+        media_simhash_pairs_capped,
+    )
+
+    for fn in (
+        dedup_ngram_pairs,
+        dedup_minhash_lsh,
+        dedup_fuzzy_prefix,
+        dedup_fuzzy_prefix_capped,
+        media_simhash_pairs,
+        media_simhash_pairs_capped,
+    ):
+        assert fn(spark, sf_dir) is fn(spark, sf_dir), fn.__name__
+
+    r = dedup_minhash_recall(spark, sf_dir).collect()[0]
+    assert r["n_true_pairs"] == dedup_ngram_pairs(spark, sf_dir).count()
+    assert r["n_lsh_pairs"] == dedup_minhash_lsh(spark, sf_dir).count()
+
+    r = dedup_fuzzy_capped_recall(spark, sf_dir).collect()[0]
+    assert r["n_true_pairs"] == dedup_fuzzy_prefix(spark, sf_dir).count()
+    assert (
+        r["n_capped_pairs"] == dedup_fuzzy_prefix_capped(spark, sf_dir).count()
+    )
+
+    r = media_simhash_capped_recall(spark, sf_dir).collect()[0]
+    assert r["n_true_pairs"] == media_simhash_pairs(spark, sf_dir).count()
+    assert (
+        r["n_capped_pairs"]
+        == media_simhash_pairs_capped(spark, sf_dir).count()
+    )
+
+
+def test_recall_slice_share_matches_direct_derivation(spark, sf_dir):
+    """``_recall_slice_shared`` (one sliced-postings + truth derivation
+    for the three text recall twins) is frame-identical to deriving the
+    slice and truth directly — the memo only removes recomputation."""
+    from komodo_data_spark.operators.dedup import (
+        _doc_postings,
+        _recall_sample_buckets,
+        _recall_slice_shared,
+        _truth_pairs_from,
+    )
+    from komodo_data_spark.operators.pipeline_ops import _bucket_col
+    from komodo_data_spark.sources.tables import load_table
+
+    posts, truth = _recall_slice_shared(spark, sf_dir)
+    p2, t2 = _recall_slice_shared(spark, sf_dir)
+    assert posts is p2 and truth is t2  # memo hit
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    direct_posts = _doc_postings(spark, sf_dir).filter(
+        _bucket_col() < _recall_sample_buckets(n_docs)
+    )
+    direct_truth = _truth_pairs_from(direct_posts)
+    assert sorted(map(tuple, posts.collect())) == sorted(
+        map(tuple, direct_posts.collect())
+    )
+    assert sorted(map(tuple, truth.collect())) == sorted(
+        map(tuple, direct_truth.collect())
+    )
