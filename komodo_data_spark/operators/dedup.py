@@ -1504,16 +1504,26 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collect whose ceiling is driver RAM. For approximate-at-scale,
     LSH-bucket first (dedup_embedding_lsh below): candidate volume drops
     2^bits-fold and the same per-bucket matmul applies.
+
+    The detection is read through the session memo: the recall eval
+    (``dedup_embedding_recall``) scores exactly this pair set, so the
+    two queries share one checkpointed detection per session.
     """
-    # NULL vectors cannot be near anything (their cosine is NULL, which
-    # never clears the threshold — same in the oracle); drop them BEFORE
-    # the pandas stage, where np.stack over a None would kill the task
-    v = (
-        load_spread(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
-        .select("vec_id", "embedding")
-    )
-    return _embedding_pairs_from(v)
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        # NULL vectors cannot be near anything (their cosine is NULL,
+        # which never clears the threshold — same in the oracle); drop
+        # them BEFORE the pandas stage, where np.stack over a None would
+        # kill the task
+        v = (
+            load_spread(spark, sf_dir, "embeddings")
+            .filter(F.col("embedding").isNotNull())
+            .select("vec_id", "embedding")
+        )
+        return _embedding_pairs_from(v).localCheckpoint(eager=True)
+
+    return session_model(spark, "emb_exact_pairs", (sf_dir,), fit)
 
 
 def _embedding_pairs_from(v: DataFrame) -> DataFrame:
@@ -1606,12 +1616,19 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Plain load_table, not load_spread: the per-row work all happens
     # AFTER the bkt exchange (which already distributes the vectors), so
     # a round-robin pre-spread is a pure extra materialization here.
-    v = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
-        .select("vec_id", "embedding")
-    )
-    return _embedding_lsh_from(v)
+    # Read through the session memo: the recall eval scores exactly this
+    # pair set, so the two queries share one detection per session.
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        v = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("embedding").isNotNull())
+            .select("vec_id", "embedding")
+        )
+        return _embedding_lsh_from(v).localCheckpoint(eager=True)
+
+    return session_model(spark, "emb_lsh_pairs", (sf_dir,), fit)
 
 
 def _embedding_lsh_from(v: DataFrame) -> DataFrame:
@@ -1755,23 +1772,15 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The three counts are scalar aggregates combined by broadcast cross
     join (1×1 frames).
     """
-    truth = (
-        dedup_embedding_pairs(spark, sf_dir)
-        .select(
-            F.col("vec_i").alias("doc_i"), F.col("vec_j").alias("doc_j")
-        )
-        .cache()
+    # both pair sets come from the session memo (the registry detectors'
+    # own checkpointed detections) — the eval is three output-sized scans
+    truth = dedup_embedding_pairs(spark, sf_dir).select(
+        F.col("vec_i").alias("doc_i"), F.col("vec_j").alias("doc_j")
     )
-    lsh = (
-        dedup_embedding_lsh(spark, sf_dir)
-        .select(
-            F.col("vec_i").alias("doc_i"), F.col("vec_j").alias("doc_j")
-        )
-        .cache()
+    lsh = dedup_embedding_lsh(spark, sf_dir).select(
+        F.col("vec_i").alias("doc_i"), F.col("vec_j").alias("doc_j")
     )
-    return _detector_recall_counts(
-        truth, lsh, "n_lsh_pairs", release=(truth, lsh)
-    )
+    return _detector_recall_counts(truth, lsh, "n_lsh_pairs")
 
 
 #: Vector budget for the SAMPLED embedding recall eval: the exact truth

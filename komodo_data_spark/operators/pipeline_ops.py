@@ -3484,15 +3484,27 @@ def _dsir_weights_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     model), scoring is the shared :func:`dsir_annotate` kernel
     (broadcast model, (doc_id)-keyed rollup). Two passes over the corpus
     total (fit, score), which is DSIR's own structure — and exactly the
-    frozen-model shape the streaming gate replays per micro-batch."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    llr = dsir_fit_llr(d)
-    raw = d.filter(F.col("source") != DSIR_TARGET_SOURCE)
-    return _dsir_scores(
-        raw.withColumn("__uid", F.col("doc_id")), llr
-    ).select(F.col("__uid").alias("doc_id"), "n_toks", "log_weight")
+    frozen-model shape the streaming gate replays per micro-batch.
+
+    Read through the session memo: the weights frame is deterministic in
+    sf_dir and doc-sized, and both ``docs_dsir_weights`` and
+    ``docs_dsir_resample`` consume it — each previously re-ran the fit
+    and the scoring pass."""
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        llr = dsir_fit_llr(d)
+        raw = d.filter(F.col("source") != DSIR_TARGET_SOURCE)
+        return (
+            _dsir_scores(raw.withColumn("__uid", F.col("doc_id")), llr)
+            .select(F.col("__uid").alias("doc_id"), "n_toks", "log_weight")
+            .localCheckpoint(eager=True)
+        )
+
+    return session_model(spark, "dsir_weights", (sf_dir,), fit)
 
 
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,8 +91,19 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sessions per chunk)² per chunk instead of (all sessions)² — the same
     blocking idea as dedup's LSH band join. u1 < u2 keeps one row per
     unordered pair.
+
+    The session frame is localCheckpointed before the self-join: both
+    join sides previously re-ran the whole sessionization pipeline
+    (scan → user window sort → gap/island windows → rollup; the plan
+    showed the subtree twice with zero exchange reuse), so the lineage
+    cut halves the derivation. Lazy, not eager — one action consumes it,
+    and the blocks are GC-released with the result frame.
     """
-    s = event_sessions(spark, sf_dir).select("user_id", "session_seq", "start_ms", "end_ms")
+    s = (
+        event_sessions(spark, sf_dir)
+        .select("user_id", "session_seq", "start_ms", "end_ms")
+        .localCheckpoint(eager=False)
+    )
     chunked = s.withColumn(
         "chunk",
         F.explode(

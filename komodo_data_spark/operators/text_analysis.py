@@ -1976,8 +1976,24 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-join + floor probability, same plan shape. Output: per-doc bigram
     count, avg log-prob, and the keep verdict at the 25th-percentile-ish
     fixed threshold.
+
+    Read through the session memo: the scored frame is deterministic in
+    sf_dir and doc-sized, and THREE registry queries consume it (this
+    one and both CCNet bucketers — ``docs_perplexity_buckets``,
+    ``docs_ppl_token_weighted_buckets``), each previously re-running the
+    corpus explode, the model fold, and the scoring join.
     """
-    from komodo_data_spark.operators.dedup import postings_of
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        return _bigram_logprob_frame(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+
+    return session_model(spark, "bigram_logprob", (sf_dir,), fit)
+
+
+def _bigram_logprob_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from komodo_data_spark.sources.tables import load_spread
 
     d = load_spread(spark, sf_dir, "documents")
@@ -3472,8 +3488,21 @@ def _nb_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared NB fit + per-document scoring: weak label and the posterior
     log-odds ``score`` (ll_sum + class prior) for every document — the one
     model definition behind ``text_nb_quality_classifier`` (thresholds it
-    at 0) and ``text_nb_calibration`` (maps it through a sigmoid)."""
+    at 0) and ``text_nb_calibration`` (maps it through a sigmoid). Read
+    through the session memo: the fit+scoring is deterministic in sf_dir
+    and doc-sized, so the two consumers (and repeated invocations) reuse
+    one eager checkpoint instead of re-training per query."""
+    from komodo_data_spark.operators.model_memo import session_model
 
+    def fit():
+        return _nb_doc_scores_frame(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+
+    return session_model(spark, "nb_doc_scores", (sf_dir,), fit)
+
+
+def _nb_doc_scores_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE tokenize+explode+shuffle pass feeds labels, vocabulary, training
     # counts, and scoring alike
     # lazy localCheckpoints: GC-released, unlike session-lifetime caches

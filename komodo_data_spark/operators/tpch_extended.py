@@ -1007,13 +1007,21 @@ def parts_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     a basket self-join — so the two engines agree through different
     algorithms. Lift arithmetic is integer-exact into one double divide.
     """
+    # b feeds three derivations (baskets, singles, and through baskets the
+    # order count) and baskets feeds two (pairs, totals): without the
+    # lineage cuts each consumer re-ran the scan + the distinct shuffle
+    # (the plan showed eight parquet scans). Lazy localCheckpoints — one
+    # action consumes them; blocks are GC-released with the result frame.
     b = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    baskets = b.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    baskets = (
+        b.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .localCheckpoint(eager=False)
     )
     pairs = baskets.select(
         F.explode(
