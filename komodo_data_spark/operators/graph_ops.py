@@ -38,16 +38,24 @@ def _user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list from several plan branches (symmetric union, 3-way triangle
     join, per-iteration rank joins), and a lazy cache would recompute the
     whole copresence pipeline once per branch inside the first job.
-    """
-    cp = copresence_pairs(spark, sf_dir)
-    return (
-        cp.select(
-            F.least("user_i", "user_j").alias("u"),
-            F.greatest("user_i", "user_j").alias("v"),
+    Read through the session memo: SIX graph operators (components,
+    pagerank, reachability, triangles, k-core, LPA) consume the same
+    deterministic pairs-sized edge list, and each previously re-ran the
+    events scan + time-bucket self-join + distinct to build it."""
+    from komodo_data_spark.operators.model_memo import session_model
+
+    def fit():
+        cp = copresence_pairs(spark, sf_dir)
+        return (
+            cp.select(
+                F.least("user_i", "user_j").alias("u"),
+                F.greatest("user_i", "user_j").alias("v"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+
+    return session_model(spark, "user_edges", (sf_dir,), fit)
 
 
 def _sql_user_edges() -> str:

@@ -828,7 +828,13 @@ def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct("toks")).alias("g")
     ).cache()
     truth = (
-        prefix_filtered_jaccard_pairs(posts, *MEDIA_JACCARD_Q)
+        # budget=None: the eval slice is fixed-size (~MEDIA_RECALL_TARGET
+        # docs), so the saturation guard would only add an eager prefix
+        # checkpoint and an estimate job per invocation — the same
+        # fixed-slice convention as dedup_simhash_recall's detector side;
+        # the guard runs (and is evidence-tested) on the production-path
+        # consumers of the prefix join
+        prefix_filtered_jaccard_pairs(posts, *MEDIA_JACCARD_Q, budget=None)
         .select("doc_i", "doc_j")
         .cache()
     )

@@ -50,7 +50,12 @@ def main() -> int:
             pass
         spark.catalog.clearCache()
         runs = []
+        from komodo_data_spark.operators.model_memo import _MEMO
+
         for _ in range(ITERS):
+            # each iteration pays the shared fits (the memo would serve
+            # iteration 1's checkpoints to iterations 2..N otherwise)
+            _MEMO.clear()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(round(time.perf_counter() - t0, 3))

@@ -179,11 +179,25 @@ def test_substring_spans_equi_joins_only(spark):
 def test_embedding_block_pairs_has_no_driver_collect_shape(spark):
     """Block-pair embedding dedup: plan is scan -> explode -> shuffle on
     (bi, bj) -> cogroup pandas; no broadcast built from a driver collect
-    (the round-2 anti-pattern) and no nested-loop join."""
-    plan = plan_of(dedup.dedup_embedding_pairs(spark, SF))
+    (the round-2 anti-pattern) and no nested-loop join. The registry
+    query returns the memoized checkpointed detection (its own plan is a
+    1-operator ExistingRDD scan), so the pin runs on the detection
+    pipeline underneath — the plan the fit actually executes."""
+    from pyspark.sql import functions as F
+
+    from komodo_data_spark.sources.tables import load_spread
+
+    v = (
+        load_spread(spark, SF, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    plan = plan_of(dedup._embedding_pairs_from(v))
     assert "FlatMapCoGroupsInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # and the registry query serves the checkpointed detection
+    assert "ExistingRDD" in plan_of(dedup.dedup_embedding_pairs(spark, SF))
 
 
 def test_semantic_dedup_broadcasts_centroids(spark):
