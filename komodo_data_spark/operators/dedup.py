@@ -355,8 +355,9 @@ def prefix_filtered_jaccard_pairs(
     join would re-multiply every candidate by its |set| postings:
     measured 5.8 s vs ~2 s on the media-gram truth's 827k candidates at
     sf0.1). Callers cache ``posts`` (consumed by df, sizes, prefix, and
-    the array reassembly); the prefix frame is eager-localCheckpointed
-    here when the guard is on (estimate + candidate join both read it) —
+    the array reassembly); the prefix frame is lazily localCheckpointed
+    unconditionally (the candidate self-join reads it from both sides,
+    and the guard's estimate reads it once more when budget is set) —
     blocks are GC-released when the result frame dies, never a
     session-lifetime CacheManager entry (the guarded-detector idiom of
     the simhash/fuzzy families; pinned by
@@ -374,9 +375,14 @@ def prefix_filtered_jaccard_pairs(
     exact-verified, i.e. ``dedup_ngram_pairs_capped`` semantics) instead
     of filling the shuffle disk mid-join.
     """
-    pref = _prefix_postings(posts, num, den)
+    # lazy localCheckpoint ALWAYS (r12): the candidate self-join references
+    # pref from BOTH sides (plus the guard's estimate when budget is set) —
+    # without the lineage cut the df+window prefix pipeline re-ran once per
+    # reference (measured 2x on the media recall's sf10 slice when the
+    # unguarded path skipped the checkpoint). Lazy, so unguarded callers
+    # pay no extra blocking job; the guarded estimate materializes it.
+    pref = _prefix_postings(posts, num, den).localCheckpoint(eager=False)
     if budget is not None:
-        pref = pref.localCheckpoint(eager=True)
         est = prefix_candidate_volume(pref)
         if est > budget:
             if fallback == "df_cap":

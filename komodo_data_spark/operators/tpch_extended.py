@@ -1007,21 +1007,22 @@ def parts_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     a basket self-join — so the two engines agree through different
     algorithms. Lift arithmetic is integer-exact into one double divide.
     """
-    # b feeds three derivations (baskets, singles, and through baskets the
-    # order count) and baskets feeds two (pairs, totals): without the
-    # lineage cuts each consumer re-ran the scan + the distinct shuffle
-    # (the plan showed eight parquet scans). Lazy localCheckpoints — one
-    # action consumes them; blocks are GC-released with the result frame.
+    # NO lineage cut here, deliberately (r12 negative result): b feeds
+    # three derivations and baskets two, so each consumer re-runs the
+    # scan + distinct shuffle (8 parquet scans in the plan) — but
+    # localCheckpointing either frame materializes a CORPUS-sized block
+    # set (61M distinct (order, part) rows at sf10), which OOM'd the
+    # 12g local JVM in the sf10 scaling sweep, while the recompute form
+    # streams each pass. The sf0.1 effect of the checkpoints was within
+    # run-to-run noise (2.6 -> 2.8 s); hub materialization only pays for
+    # RESULT-sized frames (see the detection memos in dedup.py).
     b = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    baskets = (
-        b.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
-        .localCheckpoint(eager=False)
+    baskets = b.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
     )
     pairs = baskets.select(
         F.explode(

@@ -378,10 +378,22 @@ def main() -> int:
     guard_refusals: dict = {}
 
     def timed(sf_dir: str, names=None) -> tuple[dict[str, float], dict[str, int]]:
+        from komodo_data_spark.operators.model_memo import _MEMO
+
         out: dict[str, float] = {}
         rows: dict[str, int] = {}
         for name in (names if names is not None else qs):
             fn = qs[name]
+            # Per-QUERY memo reset (r12): the scaling exponent must
+            # measure each query's OWN end-to-end cost at every scale —
+            # with session-memo sharing, who pays a shared fit differs
+            # between the full-registry sf0.01/sf0.1 sweeps and the
+            # reduced sf1/sf10 sets (and the bench-sf warm-up primes
+            # some families), which showed up as spurious ratio flags on
+            # pure memo consumers (fit-free numerator over fit-paying
+            # denominator or vice versa). Clearing before every query
+            # restores like-for-like ratios: fits included, everywhere.
+            _MEMO.clear()
             t0 = time.perf_counter()
             try:
                 rows[name] = fn(spark, sf_dir).count()
