@@ -860,18 +860,19 @@ def _oph_signature(posts: DataFrame) -> DataFrame:
     doc_map = mins.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("bin", "mv"))).alias("m")
     )
+    # one selectExpr parse for the OPH_BINS² rotation probes — the
+    # Column-form coalesce/try_element_at grid cost ~0.5 s of py4j
+    # round-trips per invocation (driver-side construction only)
     slots = [
-        F.coalesce(
-            *[
-                F.try_element_at(
-                    "m", F.lit((i + off) % OPH_BINS).cast("long")
-                )
-                for off in range(OPH_BINS)
-            ]
-        ).alias(f"h{i}")
+        "coalesce("
+        + ", ".join(
+            f"try_element_at(m, CAST({(i + off) % OPH_BINS} AS BIGINT))"
+            for off in range(OPH_BINS)
+        )
+        + f") AS h{i}"
         for i in range(OPH_BINS)
     ]
-    return doc_map.select("doc_id", *slots)
+    return doc_map.selectExpr("doc_id", *slots)
 
 
 def _bands_from_sig(sig: DataFrame) -> DataFrame:
@@ -973,13 +974,21 @@ def _simhash_signatures(d: DataFrame) -> DataFrame:
     at sf0.1. Consumer: the MEDIA detector (multimodal_ops), whose dense
     byte-4-gram features keep 32 bits at radius 2 at 0.89+ measured recall;
     the text detector uses the 64-bit shingle form below."""
-    tok = (
-        exploded(d, F.array_distinct("toks"), "t", "doc_id")
+    tok = exploded(d, F.array_distinct("toks"), "t", "doc_id").repartition(
         # repartition BEFORE the md5 projection so the hash compute (the
         # expensive part) runs on every core, not the single scan task
-        .repartition(d.sparkSession.sparkContext.defaultParallelism)
-        .withColumn("m", F.md5("t"))
+        d.sparkSession.sparkContext.defaultParallelism
     )
+    return _simhash32_from_postings(tok, "t")
+
+
+def _simhash32_from_postings(tok: DataFrame, col: str) -> DataFrame:
+    """The md5→parity-pack→vote core of :func:`_simhash_signatures`, over
+    flat DISTINCT (doc_id, ``col``) token postings — reusable when the
+    caller already materialized the exploded postings (the media recall
+    twin shares ONE gram pass between its exact-Jaccard truth and this
+    signature instead of re-extracting grams per consumer)."""
+    tok = tok.withColumn("m", F.md5(col))
     # Pack the 32 hex-digit parities in ONE string pass: translate maps each
     # hex digit to its parity char ('0'/'1'), reverse puts digit 0 at the
     # least-significant end, conv(..., 2, 10) reads the binary string. Value-
@@ -1009,20 +1018,23 @@ def _simhash_signatures(d: DataFrame) -> DataFrame:
             for j in range(16)
         ],
     )
-    lane_mask = F.lit((1 << 32) - 1)
 
-    def vote(k: int) -> F.Column:
-        p = F.col(f"p{k % 16}")
-        return (
-            F.shiftright(p, 32) if k >= 16 else p.bitwiseAND(lane_mask)
-        )
+    # ONE parsed expression instead of a 32-round Column-method chain:
+    # building the chain cost ~0.5 s of py4j round-trips PER INVOCATION
+    # (measured; the 64-bit sibling's chain cost ~1.2 s) — pure driver
+    # overhead the executor never sees. Arithmetic is identical term by
+    # term (lane extract, majority compare, power-of-two addend), so
+    # signatures are bit-identical.
+    def lane(k: int) -> str:
+        p = f"p{k % 16}"
+        return f"({p} >> 32)" if k >= 16 else f"({p} & 4294967295)"
 
-    sig = F.lit(0).cast("long")
-    for k in range(32):
-        sig = sig + F.when(
-            vote(k) * 2 > F.col("n"), F.lit(2**k).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return votes.select("doc_id", sig.alias("simhash"))
+    sig = " + ".join(
+        f"(CASE WHEN {lane(k)} * 2 > n THEN CAST({2**k} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for k in range(32)
+    )
+    return votes.select("doc_id", F.expr(sig).alias("simhash"))
 
 
 def _simhash_signatures64(posts: DataFrame) -> DataFrame:
@@ -1062,23 +1074,22 @@ def _simhash_signatures64(posts: DataFrame) -> DataFrame:
             for j in range(half)
         ],
     )
-    lane_mask = F.lit((1 << 32) - 1)
+    # ONE parsed expression instead of a 64-round Column-method chain:
+    # the chain cost ~1.2 s of py4j round-trips PER INVOCATION (measured
+    # at sf0.1 — driver-side construction, not executor work). Terms are
+    # arithmetic-identical (lane extract, majority compare, shifted bit),
+    # so signatures are bit-identical.
+    def lane(k: int) -> str:
+        p = f"p{k % half}"
+        return f"({p} >> 32)" if k >= half else f"({p} & 4294967295)"
 
-    def vote(k: int) -> F.Column:
-        p = F.col(f"p{k % half}")
-        return (
-            F.shiftright(p, 32) if k >= half else p.bitwiseAND(lane_mask)
-        )
-
-    sig = F.lit(0).cast("long")
-    for k in range(SIMHASH_BITS):
-        sig = sig.bitwiseOR(
-            F.when(
-                vote(k) * 2 > F.col("n"),
-                F.shiftleft(F.lit(1).cast("long"), k),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select("doc_id", sig.alias("simhash"))
+    sig = " | ".join(
+        f"(CASE WHEN {lane(k)} * 2 > n"
+        f" THEN shiftleft(CAST(1 AS BIGINT), {k})"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for k in range(SIMHASH_BITS)
+    )
+    return votes.select("doc_id", F.expr(sig).alias("simhash"))
 
 
 def _simhash_multiprobe_frames(sig: DataFrame, bits: int, hmax: int):
@@ -1090,32 +1101,34 @@ def _simhash_multiprobe_frames(sig: DataFrame, bits: int, hmax: int):
     n_seg = (hmax + 2) // 2
     widths = [bits // n_seg] * n_seg
     widths[-1] += bits % n_seg
+    # expression STRINGS, one parse per frame: the Column-form struct
+    # grid (~(bits + n_seg) structs × several calls each) cost ~0.5 s of
+    # py4j round-trips per invocation; values are unchanged
     exact_cols, probe_cols, off = [], [], 0
     for sid, w in enumerate(widths):
-        seg = F.shiftright(F.col("simhash"), off).bitwiseAND(
-            F.lit((1 << w) - 1)
-        )
+        seg = f"(shiftright(simhash, {off}) & {(1 << w) - 1})"
         exact_cols.append(
-            F.struct(F.lit(sid).alias("seg_id"), seg.alias("seg_val"))
+            f"named_struct('seg_id', {sid}, 'seg_val', {seg})"
         )
         # the probe set: the exact value (0 differing bits in this
         # segment) plus every 1-bit flip of it
         probe_cols.append(
-            F.struct(F.lit(sid).alias("seg_id"), seg.alias("seg_val"))
+            f"named_struct('seg_id', {sid}, 'seg_val', {seg})"
         )
         probe_cols.extend(
-            F.struct(
-                F.lit(sid).alias("seg_id"),
-                seg.bitwiseXOR(F.lit(1 << j)).alias("seg_val"),
-            )
+            f"named_struct('seg_id', {sid}, 'seg_val', ({seg} ^ {1 << j}))"
             for j in range(w)
         )
         off += w
     exact = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*exact_cols)).alias("s")
+        "doc_id",
+        "simhash",
+        F.expr(f"explode(array({', '.join(exact_cols)}))").alias("s"),
     ).select("doc_id", "simhash", "s.seg_id", "s.seg_val")
     probes = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*probe_cols)).alias("s")
+        "doc_id",
+        "simhash",
+        F.expr(f"explode(array({', '.join(probe_cols)}))").alias("s"),
     ).select("doc_id", "simhash", "s.seg_id", "s.seg_val")
     return exact, probes
 

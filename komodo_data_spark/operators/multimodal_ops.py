@@ -805,11 +805,12 @@ def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from komodo_data_spark.operators.dedup import (
         _detector_recall_counts,
         _recall_sample_buckets,
-        _simhash_signatures,
+        _simhash32_from_postings,
         prefix_filtered_jaccard_pairs,
         simhash_pigeonhole_pairs,
     )
     from komodo_data_spark.operators.pipeline_ops import _bucket_col
+    from komodo_data_spark.plans.shape import exploded
 
     n_docs = load_table(spark, sf_dir, "documents").count()
     gate = _bucket_col() < _recall_sample_buckets(
@@ -819,14 +820,22 @@ def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
         .filter(gate)
-        .withColumn("toks", _media_gram_toks())
-        .filter(F.size("toks") > 0)
-        .select("doc_id", "toks")
-        .cache()
+        # spread the slice BEFORE the gram expression so extraction runs
+        # on every core, not the scan task
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", _media_gram_toks().alias("toks"))
     )
-    posts = d.select(
-        "doc_id", F.explode(F.array_distinct("toks")).alias("g")
-    ).cache()
+    # ONE gram-extraction pass, materialized EAGERLY: truth postings and
+    # detector signatures both read this frame, and under a lazy cache()
+    # the concurrent AQE stage jobs of the final action raced on the
+    # unpopulated cache and re-ran the extraction ~5x (measured: job-time
+    # sum 17.8 s vs 11.3 s wall; 5 near-identical 2-3 s jobs). Docs whose
+    # gram array is empty vanish in the explode exactly as the old
+    # size(toks) > 0 filter dropped them (they produce no postings and no
+    # votes, hence no signature row).
+    posts = exploded(
+        d, F.array_distinct("toks"), "g", "doc_id"
+    ).localCheckpoint(eager=True)
     truth = (
         # budget=None: the eval slice is fixed-size (~MEDIA_RECALL_TARGET
         # docs), so the saturation guard would only add an eager prefix
@@ -841,7 +850,7 @@ def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = (
         # budget=None: fixed-size eval slice — see dedup_simhash_recall
         simhash_pigeonhole_pairs(
-            _simhash_signatures(d),
+            _simhash32_from_postings(posts, "g"),
             bits=MEDIA_SIMHASH_BITS,
             hmax=MEDIA_HAMMING_MAX,
             budget=None,
@@ -850,7 +859,7 @@ def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     return _detector_recall_counts(
-        truth, det, "n_simhash_pairs", release=(d, posts, truth, det)
+        truth, det, "n_simhash_pairs", release=(truth, det)
     )
 
 

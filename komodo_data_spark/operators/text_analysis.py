@@ -739,50 +739,48 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
     toks = _bpe_corpus_tokens(spark, sf_dir)
 
     def fit():
-        _toks, cur = _bpe_corpus_vocab(spark, sf_dir)
+        _toks, base = _bpe_corpus_vocab(spark, sf_dir)
         sep = _BPE_SEP
-        # sentinel keeps the fit total even if the vocabulary runs out of
-        # pairs before BPE_MERGES rounds (its 4-separator pattern can
-        # never match a wrapped string, so it applies as a no-op)
-        sentinel = spark.createDataFrame(
-            [("", "", -1)], "a string, b string, wt long"
-        )
-        merge_rounds = []
+        # One TakeOrdered job per round, nothing else: the winning merge
+        # is ONE bounded row (its size is fixed by the algorithm, not the
+        # corpus — the same driver-scalar class as the candidate-volume
+        # guards' .first()), so collecting it and folding it back as a
+        # LITERAL replace keeps the loop-carried vocabulary a chain of
+        # narrow string maps over the one checkpointed vocab. The old
+        # shape paid per round a broadcast build + crossJoin AND an eager
+        # vocab checkpoint job (2 scheduler waves + a materialization,
+        # ~16 jobs for the 8-round fit); measured at sf0.1 the fit fell
+        # ~2x. A missing row (vocabulary out of pairs before BPE_MERGES
+        # rounds) records the ('', '') sentinel and applies as a no-op,
+        # exactly like the old sentinel union.
+        merge_rows = []
+        w_expr = F.col("w")
         for r in range(BPE_MERGES):
-            wt = _bpe_pair_weights(cur)
-            merge = (
-                wt.unionByName(sentinel)
+            cur = base.select("cnt", w_expr.alias("w"))
+            row = (
+                _bpe_pair_weights(cur)
                 .orderBy(F.desc("wt"), F.asc("a"), F.asc("b"))
-                .limit(1)
                 .select("a", "b")
+                .first()
             )
-            merge_rounds.append(merge.withColumn("rank", F.lit(r)))
-            cur = (
-                cur.crossJoin(F.broadcast(merge))
-                .withColumn(
-                    "w",
-                    F.replace(
-                        F.col("w"),
-                        F.concat(
-                            F.lit(sep), F.col("a"), F.lit(sep * 2),
-                            F.col("b"), F.lit(sep),
-                        ),
-                        F.concat(
-                            F.lit(sep), F.col("a"), F.col("b"), F.lit(sep)
-                        ),
-                    ),
+            a, b = (row["a"], row["b"]) if row is not None else ("", "")
+            merge_rows.append((a, b, r))
+            if a != "" or b != "":
+                w_expr = F.replace(
+                    w_expr,
+                    F.lit(sep + a + sep * 2 + b + sep),
+                    F.lit(sep + a + b + sep),
                 )
-                .drop("a", "b")
-                # vocab-sized (THE distinct words); flattens the unrolled
-                # lineage so round r+1 does not re-run rounds 0..r
-                .localCheckpoint(eager=True)
-            )
-        merges = merge_rounds[0]
-        for m in merge_rounds[1:]:
-            merges = merges.unionByName(m)
-        # BPE_MERGES rows; materialized so memo consumers re-run neither
-        # the per-round TakeOrdered jobs nor the union lineage
-        return cur, merges.localCheckpoint(eager=True)
+        # vocab-sized; materialized once so memo consumers re-run none of
+        # the replace chain
+        cur = base.select("word", "cnt", w_expr.alias("w")).localCheckpoint(
+            eager=True
+        )
+        # BPE_MERGES driver rows — a LocalTableScan, free to every reader
+        merges = spark.createDataFrame(
+            merge_rows, "a string, b string, rank int"
+        )
+        return cur, merges
 
     cur, merges = session_model(spark, "bpe_exact", (sf_dir,), fit)
     return toks, cur, merges
@@ -802,11 +800,13 @@ def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (web-scale vocabs are millions of rows vs billions of documents).
     Each round is: adjacent-pair explode over the symbol arrays →
     groupBy(pair) weighted count → top-1 (TakeOrdered, deterministic
-    tie-break) → broadcast the single merge row back and apply it with
-    one literal string replace (see ``_bpe_wrapped``). No driver-side
-    collect — the merge stays a 1-row DataFrame; the loop-carried
-    vocabulary state is localCheckpointed per round (the repo's standard
-    iterative pattern) so round r+1 never re-runs rounds 0..r.
+    tie-break) collected as ONE bounded row (driver-scalar class — its
+    size is fixed by the algorithm, never by the corpus) and folded back
+    as a literal string replace (see ``_bpe_wrapped``). The loop-carried
+    vocabulary stays a chain of narrow replaces over the one
+    checkpointed weighted vocabulary, so round r+1 re-applies rounds
+    0..r as cheap string maps instead of re-materializing the vocab per
+    round.
     Application to documents is a broadcast join of the fitted
     (word → n_symbols) table onto the exploded corpus tokens, then a
     per-doc sum.
@@ -915,6 +915,13 @@ BPE_BATCH_ROUNDS = 8
 BPE_BATCH_TOPC = 32
 BPE_BATCH_WAVES = 3
 
+#: The batched trainer re-bases its loop-carried replace chain onto a
+#: fresh vocab checkpoint every this-many rounds, bounding both the
+#: expression tree (≤ _BPE_REBASE_ROUNDS·topc nested replaces) and the
+#: per-round replay cost for deep production fits; at the default
+#: 8-round geometry the rebase never fires mid-loop.
+_BPE_REBASE_ROUNDS = 8
+
 
 def _bpe_conflicts(z: str, x: str):
     """True when candidates aliased ``z`` and ``x`` cannot safely apply in
@@ -929,6 +936,22 @@ def _bpe_conflicts(z: str, x: str):
         (za == xa) | (za == xb) | (zb == xa) | (zb == xb)
         | (zout == xa) | (zout == xb)
         | (xout == za) | (xout == zb)
+    )
+
+
+def _bpe_conflicts_local(z: tuple, x: tuple) -> bool:
+    """:func:`_bpe_conflicts` over driver tuples ``(a, b)`` — the SAME
+    predicate, applied to the collected candidate window (which is ≤
+    BPE_BATCH_TOPC rows by construction, so the accept waves are pure
+    driver arithmetic). Pinned equal to the Column form on the round-10
+    conflict fixture by tests/test_round12_ops.py."""
+    za, zb = z[0], z[1]
+    xa, xb = x[0], x[1]
+    zout, xout = za + zb, xa + xb
+    return (
+        za == xa or za == xb or zb == xa or zb == xb
+        or zout == xa or zout == xb
+        or xout == za or xout == zb
     )
 
 
@@ -969,93 +992,82 @@ def _bpe_fit_batched(
     conservative (a candidate conflicting only with candidates that were
     THEMSELVES rejected is lost — hot early symbols reject most of the
     window), so wave k+1 re-runs the rule on the candidates that neither
-    were accepted nor conflict with anything accepted so far. Each wave
-    is one tiny anti-join both engines express identically — a fixed
-    unrolled approximation of the sequential greedy scan that needs no
-    driver-side collect (the repo's no-collect-in-operators rule) — and
-    the union stays pairwise conflict-free by construction, preserving
-    the exactness argument above.
+    were accepted nor conflict with anything accepted so far. The window
+    is ≤ topc rows BY CONSTRUCTION — its size is fixed by the geometry,
+    never by the corpus — so it is collected once per round (the same
+    driver-scalar class as the candidate-volume guards' ``.first()``)
+    and the waves run as pure driver arithmetic on those ≤ topc tuples
+    (``_bpe_conflicts_local``, pinned equal to the Column predicate).
 
-    Scale design: identical to ``_bpe_fit`` — one corpus pass builds the
-    weighted vocabulary, every round after that is vocab-bounded; the
-    candidate window / accept / merge-list frames are ≤ topc rows (the
-    window and the accepted set are checkpointed eagerly, consumed by the
-    waves, apply, and the merge table); apply is one broadcast of the
-    ≤topc merge structs folded over each word with ``F.aggregate``. At
-    rank assembly the window spans ≤ rounds·topc rows.
+    Scale design: one corpus pass builds the weighted vocabulary, every
+    round after that is vocab-bounded — ONE TakeOrdered job per round
+    (the old shape paid three scheduler waves per round: a top-window
+    checkpoint, an accepted-set checkpoint, and an eager vocab
+    re-materialization after the broadcast fold). The accepted merges
+    fold back as literal string replaces, so the loop-carried vocabulary
+    is a chain of narrow maps over the one checkpointed vocab; the chain
+    is re-based onto a fresh checkpoint every ``_BPE_REBASE_ROUNDS``
+    rounds so a deep (32k-merge) trainer's expression tree and replay
+    cost stay bounded while the default 8-round fit pays no extra
+    materialization at all.
     """
-    from pyspark.sql import Window
-
-    toks, cur = _bpe_corpus_vocab(spark, sf_dir)
+    toks, base = _bpe_corpus_vocab(spark, sf_dir)
     sep = _BPE_SEP
 
-    conflicts = _bpe_conflicts
-    merge_frames = []
+    merge_rows = []  # (rank, a, b) across rounds, rank dense from 0
+    w_expr = F.col("w")
     for r in range(rounds):
-        wt = _bpe_pair_weights(cur)
-        order = [F.desc("wt"), F.asc("a"), F.asc("b")]
+        wt = _bpe_pair_weights(base.select("cnt", w_expr.alias("w")))
         top = (
-            wt.orderBy(*order)
+            wt.orderBy(F.desc("wt"), F.asc("a"), F.asc("b"))
             .limit(topc)
-            .withColumn("rk", F.row_number().over(Window.orderBy(*order)))
-            .select("a", "b", "rk")
-            .localCheckpoint(eager=True)  # ≤ topc rows; waves fold on it
+            .select("a", "b", "wt")
+            .collect()
         )
-        acc = None
-        remaining = top
+        # re-sort on the driver: the collect order of a TakeOrdered plan
+        # is the sort order today, but the tie-break must not depend on it
+        cands = [
+            (row["a"], row["b"], rk + 1)
+            for rk, row in enumerate(
+                sorted(top, key=lambda t: (-t["wt"], t["a"], t["b"]))
+            )
+        ]
+        acc: list = []
+        remaining = cands
         for _wave in range(BPE_BATCH_WAVES):
-            conflict = (F.col("y.rk") < F.col("x.rk")) & conflicts("y", "x")
-            w = (
-                remaining.alias("x")
-                .join(remaining.alias("y"), conflict, "left_anti")
-                .select("a", "b", "rk")
-            )
-            acc = w if acc is None else acc.unionByName(w)
+            wave = [
+                x
+                for x in remaining
+                if not any(
+                    y[2] < x[2] and _bpe_conflicts_local(y, x)
+                    for y in remaining
+                )
+            ]
+            acc.extend(wave)
             # accepted candidates conflict with themselves, so one
-            # conflicts anti-join against the accepted set drops both
-            # the accepted rows and everything they block
-            remaining = (
-                remaining.alias("x")
-                .join(acc.alias("z"), conflicts("z", "x"), "left_anti")
-                .select("a", "b", "rk")
+            # conflicts pass against the accepted set drops both the
+            # accepted rows and everything they block
+            remaining = [
+                x
+                for x in remaining
+                if not any(_bpe_conflicts_local(z, x) for z in acc)
+            ]
+        acc.sort(key=lambda t: t[2])  # fold in rank order within the round
+        for a, b, _rk in acc:
+            merge_rows.append((len(merge_rows), a, b))
+            w_expr = F.replace(
+                w_expr,
+                F.lit(sep + a + sep * 2 + b + sep),
+                F.lit(sep + a + b + sep),
             )
-        acc = acc.localCheckpoint(eager=True)  # ≤ topc rows; apply + table
-        merge_frames.append(acc.withColumn("round", F.lit(r)))
-        # array_sort on (rk, a, b) structs orders by rk: both engines fold
-        # the accepted merges in rank order (collect_list alone is
-        # nondeterministic)
-        ms = acc.select(
-            F.array_sort(F.collect_list(F.struct("rk", "a", "b"))).alias(
-                "ms"
-            )
-        )
-        cur = (
-            cur.crossJoin(F.broadcast(ms))
-            .withColumn(
-                "w",
-                F.aggregate(
-                    "ms",
-                    F.col("w"),
-                    lambda w, m: F.replace(
-                        w,
-                        F.concat(
-                            F.lit(sep), m["a"], F.lit(sep * 2), m["b"],
-                            F.lit(sep),
-                        ),
-                        F.concat(F.lit(sep), m["a"], m["b"], F.lit(sep)),
-                    ),
-                ),
-            )
-            .drop("ms")
-            .localCheckpoint(eager=True)
-        )
-    merges = merge_frames[0]
-    for m in merge_frames[1:]:
-        merges = merges.unionByName(m)
-    w_rank = Window.orderBy("round", "rk")
-    merges = merges.select(
-        (F.row_number().over(w_rank) - 1).alias("rank"), "a", "b"
-    )
+        if (r + 1) % _BPE_REBASE_ROUNDS == 0 and r + 1 < rounds:
+            base = base.select("word", "cnt", w_expr.alias("w"))
+            base = base.localCheckpoint(eager=True)
+            w_expr = F.col("w")
+    cur = base.select("word", "cnt", w_expr.alias("w"))
+    merges = spark.createDataFrame(
+        merge_rows, "rank int, a string, b string"
+    ).select("rank", "a", "b")
     return toks, cur, merges
 
 
@@ -1069,16 +1081,16 @@ def _bpe_fit_shared(
     verdict ask #1): the trainer is deterministic in (sf_dir, geometry),
     so the four registry consumers (merge table, train_apply, encode,
     packed sequences) share the memoized model frames instead of
-    re-running the ~10 s fit each — a real pipeline trains once and
-    applies everywhere. Both frames are already materialized: ``cur``
-    (types-bounded) by the fit's final-round localCheckpoint, ``merges``
-    (≤ rounds·topc rows) checkpointed here. Cross-session sharing is the
+    re-running the fit each — a real pipeline trains once and applies
+    everywhere. ``cur`` (vocab-sized fitted symbol strings) is
+    materialized here; ``merges`` is ≤ rounds·topc driver rows (a
+    LocalTableScan, free to every reader). Cross-session sharing is the
     parquet form: :func:`text_bpe_publish` / :func:`text_bpe_apply_published`."""
     from komodo_data_spark.operators.model_memo import session_model
 
     def fit():
         _toks, cur, merges = _bpe_fit_batched(spark, sf_dir, rounds, topc)
-        return cur, merges.localCheckpoint(eager=True)
+        return cur.localCheckpoint(eager=True), merges
 
     return session_model(
         spark,

@@ -296,3 +296,54 @@ def test_recall_slice_share_matches_direct_derivation(spark, sf_dir):
     assert sorted(map(tuple, truth.collect())) == sorted(
         map(tuple, direct_truth.collect())
     )
+
+
+def test_bpe_conflicts_local_matches_column_predicate(spark):
+    """The batched trainer's accept waves now run on the DRIVER over the
+    collected ≤topc candidate window; its Python conflict predicate must
+    agree with the Column form on every ordered pair of the round-10
+    conflict fixture (shared operands, output→operand cascades in both
+    directions, and the disjoint cases)."""
+    from komodo_data_spark.operators.text_analysis import (
+        _bpe_conflicts,
+        _bpe_conflicts_local,
+    )
+
+    cands = [
+        ("a", "b"), ("b", "c"), ("d", "e"), ("e", "f"), ("g", "a"),
+        ("h", "i"), ("ab", "x"), ("y", "z"), ("w", "hi"), ("yz", "q"),
+    ]
+    rows = [(za, zb, xa, xb) for za, zb in cands for xa, xb in cands]
+    df = spark.createDataFrame(
+        [
+            {"z": {"a": za, "b": zb}, "x": {"a": xa, "b": xb}}
+            for za, zb, xa, xb in rows
+        ]
+    )
+    got_col = [
+        r["c"]
+        for r in df.select(
+            _bpe_conflicts("z", "x").alias("c")
+        ).collect()
+    ]
+    got_local = [
+        _bpe_conflicts_local((za, zb), (xa, xb))
+        for za, zb, xa, xb in rows
+    ]
+    assert got_col == got_local
+
+
+def test_bpe_batched_driver_waves_match_oracle_geometry(spark, sf_dir):
+    """End-to-end pin of the driver-side accept waves: the batched
+    trainer at a NON-default geometry (rounds=3, topc=8 — not covered by
+    the registry oracle) still emits a dense-rank merge table whose
+    per-round accepted sets are pairwise conflict-free."""
+    from komodo_data_spark.operators.text_analysis import (
+        _bpe_conflicts_local,
+        _bpe_fit_batched,
+    )
+
+    _t, _c, merges = _bpe_fit_batched(spark, sf_dir, rounds=3, topc=8)
+    rows = [(r["rank"], r["a"], r["b"]) for r in merges.orderBy("rank").collect()]
+    assert [r[0] for r in rows] == list(range(len(rows)))
+    assert len(rows) >= 3  # at least one accept per round on this corpus
