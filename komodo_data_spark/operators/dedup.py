@@ -554,16 +554,18 @@ def _ngram_exact_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         # groupBy can then compute Jaccard directly (first(n) is constant
         # within a group), avoiding two extra joins back to a sizes
         # frame. Materialize the FLAT form — see _doc_postings for why
-        # the array form is the wrong one. Lazy localCheckpoint: blocks
-        # are released by the ContextCleaner when the result frame is
-        # GC'd (pinned by test_dedup_detectors_leave_no_persistent_blocks).
+        # the array form is the wrong one. EAGER (was lazy): both
+        # self-join sides read the frame as concurrent AQE stage jobs
+        # and re-ran the explode per side under lazy materialization.
+        # Blocks are released by the ContextCleaner when the result
+        # frame is GC'd (test_dedup_detectors_leave_no_persistent_blocks).
         e = exploded(
             _doc_shingles(spark, sf_dir),
             F.col("sh"),
             "g",
             "doc_id",
             F.size("sh").alias("n_sh"),
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         return (
             e.alias("a")
             .join(e.alias("b"), "g")
@@ -620,8 +622,11 @@ def dedup_ngram_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquadratic because the answer itself is dense (SF10_EXCLUDE entry,
     bench_scaling.py).
     """
-    # lazy localCheckpoint: GC-released, unlike a session-lifetime cache()
-    posts = _doc_postings(spark, sf_dir).localCheckpoint(eager=False)
+    # EAGER (was lazy): the prefix derivation reads postings from three
+    # concurrent subtrees (size aggregate, df aggregate, the posting join)
+    # and the verify adds two more — lazy materialization re-ran the
+    # shingle explode per stage job (job-time sum 3.2 s vs 3.0 s wall)
+    posts = _doc_postings(spark, sf_dir).localCheckpoint(eager=True)
     return prefix_filtered_jaccard_pairs(posts, 7, 10)
 
 
@@ -693,8 +698,10 @@ def dedup_ngram_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate shingles that dominate the join volume on real corpora.
     """
     return _df_capped_pairs(
-        # lazy localCheckpoint: GC-released, unlike a session-lifetime cache
-        _doc_postings(spark, sf_dir).localCheckpoint(eager=False),
+        # EAGER (was lazy): the df filter, size aggregate and both join
+        # sides read postings concurrently — the lazy form re-ran the
+        # shingle explode per stage job (job-time sum 2.7 s vs 1.6 s wall)
+        _doc_postings(spark, sf_dir).localCheckpoint(eager=True),
         JACCARD_THRESHOLD,
     )
 
@@ -757,12 +764,17 @@ def minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     from komodo_data_spark.operators.model_memo import session_model
 
     def detect():
-        posts = _doc_postings(spark, sf_dir).cache()
-        pairs = _verify_jaccard(
+        # EAGER: the detection action reads postings from four subtrees
+        # (signature aggregate, both verify join sides, the size
+        # aggregate) that AQE submits as concurrent stage jobs — under a
+        # lazy cache() they raced on the unpopulated cache and re-ran
+        # the corpus shingle explode up to 4x (measured: job-time sum
+        # 12.9 s vs 4.9 s wall on the first consumer). Same storage
+        # footprint as the cache it replaces, GC-released.
+        posts = _doc_postings(spark, sf_dir).localCheckpoint(eager=True)
+        return _verify_jaccard(
             posts, _band_candidates(bands_of(posts))
         ).localCheckpoint(eager=True)
-        posts.unpersist()
-        return pairs
 
     return session_model(spark, "minhash_pairs", (sf_dir,), detect)
 
@@ -911,8 +923,11 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     full corpus (256 vs 255 at sf0.1 — both exact-verified, the delta is
     banding luck on sub-threshold candidates).
     """
-    # lazy localCheckpoint: GC-released, unlike a session-lifetime cache()
-    posts = _doc_postings(spark, sf_dir).localCheckpoint(eager=False)
+    # EAGER: the OPH signature, the size aggregate, and both verify join
+    # sides read postings as concurrent AQE stage jobs — lazy
+    # materialization raced and re-ran the shingle explode per consumer
+    # (measured job-time sum 2.75 s vs 1.83 s wall); GC-released either way
+    posts = _doc_postings(spark, sf_dir).localCheckpoint(eager=True)
     cand = _band_candidates(_bands_from_sig(_oph_signature(posts)))
     return _verify_jaccard(posts, cand)
 
@@ -3356,8 +3371,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment needs no new shuffle shape, only a different normalizer
     (|S_i| instead of the union).
     """
-    # lazy localCheckpoint: GC-released, unlike a session-lifetime cache()
-    e = _doc_postings(spark, sf_dir).localCheckpoint(eager=False)
+    # EAGER (was lazy): five subtrees of the one action (df aggregate,
+    # semi-join, both candidate sides, the size aggregate) read the
+    # postings as concurrent AQE stage jobs and re-ran the explode per
+    # consumer under lazy materialization
+    e = _doc_postings(spark, sf_dir).localCheckpoint(eager=True)
     rare = (
         e.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
