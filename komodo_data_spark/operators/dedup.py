@@ -1601,14 +1601,20 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_model(spark, "emb_exact_pairs", (sf_dir,), fit)
 
 
-def _embedding_pairs_from(v: DataFrame) -> DataFrame:
+def _embedding_pairs_from(
+    v: DataFrame, blocks: int = EMB_BLOCKS
+) -> DataFrame:
     """The exact block-pair triangle join over a (vec_id, embedding)
     frame — shared by the full-corpus operator and the fixed-budget
-    sampled recall eval."""
+    sampled recall eval. ``blocks`` partitions WORK only — the output
+    pair set is identical at any value (every unordered vector pair
+    meets in exactly one task regardless) — so the fixed-size eval slice
+    passes a small count instead of paying EMB_BLOCKS·(EMB_BLOCKS+1)/2
+    near-empty Arrow tasks sized for the full corpus."""
     import numpy as np
     import pandas as pd
 
-    B = EMB_BLOCKS
+    B = blocks
     blk = F.pmod(F.hash("vec_id"), F.lit(B))
     left = v.withColumn("bi", blk).withColumn(
         "bj", F.explode(F.sequence(F.col("bi"), F.lit(B - 1)))
@@ -1899,10 +1905,16 @@ def dedup_embedding_recall_sampled(
         .filter(F.col("embedding").isNotNull())
         .filter(gate)
         .select("vec_id", "embedding")
-        .localCheckpoint(eager=False)  # truth + detector read the slice
+        # EAGER: truth and detector read the slice as concurrent stage
+        # jobs; the lazy form recomputed the scan+filter per consumer
+        .localCheckpoint(eager=True)
     )
     truth = (
-        _embedding_pairs_from(v)
+        # blocks=2 (3 block-pair tasks): the slice is budget-fixed
+        # (~EMB_RECALL_SAMPLE_VECS vectors at ANY corpus size), so one
+        # task's matmul is ~1k×1k — the full-corpus task grid paid 36
+        # Arrow tasks of overhead for the same (value-identical) pair set
+        _embedding_pairs_from(v, blocks=2)
         .select(F.col("vec_i").alias("doc_i"), F.col("vec_j").alias("doc_j"))
         .cache()
     )
