@@ -622,11 +622,12 @@ def dedup_ngram_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquadratic because the answer itself is dense (SF10_EXCLUDE entry,
     bench_scaling.py).
     """
-    # EAGER (was lazy): the prefix derivation reads postings from three
-    # concurrent subtrees (size aggregate, df aggregate, the posting join)
-    # and the verify adds two more — lazy materialization re-ran the
-    # shingle explode per stage job (job-time sum 3.2 s vs 3.0 s wall)
-    posts = _doc_postings(spark, sf_dir).localCheckpoint(eager=True)
+    # LAZY is right here (eager was tried and reverted — isolated wall
+    # 3.0 -> 3.7 s with no job-time saving): the guard's candidate-volume
+    # estimate is its own action that materializes the checkpoint before
+    # the main join runs, so the concurrent-stage duplication the
+    # UNGUARDED detectors suffered cannot happen on this path
+    posts = _doc_postings(spark, sf_dir).localCheckpoint(eager=False)
     return prefix_filtered_jaccard_pairs(posts, 7, 10)
 
 
