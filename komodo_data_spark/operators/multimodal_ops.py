@@ -431,8 +431,11 @@ def media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream; the frame stream itself is cached rather than re-run because
     its producer is a Python stage (the one part worth not paying twice).
     """
-    # lazy localCheckpoint: GC-released, unlike a session-lifetime cache()
-    frames = media_frame_samples(spark, sf_dir).localCheckpoint(eager=False)
+    # EAGER (was lazy): the dup aggregate and the join-back read the
+    # frame stream as concurrent stage jobs — lazy materialization re-ran
+    # the Python producer stage per consumer (the one part worth not
+    # paying twice); GC-released either way
+    frames = media_frame_samples(spark, sf_dir).localCheckpoint(eager=True)
     dup = (
         frames.groupBy("frame_md5")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))

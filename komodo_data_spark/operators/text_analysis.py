@@ -2853,8 +2853,11 @@ def boilerplate_ngrams_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from komodo_data_spark.operators.dedup import _doc_postings
 
-    # lazy localCheckpoint: GC-released, unlike a session-lifetime cache()
-    posts = _doc_postings(spark, sf_dir, n=5).localCheckpoint(eager=False)
+    # EAGER (was lazy): the exact-df aggregate and the sketch pass read
+    # the 5-gram postings as concurrent AQE stage jobs of one action —
+    # the lazy form re-ran the corpus shingle explode per consumer
+    # (job-time sum 1.43 s vs 1.30 s wall); GC-released either way
+    posts = _doc_postings(spark, sf_dir, n=5).localCheckpoint(eager=True)
     top = (
         posts.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df_exact"))
@@ -3516,9 +3519,11 @@ def _nb_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _nb_doc_scores_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE tokenize+explode+shuffle pass feeds labels, vocabulary, training
-    # counts, and scoring alike
-    # lazy localCheckpoints: GC-released, unlike session-lifetime caches
-    counts = _doc_term_counts(spark, sf_dir).localCheckpoint(eager=False)
+    # counts, and scoring alike — EAGER (was lazy): those four consumers
+    # run as concurrent AQE stage jobs of one action and raced on the
+    # unmaterialized frame, re-running the tokenize pass per consumer;
+    # GC-released either way
+    counts = _doc_term_counts(spark, sf_dir).localCheckpoint(eager=True)
     labels = (
         _rule_flags_from_counts(counts)
         .select("doc_id", F.col("keep").cast("int").alias("label"))
