@@ -772,24 +772,34 @@ def _sqdist(e_a, e_b):
 
 
 def _kmeans_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment of a (vec_id, e) frame: broadcast
-    crossJoin + map-side-combinable min-struct argmin — the ONE
+    """Nearest-centroid assignment of a (vec_id, e) frame — the ONE
     assignment expression shared by the Lloyd fit, the published-model
     apply (``kmeans_apply_published``), and the streaming PQ encoder's
     coarse step, so a frozen centroid frame assigns every vector to the
-    identical cell the fit did (published≡refit rides on this)."""
-    return (
-        v.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(
-                    _sqdist(F.col("e"), F.col("ce")).alias("d"),
-                    F.col("cid").alias("cid"),
-                )
-            )["cid"].alias("cid"),
-            F.first("e").alias("e"),
-        )
+    identical cell the fit did (published≡refit rides on this).
+
+    Shape (r13, guide §2.4): the K centroids are folded into ONE array
+    row and broadcast; the argmin is a map-side ``array_min`` over the
+    per-centroid (d, cid) structs — the lexicographic (d, cid) minimum
+    the old crossJoin + groupBy ``F.min(struct)`` computed, WITHOUT
+    shuffling the corpus vectors through a K-fanned exchange. Every
+    Lloyd iteration and every encode pass loses one corpus-sized
+    shuffle; at 100 TB the assignment never leaves the scan tasks."""
+    cands = cents.agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("ce"))).alias("_cands")
+    )
+    return v.crossJoin(F.broadcast(cands)).select(
+        "vec_id",
+        F.array_min(
+            F.transform(
+                "_cands",
+                lambda c: F.struct(
+                    _sqdist(F.col("e"), c["ce"]).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"].alias("cid"),
+        "e",
     )
 
 
@@ -1469,23 +1479,33 @@ def _pq_lloyd(sub: DataFrame, k: int = PQ_K):
 
 def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
     """Encode a (vec_id, m, s) subvector frame against an M·K-row
-    codebook: broadcast join + map-side-combinable min-struct argmin —
-    the ONE encoding expression shared by the Lloyd fit and the
-    published-model apply (``knn_pq_apply_published``), so a frozen
+    codebook — the ONE encoding expression shared by the Lloyd fit and
+    the published-model apply (``knn_pq_apply_published``), so a frozen
     codebook encodes a vector to the identical codes the fit assigned
-    (no drift; the published≡refit pin rides on this)."""
-    return (
-        sub.join(F.broadcast(cents), "m")
-        .groupBy("vec_id", "m")
-        .agg(
-            F.min(
-                F.struct(
-                    _sqdist(F.col("s"), F.col("ce")).alias("d"),
-                    F.col("cid").alias("cid"),
-                )
-            )["cid"].alias("cid"),
-            F.first("s").alias("s"),
-        )
+    (no drift; the published≡refit pin rides on this).
+
+    Shape (r13, guide §2.4): the per-subspace codewords fold into an
+    M-row broadcast of candidate arrays; the argmin is a map-side
+    ``array_min`` over (d, cid) structs — the same lexicographic
+    minimum the old join + groupBy ``F.min(struct)`` computed, without
+    shuffling the n·M subvector rows through a K-fanned exchange (one
+    corpus-sized shuffle saved per Lloyd iteration and per encode)."""
+    cands = cents.groupBy("m").agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("ce"))).alias("_cands")
+    )
+    return sub.join(F.broadcast(cands), "m").select(
+        "vec_id",
+        "m",
+        F.array_min(
+            F.transform(
+                "_cands",
+                lambda c: F.struct(
+                    _sqdist(F.col("s"), c["ce"]).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"].alias("cid"),
+        "s",
     )
 
 

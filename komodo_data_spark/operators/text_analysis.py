@@ -2323,18 +2323,60 @@ def text_kneser_ney3_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     every event). Arithmetic is codegen'd with left-to-right order
     mirrored in the oracle.
     """
+    from komodo_data_spark.operators.dedup import _positional_grams
     from komodo_data_spark.sources.tables import load_spread
 
     d = load_spread(spark, sf_dir, "documents")
-    # the only corpus-sized aggregates in the model; each is read by
-    # several type-level derivations in _kn3_score plus the scoring
-    # joins — eager localCheckpoint = one corpus fold each instead of
-    # one per consumer. Done HERE, not in _kn3_count_frames: the
-    # streaming twin calls that helper per micro-batch, where the
-    # foreachBatch frame must stay lazy.
-    m3, m2 = _kn3_count_frames(d)
-    m3 = m3.localCheckpoint(eager=True)
-    m2 = m2.localCheckpoint(eager=True)
+    # The model's only corpus-sized aggregates are the trigram and bigram
+    # token counts, and both derive from ONE tokenize of the same corpus:
+    # explode both gram orders in a single pass (order-tagged structs) and
+    # aggregate through a single exchange, instead of paying a separate
+    # tokenize + explode + shuffle per order (r13, guide §2.1). The
+    # combined frame is read by several type-level derivations in
+    # _kn3_score plus the scoring joins — ONE eager localCheckpoint = one
+    # corpus fold total instead of one per order per consumer. Done HERE,
+    # not in _kn3_count_frames (whose two-frame form the streaming
+    # counter-store twin folds additively per micro-batch): m3/m2 below
+    # are checkpoint-sized filters, bit-identical to the per-order
+    # aggregates because tokens are whitespace-split (never contain the
+    # gram separator), so gram-string counts ARE (u,v,w)-triple counts.
+    counts = (
+        # two-step select: "toks" is referenced by BOTH gram orders, and
+        # CollapseProject keeps the non-cheap split() single-evaluated
+        d.select(tokens().alias("toks"))
+        .select(
+            F.explode(
+                F.concat(
+                    F.transform(
+                        _positional_grams(F.col("toks"), 3),
+                        lambda g: F.struct(
+                            F.lit(3).alias("o"), g.alias("g")
+                        ),
+                    ),
+                    F.transform(
+                        _positional_grams(F.col("toks"), 2),
+                        lambda g: F.struct(
+                            F.lit(2).alias("o"), g.alias("g")
+                        ),
+                    ),
+                )
+            ).alias("og")
+        )
+        .groupBy(F.col("og.o").alias("o"), F.col("og.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    m3 = counts.filter(F.col("o") == 3).select(
+        F.substring_index("g", " ", 1).alias("u"),
+        F.substring_index(F.substring_index("g", " ", 2), " ", -1).alias("v"),
+        F.substring_index("g", " ", -1).alias("w"),
+        "c",
+    )
+    m2 = counts.filter(F.col("o") == 2).select(
+        F.substring_index("g", " ", 1).alias("u2"),
+        F.substring_index("g", " ", -1).alias("w"),
+        F.col("c").alias("c2"),
+    )
     scored = _kn3_score(_grams3(d), m3, m2)
     return scored.select(
         "doc_id",
@@ -3795,6 +3837,35 @@ def text_nb_calibration_oracle() -> str:
 QUALITY_KEEP_Q = (7, 10)
 
 
+def _quality_scored_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, source, n_tokens, quality_score) frame ALL THREE
+    quality filters threshold — ONE tokenize pass per session instead of
+    one per filter (r13; the ``_nb_doc_scores``/``_dsir_weights_frame``
+    pattern). Deterministic in sf_dir, doc-sized (never corpus-token-
+    sized), eager so concurrent AQE stage jobs of the first consumer
+    cannot race a lazy checkpoint into repeated tokenize passes."""
+    from komodo_data_spark.operators.model_memo import session_model
+    from komodo_data_spark.sources.tables import load_spread
+
+    def fit():
+        d = load_spread(spark, sf_dir, "documents").withColumn(
+            "toks", tokens()
+        )
+        n_tokens = F.size("toks")
+        ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+        return d.select(
+            "doc_id",
+            "source",
+            n_tokens.alias("n_tokens"),
+            (
+                F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+                * (0.5 + 0.5 * ttr)
+            ).alias("quality_score"),
+        ).localCheckpoint(eager=True)
+
+    return session_model(spark, "quality_scored", (sf_dir,), fit)
+
+
 def docs_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep each source's top-quality slice: a doc survives iff its
     composite quality score (the ``text_quality_scores`` formula —
@@ -3818,18 +3889,10 @@ def docs_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact form here is the oracle-anchored baseline of that swap.
     """
     from komodo_data_spark.operators.quantiles import exact_group_quantiles
-    from komodo_data_spark.sources.tables import load_spread
 
-    d = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens())
-    n_tokens = F.size("toks")
-    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
-    scored = d.select(
-        "doc_id",
-        "source",
-        (
-            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (0.5 + 0.5 * ttr)
-        ).alias("quality_score"),
-    ).localCheckpoint(eager=True)
+    # shared scored frame (one tokenize per session, see
+    # _quality_scored_shared); n_tokens is dropped at the output select
+    scored = _quality_scored_shared(spark, sf_dir)
     thr = exact_group_quantiles(
         scored, ["source"], "quality_score", {"thr": QUALITY_KEEP_Q}
     )
@@ -3887,18 +3950,10 @@ def docs_quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast join-back; the corpus is never sorted or windowed.
     """
     from komodo_data_spark.operators.quantiles import exact_group_quantiles
-    from komodo_data_spark.sources.tables import load_spread
 
-    d = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens())
-    n_tokens = F.size("toks")
-    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
-    scored = d.select(
-        "doc_id",
-        "source",
-        (
-            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (0.5 + 0.5 * ttr)
-        ).alias("quality_score"),
-    ).localCheckpoint(eager=True)
+    # shared scored frame (one tokenize per session, see
+    # _quality_scored_shared)
+    scored = _quality_scored_shared(spark, sf_dir)
     thr = exact_group_quantiles(
         scored,
         ["source"],
@@ -3962,19 +4017,10 @@ def docs_quality_token_weighted_filter(
     from komodo_data_spark.operators.quantiles import (
         exact_group_weighted_quantiles,
     )
-    from komodo_data_spark.sources.tables import load_spread
 
-    d = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens())
-    n_tokens = F.size("toks")
-    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
-    scored = d.select(
-        "doc_id",
-        "source",
-        n_tokens.alias("n_tokens"),
-        (
-            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (0.5 + 0.5 * ttr)
-        ).alias("quality_score"),
-    ).localCheckpoint(eager=True)
+    # shared scored frame (one tokenize per session, see
+    # _quality_scored_shared)
+    scored = _quality_scored_shared(spark, sf_dir)
     thr = exact_group_weighted_quantiles(
         scored,
         ["source"],
