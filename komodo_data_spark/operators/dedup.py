@@ -3034,6 +3034,18 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: caps the eval's quadratic truth at a constant past sf0.1.
 RECALL_SAMPLE_TARGET_DOCS = 2500
 
+#: Partition width of the FIXED-SIZE eval-slice postings checkpoints
+#: (r13, the r12 `blocks=2` fix generalized per the round-12 verdict):
+#: the slice is a constant ~RECALL_SAMPLE_TARGET_DOCS documents at ANY
+#: corpus scale, but its postings frame inherited the CORPUS scan width
+#: (32 tasks of ~4k rows at sf0.1), so every downstream eval stage
+#: launched corpus-width waves over slice-sized data — the 8-vs-32-core
+#: bench ratios below 1 (recall twins FASTER on fewer cores) were
+#: exactly this over-parallelism. O(slice) tasks is the scale-correct
+#: width for a fixed-size frame; the gram-extraction stages above the
+#: repartition keep the full scan parallelism.
+EVAL_SLICE_PARTITIONS = 4
+
 
 def _recall_sample_buckets(
     n_docs: int, target: int = RECALL_SAMPLE_TARGET_DOCS
@@ -3099,6 +3111,9 @@ def _recall_slice_shared(
         posts = (
             _doc_postings(spark, sf_dir)
             .filter(_bucket_col() < _recall_sample_buckets(n_docs, target))
+            # the slice is budget-fixed: O(slice) tasks downstream, not
+            # corpus scan width (see EVAL_SLICE_PARTITIONS)
+            .repartition(EVAL_SLICE_PARTITIONS)
             .localCheckpoint(eager=True)
         )
         truth = _truth_pairs_from(posts).localCheckpoint(eager=True)

@@ -806,6 +806,7 @@ def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.50).
     """
     from komodo_data_spark.operators.dedup import (
+        EVAL_SLICE_PARTITIONS,
         _detector_recall_counts,
         _recall_sample_buckets,
         _simhash32_from_postings,
@@ -836,9 +837,15 @@ def media_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram array is empty vanish in the explode exactly as the old
     # size(toks) > 0 filter dropped them (they produce no postings and no
     # votes, hence no signature row).
-    posts = exploded(
-        d, F.array_distinct("toks"), "g", "doc_id"
-    ).localCheckpoint(eager=True)
+    posts = (
+        exploded(d, F.array_distinct("toks"), "g", "doc_id")
+        # the slice is budget-fixed: O(slice) tasks downstream, not the
+        # corpus scan width the extraction above runs at (r13; see
+        # dedup.EVAL_SLICE_PARTITIONS) — the 8-vs-32-core ratio of 0.65
+        # on this eval was 32-task waves over ~1250 docs of postings
+        .repartition(EVAL_SLICE_PARTITIONS)
+        .localCheckpoint(eager=True)
+    )
     truth = (
         # budget=None: the eval slice is fixed-size (~MEDIA_RECALL_TARGET
         # docs), so the saturation guard would only add an eager prefix
