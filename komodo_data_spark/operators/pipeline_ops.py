@@ -838,6 +838,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: input violated assumptions and the labels would be WRONG — so raise.
 _CC_STAR_MAX_ROUNDS = 30
 
+#: Max adaptive contraction pre-passes before the star rounds (r13): each
+#: pass is cheaper than a star round (one agg + one contract join pair vs
+#: two agg+join+distinct operators) and halves chain-shaped components;
+#: the adaptive shrink test (>= 1.5x per pass) stops it where it stops
+#: paying, so a path costs one pass and a clique empties in one.
+_CC_CONTRACT_PASSES = 3
+
 
 def _cc_star(edges: DataFrame, max_rounds: int = _CC_STAR_MAX_ROUNDS):
     """Connected components by alternating large-star / small-star rounds
@@ -862,7 +869,11 @@ def _cc_star(edges: DataFrame, max_rounds: int = _CC_STAR_MAX_ROUNDS):
     """
 
     def large_star(e: DataFrame) -> DataFrame:
-        # connect every neighbor ABOVE u to u's smallest known node
+        # connect every neighbor ABOVE u to u's smallest known node.
+        # No .distinct() here (r13): every large-star output flows
+        # straight into small_star, whose min-aggregate is duplicate-
+        # blind and whose own final distinct dedups the round — the
+        # removed exchange was one of six per round (guide §2.4).
         sym = e.union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -874,7 +885,6 @@ def _cc_star(edges: DataFrame, max_rounds: int = _CC_STAR_MAX_ROUNDS):
                 F.col("v").alias("u"),
                 F.least(F.col("u"), F.col("mn")).alias("v"),
             )
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
@@ -892,43 +902,82 @@ def _cc_star(edges: DataFrame, max_rounds: int = _CC_STAR_MAX_ROUNDS):
             .distinct()
         )
 
-    def sig(e: DataFrame) -> tuple:
-        r = e.agg(
+    def ckpt_sig(e: DataFrame) -> tuple:
+        """Eager localCheckpoint + the round's order-independent edge-set
+        signature (count + bit_xor of xxhash64) in ONE materialization:
+        the signature rides the checkpoint job as an ``observe`` metric
+        (r13), where it used to be a separate aggregate job per round —
+        one scheduler wave per star round saved, same values."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = e.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).first()
-        return (r["n"], r["h"])
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return out, (m["n"], m["h"])
 
-    e0 = (
+    def contract_min(e: DataFrame):
+        """One contraction pass: map every node to the minimum of its
+        closed neighborhood and contract edges through the mapping.
+        Returns (mapping(node, m) — eager checkpoint, contracted edges +
+        signature). Component-preserving (the mapping target is always
+        in the node's own component; every edge survives as a mapped
+        edge or a dropped loop)."""
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mk = (
+            sym.groupBy(F.col("u").alias("node"))
+            .agg(F.min(F.least("u", "v")).alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        ec, s = ckpt_sig(
+            e.join(mk.withColumnRenamed("node", "u"), "u")
+            .select(F.col("m").alias("cu"), "v")
+            .join(mk.withColumnRenamed("node", "v"), "v")
+            .select(F.col("cu").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return mk, ec, s
+
+    e0, sig0 = ckpt_sig(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    # One CONTRACTION pass before iterating: map every node to the minimum
-    # of its closed neighborhood and contract edges through the mapping.
-    # Component-preserving (the mapping target is always in the node's own
-    # component; every edge survives as a mapped edge or a dropped loop),
-    # and it collapses each clique-shaped region to ~1 node — near-dup
-    # components and copresence cliques shrink by orders of magnitude, so
-    # the O(log n) star rounds run on a far smaller frame. Worst case
-    # (a path) shrinks nothing and costs one extra shuffle.
-    sym0 = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mapping = (
-        sym0.groupBy(F.col("u").alias("node"))
-        .agg(F.min(F.least("u", "v")).alias("m"))
-        .localCheckpoint(eager=True)
-    )
-    e = (
-        e0.join(mapping.withColumnRenamed("node", "u"), "u")
-        .select(F.col("m").alias("cu"), "v")
-        .join(mapping.withColumnRenamed("node", "v"), "v")
-        .select(F.col("cu").alias("u"), F.col("m").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    cur = sig(e)
+    # CONTRACTION passes before iterating: each collapses every node into
+    # the minimum of its closed neighborhood — clique-shaped regions
+    # (near-dup components, copresence cliques) shrink to ~1 node in one
+    # pass, so the O(log n) star rounds run on a far smaller frame.
+    # ADAPTIVE pass count (r13, round-12 verdict ask #5): keep
+    # contracting while a pass shrinks the edge set by >= 1.5x, up to
+    # _CC_CONTRACT_PASSES — chain-heavy graphs (the copresence graph)
+    # keep shrinking ~2x per pass and trade each saved star round (two
+    # shuffles + checkpoint) for a cheaper contraction; a pure path
+    # shrinks by ~nothing and stops after the first pass, and a clique
+    # graph empties immediately (count 0 short-circuits).
+    mapping, e, cur = contract_min(e0)
+    passes, prev_n = 1, sig0[0]
+    while (
+        cur[0] > 0
+        and passes < _CC_CONTRACT_PASSES
+        and cur[0] * 3 <= prev_n * 2
+    ):
+        mk, e2, s = contract_min(e)
+        # compose original->current through the new pass; nodes whose
+        # component already fully contracted keep their current target
+        mk2 = mk.select(
+            F.col("node").alias("_mid"), F.col("m").alias("_m2")
+        )
+        mapping = (
+            mapping.join(mk2, F.col("m") == F.col("_mid"), "left")
+            .select("node", F.coalesce("_m2", "m").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        prev_n, (e, cur) = cur[0], (e2, s)
+        passes += 1
     rounds = 0
     # emptiness falls out of the signature count — the old rdd.isEmpty()
     # paid a separate job (plus a DataFrame->RDD conversion) per call
@@ -940,9 +989,8 @@ def _cc_star(edges: DataFrame, max_rounds: int = _CC_STAR_MAX_ROUNDS):
         # 2x-deeper per-wave plan cost more driver-side planning than the
         # saved checkpoint/sig jobs (measured 6.8 -> 10.5 s isolated at
         # sf0.1); one star pair per wave is the right grain.
-        e2 = small_star(large_star(e)).localCheckpoint(eager=True)
+        e2, s = ckpt_sig(small_star(large_star(e)))
         rounds += 1
-        s = sig(e2)
         e = e2
         if s == cur:
             converged = True
