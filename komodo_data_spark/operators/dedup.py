@@ -2281,34 +2281,39 @@ def _passjoin_frames(d):
     followed by a sequence explode for the ±k shift — one flat 112-struct
     array blows janino's 64 KB generated-method limit and drops the whole
     stage to interpreted evaluation (measured: the fallback was barely
-    faster than the quadratic blocking it replaces)."""
-    k, nseg = FUZZY_MAX_DIST, _FUZZY_NSEG
-    m = F.length("title")
+    faster than the quadratic blocking it replaces).
 
-    def seg_layout(l, i: int):
+    Both struct arrays are ONE parsed ``F.expr`` string (r13): the
+    Python-loop Column construction cost ~1.6 s of py4j round-trips per
+    invocation (cProfile-evidenced, the round-12 SimHash finding again);
+    the SQL text below is term-by-term the same arithmetic — int `/`
+    divides as double before FLOOR, `%` stays int — so the exploded
+    structs are value-identical (pinned by the fuzzy oracles)."""
+    k, nseg = FUZZY_MAX_DIST, _FUZZY_NSEG
+
+    def layout_sql(l: str, i: int) -> tuple[str, str]:
         # length-l layout: the first (nseg - l%nseg) segments have
         # floor(l/nseg) chars, the rest one more
-        b, r = F.floor(l / nseg).cast("int"), (l % nseg).cast("int")
-        seglen = b + F.when(F.lit(i) >= F.lit(nseg) - r, 1).otherwise(0)
-        start = F.lit(i) * b + F.greatest(
-            F.lit(0), F.lit(i) - (F.lit(nseg) - r)
-        )
+        b = f"CAST(FLOOR(({l}) / {nseg}) AS INT)"
+        r = f"CAST(({l}) % {nseg} AS INT)"
+        seglen = f"({b} + (CASE WHEN {i} >= {nseg} - {r} THEN 1 ELSE 0 END))"
+        start = f"({i} * {b} + GREATEST(0, {i} - ({nseg} - {r})))"
         return start, seglen
 
-    seg_structs = []
-    for i in range(nseg):
-        start, seglen = seg_layout(m, i)
-        seg_structs.append(
-            F.struct(
-                m.alias("l"),
-                F.lit(i).alias("i"),
-                start.alias("q"),
-                seglen.alias("n"),
-            )
+    def struct_sql(l: str, i: int, qname: str) -> str:
+        q, n = layout_sql(l, i)
+        return (
+            f"named_struct('l', {l}, 'i', {i}, '{qname}', {q}, 'n', {n})"
         )
+
+    seg_structs = ", ".join(
+        struct_sql("length(title)", i, "q") for i in range(nseg)
+    )
     seg = (
         d.select(
-            "doc_id", "title", F.explode(F.array(*seg_structs)).alias("kk")
+            "doc_id",
+            "title",
+            F.expr(f"explode(array({seg_structs}))").alias("kk"),
         )
         .select(
             "doc_id",
@@ -2318,22 +2323,16 @@ def _passjoin_frames(d):
             F.expr("substring(title, kk.q + 1, kk.n)").alias("s"),
         )
     )
-    probe_structs = []
-    for loff in range(0, k + 1):
-        for i in range(nseg):
-            l = m - loff
-            start, seglen = seg_layout(l, i)
-            probe_structs.append(
-                F.struct(
-                    l.alias("l"),
-                    F.lit(i).alias("i"),
-                    start.alias("q0"),
-                    seglen.alias("n"),
-                )
-            )
+    probe_structs = ", ".join(
+        struct_sql(f"(length(title) - {loff})", i, "q0")
+        for loff in range(0, k + 1)
+        for i in range(nseg)
+    )
     probe = (
         d.select(
-            "doc_id", "title", F.explode(F.array(*probe_structs)).alias("kk")
+            "doc_id",
+            "title",
+            F.expr(f"explode(array({probe_structs}))").alias("kk"),
         )
         .select(
             "doc_id",
