@@ -1509,6 +1509,63 @@ def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _pq_codebook_row(cents: DataFrame) -> DataFrame:
+    """The whole M-subspace codebook folded into ONE broadcastable row:
+    ascending-m array of per-subspace candidate (cid, ce) arrays."""
+    return (
+        cents.groupBy("m")
+        .agg(F.collect_list(F.struct(F.col("cid"), F.col("ce"))).alias("cands"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("m"), F.col("cands")))
+            ).alias("cb")
+        )
+    )
+
+
+def _pq_reconstruct_inline(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Encode + reconstruct in ONE map-side pass against a broadcast
+    codebook (r13, guide §2.4): per vector and subspace, pick the
+    lexicographic (d, cid)-minimum codeword (the ``_pq_assign`` argmin —
+    cid is unique per subspace, so attaching ce to the struct never
+    changes the winner) and concatenate the winning centroids ascending
+    m (the ``_pq_reconstruct`` assembly order). The published-model
+    search path (``knn_pq_apply_published``) uses this to lose both the
+    subvector explode->code rows and the (vec_id)-keyed reassembly
+    shuffle: scan -> reconstructed vector, nothing leaves the scan task.
+    Arithmetic is term-identical to _pq_assign + _pq_reconstruct, so
+    published ≡ refit still hash-checks against the refit oracle."""
+    one = _pq_codebook_row(cents)
+
+    def winner(mc):
+        return F.array_min(
+            F.transform(
+                mc["cands"],
+                lambda c: F.struct(
+                    _sqdist(
+                        F.slice(
+                            F.col("e"), mc["m"] * PQ_SUBDIM + 1, PQ_SUBDIM
+                        ),
+                        c["ce"],
+                    ).alias("d"),
+                    c["cid"].alias("cid"),
+                    c["ce"].alias("ce"),
+                ),
+            )
+        )
+
+    return (
+        v.crossJoin(F.broadcast(one))
+        .select(
+            "vec_id",
+            F.flatten(
+                F.transform(F.col("cb"), lambda mc: winner(mc)["ce"])
+            ).alias("re"),
+        )
+        .withColumn("rnrm", _nrm(F.col("re")))
+    )
+
+
 def _pq_reconstruct(codes: DataFrame, cents: DataFrame) -> DataFrame:
     """PQ-reconstructed vectors (vec_id, re, rnrm) from a (vec_id, m,
     cid) code frame: broadcast codebook join + per-vector reassembly —
@@ -1647,8 +1704,11 @@ def knn_pq_apply_published(
     require_store(spark, _pq_codebooks_path(model_path), "flat-PQ codebook")
     cents = read_pq_model(spark, model_path)
     v = _vectors(spark, sf_dir).select("vec_id", "e")
-    codes = _pq_assign(_pq_subvectors(v), cents)
-    return _pq_adc_topk(spark, sf_dir, _pq_reconstruct(codes, cents))
+    # one corpus scan: encode and reconstruct fused map-side against the
+    # broadcast codebook (r13) — the old explode -> _pq_assign ->
+    # _pq_reconstruct chain paid a (vec_id)-keyed reassembly shuffle of
+    # n·M code rows for the same values
+    return _pq_adc_topk(spark, sf_dir, _pq_reconstruct_inline(v, cents))
 
 
 def knn_pq_published_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
