@@ -174,6 +174,10 @@ def registry():
             events_mad_outliers,
             events_mad_outliers_oracle(),
         ),
+        "events_mad_outliers_approx": (
+            events_mad_outliers_approx,
+            None,  # sketch medians: rows-only; exact twin is the anchor
+        ),
         "events_spearman_trend": (
             events_spearman_trend,
             events_spearman_trend_oracle(),
@@ -750,6 +754,51 @@ def events_mad_outliers_oracle() -> str:
     FROM dev v JOIN _d_thr t USING (event_type)
     WHERE t.mad > 0 AND {MAD_CONSISTENCY} * v.absdev / t.mad > {MAD_Z_CUT}
     """
+
+
+def events_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX twin of ``events_mad_outliers`` (rows-only): median and MAD
+    come from two chained ``approx_percentile`` sketch aggregates instead
+    of the exact bucket-prefix fits — the web-scale form (one mergeable
+    sketch pass per level, no histogram/target-bucket machinery), with
+    the exact op as its oracle-anchored baseline. Sketch medians are
+    engine-specific, hence rows-only; tests pin the flag set against the
+    exact twin's within sketch tolerance."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+        .localCheckpoint(eager=True)
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("approx_percentile(absdev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (
+                F.lit(MAD_CONSISTENCY) * F.col("absdev") / F.col("mad")
+                > F.lit(MAD_Z_CUT)
+            )
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (
+                F.lit(MAD_CONSISTENCY)
+                * (F.col("value") - F.col("med"))
+                / F.col("mad")
+            ).alias("mod_z"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

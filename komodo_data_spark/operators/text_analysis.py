@@ -2670,9 +2670,17 @@ def registry():
             docs_quality_quantile_filter,
             docs_quality_quantile_filter_oracle(),
         ),
+        "docs_quality_quantile_filter_approx": (
+            docs_quality_quantile_filter_approx,
+            None,  # sketch thresholds: rows-only; exact twin is the anchor
+        ),
         "docs_perplexity_buckets": (
             docs_perplexity_buckets,
             docs_perplexity_buckets_oracle(),
+        ),
+        "docs_perplexity_buckets_approx": (
+            docs_perplexity_buckets_approx,
+            None,  # sketch cut points: rows-only; exact twin is the anchor
         ),
         "docs_quality_band_filter": (
             docs_quality_band_filter,
@@ -3930,6 +3938,33 @@ def docs_quality_quantile_filter_oracle() -> str:
     """
 
 
+def docs_quality_quantile_filter_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPROX twin of ``docs_quality_quantile_filter`` (rows-only check —
+    the sketch-twin pattern of ``supplier_part_distinct_approx``): the
+    per-source threshold comes from ONE ``approx_percentile`` sketch
+    aggregate (mergeable KLL-style summary, map-side combinable) instead
+    of the exact bucket-prefix rank fit. This is the documented web-scale
+    form — the exact filter stays registered as its oracle-anchored
+    baseline, and at 100 TB the sketch costs one pass over the scored
+    frame where the exact fit pays extrema + histogram + target-bucket
+    selection. Sketch thresholds are engine-specific (DuckDB's
+    approx_quantile uses a different sketch), so the twin is rows-only;
+    tests pin that the kept set tracks the exact filter's within sketch
+    tolerance."""
+    scored = _quality_scored_shared(spark, sf_dir)
+    q = QUALITY_KEEP_Q[0] / QUALITY_KEEP_Q[1]
+    thr = scored.groupBy("source").agg(
+        F.expr(f"approx_percentile(quality_score, {q!r})").alias("thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("quality_score") >= F.col("thr"))
+        .select("doc_id", "source", "quality_score")
+    )
+
+
 #: Mid-band keep: drop the bottom half (low-quality noise) AND the top
 #: decile — Gopher-style upper-bound trimming, which catches templated /
 #: keyword-stuffed spam that scores unnaturally high on lexical metrics.
@@ -4152,6 +4187,40 @@ def docs_perplexity_buckets_oracle() -> str:
                 ELSE 'middle' END AS bucket
     FROM s JOIN _eq_thr t USING (lang)
     """
+
+
+def docs_perplexity_buckets_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPROX twin of ``docs_perplexity_buckets`` (rows-only): the
+    per-language tercile cuts come from ONE ``approx_percentile`` sketch
+    aggregate over the same memoized LM-scored frame, instead of the
+    exact bucket-prefix fit — the web-scale CCNet form, with the exact
+    bucketer as its oracle-anchored baseline. Sketch cut points are
+    engine-specific, hence rows-only; tests pin bucket-population drift
+    against the exact twin."""
+    scored = text_bigram_logprob(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    s = scored.join(langs, "doc_id")
+    lo, hi = PPL_TAIL_Q[0] / PPL_TAIL_Q[1], PPL_HEAD_Q[0] / PPL_HEAD_Q[1]
+    thr = s.groupBy("lang").agg(
+        F.expr(
+            f"approx_percentile(avg_logprob, array({lo!r}, {hi!r}))"
+        ).alias("qq")
+    ).select(
+        "lang", F.col("qq")[0].alias("q_tail"), F.col("qq")[1].alias("q_head")
+    )
+    return s.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") >= F.col("q_head"), "head")
+        .when(F.col("avg_logprob") < F.col("q_tail"), "tail")
+        .otherwise("middle")
+        .alias("bucket"),
+    )
 
 
 def docs_ppl_token_weighted_buckets(

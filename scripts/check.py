@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
-EXPECTED_REGISTRY_COUNT = 252
+EXPECTED_REGISTRY_COUNT = 255
 
 
 def canon(df: pd.DataFrame) -> list[tuple]:
