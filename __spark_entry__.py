@@ -204,69 +204,69 @@ def _registry() -> dict[str, tuple[QueryFn, str | None]]:
 
 
 # The driver records correctness rows for the FIRST 50 registry entries in
-# registration order. Rotation is COMPLETE (cumulative driver-witnessed
-# coverage reached the full registry by r11), so the r12 window targets
-# FRESHNESS (verdict ask #7): (a) this round's addition + every query whose
-# implementation changed this round, (b) the 42 queries with the OLDEST
-# last-witnessed round (r02-r04 per CORRECTNESS_r02..r11) so the staleness
-# tail stays bounded. Queries outside the window keep their oracle pairing
-# and are verified by the judge's full scripts/check.py re-run.
+# registration order. The r13 window (round-12 verdict ask #2): (a) every
+# query that has NEVER had a driver row (this round's three approx twins +
+# the four r12 additions the r12 window missed), (b) the round-12
+# second-half queries whose implementations changed after the r12 window
+# froze (driver-unwitnessed since), (c) every query this round's
+# optimizations touched, (d) stalest-witness fill. Queries outside the
+# window keep their oracle pairing and are verified by the judge's full
+# scripts/check.py re-run.
 _PRIORITY: tuple[str, ...] = (
-    # --- (a) NEW / changed in round 12 ---
-    "knn_pq_published_adc",  # NEW r12: flat-PQ publish roundtrip
-    "knn_pq_adc",  # r12: shared session codebook fit
-    "knn_pq_recall",  # r12: consumes the shared fit
-    "dedup_ngram_pairs",  # r12: hub cache -> lazy localCheckpoint
-    "dedup_ngram_pairs_prefix",  # r12: same + guarded prefix checkpoint
-    "dedup_ngram_pairs_capped",  # r12: same
-    "dedup_minhash_oph",  # r12: same
-    "dedup_containment_pairs",  # r12: same
-    # --- (b) stalest driver witnesses, oldest round first ---
-    # last witnessed r02:
-    "customers_every_year",
-    "events_distinct_users_two_stage",
-    "events_props_variant",
-    "events_user_trend",
-    "events_value_anomalies",
-    "events_value_histogram",
-    "lineitem_price_tiers",
-    "q11_important_suppliers",
-    "q16_supplier_part_counts",
-    "supplier_part_distinct_approx",  # rows-only (sketch; exact twin paired)
-    "supplier_part_distinct_exact",
-    "user_click_purchase_reconcile",
-    "user_state_history",
-    # last witnessed r03:
-    "corpus_prepare",
-    "customers_with_orders",
-    "dedup_embedding_pairs",
-    "dedup_semantic",
-    "doc_chunks",
-    "graph_pagerank",
-    "knn_ivf_multiprobe",
-    "knn_lsh_signbits",
-    "media_audio_energy",
-    "media_frame_samples",
-    "profile_orders",
-    "text_bpe_token_estimate",
-    "text_fingerprints",
-    "text_quality_scores",
-    "text_repetition_signals",
-    "text_tfidf_top_terms",
-    "url_canonical_dedup",
-    # last witnessed r04:
-    "corpus_clean",
+    # --- (a) never driver-witnessed ---
+    "docs_quality_quantile_filter_approx",  # NEW r13 (rows-only sketch twin)
+    "docs_perplexity_buckets_approx",  # NEW r13 (rows-only sketch twin)
+    "events_mad_outliers_approx",  # NEW r13 (rows-only sketch twin)
+    "dedup_embedding_recall_sampled",
+    "knn_lsh_recall_sampled",
+    "kmeans_clusters_published",
+    "dedup_semantic_published",
+    # --- (b) r12 second-half changes the r12 window missed ---
+    "dedup_simhash",
+    "dedup_simhash_recall",  # also r13: slice width
+    "media_simhash_pairs",
+    "media_simhash_pairs_capped",
+    "media_simhash_capped_recall",
+    "media_simhash_recall",  # also r13: slice width
+    "text_bpe_train_apply",
+    "text_bpe_merges",
+    "text_bpe_merges_batched",
+    "text_bpe_batched_train_apply",
+    "text_bpe_published_apply",
+    "text_bpe_encode",
+    "text_bpe_packed_sequences",
+    "text_nb_quality_classifier",
+    "text_nb_calibration",
+    "session_overlap_pairs",
+    "text_kneser_ney3_apply",
+    # --- (c) changed in round 13 ---
+    "text_kneser_ney3_logprob",  # one-pass model counts
+    "docs_quality_quantile_filter",  # shared scored frame
+    "docs_quality_band_filter",  # shared scored frame
+    "docs_quality_token_weighted_filter",  # shared scored frame
+    "kmeans_clusters",  # map-side Lloyd argmin
+    "dedup_semantic",  # map-side Lloyd argmin
+    "knn_pq_adc",  # map-side PQ argmin
+    "knn_pq_recall",
+    "knn_pq_published_adc",  # fused map-side encode+reconstruct
+    "knn_ivfpq_adc",
+    "knn_ivfpq_recall",
+    "dedup_minhash_recall_sampled",  # eval-slice width
+    "dedup_minhash_oph_recall",  # eval-slice width
+    "graph_components",  # star-CC round machinery
+    "dedup_clusters_star",  # star-CC round machinery
+    "dedup_fuzzy_prefix",  # PassJoin structs as parsed SQL
+    "dedup_fuzzy_prefix_capped",
+    "dedup_fuzzy_capped_recall",
     "customers_fuzzy_name_pairs",
-    "dedup_clusters_best_keeper",
-    "dedup_clusters_star",
-    "dedup_source_overlap",
-    "dedup_substring_scrub",
-    "embeddings_vector_stats",
-    "events_pivot_daily",
-    "graph_components",
-    "kmeans_clusters",
-    "knn_brute_force",
-    "knn_lsh_recall",
+    "docs_perplexity_buckets",  # exact anchor of the new approx twin
+    "events_mad_outliers",  # exact anchor of the new approx twin
+    # --- (d) stalest driver witnesses (last seen r04) ---
+    "knn_quantized_recall",
+    "media_decoded_features",
+    "media_frame_dedup",
+    "media_metadata",
+    "media_metadata_arrow",
 )
 
 
