@@ -18,6 +18,12 @@ The final line is kept compact (< ~1500 chars: totals + top-10 slowest) so
 it survives the driver's output-tail truncation; the full per-query timing
 map is written to ``BENCH_DETAIL.json`` at the repo root.
 
+Per-query caveat (r13, round-12 verdict note): shared fits are session-
+memoized, so each family's fit is billed to whichever consumer runs
+FIRST in registry order — per-query numbers are payer-order-dependent
+across rounds when _PRIORITY rotates; totals and job-time sums are the
+stable comparands.
+
 Host-contention policy: the rig is a multi-tenant guest (BASELINE.md
 "Round-9→10 bench-envelope triage"), so each timed pass records steal%%
 and loadavg; a contaminated pass (steal_pct >= 1.0) is retried once after
